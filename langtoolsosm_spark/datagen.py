@@ -1,0 +1,329 @@
+"""Deterministic synthetic dataset generators (seed-fixed, no external data).
+
+Generates the engine's four fixture tables (FIXTURES.md F1-F4) at scale
+tiers matching /root/testdata SFs, cached as parquet under
+``<repo>/data/synth_<tier>/``:
+
+* images   — the primary fact table per BASELINE.json:input_hint
+  (image_id, bytes, w, h, fmt, caption, phash) + footprint lat/lon.
+  ~20% of rows land in one dense "urban" cell so skew handling is
+  actually exercised (SURVEY.md §7.3); a few rows sit exactly on polygon
+  boundaries (tie-break fixtures).
+* polygons — admin/language-region dimension with lang-rule tags; convex +
+  concave + nested + shared-edge + sliver shapes.
+* features — OSM-style rows (osm_type, id, tags map, lat/lon, version)
+  covering every predicate class the reference uses.
+* wikidata — translation dimension (labels/aliases/sitelinks/P31).
+
+Generation is one-time, offline, and NOT the engine hot path; per-image
+encoding loops here are fine. Everything downstream is Spark-vectorized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions import imagecodec as ic
+
+SEED = 42
+REGION = dict(lat0=35.0, lat1=45.0, lon0=-5.0, lon1=10.0)
+HOT = dict(lat0=41.35, lat1=41.45, lon0=2.05, lon1=2.25)  # dense urban cell
+HOT_FRAC = 0.2
+
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+TIER_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
+
+LANGS = ["ca", "es", "fr", "oc"]
+PLACES = [
+    "Barcelona", "Girona", "Lleida", "Tarragona", "Perpinyà", "València",
+    "Andorra la Vella", "Manresa", "Figueres (Alt Empordà)", "Vic",
+    "Sabadell", "Terrassa", "Reus", "Tortosa", "Olot (Garrotxa)",
+]
+
+
+# ---------------------------------------------------------------------------
+# polygons
+# ---------------------------------------------------------------------------
+
+def _box(s, w, n, e):
+    return [(s, w), (s, e), (n, e), (n, w)]
+
+
+def synth_polygons() -> pd.DataFrame:
+    """~30 deterministic polygons over the region (FIXTURES.md F3)."""
+    polys = []
+
+    def add(pid, name, ring, lang, kind):
+        polys.append(
+            dict(
+                polygon_id=pid,
+                name=name,
+                tags=[("name", name), ("lang", lang), ("boundary", "administrative"), ("kind", kind)],
+                ring=[{"lat": float(a), "lon": float(b)} for a, b in ring],
+            )
+        )
+
+    # 4x4 admin grid over the region (16 boxes)
+    k = 0
+    for i in range(4):
+        for j in range(4):
+            s = 35.0 + i * 2.5
+            w = -5.0 + j * 3.75
+            add(f"P{k:03d}", f"Admin {i}-{j}", _box(s, w, s + 2.5, w + 3.75), LANGS[(i + j) % 4], "box")
+            k += 1
+    # hot-cell polygon (urban) — overlaps the dense cell
+    add("P100", "Urbs Central", _box(41.3, 2.0, 41.5, 2.3), "ca", "hot")
+    # nested pair
+    add("P101", "Outer Ring", _box(38.0, 0.0, 40.0, 2.0), "es", "outer")
+    add("P102", "Inner Core", _box(38.5, 0.5, 39.5, 1.5), "es", "inner")
+    # adjacent boxes sharing an edge at lon=5.0
+    add("P103", "West Twin", _box(36.0, 4.0, 37.0, 5.0), "oc", "twin")
+    add("P104", "East Twin", _box(36.0, 5.0, 37.0, 6.0), "oc", "twin")
+    # triangles
+    add("P105", "Delta Sud", [(35.5, 6.0), (35.5, 9.0), (38.0, 6.0)], "fr", "tri")
+    add("P106", "Delta Nord", [(42.0, -4.0), (44.5, -4.0), (42.0, -1.0)], "ca", "tri")
+    # concave (notched)
+    add(
+        "P107",
+        "Concau",
+        [(43.0, 4.0), (43.0, 8.0), (44.8, 8.0), (44.8, 6.5), (43.8, 6.5), (43.8, 5.5), (44.8, 5.5), (44.8, 4.0)],
+        "oc",
+        "concave",
+    )
+    # sliver crossing many cells (thin, wide)
+    add("P108", "Corredor", _box(40.48, -4.5, 40.52, 9.5), "es", "sliver")
+    add("P109", "Litoral", [(39.0, 3.0), (39.0, 5.5), (41.0, 5.5), (41.0, 4.5), (39.8, 4.5), (39.8, 3.0)], "ca", "lshape")
+    df = pd.DataFrame(polys)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+def synth_images(n: int, seed: int = SEED) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * HOT_FRAC)
+    lat = np.concatenate(
+        [
+            rng.uniform(HOT["lat0"], HOT["lat1"], n_hot),
+            rng.uniform(REGION["lat0"], REGION["lat1"], n - n_hot),
+        ]
+    )
+    lon = np.concatenate(
+        [
+            rng.uniform(HOT["lon0"], HOT["lon1"], n_hot),
+            rng.uniform(REGION["lon0"], REGION["lon1"], n - n_hot),
+        ]
+    )
+    # a few boundary-exact points (tie-break fixtures): on the shared edge
+    # lon=5.0 of P103/P104 and on the box edge lat=40.0 of P101
+    nb = min(8, n)
+    lat[:nb] = np.linspace(36.1, 36.9, nb)
+    lon[:nb] = 5.0
+    if n > 16:
+        lat[8:16] = 40.0
+        lon[8:16] = np.linspace(0.1, 1.9, 8)
+    perm = rng.permutation(n)
+    lat, lon = lat[perm], lon[perm]
+
+    wh = rng.integers(8, 33, size=(n, 2)).astype(np.int32)
+    fmts = np.array(FMTS := ["raw", "bmp", "png", "dctq"])[np.arange(n) % 4]
+
+    recs = []
+    for i in range(n):
+        w, h = int(wh[i, 0]), int(wh[i, 1])
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 80 * np.sin(yy / 5.0 + i % 7) * np.cos(xx / 4.0 + i % 5)
+        noise = rng.normal(0, 10, (h, w, 3))
+        px = np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8)
+        fmt = str(fmts[i])
+        buf = ic.encode(px, fmt)
+        place = PLACES[i % len(PLACES)]
+        caption = f"Vista de {place} — imatge {i:08d} (mostra sintètica) àçñü"
+        recs.append(
+            dict(
+                image_id=f"img{i:09d}",
+                bytes=buf,
+                w=w,
+                h=h,
+                fmt=fmt,
+                caption=caption,
+                phash=np.int64(ic.phash64(px)),
+                lat=float(lat[i]),
+                lon=float(lon[i]),
+            )
+        )
+    return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
+# features (OSM-style) + wikidata dimension
+# ---------------------------------------------------------------------------
+
+def synth_features(n: int = 500, seed: int = SEED) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 1)
+    lat = rng.uniform(REGION["lat0"], REGION["lat1"], n)
+    lon = rng.uniform(REGION["lon0"], REGION["lon1"], n)
+    # densify the hot cell with named features too (kNN fixtures)
+    n_hot = n // 5
+    lat[:n_hot] = rng.uniform(HOT["lat0"], HOT["lat1"], n_hot)
+    lon[:n_hot] = rng.uniform(HOT["lon0"], HOT["lon1"], n_hot)
+    types = np.array(["node", "way", "relation"])[rng.integers(0, 3, n)]
+    recs = []
+    for i in range(n):
+        place = PLACES[i % len(PLACES)]
+        tags: list[tuple[str, str]] = []
+        mode = i % 8
+        # cover all predicate classes (FIXTURES.md F2)
+        if mode in (0, 3, 5, 6, 7):
+            tags.append(("name", f"{place} {i}"))
+        if mode in (1, 3, 6, 7):
+            tags.append(("name:ca", f"{place} ca {i}"))
+        if mode in (2, 6):
+            tags.append(("name:es", f"{place} es {i}"))
+        if mode == 5:
+            tags.append(("name", f"Carrer de {place} ({i})"))  # regex target
+        if i % 4 == 0:
+            tags.append(("wikidata", f"Q{1000 + i % 50}"))  # shared Q-ids
+        if i % 5 == 0:
+            tags.append(("wikipedia", f"ca:{place}_{i % 20}"))
+        if i % 7 == 0:
+            tags.append(("int_name", f"{place} intl"))
+            tags.append(("official_name", f"Ciutat de {place}"))
+        tags.append(("amenity", ["park", "school", "cafe", "museum"][i % 4]))
+        recs.append(
+            dict(
+                osm_type=str(types[i]),
+                id=np.int64(10_000 + i),
+                tags=tags,
+                lat=float(lat[i]),
+                lon=float(lon[i]),
+                version=np.int32(1 + i % 3),
+            )
+        )
+    return pd.DataFrame(recs)
+
+
+def synth_wikidata(n: int = 50, seed: int = SEED) -> pd.DataFrame:
+    rng = np.random.default_rng(seed + 2)
+    recs = []
+    for i in range(n):
+        qid = f"Q{1000 + i}"
+        place = PLACES[i % len(PLACES)]
+        has_wiki = i % 3 != 2
+        label = None if i % 7 == 6 else f"{place} label {i}"
+        aliases = [] if i % 4 == 3 else [f"{place} àlies {j} ({i})" for j in range(i % 3)]
+        sitelinks = [("cawiki", f"{place}_{i}"), ("eswiki", f"{place}_es_{i}")]
+        if i % 5 == 0:
+            sitelinks.append(("commonswiki", f"Category:{place}"))
+        p31 = ["human"] if i % 10 == 9 else ["city", "municipality"][: 1 + i % 2]
+        recs.append(
+            dict(
+                wikidata=qid,
+                canonical=qid if i % 11 != 10 else f"Q{1000 + (i + 1) % n}",  # redirects
+                wikipedia_title=(f"{place} (ciutat) {i}" if has_wiki else None),
+                label=label,
+                aliases=aliases,
+                sitelinks=sitelinks,
+                p31_labels=p31,
+            )
+        )
+    return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
+# parquet cache
+# ---------------------------------------------------------------------------
+
+_IMG_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+    ]
+)
+
+_POLY_SCHEMA = pa.schema(
+    [
+        ("polygon_id", pa.string()),
+        ("name", pa.string()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("ring", pa.list_(pa.struct([("lat", pa.float64()), ("lon", pa.float64())]))),
+    ]
+)
+
+_FEAT_SCHEMA = pa.schema(
+    [
+        ("osm_type", pa.string()),
+        ("id", pa.int64()),
+        ("tags", pa.map_(pa.string(), pa.string())),
+        ("lat", pa.float64()),
+        ("lon", pa.float64()),
+        ("version", pa.int32()),
+    ]
+)
+
+_WD_SCHEMA = pa.schema(
+    [
+        ("wikidata", pa.string()),
+        ("canonical", pa.string()),
+        ("wikipedia_title", pa.string()),
+        ("label", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("sitelinks", pa.map_(pa.string(), pa.string())),
+        ("p31_labels", pa.list_(pa.string())),
+    ]
+)
+
+
+def _write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(table, path)
+
+
+def ensure_dataset(tier: str = "sf0.001", root: str | None = None) -> str:
+    """Generate (once) and return the synth dataset directory for a tier."""
+    if tier not in TIER_ROWS:
+        raise ValueError(f"unknown tier {tier}; choose from {sorted(TIER_ROWS)}")
+    root = root or DATA_ROOT
+    out = os.path.join(root, f"synth_{tier}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    n = TIER_ROWS[tier]
+    _write(synth_images(n), _IMG_SCHEMA, os.path.join(tmp, "images.parquet"))
+    _write(synth_polygons(), _POLY_SCHEMA, os.path.join(tmp, "polygons.parquet"))
+    _write(synth_features(max(500, n // 20)), _FEAT_SCHEMA, os.path.join(tmp, "features.parquet"))
+    _write(synth_wikidata(), _WD_SCHEMA, os.path.join(tmp, "wikidata.parquet"))
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump({"tier": tier, "rows": n, "seed": SEED}, f)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    return out
+
+
+def tier_for_sf_dir(sf_dir: str) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to a synth tier name."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base if base in TIER_ROWS else "sf0.01"

@@ -1,0 +1,199 @@
+"""Iceberg-style snapshot table: immutable parquet data files + JSON
+manifests, with per-partition lineage and resumable commits.
+
+The reference's write transaction is the OSM changeset: opened lazily,
+closed every ``batch`` edits, with a comment suffix `` (part N)`` and
+running edit counters (/root/reference/src/fill_empty_name.py:66-89;
+lib/osm_utils.py:155-165). The engine maps that to snapshot commits: each
+micro-batch of partition outputs is one snapshot carrying metadata tags
+(comment/source/created_by) in its summary, a monotonically increasing id,
+and a lineage list (partition id -> rows, duration). Resume = skip
+partitions already recorded in the latest snapshot chain
+(BASELINE.json:north_rule "resumable from checkpoint with per-partition
+lineage + metrics").
+
+No Iceberg jars exist in the sandbox, so the manifest format is a trivial
+JSON chain — same semantics (immutable data files, named snapshots,
+time-travel by snapshot id, append/overwrite), engine-owned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class SnapshotTable:
+    """A directory of immutable parquet files + snapshots/NNNNNN.json."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.snap_dir = os.path.join(path, "snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- snapshot chain -----------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def current(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def committed_partitions(self) -> set[int]:
+        """Union of partition ids recorded across the live snapshot chain."""
+        done: set[int] = set()
+        for s in self.snapshots():
+            if s.get("operation") == "overwrite":
+                done = set()
+            for rec in s.get("lineage", []):
+                done.add(rec["partition_id"])
+        return done
+
+    def live_files(self, snapshot_id: int | None = None) -> list[str]:
+        files: list[str] = []
+        for s in self.snapshots():
+            if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+                break
+            if s.get("operation") == "overwrite":
+                files = []
+            files.extend(s["files"])
+        return [os.path.join(self.data_dir, f) for f in files]
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(
+        self,
+        files: list[str],
+        lineage: list[dict],
+        summary: dict | None = None,
+        operation: str = "append",
+    ) -> dict:
+        """Record a snapshot over data files already placed in data_dir.
+
+        files: basenames inside data_dir. lineage: one dict per partition
+        {partition_id, rows, duration_ms}. summary: changeset-style
+        metadata tags (comment / source / created_by ...).
+        """
+        prev = self.current()
+        sid = (prev["snapshot_id"] + 1) if prev else 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "files": files,
+            "lineage": lineage,
+            "summary": dict(summary or {}),
+            "total_rows": sum(r.get("rows", 0) for r in lineage),
+        }
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{sid:06d}.json"))
+        return snap
+
+    def new_data_file(self, partition_id: int) -> str:
+        return f"part-{partition_id:05d}-{uuid.uuid4().hex}.parquet"
+
+    # -- spark I/O ------------------------------------------------------------
+
+    def read(self, spark, snapshot_id: int | None = None):
+        """Load the table state at a snapshot (default: current)."""
+        files = self.live_files(snapshot_id)
+        if not files:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        return spark.read.parquet(*files)
+
+
+def write_partitioned(
+    df,
+    table: SnapshotTable,
+    partition_col: str,
+    summary: dict | None = None,
+    batch_partitions: int = 0,
+    skip_partitions: set[int] | None = None,
+) -> list[dict]:
+    """Write a DataFrame as snapshot commits batched by partition groups.
+
+    Mirrors reference changeset batching: ``batch_partitions`` partitions
+    per snapshot (0 = all in one), `` (part N)`` comment suffix, resumable
+    via ``skip_partitions`` (from ``table.committed_partitions()``).
+
+    The write itself is distributed (one pass, hash-partitioned by
+    ``partition_col``); only manifest bookkeeping is driver-side.
+    """
+    skip = skip_partitions or set()
+    data_dir = table.data_dir
+
+    def _write_partition(pid_iter):
+        # executor-side: write one parquet file per spark partition
+        import pyarrow as pa  # re-import inside task
+        import pyarrow.parquet as pqw
+        import time as _t
+        import uuid as _u
+
+        for pdf in pid_iter:
+            if len(pdf) == 0:
+                continue
+            t0 = _t.time()
+            pid = int(pdf["__pid"].iloc[0])
+            if pid in skip:
+                continue
+            fn = f"part-{pid:05d}-{_u.uuid4().hex}.parquet"
+            tbl = pa.Table.from_pandas(pdf.drop(columns=["__pid"]), preserve_index=False)
+            pqw.write_table(tbl, os.path.join(data_dir, fn))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "partition_id": [pid],
+                    "file": [fn],
+                    "rows": [len(pdf)],
+                    "duration_ms": [int((_t.time() - t0) * 1000)],
+                }
+            ).to_pandas()
+
+    from pyspark.sql import functions as F
+
+    with_pid = df.withColumn("__pid", F.abs(F.hash(F.col(partition_col))))
+    manifest_df = with_pid.groupBy("__pid").applyInPandas(
+        lambda pdf: next(iter(_write_partition([pdf])), _empty_manifest_pdf()),
+        schema="partition_id long, file string, rows long, duration_ms long",
+    )
+    recs = [r.asDict() for r in manifest_df.collect() if r["file"] is not None]
+
+    snaps = []
+    batch = batch_partitions or len(recs) or 1
+    for i in range(0, len(recs), batch):
+        chunk = recs[i : i + batch]
+        s = dict(summary or {})
+        if len(recs) > batch:
+            s["comment"] = f"{s.get('comment', '')} (part {i // batch + 1})".strip()
+        snaps.append(
+            table.commit(
+                files=[r["file"] for r in chunk],
+                lineage=[
+                    {"partition_id": r["partition_id"], "rows": r["rows"], "duration_ms": r["duration_ms"]}
+                    for r in chunk
+                ],
+                summary=s,
+            )
+        )
+    return snaps
+
+
+def _empty_manifest_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"partition_id": pd.Series([], dtype="int64"), "file": pd.Series([], dtype="object"),
+         "rows": pd.Series([], dtype="int64"), "duration_ms": pd.Series([], dtype="int64")}
+    )
