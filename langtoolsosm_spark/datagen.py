@@ -184,7 +184,7 @@ def synth_features(n: int = 500, seed: int = SEED) -> pd.DataFrame:
         tags: list[tuple[str, str]] = []
         mode = i % 8
         # cover all predicate classes (FIXTURES.md F2)
-        if mode in (0, 3, 5, 6, 7):
+        if mode in (0, 3, 6, 7):
             tags.append(("name", f"{place} {i}"))
         if mode in (1, 3, 6, 7):
             tags.append(("name:ca", f"{place} ca {i}"))

@@ -17,12 +17,17 @@ import re
 
 import pandas as pd
 
-_BRACKET_RE = re.compile(r"\s*\(.*\)\s*")
+_BRACKET_RE = re.compile(r"\s*\(.+\)\s*")
 
 
 def bracket_strip(s: pd.Series) -> pd.Series:
-    """Strip ``(...)`` parentheticals and trim (vectorized)."""
-    return s.str.replace(_BRACKET_RE, " ", regex=True).str.strip()
+    """Strip ``(...)`` parentheticals — exact reference behavior
+    ``re.sub(r'\\s*\\(.+\\)\\s*', '', v)`` (lib/wikimedia.py:33,41)."""
+    return s.str.replace(_BRACKET_RE, "", regex=True)
+
+
+def bracket_strip_str(v: str) -> str:
+    return _BRACKET_RE.sub("", v)
 
 
 def py_title(s: pd.Series) -> pd.Series:

@@ -1,0 +1,112 @@
+"""Image-column operators: decode / verify / feature-extract / re-encode
+over Arrow batches (BASELINE.json:input_hint plumbing).
+
+All operators are ``mapInPandas`` batch kernels over the binary ``bytes``
+column — the Spark-side plumbing (schema, batch shape, partitioning) is
+real and tested; the pixel kernels come from functions/imagecodec.py
+(from-scratch codecs; heavier real-world codecs would slot in behind the
+same fmt dispatch).
+
+Scale notes: ``bytes`` is only read by stages that decode (Parquet column
+pruning keeps it out of every other scan); decode work partitions evenly
+because batches are row-count bounded (arrow maxRecordsPerBatch), and the
+outputs carry no pixel payloads unless explicitly re-encoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import imagecodec as ic
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every image, emit per-image pixel stats + integrity checks:
+    (image_id, w, h, fmt, mean_px, psnr_ok, phash_match, phash_rec).
+
+    ``psnr_ok``: lossless formats decode exactly (PSNR inf) and lossy meets
+    the >=40 dB contract against the re-encoded lossless reference — here
+    expressed as phash distance + recomputed-hash consistency since the
+    original pixels aren't stored alongside."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt, w, h, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
+            ):
+                px = ic.decode(buf, fmt)
+                ph2 = ic.phash64(px)
+                recs.append(
+                    (
+                        img_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        fmt,
+                        float(px.mean()),
+                        bool(px.shape[:2] == (h, w)),
+                        int(ic.phash_hamming(int(ph), ph2)),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "w_dec", "h_dec", "fmt", "mean_px", "shape_ok", "phash_dist"],
+            )
+
+    return images.select("image_id", "bytes", "fmt", "w", "h", "phash").mapInPandas(
+        kernel,
+        schema="image_id string, w_dec int, h_dec int, fmt string, mean_px double, shape_ok boolean, phash_dist int",
+    )
+
+
+def transcode(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Re-encode every image to ``to_fmt`` (decode -> encode batch kernel).
+    Lossless->lossless preserves pixels exactly; ->dctq preserves
+    PSNR >= 40 dB (tested)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out_bytes, out_ph = [], []
+            for buf, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt)
+                out_bytes.append(ic.encode(px, to_fmt))
+                out_ph.append(ic.phash64(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": out_bytes,
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "fmt": to_fmt,
+                    "caption": pdf["caption"],
+                    "phash": out_ph,
+                }
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash").mapInPandas(
+        kernel,
+        schema="image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+
+
+def thumbnail_gray(images: DataFrame, size: int = 8) -> DataFrame:
+    """Feature extraction: size x size grayscale thumbnail as array<double>
+    (the embedding-ish path for visual near-dup / ANN)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = []
+            for buf, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt)
+                gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                h, w = gray.shape
+                ys = (np.arange(size) * h) // size
+                xs = (np.arange(size) * w) // size
+                vecs.append(gray[np.ix_(ys, xs)].ravel().tolist())
+            yield pd.DataFrame({"image_id": pdf["image_id"], "thumb": vecs})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema="image_id string, thumb array<double>"
+    )

@@ -1,0 +1,96 @@
+"""Image plumbing, report round-trip, snapshot layer tests."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from langtoolsosm_spark.operators import images as im
+from langtoolsosm_spark.operators import report as rep
+from langtoolsosm_spark.operators import translate as tr
+from langtoolsosm_spark.sources.snapshots import SnapshotTable, write_partitioned
+
+
+@pytest.fixture(scope="module")
+def images(spark, synth_dir):
+    return spark.read.parquet(f"{synth_dir}/images.parquet")
+
+
+def test_decode_stats_all_formats(spark, images):
+    sub = images.limit(400)
+    stats = im.decode_stats(sub).toPandas()
+    assert len(stats) == 400
+    assert set(stats["fmt"]) == {"raw", "bmp", "png", "dctq"}
+    assert stats["shape_ok"].all()
+    # stored phash was computed on ORIGINAL pixels: lossless must match
+    lossless = stats[stats["fmt"] != "dctq"]
+    assert (lossless["phash_dist"] == 0).all()
+    # lossy stays perceptually near
+    assert (stats[stats["fmt"] == "dctq"]["phash_dist"] <= 8).all()
+
+
+def test_transcode_preserves_caption_and_pixels(spark, images):
+    sub = images.filter(F.col("fmt") == "png").limit(50)
+    out = im.transcode(sub, "bmp")
+    joined = (
+        sub.select("image_id", F.col("caption").alias("c0"), F.col("phash").alias("p0"))
+        .join(out, "image_id")
+        .select("c0", "caption", "p0", "phash")
+        .collect()
+    )
+    assert len(joined) == 50
+    for r in joined:
+        assert r["caption"] == r["c0"]  # caption byte-equality end to end
+        assert r["phash"] == r["p0"]  # lossless transcode: identical pixels
+
+
+def test_thumbnail_shape(spark, images):
+    t = im.thumbnail_gray(images.limit(20), size=8).toPandas()
+    assert (t["thumb"].map(len) == 64).all()
+
+
+def test_report_roundtrip(spark, synth_dir, tmp_path):
+    features = spark.read.parquet(f"{synth_dir}/features.parquet")
+    report = rep.build_report(features, "ca", extra_tags=["wikidata"], coords=True)
+    path = str(tmp_path / "report")
+    rep.write_report(report, path, metadata={"comment": "test report", "lang": "ca"})
+    back, meta = rep.read_report(spark, path)
+    assert meta["comment"] == "test report"
+    assert back.count() == features.count()
+    # subset validation errors on missing col
+    with pytest.raises(ValueError):
+        rep.validate_upload_columns(back, ["nonexistent_col"])
+    # ingest edits and CDC-merge them (round trip: values came from the
+    # same table, so everything is skip-if-equal except null-dropped rows)
+    edits = rep.report_to_edits(
+        back.withColumnRenamed("name:ca", "name_ca").withColumnRenamed("name_ca", "name:ca"),
+        ["name:ca"],
+    )
+    merged = tr.cdc_merge(features, edits)
+    assert merged.filter(F.col("changed")).count() == 0  # pure no-op merge
+    assert merged.count() == features.count()
+
+
+def test_snapshot_write_resume(spark, images, tmp_path):
+    from langtoolsosm_spark.operators.tiling import assign_tiles
+
+    table = SnapshotTable(str(tmp_path / "snap"))
+    df = assign_tiles(images.select("image_id", "lat", "lon"), res=6)
+    snaps = write_partitioned(
+        df, table, "tile", summary={"comment": "tiles", "created_by": "engine"},
+        batch_partitions=4,
+    )
+    assert len(snaps) >= 2  # changeset-style multi-part commit
+    assert "(part 1)" in snaps[0]["summary"]["comment"]
+    total = sum(s["total_rows"] for s in snaps)
+    assert total == df.count()
+    # read back current state
+    back = table.read(spark)
+    assert back.count() == df.count()
+    # lineage recorded per partition
+    done = table.committed_partitions()
+    assert len(done) == df.select("tile").distinct().count()
+    # resume: skipping committed partitions writes nothing new
+    snaps2 = write_partitioned(df, table, "tile", skip_partitions=done)
+    assert sum(s["total_rows"] for s in snaps2) == 0
+    assert table.read(spark).count() == df.count()
