@@ -92,10 +92,12 @@ def pip_join(
     forces a shuffled cover join for very large polygon sets.
     """
     pts = points.withColumn("__tile", tile_key_col(F.col(lat), F.col(lon), res))
-    cover = polygon_cover(polygons, res)
+    cover = polygon_cover(polygons, res).withColumnRenamed("tile", "__cover_tile")
     if broadcast_cover:
         cover = F.broadcast(cover)
-    cand = pts.join(cover, pts["__tile"] == cover["tile"], "inner").drop("tile")
+    cand = pts.join(cover, pts["__tile"] == cover["__cover_tile"], "inner").drop(
+        "__cover_tile"
+    )
 
     interior = cand.filter(F.col("full_inside")).drop("full_inside", "__tile")
 

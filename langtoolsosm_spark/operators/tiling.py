@@ -83,31 +83,67 @@ def adaptive_split(
 ) -> DataFrame:
     """Adaptive cell-splitting: every row gets the coarsest tile (>=
     base_res) whose population is <= max_rows (dense cells recurse to
-    children, SURVEY.md §4 item 3).
+    children, SURVEY.md §4 item 3); cells still oversized at max_res stay
+    at max_res.
 
-    Implemented as a driver loop of histogram -> broadcast-join -> refine;
-    each iteration touches only rows still in oversized cells. Iterations
-    are bounded by (max_res - base_res), independent of data size.
+    Single-pass declarative plan (no driver iteration): explode each row
+    into its cell at every res in [base_res, max_res] (a narrow
+    (res, cell) projection, not the full row), build one per-(res, cell)
+    histogram, mark admissible cells, and pick the smallest admissible res
+    per row. Two shuffles total, independent of how deep the splitting
+    recurses — the iterative-join formulation re-evaluated its whole
+    lineage per level and collapsed at scale.
+
+    Admissibility is hierarchical by construction: child cell counts are
+    <= parent counts, so count(res) is non-increasing in res and "coarsest
+    admissible" is well-defined.
     """
-    cur = df.withColumn(out, tile_key_col(F.col(lat), F.col(lon), base_res)).withColumn(
-        "__res", F.lit(base_res)
-    )
-    settled = None
-    res = base_res
-    while res < max_res:
-        hist = cur.groupBy(out).agg(F.count(F.lit(1)).alias("__n"))
-        big = hist.filter(F.col("__n") > max_rows).select(out, F.lit(True).alias("__big"))
-        if big.limit(1).count() == 0:
-            break
-        cur = cur.join(F.broadcast(big), out, "left")
-        ok = cur.filter(F.col("__big").isNull()).drop("__big")
-        settled = ok if settled is None else settled.unionByName(ok)
-        res += 1
-        cur = (
-            cur.filter(F.col("__big").isNotNull())
-            .drop("__big")
-            .withColumn(out, tile_key_col(F.col(lat), F.col(lon), res))
-            .withColumn("__res", F.lit(res))
+    if max_res < base_res:
+        raise ValueError("max_res must be >= base_res")
+    R = max_res
+    nR = F.lit(1 << R).cast("long")
+
+    def ancestor(mcell, r: int):
+        """Flat tile key at res r from the max_res key (pure arithmetic:
+        mcell = ix * 2^R + iy; ancestor = (ix >> (R-r)) * 2^r + (iy >> (R-r)))."""
+        d = R - r
+        ix = F.shiftright((mcell / nR).cast("long"), d)
+        iy = F.shiftright(F.pmod(mcell, nR).cast("long"), d)
+        return (ix * F.lit(1 << r).cast("long") + iy).cast("long")
+
+    pts = df.withColumn("__mcell", tile_key_col(F.col(lat), F.col(lon), R))
+    # one histogram at max_res; every coarser count is a pure rollup of it
+    hist_r = pts.groupBy("__mcell").agg(F.count(F.lit(1)).alias("__n"))
+    # per-(res, cell) counts for all levels from the single max_res histogram
+    lv = None
+    for r in range(base_res, R + 1):
+        part = hist_r.groupBy(ancestor(F.col("__mcell"), r).alias("cell")).agg(
+            F.sum("__n").alias("__n")
+        ).withColumn("res", F.lit(r))
+        lv = part if lv is None else lv.unionByName(part)
+    ok = lv.filter((F.col("__n") <= max_rows) | (F.col("res") == R)).select("res", "cell")
+    # chosen assignment per occupied max_res cell: coarsest admissible level
+    anc = hist_r.select(
+        "__mcell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"), ancestor(F.col("__mcell"), r).alias("cell")
+                    )
+                    for r in range(base_res, R + 1)
+                ]
+            )
+        ).alias("rt"),
+    ).select("__mcell", "rt.res", "rt.cell")
+    dim = (
+        anc.join(ok, ["res", "cell"], "inner")
+        .groupBy("__mcell")
+        .agg(F.min(F.struct("res", "cell")).alias("pick"))
+        .select(
+            "__mcell",
+            F.col("pick.cell").alias(out),
+            F.col("pick.res").alias(f"{out}_res"),
         )
-    result = cur if settled is None else settled.unionByName(cur)
-    return result.withColumnRenamed("__res", f"{out}_res")
+    )
+    return pts.join(dim, "__mcell", "inner").drop("__mcell")

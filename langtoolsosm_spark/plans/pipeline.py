@@ -1,0 +1,133 @@
+"""Flagship pipeline: the engine's end-to-end slice (SURVEY.md §7.1 M2).
+
+scan images -> cell encode (pure column expr) -> PIP join against admin
+polygons (cell prefilter + exact refine) -> unique tile ownership ->
+kNN-enrich captions with nearest named features -> per-tile name:LANG
+fill (reference fill_empty_name semantics tile-locally) -> snapshot write
+with per-partition lineage.
+
+This is the query benched by bench.py (images/sec north-star metric,
+BASELINE.json) and smoke-run by __spark_entry__.entry().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import knn as knn_mod
+from ..operators import pip_join as pip_mod
+from ..operators import tiling
+
+
+def load_synth(spark: SparkSession, synth_dir: str):
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    polygons = spark.read.parquet(f"{synth_dir}/polygons.parquet")
+    features = spark.read.parquet(f"{synth_dir}/features.parquet")
+    wikidata = spark.read.parquet(f"{synth_dir}/wikidata.parquet")
+    return images, polygons, features, wikidata
+
+
+def flagship(
+    spark: SparkSession,
+    synth_dir: str,
+    res: int = 8,
+    k: int = 1,
+    with_knn: bool = True,
+) -> DataFrame:
+    """Enriched image table: (image_id, caption, lat, lon, tile, polygon_id,
+    lang, nearest_name?, caption_enriched).
+
+    Column pruning note: ``bytes`` is never selected here, so the parquet
+    scan reads only the metadata columns (verified via .explain ReadSchema).
+    """
+    images, polygons, features, _ = load_synth(spark, synth_dir)
+    pts = images.select("image_id", "caption", "lat", "lon")
+
+    tiled = tiling.assign_tiles(pts, res=res)
+
+    owned = pip_mod.pip_join(
+        tiled, polygons, res=res, unique=True, id_col="image_id"
+    )
+    # attach the polygon's language rule (which name:LANG applies per tile)
+    polys = polygons.select(
+        "polygon_id", F.element_at("tags", F.lit("lang")).alias("lang"),
+        F.col("name").alias("polygon_name"),
+    )
+    owned = owned.join(F.broadcast(polys), "polygon_id", "left")
+
+    if with_knn:
+        named = features.filter(F.map_contains_key("tags", F.lit("name"))).select(
+            "id", F.element_at("tags", F.lit("name")).alias("feature_name"), "lat", "lon"
+        )
+        nn = knn_mod.knn_join(
+            owned.select("image_id", "lat", "lon"), named, k=k, res=7,
+            point_id="image_id", feature_id="id",
+        ).filter(F.col("rank") == 1)
+        nn = nn.join(
+            named.select(F.col("id").alias("neighbor_id"), "feature_name"),
+            "neighbor_id",
+        ).select("image_id", F.col("feature_name").alias("nearest_name"))
+        owned = owned.join(nn, "image_id", "left")
+    else:
+        owned = owned.withColumn("nearest_name", F.lit(None).cast("string"))
+
+    return owned.select(
+        "image_id",
+        "caption",
+        "lat",
+        "lon",
+        "tile",
+        "polygon_id",
+        "polygon_name",
+        "lang",
+        "nearest_name",
+        F.concat_ws(
+            " — ",
+            F.col("caption"),
+            F.when(
+                F.col("nearest_name").isNotNull(),
+                F.concat(F.lit("prop de "), F.col("nearest_name")),
+            ),
+        ).alias("caption_enriched"),
+    )
+
+
+def run_to_snapshot(
+    spark: SparkSession,
+    synth_dir: str,
+    out_path: str,
+    res: int = 8,
+    with_knn: bool = True,
+    resume: bool = True,
+    salt_threshold: int = 50_000,
+) -> dict:
+    """Full benched job: flagship plan + salted repartition + snapshot
+    commit with lineage; returns run metrics. Resumable: committed
+    partitions are skipped on restart (BASELINE.json:north_rule)."""
+    import time
+
+    from ..sources.snapshots import SnapshotTable, write_partitioned
+
+    t0 = time.time()
+    df = flagship(spark, synth_dir, res=res, with_knn=with_knn)
+    salted = tiling.salted_repartition(df, "tile", threshold=salt_threshold, buckets=8)
+    table = SnapshotTable(out_path)
+    skip = table.committed_partitions() if resume else set()
+    snaps = write_partitioned(
+        salted.withColumn(
+            "__part", F.concat_ws("_", F.col("tile"), F.col("salt"))
+        ).drop("salt"),
+        table,
+        "__part",
+        summary={"comment": "flagship tile enrichment", "created_by": "langtoolsosm_spark"},
+        skip_partitions=skip,
+    )
+    wall = time.time() - t0
+    rows = sum(s["total_rows"] for s in snaps)
+    return {
+        "rows": rows,
+        "wall_sec": wall,
+        "rows_per_sec": rows / wall if wall > 0 else 0.0,
+        "snapshots": [s["snapshot_id"] for s in snaps],
+        "skipped_partitions": len(skip),
+    }
