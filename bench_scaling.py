@@ -1,0 +1,129 @@
+"""N vs 4N scaling evidence (BASELINE.json:north_rule).
+
+No real cluster exists in the sandbox, so the two-cluster-size criterion is
+evidenced by running the SAME job on the SAME input at two parallelism
+levels — local[8] vs local[32] — and reporting throughput at both plus
+scaling efficiency eff = (thr_32 / thr_8) / 4 (target >= 0.8). Output
+tables of both runs must be order-insensitively identical (determinism
+under parallelism, SURVEY.md §7.3).
+
+Each measurement runs in its OWN subprocess via spark-submit --py-files
+(fresh JVM; core count is the only variable). Results -> BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [tier] [--cores 8,32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+WORKER = r"""
+import hashlib, json, os, shutil, sys, tempfile, time
+
+sys.path.insert(0, os.environ["REPO"])
+cores = int(sys.argv[1])
+tier = sys.argv[2]
+
+from langtoolsosm_spark.datagen import ensure_dataset
+from langtoolsosm_spark.plans.pipeline import run_to_snapshot
+from langtoolsosm_spark.session import get_spark
+from langtoolsosm_spark.sources.snapshots import SnapshotTable
+
+synth = ensure_dataset(tier)
+spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+
+out = tempfile.mkdtemp(prefix=f"scale_{cores}_")
+try:
+    # warm the JVM + python workers with a tiny pass so fixed startup cost
+    # doesn't pollute the throughput ratio
+    spark.read.parquet(f"{synth}/images.parquet").limit(100).count()
+    t0 = time.time()
+    m = run_to_snapshot(spark, synth, os.path.join(out, "t"), res=8,
+                        with_knn=True, resume=False)
+    wall = time.time() - t0
+    df = SnapshotTable(os.path.join(out, "t")).read(spark)
+    rows = df.count()
+    # order-insensitive content hash over the business columns
+    from pyspark.sql import functions as F
+    h = (df.select(F.md5(F.concat_ws("\x01", "image_id", "tile", "polygon_id",
+                                     "caption_enriched")).alias("h"))
+           .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)"))
+                .alias("s")).collect()[0]["s"])
+    print(json.dumps({"cores": cores, "rows": rows, "wall_sec": round(wall, 2),
+                      "rows_per_sec": round(rows / wall, 1),
+                      "content_hash": str(h)}), flush=True)
+finally:
+    shutil.rmtree(out, ignore_errors=True)
+"""
+
+
+def run_one(cores: int, tier: str) -> dict:
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(WORKER)
+        worker = f.name
+    env = dict(os.environ, REPO=REPO)
+    try:
+        res = subprocess.run(
+            [sys.executable, worker, str(cores), tier],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(f"no result from cores={cores}:\n{res.stdout[-2000:]}\n{res.stderr[-3000:]}")
+    finally:
+        os.unlink(worker)
+
+
+def main():
+    tier = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+    cores_arg = "8,32"
+    for a in sys.argv[2:]:
+        if a.startswith("--cores"):
+            cores_arg = a.split("=", 1)[1] if "=" in a else "8,32"
+    lo, hi = (int(c) for c in cores_arg.split(","))
+
+    r_lo = run_one(lo, tier)
+    r_hi = run_one(hi, tier)
+    factor = hi / lo
+    eff = (r_hi["rows_per_sec"] / r_lo["rows_per_sec"]) / factor
+    identical = r_lo["content_hash"] == r_hi["content_hash"]
+    result = {
+        "tier": tier,
+        "lo": r_lo,
+        "hi": r_hi,
+        "core_factor": factor,
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical": identical,
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured engine numbers\n\n"
+            "Protocol: same flagship job (cell encode -> PIP join -> unique tile\n"
+            "ownership -> kNN enrich -> salted snapshot write) on the same input,\n"
+            "two parallelism levels, fresh JVM each (see bench_scaling.py;\n"
+            f"sandbox evidence for the N vs 4N cluster criterion).\n\n"
+            f"| metric | local[{lo}] | local[{hi}] |\n|---|---|---|\n"
+            f"| images processed | {r_lo['rows']} | {r_hi['rows']} |\n"
+            f"| wall seconds | {r_lo['wall_sec']} | {r_hi['wall_sec']} |\n"
+            f"| images/sec | {r_lo['rows_per_sec']} | {r_hi['rows_per_sec']} |\n\n"
+            f"- tier: {tier}\n"
+            f"- scaling efficiency (thr_{hi}/thr_{lo})/{factor:.0f} = **{eff:.3f}** "
+            f"(target >= 0.8)\n"
+            f"- outputs order-insensitively identical across parallelism: "
+            f"**{identical}**\n"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

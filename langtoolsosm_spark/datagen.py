@@ -293,7 +293,9 @@ _WD_SCHEMA = pa.schema(
 
 def _write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
     table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    # small row groups: parquet parallelism in Spark is per row group — a
+    # single-row-group file caps every downstream scan at one task
+    pq.write_table(table, path, row_group_size=8192)
 
 
 def ensure_dataset(tier: str = "sf0.001", root: str | None = None) -> str:

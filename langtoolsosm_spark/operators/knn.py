@@ -1,25 +1,33 @@
-"""kNN join via expanding cell-disk equi-joins + window top-k.
+"""kNN join: cell-cogroup + vectorized NumPy top-k, with expanding-radius
+rounds for exactness.
 
 Reference analogue: the interactive "nearest plausible name" selection in
 translate_with_wikidata (/root/reference/src/translate_with_wikidata.py:
-158-217) generalized to *k nearest named features per image* for caption
+158-217) generalized to *k nearest named features per point* for caption
 enrichment (SURVEY.md §2.3 "kNN join", §2.5 "Top-k nearest").
 
-Algorithm (exact kNN, no approximation):
-* both sides get their grid cell at resolution ``res``;
-* round i explodes each unresolved point into its cell-disk of Chebyshev
-  radius R_i (doubling schedule), equi-joins features on cell, and takes
-  the top-k by distance per point (window row_number);
+Design (exact kNN, skew-proof):
+
+* both sides get a grid cell at an auto-sized resolution (one aggregate
+  over the feature dim picks the finest res that keeps ~3k+2 expected
+  features per radius-1 disk);
+* per round, features are exploded to every cell within Chebyshev radius R
+  of their own cell (the SMALL side fans out, never the points), then
+  points cogroup with them per cell and a NumPy kernel computes each
+  point's top-k with chunked distance matrices — candidates never
+  materialize as JVM rows. A naive explode+window formulation produced a
+  51M-row window at sf0.1 (20% of points and features share one urban
+  cell) and took minutes; the cogroup kernel does the same work as a few
+  hundred vectorized matrix blocks;
 * a point is RESOLVED when it has k neighbors and its kth distance is <=
   the guaranteed lower bound of any cell beyond the explored disk
-  (R * cell_lat_extent degrees, the smaller axis for |lat| < 60°) — so
-  results equal brute-force kNN exactly;
-* the few stragglers after ``max_ring`` (isolated points in empty space)
-  fall back to a brute-force join against the (small, broadcast) feature
-  dim — in production with a dense feature table this path never fires.
+  (R * cell_lat_extent degrees — the smaller grid axis for |lat| < 60°),
+  so results equal brute-force kNN exactly. Unresolved points re-run with
+  doubled radius; the few stragglers past ``max_ring`` fall back to a
+  brute-force broadcast pass.
 
 Determinism: tie-break by (distance, feature id) everywhere, so output is
-identical at any parallelism (SURVEY.md §7.3 determinism).
+identical at any parallelism (SURVEY.md §7.3).
 
 Metrics: ``euclid_deg`` (squared degrees; bit-reproducible in the DuckDB
 oracle) or ``haversine`` (meters).
@@ -27,21 +35,36 @@ oracle) or ``haversine`` (meters).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..functions import geo
 from ..functions.cells import tile_key_col
 
 
-def _disk_cells_udf(res: int, radius: int):
-    """pandas UDF: (lat, lon) -> array of flat tile keys within Chebyshev
-    ``radius`` of the point's cell (lon wraps, lat clamps)."""
-    import numpy as np
+def auto_res(n_feats: int, lat_span: float, lon_span: float, k: int) -> int:
+    """Finest grid resolution keeping ~3k+2 expected features per
+    radius-1 disk: round 1 then resolves most points while candidate
+    volume stays near O(points x k)."""
+    for r in range(20, 2, -1):
+        cells = max(1.0, lat_span / 180.0 * (1 << r)) * max(
+            1.0, lon_span / 360.0 * (1 << r)
+        )
+        per_disk = 9.0 * n_feats / cells
+        if per_disk >= 3 * k + 2:
+            return r
+    return 3
+
+
+def _explode_feature_disk(feats: DataFrame, res: int, radius: int) -> DataFrame:
+    """Explode each feature to every cell within Chebyshev ``radius`` of
+    its own cell (lon wraps, lat clamps). Small-side fan-out: output is
+    |features| x (2R+1)^2 rows of 4 narrow columns."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    def disk(lat: pd.Series, lon: pd.Series) -> pd.Series:
         n = np.int64(1) << res
         fx = (lon.to_numpy(dtype=np.float64) + 180.0) / 360.0
         fy = (lat.to_numpy(dtype=np.float64) + 90.0) / 180.0
@@ -49,112 +72,189 @@ def _disk_cells_udf(res: int, radius: int):
         iy = np.clip(np.floor(fy * n).astype(np.int64), 0, n - 1)
         offs = np.arange(-radius, radius + 1, dtype=np.int64)
         dx, dy = np.meshgrid(offs, offs, indexing="ij")
-        dx, dy = dx.ravel(), dy.ravel()  # (D,)
+        dx, dy = dx.ravel(), dy.ravel()
         nx = np.mod(ix[:, None] + dx[None, :], n)
         ny = iy[:, None] + dy[None, :]
         valid = (ny >= 0) & (ny < n)
         keys = nx * n + ny
-        out = [keys[i][valid[i]].tolist() for i in range(len(keys))]
-        return pd.Series(out)
+        return pd.Series([keys[i][valid[i]].tolist() for i in range(len(keys))])
 
-    return f
+    return feats.withColumn(
+        "__cell", F.explode(disk(F.col("__flat"), F.col("__flon")))
+    )
 
 
-def _dist_col(metric: str, lat1, lon1, lat2, lon2):
-    if metric == "euclid_deg":
-        # pure column arithmetic — WholeStageCodegen, SQL-parity
-        return (lat1 - lat2) * (lat1 - lat2) + (lon1 - lon2) * (lon1 - lon2)
-    if metric == "haversine":
-        @F.pandas_udf(T.DoubleType())
-        def hav(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
-            return pd.Series(geo.haversine_m(a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()))
+def _topk_kernel(k: int, metric: str, chunk: int = 4096):
+    """Grouped cogroup kernel: per cell, chunked distance matrix ->
+    per-point top-k (dist, neighbor, rank). Deterministic lexsort ties."""
 
-        return hav(lat1, lon1, lat2, lon2)
-    raise ValueError(f"unknown metric {metric}")
+    def fn(key, pts: pd.DataFrame, fts: pd.DataFrame) -> pd.DataFrame:
+        if len(pts) == 0 or len(fts) == 0:
+            return pd.DataFrame(
+                {
+                    "__pid": pd.Series(dtype=pts["__pid"].dtype if len(pts) else "object"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int32"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+        flat = fts["__flat"].to_numpy(np.float64)
+        flon = fts["__flon"].to_numpy(np.float64)
+        fid = fts["neighbor_id"].to_numpy()
+        # deterministic feature order for tie-breaking
+        order = np.argsort(fid, kind="stable")
+        flat, flon, fid = flat[order], flon[order], fid[order]
+        out_pid, out_fid, out_rank, out_dist = [], [], [], []
+        m = len(fid)
+        kk = min(k, m)
+        for s in range(0, len(pts), chunk):
+            sub = pts.iloc[s : s + chunk]
+            plat = sub["__plat"].to_numpy(np.float64)[:, None]
+            plon = sub["__plon"].to_numpy(np.float64)[:, None]
+            if metric == "euclid_deg":
+                d = (plat - flat[None, :]) ** 2 + (plon - flon[None, :]) ** 2
+            else:
+                d = geo.haversine_m(plat, plon, flat[None, :], flon[None, :])
+            if kk < m:
+                idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            else:
+                idx = np.broadcast_to(np.arange(m), (len(sub), m)).copy()
+            dsel = np.take_along_axis(d, idx, axis=1)
+            # order the k selected by (dist, then fid): idx indexes the
+            # fid-sorted arrays, so it is the deterministic secondary key
+            srt = np.lexsort((idx, dsel))
+            for i in range(len(sub)):
+                o = srt[i]
+                out_pid.extend([sub["__pid"].iloc[i]] * kk)
+                out_fid.extend(fid[idx[i][o]].tolist())
+                out_rank.extend(range(1, kk + 1))
+                out_dist.extend(dsel[i][o].tolist())
+        return pd.DataFrame(
+            {
+                "__pid": out_pid,
+                "neighbor_id": out_fid,
+                "rank": np.array(out_rank, dtype="int32"),
+                "dist": out_dist,
+            }
+        )
+
+    return fn
 
 
 def knn_join(
     points: DataFrame,
     features: DataFrame,
     k: int = 3,
-    res: int = 7,
+    res: int | None = None,
     point_id: str = "image_id",
     feature_id: str = "id",
     metric: str = "euclid_deg",
-    max_ring: int = 16,
+    max_ring: int = 64,
 ) -> DataFrame:
     """Exact k-nearest-features per point.
 
     Returns (point_id, neighbor_id, rank, dist). ``points`` needs
     (point_id, lat, lon); ``features`` needs (feature_id, lat, lon).
+    ``res=None`` auto-sizes the grid from the feature density.
     """
+    if res is None:
+        stats = features.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("lat") - F.min("lat")).alias("lat_span"),
+            (F.max("lon") - F.min("lon")).alias("lon_span"),
+        ).collect()[0]
+        res = auto_res(
+            stats["n"], max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k
+        )
     cell_lat_deg = 180.0 / (1 << res)
 
     pts = points.select(
-        F.col(point_id).alias("__pid"), F.col("lat").alias("__plat"), F.col("lon").alias("__plon")
-    )
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+    ).withColumn("__cell", tile_key_col(F.col("__plat"), F.col("__plon"), res)).persist()
     feats = features.select(
         F.col(feature_id).alias("neighbor_id"),
         F.col("lat").alias("__flat"),
         F.col("lon").alias("__flon"),
-    ).withColumn("__fcell", tile_key_col(F.col("__flat"), F.col("__flon"), res))
-    feats = feats.persist()
+    ).persist()
+
+    kernel = _topk_kernel(k, metric)
+    out_schema = (
+        f"__pid {points.schema[point_id].dataType.simpleString()}, "
+        "neighbor_id long, rank int, dist double"
+    )
+
+    n_feats = feats.count()  # materializes the persisted dim
 
     resolved_parts: list[DataFrame] = []
     unresolved = pts
     radius = 1
     while radius <= max_ring:
-        exploded = unresolved.withColumn(
-            "__cells", _disk_cells_udf(res, radius)(F.col("__plat"), F.col("__plon"))
-        ).withColumn("__cell", F.explode("__cells")).drop("__cells")
-
-        cand = exploded.join(feats, exploded["__cell"] == feats["__fcell"], "inner")
-        cand = cand.withColumn(
-            "dist",
-            _dist_col(metric, F.col("__plat"), F.col("__plon"), F.col("__flat"), F.col("__flon")),
-        )
-        w = Window.partitionBy("__pid").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+        fx = _explode_feature_disk(feats, res, radius)
         topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("__pid", "__plat", "__plon", "neighbor_id", "rank", "dist")
-        )
-        # resolution check: k found AND kth dist within the guaranteed bound
+            unresolved.groupBy("__cell")
+            .cogroup(fx.groupBy("__cell"))
+            .applyInPandas(kernel, schema=out_schema)
+        ).persist()
         bound_deg = radius * cell_lat_deg
-        bound = bound_deg * bound_deg if metric == "euclid_deg" else (bound_deg * 111_194.9) ** 2
+        bound = bound_deg * bound_deg if metric == "euclid_deg" else bound_deg * 111_194.9
         kth = topk.groupBy("__pid").agg(
             F.count(F.lit(1)).alias("__n"), F.max("dist").alias("__kth")
         )
-        kth_bound = F.col("__kth") <= F.lit(bound) if metric == "euclid_deg" else (
-            F.col("__kth") * F.col("__kth") <= F.lit(bound)
+        done_ids = (
+            kth.filter((F.col("__n") == k) & (F.col("__kth") <= F.lit(bound)))
+            .select("__pid")
+            .persist()
         )
-        done_ids = kth.filter((F.col("__n") == k) & kth_bound).select("__pid")
-        resolved_parts.append(
-            topk.join(F.broadcast(done_ids), "__pid", "left_semi")
-        )
-        unresolved = unresolved.join(F.broadcast(done_ids), "__pid", "left_anti")
-        if unresolved.limit(1).count() == 0:
+        resolved_parts.append(topk.join(F.broadcast(done_ids), "__pid", "left_semi"))
+        unresolved = unresolved.join(
+            F.broadcast(done_ids), "__pid", "left_anti"
+        ).persist()
+        n_unresolved = unresolved.count()
+        if n_unresolved == 0:
             unresolved = None
             break
-        radius *= 2
+        # stragglers shortcut: once the remaining pairwise volume is small,
+        # one group-partitioned brute-force pass (features replicated per
+        # group; exact, no bound needed) beats exploding features to ever
+        # larger disks — radius-R disks multiply the FULL dim by (2R+1)^2.
+        if n_unresolved * n_feats <= 500_000_000:
+            n_groups = max(1, min(256, n_unresolved // 2000 + 1))
+            pts_g = unresolved.withColumn(
+                "__g", F.pmod(F.hash("__pid"), F.lit(n_groups))
+            )
+            fts_g = feats.crossJoin(
+                points.sparkSession.range(n_groups).select(
+                    F.col("id").cast("int").alias("__g")
+                )
+            )
+            bf = (
+                pts_g.groupBy("__g")
+                .cogroup(fts_g.groupBy("__g"))
+                .applyInPandas(lambda key, p, f: kernel(key, p, f), schema=out_schema)
+            )
+            resolved_parts.append(bf)
+            unresolved = None
+            break
+        radius *= 4
 
     if unresolved is not None:
-        # brute-force stragglers (few): cross join against the feature dim
-        cand = unresolved.crossJoin(F.broadcast(feats.drop("__fcell")))
-        cand = cand.withColumn(
-            "dist",
-            _dist_col(metric, F.col("__plat"), F.col("__plon"), F.col("__flat"), F.col("__flon")),
+        # max_ring exhausted with a still-large remainder: final exact
+        # brute-force pass, group-partitioned
+        n_groups = 256
+        pts_g = unresolved.withColumn("__g", F.pmod(F.hash("__pid"), F.lit(n_groups)))
+        fts_g = feats.crossJoin(
+            points.sparkSession.range(n_groups).select(F.col("id").cast("int").alias("__g"))
         )
-        w = Window.partitionBy("__pid").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
-        resolved_parts.append(
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("__pid", "__plat", "__plon", "neighbor_id", "rank", "dist")
+        bf = (
+            pts_g.groupBy("__g")
+            .cogroup(fts_g.groupBy("__g"))
+            .applyInPandas(lambda key, p, f: kernel(key, p, f), schema=out_schema)
         )
+        resolved_parts.append(bf)
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out.select(
-        F.col("__pid").alias(point_id), "neighbor_id", "rank", "dist"
-    )
+    return out.select(F.col("__pid").alias(point_id), "neighbor_id", "rank", "dist")

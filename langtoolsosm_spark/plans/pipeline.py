@@ -56,11 +56,14 @@ def flagship(
     owned = owned.join(F.broadcast(polys), "polygon_id", "left")
 
     if with_knn:
+        # the kNN loop fires several driver actions over this subtree;
+        # cache it once instead of re-running the PIP join per round
+        owned = owned.persist()
         named = features.filter(F.map_contains_key("tags", F.lit("name"))).select(
             "id", F.element_at("tags", F.lit("name")).alias("feature_name"), "lat", "lon"
         )
         nn = knn_mod.knn_join(
-            owned.select("image_id", "lat", "lon"), named, k=k, res=7,
+            owned.select("image_id", "lat", "lon"), named, k=k, res=None,
             point_id="image_id", feature_id="id",
         ).filter(F.col("rank") == 1)
         nn = nn.join(

@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # split scans finer than the 128 MB default so small-but-hot tables
+        # still fan out across all cores (bench tiers are a few hundred MB)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,50 @@
+"""Structured Streaming: windowed agg parity with batch + exactly-once
+snapshot ingest with checkpoint resume (SURVEY.md §2.9, §5 item 5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from langtoolsosm_spark.operators.tiling import assign_tiles
+from langtoolsosm_spark.streaming import microbatch as mb
+
+
+@pytest.fixture()
+def images_dir(synth_dir, tmp_path):
+    """File-stream sources need a directory; stage the table as one."""
+    import os
+
+    d = tmp_path / "images_stream"
+    d.mkdir()
+    os.symlink(f"{synth_dir}/images.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_counts_match_batch(spark, images_dir, tmp_path):
+    got = mb.run_tile_counts_once(
+        spark, images_dir, str(tmp_path / "ckpt"), res=6
+    ).toPandas()
+    batch = (
+        assign_tiles(spark.read.parquet(images_dir), res=6)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .toPandas()
+    )
+    g = got.sort_values("tile").reset_index(drop=True)
+    b = batch.sort_values("tile").reset_index(drop=True)
+    assert g.equals(b)
+
+
+def test_stream_snapshot_ingest_exactly_once(spark, images_dir, tmp_path):
+    table = mb.stream_to_snapshots(
+        spark, images_dir, str(tmp_path / "tbl"), str(tmp_path / "ck"), res=6
+    )
+    n_total = spark.read.parquet(images_dir).count()
+    assert table.read(spark).count() == n_total
+    n_snaps = len(table.snapshots())
+    assert n_snaps >= 1
+    # resume from the same checkpoint: no new data -> no new snapshots
+    table2 = mb.stream_to_snapshots(
+        spark, images_dir, str(tmp_path / "tbl"), str(tmp_path / "ck"), res=6
+    )
+    assert len(table2.snapshots()) == n_snaps
+    assert table2.read(spark).count() == n_total
