@@ -6,7 +6,7 @@ translate_with_wikidata (/root/reference/src/translate_with_wikidata.py:
 158-217) generalized to *k nearest named features per point* for caption
 enrichment (SURVEY.md §2.3 "kNN join", §2.5 "Top-k nearest").
 
-Design (exact kNN, skew-proof):
+Design (exact kNN, skew-proof, broadcast-free):
 
 * both sides get a grid cell at an auto-sized resolution (one aggregate
   over the feature dim picks the finest res that keeps ~3k+2 expected
@@ -15,16 +15,21 @@ Design (exact kNN, skew-proof):
   of their own cell (the SMALL side fans out, never the points), then
   points cogroup with them per cell and a NumPy kernel computes each
   point's top-k with chunked distance matrices — candidates never
-  materialize as JVM rows. A naive explode+window formulation produced a
-  51M-row window at sf0.1 (20% of points and features share one urban
-  cell) and took minutes; the cogroup kernel does the same work as a few
-  hundred vectorized matrix blocks;
-* a point is RESOLVED when it has k neighbors and its kth distance is <=
-  the guaranteed lower bound of any cell beyond the explored disk
-  (R * cell_lat_extent degrees — the smaller grid axis for |lat| < 60°),
-  so results equal brute-force kNN exactly. Unresolved points re-run with
-  doubled radius; the few stragglers past ``max_ring`` fall back to a
-  brute-force broadcast pass.
+  materialize as JVM rows. (A naive explode+window formulation produced a
+  51M-row window at sf0.1 — 20% of points and features share one urban
+  cell — and took minutes; the cogroup kernel does the same work as a few
+  hundred vectorized matrix blocks.)
+* the kernel itself applies the exactness test — a point is RESOLVED when
+  it has k neighbors and its kth distance is <= the guaranteed lower bound
+  of any cell beyond the explored disk (R * cell_lat_extent degrees, the
+  smaller grid axis for |lat| < 60°) — and emits either the k result rows
+  or one carry-forward row with the point's coordinates. Each round's
+  input is the previous round's unresolved output: no driver-side
+  broadcasts of id sets, no anti-joins (an earlier design broadcast
+  ~500k-id done-sets per round — pure serial driver time);
+* once the remaining pairwise volume is small, a group-partitioned
+  brute-force pass (features replicated per group) finishes the stragglers
+  exactly.
 
 Determinism: tie-break by (distance, feature id) everywhere, so output is
 identical at any parallelism (SURVEY.md §7.3).
@@ -84,59 +89,118 @@ def _explode_feature_disk(feats: DataFrame, res: int, radius: int) -> DataFrame:
     )
 
 
-def _topk_kernel(k: int, metric: str, chunk: int = 4096):
-    """Grouped cogroup kernel: per cell, chunked distance matrix ->
-    per-point top-k (dist, neighbor, rank). Deterministic lexsort ties."""
+_EMPTY_COLS = ["__pid", "__plat", "__plon", "neighbor_id", "rank", "dist", "__ok"]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "__pid": pd.Series(dtype="object"),
+            "__plat": pd.Series(dtype="float64"),
+            "__plon": pd.Series(dtype="float64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "rank": pd.Series(dtype="int32"),
+            "dist": pd.Series(dtype="float64"),
+            "__ok": pd.Series(dtype="bool"),
+        }
+    )
+
+
+def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
+    """Cogroup kernel: per cell, chunked distance matrix -> per-point
+    top-k. ``bound`` is the exactness threshold for this round's explored
+    disk: points whose kth distance exceeds it (or with < k candidates)
+    are emitted as single carry-forward rows (__ok=False) with their
+    coordinates, so the next round needs no join against the input.
+    ``bound=None`` -> unconditional (brute-force mode). Ties broken by
+    (dist, feature id) via lexsort — deterministic at any parallelism."""
 
     def fn(key, pts: pd.DataFrame, fts: pd.DataFrame) -> pd.DataFrame:
-        if len(pts) == 0 or len(fts) == 0:
+        if len(pts) == 0:
+            return _empty_out()
+        if len(fts) == 0:
+            if bound is None:
+                return _empty_out()
             return pd.DataFrame(
                 {
-                    "__pid": pd.Series(dtype=pts["__pid"].dtype if len(pts) else "object"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "rank": pd.Series(dtype="int32"),
-                    "dist": pd.Series(dtype="float64"),
+                    "__pid": pts["__pid"],
+                    "__plat": pts["__plat"],
+                    "__plon": pts["__plon"],
+                    "neighbor_id": np.int64(-1),
+                    "rank": np.int32(0),
+                    "dist": np.float64(0.0),
+                    "__ok": False,
                 }
             )
         flat = fts["__flat"].to_numpy(np.float64)
         flon = fts["__flon"].to_numpy(np.float64)
         fid = fts["neighbor_id"].to_numpy()
-        # deterministic feature order for tie-breaking
         order = np.argsort(fid, kind="stable")
         flat, flon, fid = flat[order], flon[order], fid[order]
-        out_pid, out_fid, out_rank, out_dist = [], [], [], []
         m = len(fid)
         kk = min(k, m)
+        frames = []
         for s in range(0, len(pts), chunk):
             sub = pts.iloc[s : s + chunk]
-            plat = sub["__plat"].to_numpy(np.float64)[:, None]
-            plon = sub["__plon"].to_numpy(np.float64)[:, None]
+            plat = sub["__plat"].to_numpy(np.float64)
+            plon = sub["__plon"].to_numpy(np.float64)
             if metric == "euclid_deg":
-                d = (plat - flat[None, :]) ** 2 + (plon - flon[None, :]) ** 2
+                d = (plat[:, None] - flat[None, :]) ** 2 + (
+                    plon[:, None] - flon[None, :]
+                ) ** 2
             else:
-                d = geo.haversine_m(plat, plon, flat[None, :], flon[None, :])
+                d = geo.haversine_m(plat[:, None], plon[:, None], flat[None, :], flon[None, :])
             if kk < m:
                 idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
             else:
                 idx = np.broadcast_to(np.arange(m), (len(sub), m)).copy()
             dsel = np.take_along_axis(d, idx, axis=1)
-            # order the k selected by (dist, then fid): idx indexes the
+            # order the kk selected by (dist, then fid): idx indexes the
             # fid-sorted arrays, so it is the deterministic secondary key
             srt = np.lexsort((idx, dsel))
-            for i in range(len(sub)):
-                o = srt[i]
-                out_pid.extend([sub["__pid"].iloc[i]] * kk)
-                out_fid.extend(fid[idx[i][o]].tolist())
-                out_rank.extend(range(1, kk + 1))
-                out_dist.extend(dsel[i][o].tolist())
-        return pd.DataFrame(
-            {
-                "__pid": out_pid,
-                "neighbor_id": out_fid,
-                "rank": np.array(out_rank, dtype="int32"),
-                "dist": out_dist,
-            }
-        )
+            dsort = np.take_along_axis(dsel, srt, axis=1)
+            isort = np.take_along_axis(idx, srt, axis=1)
+            ok = np.ones(len(sub), dtype=bool) if bound is None else (
+                (kk == k) & (dsort[:, -1] <= bound)
+            )
+            if bound is not None and np.isscalar(ok):
+                ok = np.full(len(sub), bool(ok))
+            n_ok = int(ok.sum())
+            if n_ok:
+                sel = np.flatnonzero(ok)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__pid": np.repeat(sub["__pid"].to_numpy()[sel], kk),
+                            "__plat": np.repeat(plat[sel], kk),
+                            "__plon": np.repeat(plon[sel], kk),
+                            "neighbor_id": fid[isort[sel]].ravel(),
+                            "rank": np.tile(
+                                np.arange(1, kk + 1, dtype=np.int32), n_ok
+                            ),
+                            "dist": dsort[sel].ravel(),
+                            "__ok": True,
+                        }
+                    )
+                )
+            if bound is not None and n_ok < len(sub):
+                sel = np.flatnonzero(~ok)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__pid": sub["__pid"].to_numpy()[sel],
+                            "__plat": plat[sel],
+                            "__plon": plon[sel],
+                            "neighbor_id": np.int64(-1),
+                            "rank": np.int32(0),
+                            "dist": np.float64(0.0),
+                            "__ok": False,
+                        }
+                    )
+                )
+        if not frames:
+            return _empty_out()
+        return pd.concat(frames, ignore_index=True)
 
     return fn
 
@@ -150,6 +214,7 @@ def knn_join(
     feature_id: str = "id",
     metric: str = "euclid_deg",
     max_ring: int = 64,
+    brute_max_pairs: int = 4_000_000_000,
 ) -> DataFrame:
     """Exact k-nearest-features per point.
 
@@ -163,54 +228,55 @@ def knn_join(
             (F.max("lat") - F.min("lat")).alias("lat_span"),
             (F.max("lon") - F.min("lon")).alias("lon_span"),
         ).collect()[0]
+        n_feats = stats["n"]
         res = auto_res(
-            stats["n"], max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k
+            n_feats, max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k
         )
+    else:
+        n_feats = features.count()
     cell_lat_deg = 180.0 / (1 << res)
 
-    pts = points.select(
-        F.col(point_id).alias("__pid"),
-        F.col("lat").alias("__plat"),
-        F.col("lon").alias("__plon"),
-    ).withColumn("__cell", tile_key_col(F.col("__plat"), F.col("__plon"), res)).persist()
+    pid_type = points.schema[point_id].dataType.simpleString()
+    out_schema = (
+        f"__pid {pid_type}, __plat double, __plon double, "
+        "neighbor_id long, rank int, dist double, __ok boolean"
+    )
+
     feats = features.select(
         F.col(feature_id).alias("neighbor_id"),
         F.col("lat").alias("__flat"),
         F.col("lon").alias("__flon"),
     ).persist()
 
-    kernel = _topk_kernel(k, metric)
-    out_schema = (
-        f"__pid {points.schema[point_id].dataType.simpleString()}, "
-        "neighbor_id long, rank int, dist double"
+    unresolved = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
     )
 
-    n_feats = feats.count()  # materializes the persisted dim
+    def with_cell(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__cell", tile_key_col(F.col("__plat"), F.col("__plon"), res)
+        )
 
     resolved_parts: list[DataFrame] = []
-    unresolved = pts
     radius = 1
     while radius <= max_ring:
-        fx = _explode_feature_disk(feats, res, radius)
-        topk = (
-            unresolved.groupBy("__cell")
-            .cogroup(fx.groupBy("__cell"))
-            .applyInPandas(kernel, schema=out_schema)
-        ).persist()
         bound_deg = radius * cell_lat_deg
         bound = bound_deg * bound_deg if metric == "euclid_deg" else bound_deg * 111_194.9
-        kth = topk.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("__n"), F.max("dist").alias("__kth")
-        )
-        done_ids = (
-            kth.filter((F.col("__n") == k) & (F.col("__kth") <= F.lit(bound)))
-            .select("__pid")
-            .persist()
-        )
-        resolved_parts.append(topk.join(F.broadcast(done_ids), "__pid", "left_semi"))
-        unresolved = unresolved.join(
-            F.broadcast(done_ids), "__pid", "left_anti"
+        kernel = _topk_kernel(k, metric, bound)
+        round_out = (
+            with_cell(unresolved)
+            .groupBy("__cell")
+            .cogroup(_explode_feature_disk(feats, res, radius).groupBy("__cell"))
+            .applyInPandas(kernel, schema=out_schema)
         ).persist()
+        resolved_parts.append(
+            round_out.filter(F.col("__ok")).select("__pid", "neighbor_id", "rank", "dist")
+        )
+        unresolved = round_out.filter(~F.col("__ok")).select(
+            "__pid", "__plat", "__plon"
+        )
         n_unresolved = unresolved.count()
         if n_unresolved == 0:
             unresolved = None
@@ -219,40 +285,23 @@ def knn_join(
         # one group-partitioned brute-force pass (features replicated per
         # group; exact, no bound needed) beats exploding features to ever
         # larger disks — radius-R disks multiply the FULL dim by (2R+1)^2.
-        if n_unresolved * n_feats <= 500_000_000:
-            n_groups = max(1, min(256, n_unresolved // 2000 + 1))
-            pts_g = unresolved.withColumn(
-                "__g", F.pmod(F.hash("__pid"), F.lit(n_groups))
-            )
-            fts_g = feats.crossJoin(
-                points.sparkSession.range(n_groups).select(
-                    F.col("id").cast("int").alias("__g")
-                )
-            )
-            bf = (
-                pts_g.groupBy("__g")
-                .cogroup(fts_g.groupBy("__g"))
-                .applyInPandas(lambda key, p, f: kernel(key, p, f), schema=out_schema)
-            )
-            resolved_parts.append(bf)
-            unresolved = None
+        if n_unresolved * n_feats <= brute_max_pairs:
             break
         radius *= 4
 
     if unresolved is not None:
-        # max_ring exhausted with a still-large remainder: final exact
-        # brute-force pass, group-partitioned
-        n_groups = 256
+        n_groups = max(1, min(256, int(unresolved.count()) // 2000 + 1))
         pts_g = unresolved.withColumn("__g", F.pmod(F.hash("__pid"), F.lit(n_groups)))
         fts_g = feats.crossJoin(
             points.sparkSession.range(n_groups).select(F.col("id").cast("int").alias("__g"))
         )
+        bf_kernel = _topk_kernel(k, metric, None)
         bf = (
             pts_g.groupBy("__g")
             .cogroup(fts_g.groupBy("__g"))
-            .applyInPandas(lambda key, p, f: kernel(key, p, f), schema=out_schema)
+            .applyInPandas(lambda key, p, f: bf_kernel(key, p, f), schema=out_schema)
         )
-        resolved_parts.append(bf)
+        resolved_parts.append(bf.select("__pid", "neighbor_id", "rank", "dist"))
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:

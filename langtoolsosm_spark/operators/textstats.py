@@ -1,0 +1,81 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure column arithmetic (length/replace tricks) — WholeStageCodegen
+end to end, zero UDFs, and expressible verbatim in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker words per language for the n-gram-free language-ID heuristic
+LANG_MARKERS = {
+    "en": [" the ", " a "],
+    "es": [" el ", " la "],
+    "fr": [" le ", " la "],
+    "de": [" der ", " die "],
+}
+
+
+def _count_occurrences(col, needle: str):
+    """Occurrences of ``needle`` via the length-difference trick (exact,
+    no regex dialect issues)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(text_col) -> F.Column:
+    """Whitespace token count: spaces + 1."""
+    return (
+        F.length(text_col) - F.length(F.replace(text_col, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens, the_cnt, avg_wlen_milli, n_chars_ok)."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    tokens = token_count(t)
+    return docs.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        _count_occurrences(padded, " the ").alias("the_cnt"),
+        F.expr(
+            f"div(1000 * (length({text_col}) - (length({text_col}) - "
+            f"length(replace({text_col}, ' ', '')) + 1) + 1), "
+            f"length({text_col}) - length(replace({text_col}, ' ', '')) + 1)"
+        ).alias("avg_wlen_milli"),
+        (F.col("n_chars") == F.length(t)).alias("n_chars_ok"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language score per language + argmax guess (greatest()
+    with deterministic first-wins tie-break by fixed language order)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_count_occurrences(t, m) for m in markers), F.lit(0).cast("long")
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select(F.col(id_col), *scores.values())
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.lit("unk")
+    for lang in reversed(langs):  # earlier langs win ties
+        guess = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(guess)
+    return df.withColumn("guess", guess)
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content + affix fingerprints (md5)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(t).alias("fp_full"),
+        F.md5(F.concat(F.substring(t, 1, 16), F.substring(t, -16, 16))).alias("fp_affix"),
+    )

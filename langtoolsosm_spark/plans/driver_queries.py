@@ -687,10 +687,9 @@ FROM events GROUP BY 1, 2
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by content hash (hash-groupBy)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.groupBy(F.md5(F.col("text")).alias("content_hash")).agg(
-        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
-    )
+    from ..operators.dedup import dedup_exact
+
+    return dedup_exact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_DEDUP_EXACT = (
@@ -702,21 +701,9 @@ O_DEDUP_EXACT = (
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures over char-4-gram shingles; hash family h_i(s) =
     md5(i || s) with lexicographic min — identical in both engines."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 3, F.lit(1)))
-        ).alias("i"),
-    ).join(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.substring(F.col("text"), 1, 4).alias("_unused"),
-        F.expr("substring(text, i, 4)").alias("sh"),
-    ).drop("_unused")
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(h)), F.col("sh")))).alias(f"sig{h}")
-        for h in range(4)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_MINHASH = """
@@ -735,18 +722,9 @@ FROM sh GROUP BY doc_id
 def q_lsh_band_buckets(spark, sf_dir):
     """LSH banding over the minhash signatures: bucket occupancy table
     (band id, bucket hash, docs per bucket)."""
-    sigs = q_minhash_signatures(spark, sf_dir)
-    b0 = sigs.select(
-        F.lit(0).alias("band"), F.md5(F.concat("sig0", "sig1")).alias("bucket"), "doc_id"
-    )
-    b1 = sigs.select(
-        F.lit(1).alias("band"), F.md5(F.concat("sig2", "sig3")).alias("bucket"), "doc_id"
-    )
-    return (
-        b0.unionByName(b1)
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc"))
-    )
+    from ..operators.dedup import lsh_band_buckets
+
+    return lsh_band_buckets(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_LSH_BANDS = """
@@ -774,31 +752,9 @@ FROM bands GROUP BY 1, 2
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Word-set Jaccard near-dup pairs within the same source (integer
     milli-Jaccard for exact cross-engine parity)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).distinct()
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    a = words.alias("a")
-    b = words.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.source") == F.col("b.source")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jacc_milli",
-            F.expr("div(1000 * inter, na + nb - inter)"),
-        )
-        .filter(F.col("jacc_milli") >= 600)
-        .select("doc_a", "doc_b", "jacc_milli")
-    )
+    from ..operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_NGRAM_JACCARD = """
@@ -820,22 +776,11 @@ WHERE (1000 * inter) // (sa.nw + sb.nw - inter) >= 600
 
 
 def q_text_quality(spark, sf_dir):
-    """Text quality metrics: token count, marker-word counts, integer
-    quality score (length/word-ratio heuristics, SURVEY.md training-data
-    ops). Pure length/replace arithmetic -> exact parity."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
-    the_cnt = (
-        F.length(padded) - F.length(F.regexp_replace(padded, " the ", ""))
-    ) / 5
-    return d.select(
-        "doc_id",
-        tokens.cast("long").alias("tokens"),
-        the_cnt.cast("long").alias("the_cnt"),
-        F.expr("div(1000 * (length(text) - (length(text) - length(replace(text, ' ', '')) + 1) + 1), length(text) - length(replace(text, ' ', '')) + 1)").alias("avg_wlen_milli"),
-        (F.col("n_chars") == F.length("text")).alias("n_chars_ok"),
-    )
+    """Text quality metrics: token count, marker-word counts, avg word
+    length (length/replace arithmetic -> exact parity, zero UDFs)."""
+    from ..operators.textstats import quality_metrics
+
+    return quality_metrics(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_TEXT_QUALITY = """
@@ -850,14 +795,9 @@ FROM documents
 
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: content hash + affix hash."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        "doc_id",
-        F.md5("text").alias("fp_full"),
-        F.md5(
-            F.concat(F.substring("text", 1, 16), F.substring(F.col("text"), -16, 16))
-        ).alias("fp_affix"),
-    )
+    from ..operators.textstats import fingerprints
+
+    return fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 O_DOC_FINGERPRINT = """
@@ -871,27 +811,9 @@ def q_embedding_topk(spark, sf_dir):
     """Similarity search: exact top-k by quantized dot product (scalar
     int quantization -> order-independent integer sums, exact parity).
     Brute force baseline; the LSH-bucketed variant shares the kernel."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    flat = e.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("xq", F.round(F.col("x").cast("double") * 1000.0).cast("long"))
-    q = flat.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), "i", F.col("xq").alias("qx")
-    )
-    dots = (
-        q.join(flat, "i")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("qx") * F.col("xq")).alias("dot"))
-    )
-    from pyspark.sql import Window
+    from ..operators.similarity import topk_dot
 
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
-    return (
-        dots.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", "dot")
-    )
+    return topk_dot(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 O_EMBEDDING_TOPK = """
@@ -919,70 +841,114 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE r
 def q_simhash_neardup(spark, sf_dir):
     """SimHash (64-bit) per document via vectorized pandas kernel (no SQL
     oracle: bit-twiddling kernel; driver does the rows-only check)."""
-    import numpy as np
-    import pandas as pd
+    from ..operators.dedup import simhash
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-    def kernel(batches):
-        import hashlib
-
-        for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                acc = np.zeros(64, dtype=np.int64)
-                for w in set(text.split(" ")):
-                    h = int.from_bytes(
-                        hashlib.md5(w.encode()).digest()[:8], "big", signed=False
-                    )
-                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                v = 0
-                for b in (acc > 0).astype(int):
-                    v = (v << 1) | int(b)
-                out.append((doc_id, v - (1 << 64) if v >= (1 << 63) else v))
-            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
-
-    return d.select("doc_id", "text").mapInPandas(
-        kernel, schema="doc_id long, simhash long"
-    )
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_embedding_lsh_ann(spark, sf_dir):
-    """ANN scale path: sign-LSH bucket join (8-bit hyperplane sketch from
-    fixed dims), then exact quantized dot within buckets. No SQL oracle
-    (approximate recall by construction); rows-only check."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    bits = [
-        F.when(F.element_at("embedding", i * 8 + 1) > 0, 1 << i).otherwise(0)
-        for i in range(8)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    coded = e.withColumn("bucket", bucket.cast("int"))
-    q = coded.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("bucket"),
-        F.col("embedding").alias("qe"),
-    )
-    cand = q.join(coded, "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with(
-            "qe", "embedding", lambda a, b: F.round(a.cast("double") * 1000.0).cast("long")
-            * F.round(b.cast("double") * 1000.0).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    from pyspark.sql import Window
+    """ANN scale path: sign-LSH bucket join, then exact quantized dot
+    within buckets. No SQL oracle (approximate recall by construction);
+    rows-only check."""
+    from ..operators.similarity import ann_lsh_topk
 
-    scored = cand.withColumn("dot", dot)
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "dot")
+    return ann_lsh_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """Distinct near-dup candidate pairs from shared LSH buckets."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_LSH_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 4) AS sh
+  FROM documents JOIN generate_series(1, 8192) AS t(i)
+    ON i <= greatest(length(text) - 3, 1)
+),
+sigs AS (
+  SELECT doc_id,
+         min(md5('0' || sh)) AS sig0, min(md5('1' || sh)) AS sig1,
+         min(md5('2' || sh)) AS sig2, min(md5('3' || sh)) AS sig3
+  FROM sh GROUP BY doc_id
+),
+keyed AS (
+  SELECT md5(sig0 || sig1) AS bucket, doc_id FROM sigs
+  UNION ALL
+  SELECT md5(sig2 || sig3) AS bucket, doc_id FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keyed a JOIN keyed b USING (bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID heuristic (pure length arithmetic)."""
+    from ..operators.textstats import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _o_lang_score(lang: str, markers: list[str]) -> str:
+    terms = " + ".join(
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in markers
     )
+    return f"({terms}) AS score_{lang}"
+
+
+O_LANG_ID = """
+WITH scored AS (
+  SELECT doc_id,
+         {s_en}, {s_es}, {s_fr}, {s_de}
+  FROM documents
+)
+SELECT doc_id, score_en, score_es, score_fr, score_de,
+       CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unk'
+            WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+            ELSE 'de' END AS guess
+FROM scored
+""".format(
+    s_en=_o_lang_score("en", [" the ", " a "]),
+    s_es=_o_lang_score("es", [" el ", " la "]),
+    s_fr=_o_lang_score("fr", [" le ", " la "]),
+    s_de=_o_lang_score("de", [" der ", " die "]),
+)
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations (SURVEY.md §2.7): union/intersect/except of the
+    nation-key sets of customers and suppliers."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s_ = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    u = c.union(s_).distinct().select(F.lit("union").alias("op"), "nk")
+    i = c.intersect(s_).select(F.lit("intersect").alias("op"), "nk")
+    e = c.distinct().exceptAll(s_.distinct()).select(F.lit("except").alias("op"), "nk")
+    return u.unionByName(i).unionByName(e)
+
+
+O_SET_OPS = """
+SELECT 'union' AS op, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  UNION SELECT DISTINCT s_nationkey FROM supplier) u
+UNION ALL
+SELECT 'intersect' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier) i
+UNION ALL
+SELECT 'except' AS op, nk FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT SELECT DISTINCT s_nationkey FROM supplier) e
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1027,4 +993,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_topk": (q_embedding_topk, O_EMBEDDING_TOPK),
     "simhash_neardup": (q_simhash_neardup, None),
     "embedding_lsh_ann": (q_embedding_lsh_ann, None),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "set_ops": (q_set_ops, O_SET_OPS),
 }

@@ -33,6 +33,7 @@ def flagship(
     res: int = 8,
     k: int = 1,
     with_knn: bool = True,
+    replicate: int = 1,
 ) -> DataFrame:
     """Enriched image table: (image_id, caption, lat, lon, tile, polygon_id,
     lang, nearest_name?, caption_enriched).
@@ -42,6 +43,20 @@ def flagship(
     """
     images, polygons, features, _ = load_synth(spark, synth_dir)
     pts = images.select("image_id", "caption", "lat", "lon")
+    if replicate > 1:
+        # scale the measured workload without regenerating data: replicas
+        # get distinct ids (same coords — grid/PIP/kNN results replicate
+        # deterministically, so outputs stay parallelism-invariant)
+        parts = [
+            pts.select(
+                F.concat(F.lit(f"r{i}_"), F.col("image_id")).alias("image_id"),
+                "caption", "lat", "lon",
+            )
+            for i in range(replicate)
+        ]
+        pts = parts[0]
+        for p_ in parts[1:]:
+            pts = pts.unionByName(p_)
 
     tiled = tiling.assign_tiles(pts, res=res)
 
@@ -103,6 +118,7 @@ def run_to_snapshot(
     with_knn: bool = True,
     resume: bool = True,
     salt_threshold: int = 50_000,
+    replicate: int = 1,
 ) -> dict:
     """Full benched job: flagship plan + salted repartition + snapshot
     commit with lineage; returns run metrics. Resumable: committed
@@ -112,7 +128,9 @@ def run_to_snapshot(
     from ..sources.snapshots import SnapshotTable, write_partitioned
 
     t0 = time.time()
-    df = flagship(spark, synth_dir, res=res, with_knn=with_knn)
+    # persist: the salting histogram and the write job would otherwise each
+    # re-evaluate the full enrichment DAG
+    df = flagship(spark, synth_dir, res=res, with_knn=with_knn, replicate=replicate).persist()
     salted = tiling.salted_repartition(df, "tile", threshold=salt_threshold, buckets=8)
     table = SnapshotTable(out_path)
     skip = table.committed_partitions() if resume else set()
@@ -126,6 +144,7 @@ def run_to_snapshot(
         skip_partitions=skip,
     )
     wall = time.time() - t0
+    df.unpersist()
     rows = sum(s["total_rows"] for s in snaps)
     return {
         "rows": rows,
@@ -133,4 +152,99 @@ def run_to_snapshot(
         "rows_per_sec": rows / wall if wall > 0 else 0.0,
         "snapshots": [s["snapshot_id"] for s in snaps],
         "skipped_partitions": len(skip),
+    }
+
+
+def replicate_images(images: DataFrame, replicate: int) -> DataFrame:
+    """Scale the workload by unioning id-remapped copies (coords and bytes
+    identical -> outputs replicate deterministically)."""
+    if replicate <= 1:
+        return images
+    parts = [
+        images.withColumn(
+            "image_id", F.concat(F.lit(f"r{i}_"), F.col("image_id"))
+        )
+        for i in range(replicate)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_ingest(
+    spark: SparkSession,
+    synth_dir: str,
+    out_path: str,
+    res: int = 8,
+    replicate: int = 1,
+    salt_threshold: int = 100_000,
+) -> dict:
+    """The north-star benched job (BASELINE.json "metric": images/sec
+    through H3 PIP-join + tile assignment): decode + integrity-verify every
+    image (vectorized Arrow kernel over the binary column), assign tiles,
+    resolve unique polygon ownership, snapshot-write with lineage.
+
+    Unlike ``run_to_snapshot`` (the richer flagship with kNN caption
+    enrichment), this is the compute-dominated ingest path used for the
+    N-vs-4N scaling measurement."""
+    import time
+
+    import pandas as pd
+
+    from ..functions import imagecodec as ic
+    from ..sources.snapshots import SnapshotTable, write_partitioned
+
+    t0 = time.time()
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    polygons = spark.read.parquet(f"{synth_dir}/polygons.parquet")
+    images = replicate_images(images, replicate)
+
+    def decode_verify(batches):
+        for pdf in batches:
+            ok = []
+            phd = []
+            for buf, fmt, w, h, ph in zip(
+                pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"], pdf["phash"]
+            ):
+                px = ic.decode(buf, fmt)
+                ok.append(px.shape[0] == h and px.shape[1] == w)
+                phd.append(ic.phash_hamming(int(ph), ic.phash64(px)))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "caption": pdf["caption"],
+                    "lat": pdf["lat"],
+                    "lon": pdf["lon"],
+                    "decode_ok": ok,
+                    "phash_dist": phd,
+                }
+            )
+
+    decoded = images.mapInPandas(
+        decode_verify,
+        schema="image_id string, caption string, lat double, lon double, "
+        "decode_ok boolean, phash_dist int",
+    )
+    tiled = tiling.assign_tiles(decoded, res=res)
+    owned = pip_mod.pip_join(tiled, polygons, res=res, unique=True, id_col="image_id")
+    salted = tiling.salted_repartition(
+        owned, "tile", threshold=salt_threshold, buckets=8
+    )
+    table = SnapshotTable(out_path)
+    snaps = write_partitioned(
+        salted.withColumn("__part", F.concat_ws("_", F.col("tile"), F.col("salt"))).drop(
+            "salt"
+        ),
+        table,
+        "__part",
+        summary={"comment": "ingest", "created_by": "langtoolsosm_spark"},
+    )
+    wall = time.time() - t0
+    rows = sum(s["total_rows"] for s in snaps)
+    return {
+        "rows": rows,
+        "wall_sec": wall,
+        "rows_per_sec": rows / wall if wall > 0 else 0.0,
+        "snapshots": [s["snapshot_id"] for s in snaps],
     }
