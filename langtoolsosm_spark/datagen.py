@@ -37,7 +37,20 @@ REGION = dict(lat0=35.0, lat1=45.0, lon0=-5.0, lon1=10.0)
 HOT = dict(lat0=41.35, lat1=41.45, lon0=2.05, lon1=2.25)  # dense urban cell
 HOT_FRAC = 0.2
 
-DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+def _default_data_root() -> str:
+    """Cache dir for synth datasets: $LTOSM_DATA_ROOT, else <repo>/data,
+    else (when the package ships inside a --py-files zip and the repo dir
+    isn't real) a per-user cache dir."""
+    env = os.environ.get("LTOSM_DATA_ROOT")
+    if env:
+        return env
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(repo_root):
+        return os.path.join(repo_root, "data")
+    return os.path.join(os.path.expanduser("~"), ".langtoolsosm_spark", "data")
+
+
+DATA_ROOT = _default_data_root()
 
 TIER_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 

@@ -115,6 +115,7 @@ def _tile_sql(res: int, lat: str = "lat", lon: str = "lon") -> str:
 #   name:ca   present iff mode in (1,3,6)
 #   wikidata  present iff mode in (0,4,6)   -> 'Q' || (p_partkey % 25)
 #   wikipedia present iff mode in (2,7)     -> 'ca:Nation_' || (p_partkey % 25)
+#   int_name  present iff mode == 7; official_name present iff mode in (6,7)
 # ---------------------------------------------------------------------------
 
 def part_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,6 +141,16 @@ def part_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     m.isin(2, 7),
                     F.concat(F.lit("ca:Nation_"), (F.col("p_partkey") % 25).cast("string")),
                 ).alias("value"),
+            ),
+            F.struct(
+                F.lit("int_name").alias("key"),
+                F.when(m == 7, F.concat(F.lit("Intl "), F.col("p_name"))).alias("value"),
+            ),
+            F.struct(
+                F.lit("official_name").alias("key"),
+                F.when(m.isin(6, 7), F.concat(F.lit("Official "), F.col("p_name"))).alias(
+                    "value"
+                ),
             ),
             F.struct(F.lit("brand").alias("key"), F.col("p_brand").alias("value")),
         ),
@@ -997,3 +1008,171 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
 }
+
+
+# ---------------------------------------------------------------------------
+# wide report projection / flatten-distinct / sessionization / image table
+# ---------------------------------------------------------------------------
+
+def q_wide_report(spark, sf_dir):
+    """Wide report projection (src/write_osm_objects_report.py:50-148):
+    hot columns + multilang key-prefix projection + all_tags key list."""
+    from ..operators.report import build_report
+
+    return build_report(part_features(spark, sf_dir), "ca", extra_tags=["wikidata"])
+
+
+O_WIDE_REPORT = f"""
+WITH f AS (SELECT p_partkey, p_partkey % 8 AS m, p_name, p_brand FROM part)
+SELECT {OSM_TYPE_SQL.replace("p_partkey", "f.p_partkey")} AS osm_type,
+       f.p_partkey AS id,
+       CASE WHEN m = 5 THEN 'Carrer de ' || p_name
+            WHEN m IN (0, 3, 6) THEN p_name END AS name,
+       CASE WHEN m IN (1, 3, 6) THEN 'ca ' || p_name END AS "name:ca",
+       CASE WHEN m IN (0, 4, 6) THEN 'Q' || CAST(f.p_partkey % 25 AS VARCHAR) END AS wikidata,
+       CASE WHEN m IN (1, 3) THEN 'ca ' || p_name
+            WHEN m = 6 THEN 'Official ' || p_name || ', ' || 'ca ' || p_name
+            WHEN m = 7 THEN 'Intl ' || p_name || ', ' || 'Official ' || p_name
+            ELSE '' END AS multilang_names,
+       CASE WHEN m = 0 THEN 'brand, name, wikidata'
+            WHEN m = 1 THEN 'brand, name:ca'
+            WHEN m = 2 THEN 'brand, wikipedia'
+            WHEN m = 3 THEN 'brand, name, name:ca'
+            WHEN m = 4 THEN 'brand, wikidata'
+            WHEN m = 5 THEN 'brand, name'
+            WHEN m = 6 THEN 'brand, name, name:ca, official_name, wikidata'
+            ELSE 'brand, int_name, official_name, wikipedia' END AS all_tags
+FROM f
+"""
+
+
+def q_flatten_distinct(spark, sf_dir):
+    """flatten + distinct over nested arrays (lib/wikimedia.py:156)."""
+    dim = nation_wikidata(spark, sf_dir)
+    return dim.agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("p31_labels")))),
+            ",",
+        ).alias("p31_all")
+    )
+
+
+O_FLATTEN_DISTINCT = """
+SELECT string_agg(DISTINCT lbl, ',' ORDER BY lbl) AS p31_all FROM (
+  SELECT unnest(CASE WHEN n_nationkey % 10 = 9 THEN ['human']
+                     ELSE ['city'] END) AS lbl
+  FROM nation) t
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session (window lag +
+    cumulative sum — integer epoch arithmetic for exact parity)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("epoch") - F.lag("epoch").over(w)) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn("session_idx", F.sum("new_sess").over(w).cast("long"))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("epoch").alias("start_epoch"),
+        F.max("epoch").alias("end_epoch"),
+    )
+
+
+O_SESSIONIZE = """
+WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),
+flagged AS (
+  SELECT user_id, epoch,
+         CASE WHEN epoch - lag(epoch) OVER (PARTITION BY user_id ORDER BY epoch) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sess AS (
+  SELECT user_id, epoch,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(epoch) AS start_epoch, max(epoch) AS end_epoch
+FROM sess GROUP BY 1, 2
+"""
+
+
+SYNTH_SF001_IMAGES = "/root/repo/data/synth_sf0.01/images.parquet"
+
+
+def _synth_images(spark, sf_dir):
+    from ..datagen import ensure_dataset, tier_for_sf_dir
+
+    synth = ensure_dataset(tier_for_sf_dir(sf_dir))
+    return spark.read.parquet(f"{synth}/images.parquet")
+
+
+def q_images_tile_assign(spark, sf_dir):
+    """Tile assignment over the real image+caption table (per-tile counts;
+    oracle reads the same parquet via read_parquet)."""
+    from ..operators.tiling import assign_tiles, cell_histogram
+
+    return cell_histogram(assign_tiles(_synth_images(spark, sf_dir), res=8), "tile")
+
+
+O_IMAGES_TILE = (
+    f"SELECT {_tile_sql(8)} AS tile, count(*) AS n_rows "
+    f"FROM read_parquet('{SYNTH_SF001_IMAGES}') GROUP BY 1"
+)
+
+
+def q_images_phash_pairs(spark, sf_dir):
+    """Visual near-dup candidates: pHash Hamming distance <= 12 within the
+    same coarse tile (bit_count(xor) — JVM-side, no UDF)."""
+    from ..operators.tiling import assign_tiles
+
+    img = assign_tiles(
+        _synth_images(spark, sf_dir).select("image_id", "phash", "lat", "lon"),
+        res=5,
+    ).select("image_id", "phash", "tile")
+    a, b = img.alias("a"), img.alias("b")
+    return (
+        a.join(b, "tile")
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .withColumn(
+            "hamm", F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+        )
+        .filter(F.col("hamm") <= 12)
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("hamm").cast("int").alias("hamm"),
+        )
+    )
+
+
+O_IMAGES_PHASH = f"""
+WITH img AS (
+  SELECT image_id, phash, {_tile_sql(5)} AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamm
+FROM img a JOIN img b USING (tile)
+WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 12
+"""
+
+REGISTRY.update(
+    {
+        "wide_report": (q_wide_report, O_WIDE_REPORT),
+        "flatten_distinct": (q_flatten_distinct, O_FLATTEN_DISTINCT),
+        "sessionize": (q_sessionize, O_SESSIONIZE),
+        "images_tile_assign": (q_images_tile_assign, O_IMAGES_TILE),
+        "images_phash_pairs": (q_images_phash_pairs, O_IMAGES_PHASH),
+    }
+)

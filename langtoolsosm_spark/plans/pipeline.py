@@ -226,6 +226,18 @@ def run_ingest(
         schema="image_id string, caption string, lat double, lon double, "
         "decode_ok boolean, phash_dist int",
     )
+    # observable metrics: the engine's analogue of the reference's
+    # n_edits/total_edits counters (src/fill_empty_name.py:54-57) — counted
+    # inside the job, no extra pass
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    decoded = decoded.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+        F.sum((F.col("phash_dist") <= 8).cast("long")).alias("n_phash_ok"),
+    )
     tiled = tiling.assign_tiles(decoded, res=res)
     owned = pip_mod.pip_join(tiled, polygons, res=res, unique=True, id_col="image_id")
     salted = tiling.salted_repartition(
@@ -247,4 +259,5 @@ def run_ingest(
         "wall_sec": wall,
         "rows_per_sec": rows / wall if wall > 0 else 0.0,
         "snapshots": [s["snapshot_id"] for s in snaps],
+        "observed": dict(obs.get),
     }
