@@ -74,20 +74,34 @@ def main():
         _ = n
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "images_per_sec": round(images_per_sec, 1),
-                "flagship_images": n_images,
-                "cpus": cpus,
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images_per_sec": round(images_per_sec, 1),
+        "flagship_images": n_images,
+        "cpus": cpus,
+    }
+    # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes
+    # BENCH/BASELINE.md; the JSON sidecar carries the machine numbers)
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(side):
+        try:
+            with open(side) as f:
+                sc = json.load(f)
+            out["scaling"] = {
+                "lo_cores": sc["lo"]["cores"],
+                "hi_cores": sc["hi"]["cores"],
+                "lo_images_per_sec": sc["lo"]["rows_per_sec"],
+                "hi_images_per_sec": sc["hi"]["rows_per_sec"],
+                "efficiency": sc["scaling_efficiency"],
+                "outputs_identical": sc["outputs_identical"],
             }
-        )
-    )
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
