@@ -83,13 +83,21 @@ def pip_join(
     unique: bool = False,
     id_col: str = "image_id",
     broadcast_cover: bool = True,
+    broadcast_rings: bool = True,
 ) -> DataFrame:
     """Join each point to every polygon containing it.
 
     Returns ``points`` columns + ``polygon_id``. ``unique=True`` keeps only
     the lexicographically smallest polygon_id per point (tile-ownership
-    tie-break; requires unique ``id_col``). ``broadcast_cover=False``
-    forces a shuffled cover join for very large polygon sets.
+    tie-break; requires unique ``id_col``).
+
+    Scale switches: ``broadcast_cover=False`` shuffles the cover equi-join
+    (huge polygon sets whose cover exceeds the broadcast threshold);
+    ``broadcast_rings=False`` shuffles the boundary-row-to-ring join on
+    polygon_id instead of broadcasting the ring dimension — rings of
+    10^6 admin polygons don't fit an executor broadcast, but boundary rows
+    hash-partition by polygon_id and meet their ring in the same task.
+    Both paths feed the identical refine kernel.
     """
     pts = points.withColumn("__tile", tile_key_col(F.col(lat), F.col(lon), res))
     cover = polygon_cover(polygons, res).withColumnRenamed("tile", "__cover_tile")
@@ -101,10 +109,13 @@ def pip_join(
 
     interior = cand.filter(F.col("full_inside")).drop("full_inside", "__tile")
 
+    rings = polygons.select("polygon_id", "ring")
+    if broadcast_rings:
+        rings = F.broadcast(rings)
     boundary = (
         cand.filter(~F.col("full_inside"))
         .drop("full_inside", "__tile")
-        .join(F.broadcast(polygons.select("polygon_id", "ring")), "polygon_id", "inner")
+        .join(rings, "polygon_id", "inner")
     )
 
     out_cols = points.columns + ["polygon_id"]

@@ -138,3 +138,25 @@ def test_adaptive_split_balances(spark, tables):
     assert (sizes["count"] <= cap).all()
     assert out.count() == images.count()
     assert sizes["acell_res"].max() > 4  # the hot cell actually split
+
+
+def test_pip_join_shuffled_paths_match_broadcast(spark, tables):
+    """broadcast_cover/broadcast_rings=False (the huge-polygon-dim path)
+    must produce identical rows to the broadcast path."""
+    images, polygons, _ = tables
+    pts = images.select("image_id", "lat", "lon").limit(400)
+    a = (
+        pip_mod.pip_join(pts, polygons, res=8)
+        .select("image_id", "polygon_id")
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pip_mod.pip_join(pts, polygons, res=8, broadcast_cover=False, broadcast_rings=False)
+        .select("image_id", "polygon_id")
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
