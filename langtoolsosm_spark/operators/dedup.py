@@ -2,8 +2,9 @@
 
 Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
 join), word-set Jaccard, and SimHash near-dup. All distributed, shuffle
-on content hashes only (never full texts beyond the first pass), no
-per-row Python except the SimHash bit kernel (vectorized mapInPandas).
+on content hashes only (never full texts beyond the first pass), zero
+Python UDFs anywhere (SimHash included — md5 + integer bit arithmetic,
+all codegen-eligible).
 
 The MinHash family h_i(s) = md5(i || s) with lexicographic min is chosen
 deliberately: identical results are computable in any engine with md5
@@ -112,28 +113,38 @@ def jaccard_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document (vectorized bit kernel over Arrow
-    batches; md5-based word hashes for engine independence)."""
-    import hashlib
+    """64-bit SimHash per document — fully JVM-side (zero Python UDFs).
 
-    import numpy as np
-    import pandas as pd
-
-    def kernel(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                acc = np.zeros(64, dtype=np.int64)
-                for w in set(text.split(" ")):
-                    h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                v = 0
-                for b in (acc > 0).astype(int):
-                    v = (v << 1) | int(b)
-                out.append((doc_id, v - (1 << 64) if v >= (1 << 63) else v))
-            yield pd.DataFrame(out, columns=[id_col, "simhash"])
-
-    return docs.select(id_col, text_col).mapInPandas(
-        kernel, schema=f"{id_col} long, simhash long"
+    Word hash h(w) = first 16 hex chars of md5(w) as uint64 (split into two
+    32-bit halves so signed-long bit ops never overflow). Per doc, each of
+    the 64 bit positions accumulates +1/-1 over the DISTINCT word set; the
+    output bit at position (63 - j) is set iff the sign-sum for source bit
+    j is positive, emitted as a signed two's-complement long. Every step is
+    md5 + integer arithmetic -> reproducible in the DuckDB oracle
+    (O_SIMHASH), unlike the round-1 per-row Python kernel.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).distinct()
+    h = F.md5(F.col("w"))
+    ws = words.select(
+        id_col,
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
     )
+    aggs = []
+    for j in range(64):
+        src = F.col("lo") if j < 32 else F.col("hi")
+        bit = F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    acc = ws.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(64):
+        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — exactly the signed
+        # two's-complement encoding of the top bit; the sum of distinct
+        # powers of two never carries, so + is equivalent to bitwise-or
+        term = F.when(
+            F.col(f"s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), 63 - j)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return acc.select(F.col(id_col), sim.alias("simhash"))

@@ -51,48 +51,130 @@ def topk_dot(
     )
 
 
+def lsh_sign(table: int, bit: int, dim: int) -> int:
+    """Rademacher ±1 entry of the seeded projection matrix: parity of the
+    first hex digit of md5("{table}_{bit}_{dim}"). Deterministic and
+    engine-portable — the DuckDB oracle inlines the identical matrix."""
+    import hashlib
+
+    return 1 if int(hashlib.md5(f"{table}_{bit}_{dim}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+
+
+def probe_masks(n_bits: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius (multi-probe LSH: also search
+    buckets within Hamming ``radius`` of the query's bucket)."""
+    return [m for m in range(1 << n_bits) if bin(m).count("1") <= radius]
+
+
+def _quantize(x):
+    return F.round(x.cast("double") * 1000.0).cast("long")
+
+
 def sign_lsh_buckets(
-    emb: DataFrame, n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-LSH sketch from fixed dimensions (dim j*stride sign -> bit j).
-    Deterministic, no random projections needed for the fixture scale; a
-    production variant would broadcast a seeded random projection matrix
-    into a pandas UDF."""
-    bits = [
-        F.when(F.element_at(vec_col, i * 8 + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_bits)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return emb.withColumn("bucket", bucket.cast("int"))
+    """(id, embedding, table, bucket): one row per (vector, hash table).
+
+    Each of ``n_tables`` independent tables hashes the vector with
+    ``n_bits`` signed random projections r_b (seeded Rademacher ±1 rows,
+    ``lsh_sign``); bit b of the bucket = [<x_quantized, r_b> > 0]. The
+    projections are pure column expressions (zip_with + aggregate over a
+    sign-literal array): zero shuffle, zero UDF, one scan (tables emitted
+    via posexplode of an array, not a per-table union). Integer quantized
+    dot products make bucket ids bit-reproducible in the DuckDB oracle.
+    """
+    bucket_exprs = []
+    for t in range(n_tables):
+        bucket = None
+        for b in range(n_bits):
+            sarr = F.array(
+                *[F.lit(lsh_sign(t, b, d)).cast("long") for d in range(dim)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), sarr, lambda x, s: _quantize(x) * s),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            term = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        bucket_exprs.append(bucket.cast("int"))
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(F.array(*bucket_exprs)).alias("table", "bucket"),
+    )
 
 
 def ann_lsh_topk(
-    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    scored with the exact quantized dot (F.zip_with + F.aggregate —
-    JVM-side, no Python)."""
-    coded = sign_lsh_buckets(emb, id_col=id_col, vec_col=vec_col)
-    q = coded.filter(F.col(id_col) % 50 == 0).select(
-        F.col(id_col).alias("query_id"), "bucket", F.col(vec_col).alias("qe")
+    """Approximate top-k: multi-table multi-probe sign-LSH candidates,
+    exact quantized-dot rescore (same kernel/quantization as ``topk_dot``
+    so recall is measured apples-to-apples).
+
+    Scale path: candidates are bounded by (tables x probes x bucket
+    occupancy); the only shuffles are the (table, bucket) candidate join
+    and the id-keyed vector re-attach. On clustered real-world embeddings
+    the candidate fraction drops exponentially with n_bits; the uniform
+    fixture is the worst case (documented in BENCH notes) — the default
+    (4 tables, 6 bits, radius 2) holds recall@5 >= 0.95 there.
+    """
+    coded = sign_lsh_buckets(emb, n_tables, n_bits, dim, id_col, vec_col)
+    keyed = coded.select(F.col(id_col), "table", "bucket")
+    if queries is None:
+        q = keyed.filter(F.col(id_col) % 50 == 0)
+    else:
+        q = sign_lsh_buckets(queries, n_tables, n_bits, dim, id_col, vec_col).select(
+            F.col(id_col), "table", "bucket"
+        )
+    probes = q.select(
+        F.col(id_col).alias("query_id"),
+        "table",
+        F.explode(
+            F.array(*[F.lit(m) for m in probe_masks(n_bits, probe_radius)])
+        ).alias("mask"),
+        F.col("bucket").alias("qbucket"),
+    ).select(
+        "query_id", "table", F.col("qbucket").bitwiseXOR(F.col("mask")).alias("bucket")
     )
-    cand = q.join(coded, "bucket").filter(F.col(id_col) != F.col("query_id"))
+    # candidate id pairs, deduped across tables/probes BEFORE the vector
+    # re-attach (distinct on two ids, never on arrays)
+    cand = (
+        probes.join(keyed, ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    qvec = (queries if queries is not None else emb).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qe")
+    )
+    nvec = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ne"))
     dot = F.aggregate(
-        F.zip_with(
-            "qe",
-            vec_col,
-            lambda a, b: F.round(a.cast("double") * 1000.0).cast("long")
-            * F.round(b.cast("double") * 1000.0).cast("long"),
-        ),
+        F.zip_with("__qe", "__ne", lambda a, b: _quantize(a) * _quantize(b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
     return (
-        cand.withColumn("dot", dot)
+        cand.join(qvec, "query_id")
+        .join(nvec, "neighbor_id")
+        .withColumn("dot", dot)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "dot")
+        .select("query_id", "neighbor_id", "rank", "dot")
     )

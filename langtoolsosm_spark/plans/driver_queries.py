@@ -22,6 +22,8 @@ reference predicate classes (SURVEY.md §2.2, FIXTURES.md F2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # ---------------------------------------------------------------------------
@@ -81,13 +83,22 @@ GEO_POLYGONS = [
     ("G5", [(42.0, 4.0), (42.0, 8.0), (43.0, 8.0), (43.0, 6.0), (44.0, 6.0), (44.0, 4.0)]),  # L
 ]
 
+# Predicates mirror the engine ray-cast's half-open edge rule exactly
+# (functions/geo.py: crossing iff (y1 <= y < y2) xor (y2 <= y < y1) with
+# x < x_intersection). For an axis-aligned box that reduces to
+# lat >= s AND lat < n AND lon >= w AND lon < e; for G4's hypotenuse the
+# oracle reuses the kernel's own intersection expression tree
+# (x1 + (lat - y1) * (x2 - x1) / dy) so the comparison is bit-identical.
+# Derived lat/lon lattices DO produce exact boundary values (e.g. lat ==
+# 36.0), so strict-inequality predicates would diverge from the engine.
 POLY_PRED_SQL = {
-    "G1": "(lat > 36.0 AND lat < 39.0 AND lon > -3.0 AND lon < 1.0)",
-    "G2": "(lat > 39.5 AND lat < 42.0 AND lon > 1.0 AND lon < 4.0)",
-    "G3": "(lat > 42.0 AND lat < 44.5 AND lon > -2.0 AND lon < 3.0)",
-    "G4": "(lat > 35.5 AND lon > 4.0 AND (lat - 35.5) * 5.0 + (lon - 4.0) * 4.5 < 22.5)",
-    "G5": "((lat > 42.0 AND lat < 44.0 AND lon > 4.0 AND lon < 6.0) OR "
-    "(lat > 42.0 AND lat < 43.0 AND lon > 6.0 AND lon < 8.0))",
+    "G1": "(lat >= 36.0 AND lat < 39.0 AND lon >= -3.0 AND lon < 1.0)",
+    "G2": "(lat >= 39.5 AND lat < 42.0 AND lon >= 1.0 AND lon < 4.0)",
+    "G3": "(lat >= 42.0 AND lat < 44.5 AND lon >= -2.0 AND lon < 3.0)",
+    "G4": "(lat >= 35.5 AND lat < 40.0 AND lon >= 4.0 AND "
+    "lon < 9.0 + (lat - 35.5) * (4.0 - 9.0) / (40.0 - 35.5))",
+    "G5": "((lat >= 42.0 AND lat < 43.0 AND lon >= 4.0 AND lon < 8.0) OR "
+    "(lat >= 43.0 AND lat < 44.0 AND lon >= 4.0 AND lon < 6.0))",
 }
 
 
@@ -317,13 +328,39 @@ SELECT point_id, neighbor_id, CAST(rank AS INT) AS rank FROM d WHERE rank <= 3
 
 
 def q_adaptive_split(spark, sf_dir):
-    """Adaptive cell-splitting (no SQL oracle: iterative algorithm)."""
+    """Adaptive cell-splitting: coarsest admissible (<= max_rows) cell per
+    row. The engine's single-pass rollup plan is pure integer arithmetic,
+    so it gets an exact DuckDB oracle (hierarchy reproduced as a constant
+    res-series cross join over the max_res histogram)."""
     from ..operators.tiling import adaptive_split
 
     out = adaptive_split(
         geo_points(spark, sf_dir), base_res=4, max_rows=500, max_res=14
     )
     return out.groupBy("acell", "acell_res").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+O_ADAPTIVE_SPLIT = f"""
+WITH {PTS_CTE},
+m AS (SELECT {_tile_sql(14)} AS mcell FROM pts),
+hist AS (SELECT mcell, count(*) AS n FROM m GROUP BY 1),
+anc AS (
+  SELECT h.mcell, h.n, t.res,
+         ((h.mcell // 16384) >> (14 - t.res)) * (1 << t.res)
+         + ((h.mcell % 16384) >> (14 - t.res)) AS cell
+  FROM hist h CROSS JOIN generate_series(4, 14) AS t(res)
+),
+lv AS (SELECT res, cell, sum(n) AS n FROM anc GROUP BY 1, 2),
+ok AS (SELECT res, cell FROM lv WHERE n <= 500 OR res = 14),
+pick AS (
+  SELECT a.mcell, min(a.res) AS res
+  FROM anc a JOIN ok ON ok.res = a.res AND ok.cell = a.cell
+  GROUP BY 1
+)
+SELECT a.cell AS acell, CAST(p.res AS INT) AS acell_res, CAST(sum(a.n) AS BIGINT) AS n_rows
+FROM pick p JOIN anc a ON a.mcell = p.mcell AND a.res = p.res
+GROUP BY 1, 2
+"""
 
 
 def q_salted_repartition(spark, sf_dir):
@@ -579,8 +616,11 @@ def q_coverage_stats(spark, sf_dir):
     joined = probe.join(F.broadcast(dim.select("wikidata")), "wikidata", "left_semi")
     n_obj = probe.count()
     n_tr = joined.count()
+    # tie-free integer percent (floor): Python round() is half-to-even while
+    # DuckDB round() is half-away-from-zero — a ratio landing exactly on .5
+    # would hash-mismatch. Integer floor division is identical in both.
     return spark.createDataFrame(
-        [(n_obj, n_tr, round(n_tr / n_obj * 100))],
+        [(n_obj, n_tr, (100 * n_tr) // n_obj)],
         "n_objects long, n_translated long, pct long",
     )
 
@@ -592,7 +632,7 @@ WITH probe AS (
 tr AS (SELECT qnum FROM probe WHERE qnum % 3 <> 2)
 SELECT (SELECT count(*) FROM probe) AS n_objects,
        (SELECT count(*) FROM tr) AS n_translated,
-       CAST(round((SELECT count(*) FROM tr) / (SELECT count(*) FROM probe) * 100.0) AS BIGINT) AS pct
+       (100 * (SELECT count(*) FROM tr)) // (SELECT count(*) FROM probe) AS pct
 """
 
 
@@ -850,20 +890,114 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE r
 
 
 def q_simhash_neardup(spark, sf_dir):
-    """SimHash (64-bit) per document via vectorized pandas kernel (no SQL
-    oracle: bit-twiddling kernel; driver does the rows-only check)."""
+    """SimHash (64-bit) per document — JVM-side md5 word hashes + per-doc
+    sign-sums + bit packing; exact DuckDB oracle (same md5 + integer
+    arithmetic)."""
     from ..operators.dedup import simhash
 
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _o_hex8(col_expr: str, start: int) -> str:
+    """DuckDB: parse 8 hex chars of ``col_expr`` starting at 1-based
+    ``start`` into a BIGINT (position-weighted digit sum — no hex-cast
+    dialect dependence)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col_expr}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+O_SIMHASH = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+),
+hashed AS (
+  SELECT doc_id,
+         {_o_hex8('md5(w)', 1)} AS hi,
+         {_o_hex8('md5(w)', 9)} AS lo
+  FROM words
+),
+acc AS (
+  SELECT doc_id,
+         {", ".join(f"sum((({'lo' if j < 32 else 'hi'} >> {j % 32}) & 1) * 2 - 1) AS s{j}" for j in range(64))}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join("CASE WHEN s%d > 0 THEN %s ELSE 0 END" % (j, "(-9223372036854775807 - 1)" if j == 0 else str(1 << (63 - j))) for j in range(64))} AS BIGINT) AS simhash
+FROM acc
+"""
+
+
 def q_embedding_lsh_ann(spark, sf_dir):
-    """ANN scale path: sign-LSH bucket join, then exact quantized dot
-    within buckets. No SQL oracle (approximate recall by construction);
-    rows-only check."""
+    """ANN scale path: multi-table multi-probe sign-LSH candidates (seeded
+    Rademacher projections) + exact quantized-dot rescore. Deterministic
+    end-to-end (integer arithmetic + md5-seeded matrix) -> exact DuckDB
+    oracle."""
     from ..operators.similarity import ann_lsh_topk
 
     return ann_lsh_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _o_lsh_ann(n_tables: int = 4, n_bits: int = 6, radius: int = 2, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of ann_lsh_topk's default config: the same seeded
+    ±1 projection matrix (inlined VALUES), bucket assembly, multi-probe
+    XOR expansion, candidate dedup, and quantized-dot rescore."""
+    from ..operators.similarity import lsh_sign, probe_masks
+
+    signs_vals = ", ".join(
+        f"({t}, {b}, {d}, {lsh_sign(t, b, d)})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for d in range(dim)
+    )
+    masks_vals = ", ".join(f"({m})" for m in probe_masks(n_bits, radius))
+    return f"""
+WITH flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+signs(tbl, b, d, s) AS (VALUES {signs_vals}),
+proj AS (
+  SELECT f.vec_id, s.tbl, s.b, sum(f.xq * s.s) AS dot
+  FROM flat f JOIN signs s USING (d)
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl, CAST(sum(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+masks(mask) AS (VALUES {masks_vals}),
+probes AS (
+  SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, m.mask) AS bucket
+  FROM buckets b CROSS JOIN masks m
+  WHERE b.vec_id % 50 = 0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN buckets c ON c.tbl = p.tbl AND c.bucket = p.bucket
+  WHERE c.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(qf.xq * nf.xq) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat qf ON qf.vec_id = c.query_id
+  JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.d = qf.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE rank <= {k}
+"""
+
+
+O_EMBEDDING_LSH_ANN = _o_lsh_ann()
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
@@ -974,7 +1108,7 @@ REGISTRY: dict[str, tuple] = {
     "pip_join": (q_pip_join, O_PIP_JOIN),
     "pip_unique_owner": (q_pip_unique_owner, O_PIP_UNIQUE),
     "knn_join": (q_knn_join, O_KNN_JOIN),
-    "adaptive_split": (q_adaptive_split, None),
+    "adaptive_split": (q_adaptive_split, O_ADAPTIVE_SPLIT),
     "salted_repartition": (q_salted_repartition, None),
     # reference translation-fill family
     "fill_empty_name": (q_fill_empty_name, O_FILL_EMPTY_NAME),
@@ -1002,8 +1136,8 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "embedding_topk": (q_embedding_topk, O_EMBEDDING_TOPK),
-    "simhash_neardup": (q_simhash_neardup, None),
-    "embedding_lsh_ann": (q_embedding_lsh_ann, None),
+    "simhash_neardup": (q_simhash_neardup, O_SIMHASH),
+    "embedding_lsh_ann": (q_embedding_lsh_ann, O_EMBEDDING_LSH_ANN),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
@@ -1107,7 +1241,12 @@ FROM sess GROUP BY 1, 2
 """
 
 
-SYNTH_SF001_IMAGES = "/root/repo/data/synth_sf0.01/images.parquet"
+# derive the oracle's parquet path from the same root the Spark side uses
+# (honors $LTOSM_DATA_ROOT / repo relocation — a hard-coded /root/repo path
+# would silently compare different data if the cache dir moves)
+from ..datagen import DATA_ROOT as _DATA_ROOT
+
+SYNTH_SF001_IMAGES = os.path.join(_DATA_ROOT, "synth_sf0.01", "images.parquet")
 
 
 def _synth_images(spark, sf_dir):
