@@ -87,20 +87,80 @@ def lsh_candidate_pairs(
 def jaccard_pairs(
     docs: DataFrame, threshold_milli: int = 600, block_col: str = "source",
     text_col: str = "text", id_col: str = "doc_id",
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Word-set Jaccard >= threshold within blocking-column groups.
-    Integer milli-Jaccard (exact arithmetic, engine-portable)."""
+    Integer milli-Jaccard (exact arithmetic, engine-portable).
+
+    ``prefix_filter=True`` (default) bounds the token join with the
+    AllPairs prefix principle instead of joining every posting against
+    every posting: tokens are globally ordered rarest-first (document
+    frequency, then token), and each doc indexes only its first
+    ``|d| - ceil(t * |d|) + 1`` tokens. If J(a, b) >= t then
+    ``|a ∩ b| >= ceil(t * |a|)``, so the shared tokens cannot all fit in
+    a's excluded suffix of size ``ceil(t * |a|) - 1`` — some shared token
+    lies in a's prefix, and the prefix-side x full-side join finds every
+    qualifying pair. Candidates are then verified with an exact per-pair
+    intersection count, so the OUTPUT is identical to the naive join (the
+    DuckDB oracle keeps the quadratic formulation as the spec) while the
+    join input drops from all postings to the rare-token prefixes —
+    the difference between quadratic blow-up and bounded work when the
+    vocabulary is Zipfian.
+    """
     words = docs.select(
         F.col(id_col), F.col(block_col), F.explode(F.split(text_col, " ")).alias("w")
     ).distinct()
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
-    a, b = words.alias("a"), words.alias("b")
-    inter = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+        rk = Window.partitionBy(id_col).orderBy("__df", "w")
+        pre = (
+            words.join(dfreq, "w")
+            .withColumn("__rk", F.row_number().over(rk))
+            .join(sizes, id_col)
+            # prefix length nw - ceil(t*nw) + 1 in exact integer arithmetic
+            .filter(
+                F.col("__rk")
+                <= F.col("nw")
+                - F.expr(f"div({threshold_milli} * nw + 999, 1000)")
+                + 1
+            )
+            .select(id_col, block_col, "w")
+        )
+        cand = (
+            pre.alias("a")
+            .join(
+                words.alias("b"),
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")),
+            )
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .distinct()
+        )
+        inter = (
+            cand.join(words.alias("wa"), F.col("doc_a") == F.col(f"wa.{id_col}"))
+            .join(
+                words.alias("wb"),
+                (F.col("doc_b") == F.col(f"wb.{id_col}"))
+                & (F.col("wa.w") == F.col("wb.w")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = words.alias("a"), words.alias("b")
+        inter = (
+            a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("nw").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nw").alias("nb"))
     return (
@@ -109,6 +169,69 @@ def jaccard_pairs(
         .withColumn("jacc_milli", F.expr("div(1000 * inter, na + nb - inter)"))
         .filter(F.col("jacc_milli") >= threshold_milli)
         .select("doc_a", "doc_b", "jacc_milli")
+    )
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int,
+    block_cols: tuple[str, ...] = (),
+    n_hash_bits: int = 64,
+) -> DataFrame:
+    """All pairs (a < b) within ``max_hamming`` Hamming distance on a
+    ``n_hash_bits``-bit hash column, optionally blocked by ``block_cols``.
+
+    Exact by pigeonhole: the hash is split into (max_hamming + 1) disjoint
+    bit bands; any pair differing in <= max_hamming positions must match
+    exactly in at least one band, so the band-bucket equi-join generates a
+    candidate superset and the bit_count(xor) rescore filters it. Replaces
+    a within-block O(n^2) self-join with shuffles keyed on (band, bits):
+    candidates are bounded by band-bucket occupancy, which for near-uniform
+    hash bits is ~n/2^width per block instead of n. All JVM-side
+    (shiftright/bit_count — codegen, zero UDFs).
+    """
+    n_bands = max_hamming + 1
+    base, extra = divmod(n_hash_bits, n_bands)
+    bands: list[tuple[int, int]] = []  # (bit offset, width)
+    off = 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        bands.append((off, w))
+        off += w
+    keyed = None
+    for b, (off, w) in enumerate(bands):
+        mask = (1 << w) - 1
+        part = df.select(
+            *block_cols,
+            F.col(id_col),
+            F.col(hash_col),
+            F.lit(b).alias("__band"),
+            # arithmetic shift sign-extends, but the mask keeps only the
+            # band's own bits, so the top band is still exact
+            F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit(mask)).alias("__bkey"),
+        )
+        keyed = part if keyed is None else keyed.unionByName(part)
+    a, c = keyed.alias("a"), keyed.alias("b")
+    join_keys = ["__band", "__bkey", *block_cols]
+    # rescore BEFORE dedup: bit_count(xor) is a codegen'd per-row op, so
+    # filtering the raw candidate stream first shrinks the distinct()
+    # shuffle to (true pairs x matched bands) instead of every candidate
+    return (
+        a.join(c, join_keys)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "hamm",
+            F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))),
+        )
+        .filter(F.col("hamm") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("hamm").cast("int").alias("hamm"),
+        )
+        .distinct()  # a true pair can match in several bands
     )
 
 

@@ -222,19 +222,31 @@ def knn_join(
     (point_id, lat, lon); ``features`` needs (feature_id, lat, lon).
     ``res=None`` auto-sizes the grid from the feature density.
     """
+    stats = features.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("lat") - F.min("lat")).alias("lat_span"),
+        (F.max("lon") - F.min("lon")).alias("lon_span"),
+        F.greatest(F.abs(F.max("lat")), F.abs(F.min("lat"))).alias("maxabs_lat"),
+    ).collect()[0]
+    n_feats = stats["n"]
     if res is None:
-        stats = features.agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.max("lat") - F.min("lat")).alias("lat_span"),
-            (F.max("lon") - F.min("lon")).alias("lon_span"),
-        ).collect()[0]
-        n_feats = stats["n"]
         res = auto_res(
             n_feats, max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k
         )
-    else:
-        n_feats = features.count()
     cell_lat_deg = 180.0 / (1 << res)
+    if metric == "haversine":
+        # the exactness bound assumes the latitude axis is the smaller
+        # cell extent; longitude cells are 2x wider in degrees but shrink
+        # by cos(lat) in meters, so above |lat| ~ 60 the lon axis governs.
+        # Scale by min(1, 2 cos(max |lat|)) over BOTH frames, with a 0.999
+        # margin for the small-angle curvature of constant-lat arcs.
+        pstats = points.agg(
+            F.greatest(F.abs(F.max("lat")), F.abs(F.min("lat"))).alias("m")
+        ).collect()[0]
+        maxabs = min(max(float(stats["maxabs_lat"] or 0.0), float(pstats["m"] or 0.0)), 89.999)
+        hav_factor = max(min(1.0, 2.0 * np.cos(np.radians(maxabs))) * 0.999, 1e-9)
+    else:
+        hav_factor = 1.0
 
     pid_type = points.schema[point_id].dataType.simpleString()
     out_schema = (
@@ -260,10 +272,15 @@ def knn_join(
         )
 
     resolved_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = [feats]
     radius = 1
     while radius <= max_ring:
         bound_deg = radius * cell_lat_deg
-        bound = bound_deg * bound_deg if metric == "euclid_deg" else bound_deg * 111_194.9
+        bound = (
+            bound_deg * bound_deg
+            if metric == "euclid_deg"
+            else bound_deg * 111_194.9 * hav_factor
+        )
         kernel = _topk_kernel(k, metric, bound)
         round_out = (
             with_cell(unresolved)
@@ -271,6 +288,7 @@ def knn_join(
             .cogroup(_explode_feature_disk(feats, res, radius).groupBy("__cell"))
             .applyInPandas(kernel, schema=out_schema)
         ).persist()
+        persisted.append(round_out)
         resolved_parts.append(
             round_out.filter(F.col("__ok")).select("__pid", "neighbor_id", "rank", "dist")
         )
@@ -306,4 +324,12 @@ def knn_join(
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out.select(F.col("__pid").alias(point_id), "neighbor_id", "rank", "dist")
+    out = out.select(F.col("__pid").alias(point_id), "neighbor_id", "rank", "dist")
+    # materialize the (small: points x k rows) result and cut its lineage,
+    # then release every intermediate cache — repeated knn_join calls in a
+    # long-lived session must not accumulate executor storage (the loop's
+    # round caches would otherwise live until the session ends)
+    out = out.localCheckpoint(eager=True)
+    for df_ in persisted:
+        df_.unpersist()
+    return out

@@ -1272,26 +1272,21 @@ O_IMAGES_TILE = (
 
 def q_images_phash_pairs(spark, sf_dir):
     """Visual near-dup candidates: pHash Hamming distance <= 12 within the
-    same coarse tile (bit_count(xor) — JVM-side, no UDF)."""
+    same coarse tile, via 13-band LSH bucketing (pigeonhole-exact: any
+    pair within 12 bit flips matches at least one of 13 disjoint bands) —
+    the round-1 within-tile self-join was quadratic in the 20%-hot cell.
+    The oracle keeps the quadratic formulation as the semantic spec."""
+    from ..operators.dedup import hamming_band_pairs
     from ..operators.tiling import assign_tiles
 
     img = assign_tiles(
         _synth_images(spark, sf_dir).select("image_id", "phash", "lat", "lon"),
         res=5,
     ).select("image_id", "phash", "tile")
-    a, b = img.alias("a"), img.alias("b")
-    return (
-        a.join(b, "tile")
-        .filter(F.col("a.image_id") < F.col("b.image_id"))
-        .withColumn(
-            "hamm", F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
-        )
-        .filter(F.col("hamm") <= 12)
-        .select(
-            F.col("a.image_id").alias("img_a"),
-            F.col("b.image_id").alias("img_b"),
-            F.col("hamm").cast("int").alias("hamm"),
-        )
+    return hamming_band_pairs(
+        img, id_col="image_id", hash_col="phash", max_hamming=12, block_cols=("tile",)
+    ).select(
+        F.col("id_a").alias("img_a"), F.col("id_b").alias("img_b"), "hamm"
     )
 
 

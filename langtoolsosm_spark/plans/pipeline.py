@@ -34,6 +34,7 @@ def flagship(
     k: int = 1,
     with_knn: bool = True,
     replicate: int = 1,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Enriched image table: (image_id, caption, lat, lon, tile, polygon_id,
     lang, nearest_name?, caption_enriched).
@@ -72,8 +73,12 @@ def flagship(
 
     if with_knn:
         # the kNN loop fires several driver actions over this subtree;
-        # cache it once instead of re-running the PIP join per round
+        # cache it once instead of re-running the PIP join per round.
+        # The handle lands in ``cleanup`` so the caller can unpersist
+        # after the final action (run_to_snapshot does).
         owned = owned.persist()
+        if cleanup is not None:
+            cleanup.append(owned)
         named = features.filter(F.map_contains_key("tags", F.lit("name"))).select(
             "id", F.element_at("tags", F.lit("name")).alias("feature_name"), "lat", "lon"
         )
@@ -119,40 +124,67 @@ def run_to_snapshot(
     resume: bool = True,
     salt_threshold: int = 50_000,
     replicate: int = 1,
+    dry_run: bool = False,
 ) -> dict:
     """Full benched job: flagship plan + salted repartition + snapshot
     commit with lineage; returns run metrics. Resumable: committed
-    partitions are skipped on restart (BASELINE.json:north_rule)."""
+    partitions are skipped on restart (BASELINE.json:north_rule).
+
+    ``dry_run=True`` mirrors the reference's ``--dry-run`` flag on every
+    command (src/fill_empty_name.py:14,80-81): the full plan is evaluated
+    and metrics are returned, but nothing is written — no table directory,
+    no data files, no snapshot manifests. All caches taken by the run are
+    released either way.
+    """
     import time
 
     from ..sources.snapshots import SnapshotTable, write_partitioned
 
     t0 = time.time()
+    cleanup: list = []
     # persist: the salting histogram and the write job would otherwise each
     # re-evaluate the full enrichment DAG
-    df = flagship(spark, synth_dir, res=res, with_knn=with_knn, replicate=replicate).persist()
-    salted = tiling.salted_repartition(df, "tile", threshold=salt_threshold, buckets=8)
-    table = SnapshotTable(out_path)
-    skip = table.committed_partitions() if resume else set()
-    snaps = write_partitioned(
-        salted.withColumn(
-            "__part", F.concat_ws("_", F.col("tile"), F.col("salt"))
-        ).drop("salt"),
-        table,
-        "__part",
-        summary={"comment": "flagship tile enrichment", "created_by": "langtoolsosm_spark"},
-        skip_partitions=skip,
-    )
-    wall = time.time() - t0
-    df.unpersist()
-    rows = sum(s["total_rows"] for s in snaps)
-    return {
-        "rows": rows,
-        "wall_sec": wall,
-        "rows_per_sec": rows / wall if wall > 0 else 0.0,
-        "snapshots": [s["snapshot_id"] for s in snaps],
-        "skipped_partitions": len(skip),
-    }
+    df = flagship(
+        spark, synth_dir, res=res, with_knn=with_knn, replicate=replicate,
+        cleanup=cleanup,
+    ).persist()
+    cleanup.append(df)
+    try:
+        if dry_run:
+            rows = df.count()
+            wall = time.time() - t0
+            return {
+                "rows": rows,
+                "wall_sec": wall,
+                "rows_per_sec": rows / wall if wall > 0 else 0.0,
+                "snapshots": [],
+                "skipped_partitions": 0,
+                "dry_run": True,
+            }
+        salted = tiling.salted_repartition(df, "tile", threshold=salt_threshold, buckets=8)
+        table = SnapshotTable(out_path)
+        skip = table.committed_partitions() if resume else set()
+        snaps = write_partitioned(
+            salted.withColumn(
+                "__part", F.concat_ws("_", F.col("tile"), F.col("salt"))
+            ).drop("salt"),
+            table,
+            "__part",
+            summary={"comment": "flagship tile enrichment", "created_by": "langtoolsosm_spark"},
+            skip_partitions=skip,
+        )
+        wall = time.time() - t0
+        rows = sum(s["total_rows"] for s in snaps)
+        return {
+            "rows": rows,
+            "wall_sec": wall,
+            "rows_per_sec": rows / wall if wall > 0 else 0.0,
+            "snapshots": [s["snapshot_id"] for s in snaps],
+            "skipped_partitions": len(skip),
+        }
+    finally:
+        for d in cleanup:
+            d.unpersist()
 
 
 def replicate_images(images: DataFrame, replicate: int) -> DataFrame:
@@ -179,6 +211,7 @@ def run_ingest(
     res: int = 8,
     replicate: int = 1,
     salt_threshold: int = 100_000,
+    dry_run: bool = False,
 ) -> dict:
     """The north-star benched job (BASELINE.json "metric": images/sec
     through H3 PIP-join + tile assignment): decode + integrity-verify every
@@ -240,6 +273,19 @@ def run_ingest(
     )
     tiled = tiling.assign_tiles(decoded, res=res)
     owned = pip_mod.pip_join(tiled, polygons, res=res, unique=True, id_col="image_id")
+    if dry_run:
+        # --dry-run parity: evaluate the full plan (decode/verify metrics
+        # included via the observation) but write nothing
+        rows = owned.count()
+        wall = time.time() - t0
+        return {
+            "rows": rows,
+            "wall_sec": wall,
+            "rows_per_sec": rows / wall if wall > 0 else 0.0,
+            "snapshots": [],
+            "observed": dict(obs.get),
+            "dry_run": True,
+        }
     salted = tiling.salted_repartition(
         owned, "tile", threshold=salt_threshold, buckets=8
     )

@@ -12,8 +12,6 @@ replayed epochs after a crash are idempotent (exactly-once sink).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.tiling import assign_tiles
@@ -70,6 +68,8 @@ def stream_to_snapshots(
     on restart from the checkpoint, an already-committed epoch id is
     skipped (idempotent sink), mirroring batch resume semantics.
     """
+    from ..sources.snapshots import write_partitioned
+
     table = SnapshotTable(table_path)
 
     def commit_batch(df: DataFrame, epoch_id: int) -> None:
@@ -78,20 +78,15 @@ def stream_to_snapshots(
         }
         if epoch_id in done:
             return
-        pdf = assign_tiles(df, res=res).toPandas()
-        if len(pdf) == 0:
-            return
-        import pyarrow as pa
-        import pyarrow.parquet as pqw
-
-        fn = table.new_data_file(int(epoch_id))
-        pqw.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(table.data_dir, fn),
-        )
-        table.commit(
-            files=[fn],
-            lineage=[{"partition_id": int(epoch_id), "rows": len(pdf), "duration_ms": 0}],
+        # executor-side data path: the epoch flows through the same
+        # distributed snapshot writer as batch (applyInPandas per tile
+        # partition); only manifest bookkeeping touches the driver. The
+        # round-1 implementation collected every epoch to the driver with
+        # toPandas() — a non-starter for continuous ingest at scale.
+        write_partitioned(
+            assign_tiles(df, res=res),
+            table,
+            "tile",
             summary={"comment": "stream ingest", "epoch": int(epoch_id)},
         )
 

@@ -59,6 +59,26 @@ def test_interrupted_run_resumes_to_identical_table(spark, synth_dir, tmp_path):
     assert _content_hash(resumed) == full_hash
 
 
+def test_dry_run_writes_nothing_and_releases_caches(spark, synth_dir, tmp_path):
+    """--dry-run parity: full plan evaluated, metrics returned, zero files
+    on disk, and every persist() taken by the run released (the Spark
+    cache manager is empty afterwards; the kNN localCheckpoint holds only
+    the small result rows, not plan caches)."""
+    import os
+
+    out = str(tmp_path / "dry_out")
+    m = run_to_snapshot(spark, synth_dir, out, res=8, with_knn=True, dry_run=True)
+    assert m["dry_run"] is True
+    assert m["rows"] > 0
+    assert m["snapshots"] == []
+    assert not os.path.exists(out)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # a real run over the same inputs matches the dry-run's row count
+    m2 = run_to_snapshot(spark, synth_dir, out, res=8, with_knn=True, resume=False)
+    assert m2["rows"] == m["rows"]
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_output_invariant_under_shuffle_partitioning(spark, synth_dir):
     """Same plan, different shuffle parallelism -> identical content
     (deterministic tie-breaks everywhere, SURVEY.md §7.3)."""

@@ -34,6 +34,25 @@ def test_stream_counts_match_batch(spark, images_dir, tmp_path):
     assert g.equals(b)
 
 
+def test_stream_epochs_never_collect_to_driver(spark, images_dir, tmp_path, monkeypatch):
+    """The streaming sink must write epoch data executor-side: any bulk
+    driver-side materialization (toPandas on the epoch frame) fails this
+    test. (The snapshot writer's manifest collect — a handful of
+    bookkeeping rows — is the legitimate exception and stays allowed.)"""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("epoch DataFrame materialized on the driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    table = mb.stream_to_snapshots(
+        spark, images_dir, str(tmp_path / "tbl_nd"), str(tmp_path / "ck_nd"), res=6
+    )
+    monkeypatch.undo()
+    n_total = spark.read.parquet(images_dir).count()
+    assert table.read(spark).count() == n_total
+
+
 def test_stream_snapshot_ingest_exactly_once(spark, images_dir, tmp_path):
     table = mb.stream_to_snapshots(
         spark, images_dir, str(tmp_path / "tbl"), str(tmp_path / "ck"), res=6
