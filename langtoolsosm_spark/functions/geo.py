@@ -83,6 +83,42 @@ def points_in_polygon_chunked(
     return out
 
 
+def rings_centroid(lat2d: np.ndarray, lon2d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shoelace (area) centroid of a BATCH of rings, vectorized over rows.
+
+    lat2d/lon2d: (B, M) vertex arrays; rows with fewer than M real
+    vertices must be padded by repeating the first vertex (degenerate
+    edges contribute exact +0.0 to every term, so padding is free).
+
+    Summation over edges is an explicit in-order accumulation (not
+    np.sum's pairwise tree) so the per-edge expression and its order are
+    reproducible term-for-term in an external SQL oracle — the parity
+    contract used throughout the engine for float kernels.
+    """
+    y = np.asarray(lat2d, dtype=np.float64)
+    x = np.asarray(lon2d, dtype=np.float64)
+    xn = np.roll(x, -1, axis=1)
+    yn = np.roll(y, -1, axis=1)
+    cross = x * yn - xn * y
+    b, m = x.shape
+    a2 = np.zeros(b)
+    sx = np.zeros(b)
+    sy = np.zeros(b)
+    for i in range(m):  # in-ring order, left-associated
+        a2 = a2 + cross[:, i]
+        sx = sx + (x[:, i] + xn[:, i]) * cross[:, i]
+        sy = sy + (y[:, i] + yn[:, i]) * cross[:, i]
+    denom = 3.0 * a2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = sx / denom
+        cy = sy / denom
+    # zero-area rings (points/lines) fall back to the first vertex
+    bad = ~np.isfinite(cx) | ~np.isfinite(cy) | (a2 == 0.0)
+    cx = np.where(bad, x[:, 0], cx)
+    cy = np.where(bad, y[:, 0], cy)
+    return cy, cx
+
+
 def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     """(south, west, north, east) of a ring array (M,2) of (lat,lon)."""
     ring = np.asarray(ring, dtype=np.float64)

@@ -72,6 +72,56 @@ def report_to_edits(df: DataFrame, upload_tags: list[str]) -> DataFrame:
     return stacked
 
 
+def footprint_centroid(
+    df: DataFrame,
+    ring_col: str = "footprint",
+    lat_out: str = "latitude",
+    lon_out: str = "longitude",
+) -> DataFrame:
+    """Coords projection mode (lib/osm_utils.py:45-48 ``out center`` /
+    SURVEY.md §2.1 projection row): per-row area centroid of a footprint
+    polygon, as two appended columns.
+
+    Vectorized NumPy shoelace kernel over Arrow batches
+    (functions/geo.py:rings_centroid): rings are padded per-batch by
+    repeating the first vertex (degenerate edges add exact zeros), so one
+    (B, M) matrix pass computes every centroid — no per-row Python
+    geometry."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.geo import rings_centroid
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rings = pdf[ring_col]
+            m = max(len(r) for r in rings)
+            b = len(pdf)
+            lat2d = np.empty((b, m), dtype=np.float64)
+            lon2d = np.empty((b, m), dtype=np.float64)
+            for r_i, ring in enumerate(rings):
+                n = len(ring)
+                lat2d[r_i, :n] = [v["lat"] for v in ring]
+                lon2d[r_i, :n] = [v["lon"] for v in ring]
+                lat2d[r_i, n:] = lat2d[r_i, 0]
+                lon2d[r_i, n:] = lon2d[r_i, 0]
+            clat, clon = rings_centroid(lat2d, lon2d)
+            out = pdf.copy()
+            out[lat_out] = clat
+            out[lon_out] = clon
+            yield out
+
+    return df.mapInPandas(
+        kernel, schema=f"{out_fields}, `{lat_out}` double, `{lon_out}` double"
+    )
+
+
 def build_report(
     features: DataFrame,
     lang: str,

@@ -298,6 +298,45 @@ def fill_wikipedia_from_wikidata(features: DataFrame, wikidata: DataFrame, lang:
     return wiki_edits.unionByName(redirect_edits)
 
 
+def p31_type_join(
+    entities: DataFrame,
+    labels: DataFrame,
+    id_col: str = "wikidata",
+    arr_col: str = "p31_ids",
+    key_col: str = "type_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Two-stage instance-of (P31) type resolution
+    (lib/wikimedia.py:143-177): entity -> P31-id array, flatten to the
+    distinct id set, resolve ids against a labels dimension, recombine
+    per entity.
+
+    In Spark the flatten+distinct middle stage is implicit: posexplode
+    keeps array positions, the (small) labels dim broadcasts, and
+    collect_list + sort_array recombines in array order. Entities whose
+    P31 ids all lack labels drop out (the reference only records labeled
+    entities). ``last_label`` mirrors the reference's loop quirk at
+    :172-176 where each labeled P31 OVERWRITES the entity's type list, so
+    the surviving value is the last labeled id's label.
+    """
+    ex = entities.select(
+        F.col(id_col), F.posexplode(F.col(arr_col)).alias("__pos", key_col)
+    )
+    j = ex.join(F.broadcast(labels), key_col, "inner")
+    ordered = j.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col(label_col)))).alias(
+            "__o"
+        )
+    )
+    return ordered.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(F.col("__o"), lambda s: s[label_col]), ","
+        ).alias("p31_labels"),
+        F.element_at(F.col("__o"), -1)[label_col].alias("last_label"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC merge (write-back semantics)
 # ---------------------------------------------------------------------------

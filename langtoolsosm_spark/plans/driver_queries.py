@@ -30,18 +30,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # derived geo points (bit-reproducible in DuckDB; hot cluster for skew)
 # ---------------------------------------------------------------------------
 
+# Divisors are CAST to DOUBLE because Spark parses bare decimal literals
+# as DECIMAL and would otherwise do exact decimal division (scale-rounded
+# at ~1e-9) while DuckDB does IEEE double division — invisible to
+# cell/predicate queries but fatal to micro-degree quantized kernels.
+# With the cast, both engines evaluate the identical double expression.
 PT_LAT_SQL = (
     "CASE WHEN o_orderkey % 5 = 0 "
-    "THEN 41.36 + ((o_orderkey * 48271) % 10007) / 10007.0 * 0.06 "
-    "ELSE 35.0 + ((o_orderkey * 9301 + 49297) % 233280) / 233280.0 * 10.0 END"
+    "THEN 41.36 + ((o_orderkey * 48271) % 10007) / CAST(10007.0 AS DOUBLE) * 0.06 "
+    "ELSE 35.0 + ((o_orderkey * 9301 + 49297) % 233280) / CAST(233280.0 AS DOUBLE) * 10.0 END"
 )
 PT_LON_SQL = (
     "CASE WHEN o_orderkey % 5 = 0 "
-    "THEN 2.02 + ((o_orderkey * 16807) % 10009) / 10009.0 * 0.06 "
-    "ELSE -5.0 + ((o_orderkey * 6271 + 101) % 190513) / 190513.0 * 15.0 END"
+    "THEN 2.02 + ((o_orderkey * 16807) % 10009) / CAST(10009.0 AS DOUBLE) * 0.06 "
+    "ELSE -5.0 + ((o_orderkey * 6271 + 101) % 190513) / CAST(190513.0 AS DOUBLE) * 15.0 END"
 )
-FEAT_LAT_SQL = "35.0 + ((c_custkey * 7919 + 13) % 120011) / 120011.0 * 10.0"
-FEAT_LON_SQL = "-5.0 + ((c_custkey * 104729 + 7) % 130021) / 130021.0 * 15.0"
+FEAT_LAT_SQL = "35.0 + ((c_custkey * 7919 + 13) % 120011) / CAST(120011.0 AS DOUBLE) * 10.0"
+FEAT_LON_SQL = "-5.0 + ((c_custkey * 104729 + 7) % 130021) / CAST(130021.0 AS DOUBLE) * 15.0"
 
 
 def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +487,108 @@ SELECT osm_type, id, 'wikipedia' AS key,
        'ca:Nation_' || CAST(qnum AS VARCHAR) AS value FROM probe
 UNION ALL
 SELECT osm_type, id, 'wikidata' AS key, 'Q0' AS value FROM probe WHERE qnum = 24
+"""
+
+
+def q_footprint_centroid(spark, sf_dir):
+    """Projection/coords mode: shoelace centroid of per-row triangular
+    footprints (NumPy batch kernel). Oracle replicates the kernel's exact
+    per-edge expression tree and summation order, so the doubles — and the
+    micro-degree quantization — are bit-identical."""
+    from ..operators.report import footprint_centroid
+
+    pts = geo_points(spark, sf_dir)
+    d = F.lit(0.001) + (F.col("point_id") % 7).cast("double") * F.lit(0.0005)
+    e = F.lit(0.001) + (F.col("point_id") % 11).cast("double") * F.lit(0.0004)
+    fp = pts.select(
+        "point_id",
+        F.array(
+            F.struct(F.col("lat").alias("lat"), F.col("lon").alias("lon")),
+            F.struct((F.col("lat") + d).alias("lat"), F.col("lon").alias("lon")),
+            F.struct(F.col("lat").alias("lat"), (F.col("lon") + e).alias("lon")),
+        ).alias("footprint"),
+    )
+    out = footprint_centroid(fp)
+    return out.select(
+        "point_id",
+        F.round(F.col("latitude") * 1000000.0).cast("long").alias("clat_micro"),
+        F.round(F.col("longitude") * 1000000.0).cast("long").alias("clon_micro"),
+    )
+
+
+O_FOOTPRINT_CENTROID = f"""
+WITH {PTS_CTE},
+fp AS (
+  SELECT point_id, lat AS y0, lon AS x0,
+         lat + (0.001 + (point_id % 7) * 0.0005) AS y1, lon AS x1,
+         lat AS y2, lon + (0.001 + (point_id % 11) * 0.0004) AS x2
+  FROM pts
+),
+cr AS (
+  SELECT point_id, x0, y0, x1, y1, x2, y2,
+         x0 * y1 - x1 * y0 AS c0,
+         x1 * y2 - x2 * y1 AS c1,
+         x2 * y0 - x0 * y2 AS c2
+  FROM fp
+),
+ce AS (
+  SELECT point_id,
+         ((x0 + x1) * c0 + (x1 + x2) * c1 + (x2 + x0) * c2) / (3.0 * (c0 + c1 + c2)) AS clon,
+         ((y0 + y1) * c0 + (y1 + y2) * c1 + (y2 + y0) * c2) / (3.0 * (c0 + c1 + c2)) AS clat
+  FROM cr
+)
+SELECT point_id,
+       CAST(round(clat * 1000000.0) AS BIGINT) AS clat_micro,
+       CAST(round(clon * 1000000.0) AS BIGINT) AS clon_micro
+FROM ce
+"""
+
+
+def q_p31_type_join(spark, sf_dir):
+    """Two-stage P31 type join (lib/wikimedia.py:143-177): entity ->
+    P31-id array -> labels dim -> ordered recombine. Entities derive from
+    nation (two P31 ids each), labels from region (T0..T4 labeled; T5/T6
+    deliberately unlabeled so the drop path fires)."""
+    from ..operators.translate import p31_type_join
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.col("n_nationkey")
+    entities = nation.select(
+        F.concat(F.lit("Q"), n.cast("string")).alias("wikidata"),
+        F.array(
+            F.concat(F.lit("T"), (n % 7).cast("string")),
+            F.concat(F.lit("T"), ((n * 3 + 1) % 7).cast("string")),
+        ).alias("p31_ids"),
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    labels = region.select(
+        F.concat(F.lit("T"), F.col("r_regionkey").cast("string")).alias("type_id"),
+        F.concat(F.lit("type "), F.col("r_name")).alias("label"),
+    )
+    return p31_type_join(entities, labels)
+
+
+O_P31_TYPE_JOIN = """
+WITH ent AS (
+  SELECT 'Q' || CAST(n_nationkey AS VARCHAR) AS wikidata,
+         ['T' || CAST(n_nationkey % 7 AS VARCHAR),
+          'T' || CAST((n_nationkey * 3 + 1) % 7 AS VARCHAR)] AS p31_ids
+  FROM nation
+),
+lab AS (
+  SELECT 'T' || CAST(r_regionkey AS VARCHAR) AS type_id,
+         'type ' || r_name AS label
+  FROM region
+),
+ex AS (
+  SELECT wikidata, CAST(i AS INT) AS pos, p31_ids[CAST(i AS INT)] AS type_id
+  FROM ent JOIN generate_series(1, 2) AS t(i) ON i <= len(p31_ids)
+),
+j AS (SELECT e.wikidata, e.pos, l.label FROM ex e JOIN lab l USING (type_id))
+SELECT wikidata,
+       string_agg(label, ',' ORDER BY pos) AS p31_labels,
+       (list(label ORDER BY pos))[-1] AS last_label
+FROM j GROUP BY wikidata
 """
 
 
@@ -1117,6 +1224,8 @@ REGISTRY: dict[str, tuple] = {
     "translate_with_wikidata": (q_translate_with_wikidata, O_TRANSLATE),
     "fill_wikidata_from_wikipedia": (q_fill_wikidata_from_wikipedia, O_FILL_WIKIDATA),
     "fill_wikipedia_from_wikidata": (q_fill_wikipedia_from_wikidata, O_FILL_WIKIPEDIA),
+    "footprint_centroid": (q_footprint_centroid, O_FOOTPRINT_CENTROID),
+    "p31_type_join": (q_p31_type_join, O_P31_TYPE_JOIN),
     "cdc_merge": (q_cdc_merge, O_CDC_MERGE),
     "conflict_keys": (q_conflict_keys, O_CONFLICT_KEYS),
     # classic OLAP
