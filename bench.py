@@ -14,12 +14,60 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# one flagship trial in a fresh JVM (the VM's tenant noise makes identical
+# runs vary up to 3x; the recorded BENCH/BASELINE.md number used alternating
+# best-of-3 fresh-JVM trials, so the per-round artifact must match that
+# protocol to be comparable)
+FLAGSHIP_WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, os.environ["REPO"])
+cpus = int(sys.argv[1]); tier = sys.argv[2]
+from langtoolsosm_spark.datagen import ensure_dataset
+from langtoolsosm_spark.plans.pipeline import run_to_snapshot
+from langtoolsosm_spark.session import get_spark
+synth = ensure_dataset(tier)
+spark = get_spark("benchflag", cores=cpus, shuffle_partitions=max(cpus, 8))
+spark.read.parquet(f"{synth}/images.parquet").limit(100).count()  # warm JVM
+out = tempfile.mkdtemp(prefix="bench_snap_")
+try:
+    t0 = time.time()
+    m = run_to_snapshot(spark, synth, os.path.join(out, "t"), res=8,
+                        with_knn=True, resume=False)
+    print(json.dumps({"wall": round(time.time() - t0, 3), "rows": m["rows"]}),
+          flush=True)
+finally:
+    shutil.rmtree(out, ignore_errors=True)
+"""
+
+
+def run_flagship_trial(cpus: int, tier: str) -> dict:
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(FLAGSHIP_WORKER)
+        worker = f.name
+    try:
+        res = subprocess.run(
+            [sys.executable, worker, str(cpus), tier],
+            capture_output=True, text=True, env=dict(os.environ, REPO=REPO),
+            timeout=1800,
+        )
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise RuntimeError(
+            f"no flagship result:\n{res.stdout[-1500:]}\n{res.stderr[-2000:]}"
+        )
+    finally:
+        os.unlink(worker)
+
 
 HEADLINE = [
     "tile_assign",
@@ -42,7 +90,6 @@ def main():
 
     from langtoolsosm_spark.datagen import ensure_dataset, tier_for_sf_dir
     from langtoolsosm_spark.plans.driver_queries import REGISTRY
-    from langtoolsosm_spark.plans.pipeline import run_to_snapshot
     from langtoolsosm_spark.session import get_spark
 
     tier = tier_for_sf_dir(sf_dir)
@@ -52,18 +99,18 @@ def main():
 
     timings: dict[str, float] = {}
 
-    # flagship pipeline (north-star: images/sec through PIP + tiling)
-    out_dir = tempfile.mkdtemp(prefix="bench_snap_")
-    try:
-        t0 = time.time()
-        metrics = run_to_snapshot(
-            spark, synth, os.path.join(out_dir, "t"), res=8, with_knn=True, resume=False
-        )
-        timings["flagship_pipeline"] = round(time.time() - t0, 3)
-        images_per_sec = metrics["rows_per_sec"]
-        n_images = metrics["rows"]
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # flagship pipeline (north-star: images/sec through PIP + tiling):
+    # best-of-N fresh-JVM trials, matching the recorded baseline protocol
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    walls = []
+    n_images = 0
+    for _ in range(trials):
+        r = run_flagship_trial(cpus, tier)
+        walls.append(r["wall"])
+        n_images = r["rows"]
+    best_wall = min(walls)
+    timings["flagship_pipeline"] = best_wall
+    images_per_sec = n_images / best_wall if best_wall > 0 else 0.0
 
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]
@@ -82,6 +129,7 @@ def main():
         "sf": sf,
         "images_per_sec": round(images_per_sec, 1),
         "flagship_images": n_images,
+        "flagship_trials": walls,
         "cpus": cpus,
     }
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes

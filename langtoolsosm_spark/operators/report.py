@@ -47,6 +47,114 @@ def read_report(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return df, meta
 
 
+def write_report_mediawiki(
+    df: DataFrame, path: str, table_name: str = "", metadata: dict | None = None
+) -> None:
+    """MediaWiki-table report sink (src/write_osm_objects_report.py:164-173
+    and src/translate_with_wikidata.py:25-38 use pytablewriter's
+    MediaWikiTableWriter; the engine emits the same dialect):
+
+        {| class="wikitable"
+        |+table_name
+        ! col ...
+        |-
+        | cell ...
+        |}
+
+    Rows are formatted as multi-line blocks JVM-side (concat_ws — no
+    driver collect), deterministically ordered by the first two columns,
+    and written as one text file (reports are human-scale, same contract
+    as the TSV sink). Metadata goes to the ``_meta.json`` sidecar."""
+    spark = df.sparkSession
+    cols = df.columns
+    body_line = F.concat_ws(
+        "\n",
+        F.lit("|-"),
+        *[
+            F.concat(F.lit("| "), F.coalesce(F.col(c).cast("string"), F.lit("")))
+            for c in cols
+        ],
+    )
+    body = df.select(
+        F.lit(1).alias("__sec"),
+        F.concat_ws(
+            "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols[:2]]
+        ).alias("__key"),
+        body_line.alias("line"),
+    )
+    head_text = '{| class="wikitable"\n|+' + table_name + "\n" + "\n".join(
+        f"! {c}" for c in cols
+    )
+    frame_schema = "__sec int, __key string, line string"
+    head = spark.createDataFrame([(0, "", head_text)], frame_schema)
+    foot = spark.createDataFrame([(2, "", "|}")], frame_schema)
+    (
+        head.unionByName(body)
+        .unionByName(foot)
+        .coalesce(1)
+        .sortWithinPartitions("__sec", "__key")
+        .select("line")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        json.dump(metadata or {}, f)
+
+
+def read_report_mediawiki(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    """MediaWiki-table report source
+    (src/update_osm_objects_from_report.py:51-54 loads via pytablereader's
+    MediaWikiTableFileLoader into a pandas frame; the engine parses the
+    same dialect). Reports are human-scale single files — like the
+    reference's loader, parsing is local, then the frame is distributed."""
+    files = sorted(glob.glob(os.path.join(path, "part-*")))
+    lines: list[str] = []
+    for fn in files:
+        with open(fn) as f:
+            lines.extend(f.read().splitlines())
+    headers = [ln[2:] for ln in lines if ln.startswith("! ")]
+    rows: list[list[str]] = []
+    cur: list[str] | None = None
+    table_name = ""
+    for ln in lines:
+        if ln.startswith("|+"):
+            table_name = ln[2:]
+        elif ln == "|-":
+            if cur:
+                rows.append(cur)
+            cur = []
+        elif ln == "|}":
+            if cur:
+                rows.append(cur)
+            cur = None
+        elif cur is not None and (ln.startswith("| ") or ln == "|"):
+            cur.append(ln[2:] if len(ln) > 1 else "")
+    schema = ", ".join(f"`{h}` string" for h in headers)
+    df = spark.createDataFrame([tuple(r) for r in rows], schema)
+    meta = {}
+    meta_path = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta.setdefault("table_name", table_name)
+    return df, meta
+
+
+def mediawiki_wikidata_link(col: F.Column) -> F.Column:
+    """``Qnnn`` -> ``[https://www.wikidata.org/wiki/Qnnn Qnnn]``
+    (src/write_osm_objects_report.py:125-126)."""
+    return F.when(
+        col.isNotNull() & (col != ""),
+        F.concat(F.lit("[https://www.wikidata.org/wiki/"), col, F.lit(" "), col, F.lit("]")),
+    ).otherwise(col)
+
+
+def mediawiki_osm_template(type_col: F.Column, id_col: F.Column) -> F.Column:
+    """``{{node|123}}`` object template
+    (src/write_osm_objects_report.py:130, translate_with_wikidata.py:31)."""
+    return F.concat(F.lit("{{"), type_col, F.lit("|"), id_col.cast("string"), F.lit("}}"))
+
+
 def validate_upload_columns(df: DataFrame, upload_tags: list[str]) -> None:
     """Subset validation (src/update_osm_objects_from_report.py:62-68)."""
     missing = set(upload_tags).difference(df.columns)

@@ -1289,6 +1289,41 @@ FROM f
 """
 
 
+def q_report_mediawiki_roundtrip(spark, sf_dir):
+    """mediawiki report sink -> source round-trip: the wide report is
+    written as a MediaWiki table and re-parsed; output must equal the
+    stringified report (nulls become empty cells, the reference's CSV/
+    mediawiki writer behavior)."""
+    import shutil
+    import tempfile
+
+    from ..operators.report import (
+        build_report,
+        read_report_mediawiki,
+        write_report_mediawiki,
+    )
+
+    rep = build_report(part_features(spark, sf_dir), "ca", extra_tags=["wikidata"])
+    out = tempfile.mkdtemp(prefix="mwreport_")
+    try:
+        write_report_mediawiki(rep, out, table_name="wide report")
+        df, _meta = read_report_mediawiki(spark, out)
+    finally:
+        # the parsed frame is built from local rows, not the files
+        shutil.rmtree(out, ignore_errors=True)
+    return df
+
+
+O_REPORT_MEDIAWIKI = f"""
+SELECT osm_type, CAST(id AS VARCHAR) AS id,
+       COALESCE(name, '') AS name,
+       COALESCE("name:ca", '') AS "name:ca",
+       COALESCE(wikidata, '') AS wikidata,
+       multilang_names, all_tags
+FROM ({O_WIDE_REPORT}) w
+"""
+
+
 def q_flatten_distinct(spark, sf_dir):
     """flatten + distinct over nested arrays (lib/wikimedia.py:156)."""
     dim = nation_wikidata(spark, sf_dir)
@@ -1413,6 +1448,7 @@ WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 12
 REGISTRY.update(
     {
         "wide_report": (q_wide_report, O_WIDE_REPORT),
+        "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),
         "flatten_distinct": (q_flatten_distinct, O_FLATTEN_DISTINCT),
         "sessionize": (q_sessionize, O_SESSIONIZE),
         "images_tile_assign": (q_images_tile_assign, O_IMAGES_TILE),

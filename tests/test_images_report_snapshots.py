@@ -71,6 +71,42 @@ def test_report_roundtrip(spark, synth_dir, tmp_path):
     assert merged.count() == features.count()
 
 
+def test_report_mediawiki_roundtrip(spark, synth_dir, tmp_path):
+    """MediaWiki sink -> source round-trip, incl. the reference's link
+    templating (wikidata [url label], {{type|id}} object templates)."""
+    features = spark.read.parquet(f"{synth_dir}/features.parquet")
+    report = rep.build_report(features, "ca", extra_tags=["wikidata"])
+    linked = report.select(
+        rep.mediawiki_osm_template(F.col("osm_type"), F.col("id")).alias("object"),
+        "osm_type",
+        "id",
+        "name",
+        F.col("`name:ca`"),
+        rep.mediawiki_wikidata_link(F.col("wikidata")).alias("wikidata"),
+        "multilang_names",
+        "all_tags",
+    )
+    path = str(tmp_path / "mw_report")
+    rep.write_report_mediawiki(
+        linked, path, table_name="test table", metadata={"lang": "ca"}
+    )
+    back, meta = rep.read_report_mediawiki(spark, path)
+    assert meta["lang"] == "ca"
+    assert meta["table_name"] == "test table"
+    assert back.columns == linked.columns
+    assert back.count() == features.count()
+    # cell-level fidelity: stringified original == parsed (nulls -> '')
+    orig = linked.select(
+        *[F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("")).alias(c) for c in linked.columns]
+    )
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+    # templates survive the trip
+    row = back.filter(F.col("wikidata") != "").limit(1).collect()[0]
+    assert row["object"].startswith("{{") and row["object"].endswith("}}")
+    assert row["wikidata"].startswith("[https://www.wikidata.org/wiki/")
+
+
 def test_snapshot_write_resume(spark, images, tmp_path):
     from langtoolsosm_spark.operators.tiling import assign_tiles
 
