@@ -120,6 +120,24 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    # ANN quality: recall@5 of the LSH path vs the exact top-k oracle
+    # (same quantized-dot metric). The fixture embeddings are ~uniform on
+    # the sphere — the information-theoretic worst case for LSH — so the
+    # candidate fraction is high here by construction; on clustered
+    # real-world embeddings the same config prunes exponentially.
+    from pyspark.sql import functions as F
+
+    from langtoolsosm_spark.operators.similarity import ann_lsh_topk, topk_dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    exact = topk_dot(emb).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(emb).select("query_id", "neighbor_id")
+    n_true = exact.count()
+    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    ann_recall = round(n_hit / n_true, 3) if n_true else 0.0
+    timings["ann_recall_check"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_sec",
@@ -130,6 +148,7 @@ def main():
         "images_per_sec": round(images_per_sec, 1),
         "flagship_images": n_images,
         "flagship_trials": walls,
+        "ann_recall_at_5": ann_recall,
         "cpus": cpus,
     }
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes
