@@ -1,0 +1,84 @@
+"""As-of (temporal) join — for each left row, the most recent right row at
+or before its timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do — the DuckDB oracle uses
+its built-in as the independent formulation). The engine expresses it as a
+union + window carry-forward, which is the shuffle-minimal distributed
+plan: ONE shuffle on (key) to sort-merge both sides, then a running
+``last(ignorenulls)`` carries the latest right payload into each left row.
+No join node at all, so there is no range-explosion risk when keys have
+many rows on both sides (a naive ``l.ts >= r.ts`` range join is quadratic
+per key).
+
+Reference analogue: none (the reference is batch lookup only) — this is
+part of the engine's training-pipeline operator set (windowed event
+enrichment), same family as sessionize (SURVEY.md §2.5, §2.9).
+
+Determinism: right rows sort before left rows at equal timestamps
+(backward as-of includes same-instant matches), and callers must dedupe
+the right side to one row per (key, ts) — the fixture uses a
+row_number-by-id pick — so output is parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: left columns + ``__matched_ts`` + value_cols
+    from the latest right row with ``right_ts <= left_ts`` per key
+    (null-filled when no prior right row, or when older than
+    ``tolerance`` time units).
+    """
+    rv = F.struct(
+        F.col(right_ts).alias("__matched_ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in key_cols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_r"),
+        rv.alias("__rv"),
+    )
+    rv_ddl = r.schema["__rv"].dataType.simpleString()
+    lp = F.struct(*[F.col(c) for c in left.columns])
+    lp_ddl = "struct<" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ">"
+    l = left.select(
+        *[F.col(k) for k in key_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(rv_ddl).alias("__rv"),
+        lp.alias("__lp"),
+    )
+    r = r.withColumn("__lp", F.lit(None).cast(lp_ddl))
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).filter(
+        F.col("__is_r") == 0
+    )
+    if tolerance is not None:
+        carried = carried.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__matched_ts") >= F.col("__ts") - tolerance, F.col("__m")
+            ),
+        )
+    out_cols = [F.col(f"__lp.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__m.__matched_ts").alias("__matched_ts"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"matched_{c}") for c in value_cols)
+    return carried.select(*out_cols)

@@ -1,0 +1,109 @@
+"""Approximate aggregate sketches — HyperLogLog distinct counting with
+deterministic md5-derived registers.
+
+Why not Spark's approx_count_distinct: its HLL++ register hashing is not
+reproducible outside the JVM, so it can't be oracle-checked. This sketch
+uses h = md5(value): register = first 8 hash bits, rho = (leading zeros of
+the next 64 bits) + 1, capped at RHO_CAP — every step is md5 + string +
+integer arithmetic, identical in Spark and DuckDB.
+
+Scale properties (the reason HLL exists at 100 TB): the register table is
+the sketch — a map-side-combinable groupBy(register).max(rho) whose output
+is at most 2^p rows regardless of input size, mergeable across
+partitions/days/tables by pairwise max. The estimate is pure arithmetic
+over the (tiny) register set.
+
+Estimate arithmetic is kept EXACT for the oracle: per-register terms
+2^(RHO_CAP - rho) are integers (sum <= 2^p * 2^RHO_CAP fits a long), and
+the final alpha * m^2 / sum is one identical float expression both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+P_BITS = 8  # 256 registers
+M = 1 << P_BITS
+RHO_CAP = 40
+SCALE = 1 << RHO_CAP  # exact integer weight of an untouched register
+ALPHA = 0.7213 / (1.0 + 1.079 / float(M))
+# single precomputed double constant -> the oracle inlines repr(EST_K)
+# and the whole estimate reduces to one division + round (no float
+# expression tree to keep in sync across engines)
+EST_K = 1000.0 * ALPHA * float(M * M) * float(SCALE)
+
+
+def hll_reg_rho(col: str) -> tuple[F.Column, F.Column]:
+    """(register, rho) column expressions for one value column.
+
+    rho = 4 * (leading '0' hex digits of the 64-bit part) + (leading zero
+    bits of the first nonzero digit) + 1, capped — pure string/integer
+    ops, no platform float anywhere. Shared by the batch sketch and the
+    streaming stateful counter (which merges these JVM-computed registers
+    in a NumPy kernel, so no Python hashing exists anywhere)."""
+    h = F.md5(F.col(col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    hexpart = F.substring(h, 3, 16)
+    lz = F.length(F.regexp_extract(hexpart, "^(0*)", 1))
+    d = F.substring(hexpart, lz + 1, 1)
+    v = F.when(d == "", F.lit(0)).otherwise(F.conv(d, 16, 10).cast("int"))
+    extra = (
+        F.when(v >= 8, F.lit(0))
+        .when(v >= 4, F.lit(1))
+        .when(v >= 2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    rho = F.least(lz * 4 + extra + 1, F.lit(RHO_CAP)).cast("int")
+    return reg, rho
+
+
+def estimate_from_registers(regs_rho) -> int:
+    """Exact-integer estimate from a dense register vector (numpy array of
+    rho values, 0 = untouched) — same arithmetic as ``hll_estimate``."""
+    import numpy as np
+
+    r = np.asarray(regs_rho, dtype=np.int64)
+    occupied = int((r > 0).sum())
+    sum_scaled = int((np.int64(1) << (RHO_CAP - r[r > 0])).sum()) + (M - occupied) * SCALE
+    return int(round(EST_K / float(sum_scaled)))
+
+
+def hll_registers(
+    df: DataFrame, col: str, out_reg: str = "register", out_rho: str = "max_rho"
+) -> DataFrame:
+    """Occupied HLL registers: (register int, max_rho int), <= 2^p rows.
+    Mergeable: union two register tables and re-take max(rho)."""
+    reg, rho = hll_reg_rho(col)
+    return (
+        df.select(reg.alias(out_reg), rho.alias("__rho"))
+        .groupBy(out_reg)
+        .agg(F.max("__rho").alias(out_rho))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """Single-row HLL estimate: (m, occupied, sum_scaled, est_milli).
+
+    sum_scaled = sum over ALL m registers of 2^(RHO_CAP - rho) (rho = 0
+    for untouched registers) — exact integer. est_milli = round(1000 *
+    alpha_m * m^2 * 2^RHO_CAP / sum_scaled), alpha inlined as the same
+    float expression in the DuckDB oracle."""
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        # column-valued shift amount -> SQL expr (F.shiftleft needs an int)
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_CAP} - max_rho)")).alias(
+            "__occ_sum"
+        ),
+    )
+    sum_scaled = (
+        F.col("__occ_sum")
+        + (F.lit(M).cast("long") - F.col("occupied")) * F.lit(SCALE).cast("long")
+    )
+    est = F.round(F.lit(EST_K) / F.col("sum_scaled").cast("double")).cast("long")
+    return agg.withColumn("sum_scaled", sum_scaled.cast("long")).select(
+        F.lit(M).cast("int").alias("m"),
+        F.col("occupied").cast("long").alias("occupied"),
+        "sum_scaled",
+        est.alias("est_milli"),
+    )

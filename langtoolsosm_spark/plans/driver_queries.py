@@ -843,6 +843,132 @@ FROM events GROUP BY 1, 2
 # dedup / text-analysis / similarity family (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+_HLL_REG_SQL = """
+WITH hh AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+parts AS (
+  SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) AS register,
+         substr(h, 3, 16) AS hexpart
+  FROM hh
+),
+lzd AS (
+  SELECT register,
+         length(regexp_extract(hexpart, '^(0*)', 1)) AS lz,
+         substr(hexpart, length(regexp_extract(hexpart, '^(0*)', 1)) + 1, 1) AS d
+  FROM parts
+),
+rho AS (
+  SELECT register,
+         least(lz * 4 + (CASE WHEN d = '' THEN 3
+                              WHEN strpos('0123456789abcdef', d) - 1 >= 8 THEN 0
+                              WHEN strpos('0123456789abcdef', d) - 1 >= 4 THEN 1
+                              WHEN strpos('0123456789abcdef', d) - 1 >= 2 THEN 2
+                              ELSE 3 END) + 1, 40) AS rho
+  FROM lzd
+),
+regs AS (
+  SELECT CAST(register AS INT) AS register, CAST(max(rho) AS INT) AS max_rho
+  FROM rho GROUP BY 1
+)
+"""
+
+
+def q_hll_registers(spark, sf_dir):
+    """HLL sketch registers over orders.o_custkey (md5-derived, mergeable,
+    <= 256 rows regardless of input size)."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_custkey"
+    )
+
+
+O_HLL_REGISTERS = _HLL_REG_SQL + "SELECT register, max_rho FROM regs"
+
+
+def q_hll_estimate(spark, sf_dir):
+    """HLL distinct estimate for orders.o_custkey: exact integer register
+    sum + one shared float constant -> deterministic milli-estimate."""
+    from ..operators.sketches import hll_estimate
+
+    return hll_estimate(spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_custkey")
+
+
+def _o_hll_estimate() -> str:
+    from ..operators.sketches import EST_K, M, RHO_CAP, SCALE
+
+    return _HLL_REG_SQL + f"""
+SELECT CAST({M} AS INT) AS m,
+       CAST(count(*) AS BIGINT) AS occupied,
+       CAST(sum(CAST(1 AS BIGINT) << ({RHO_CAP} - max_rho))
+            + ({M} - count(*)) * CAST({SCALE} AS BIGINT) AS BIGINT) AS sum_scaled,
+       CAST(round(CAST({EST_K!r} AS DOUBLE) /
+            CAST(sum(CAST(1 AS BIGINT) << ({RHO_CAP} - max_rho))
+                 + ({M} - count(*)) * CAST({SCALE} AS BIGINT) AS DOUBLE)) AS BIGINT) AS est_milli
+FROM regs
+"""
+
+
+O_HLL_ESTIMATE = _o_hll_estimate()
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: each purchase picks the user's latest view at or before
+    its timestamp (engine: union + window carry-forward, one shuffle; the
+    DuckDB oracle uses its native ASOF LEFT JOIN as the independent
+    formulation)."""
+    from pyspark.sql import Window
+
+    from ..operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch"),
+        "event_type", "value",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "epoch"
+    )
+    wr = Window.partitionBy("user_id", "epoch").orderBy(F.col("event_id").desc())
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "epoch", "event_id", "value")
+    )
+    out = asof_join(
+        left, right, ["user_id"], left_ts="epoch", right_ts="epoch",
+        value_cols=("event_id", "value"),
+    )
+    return out.select(
+        "event_id", "user_id", "epoch",
+        F.col("__matched_ts").alias("matched_epoch"),
+        F.col("matched_event_id"),
+        F.round(F.col("matched_value") * 1000000.0).cast("long").alias("matched_value_micros"),
+    )
+
+
+O_ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         event_type, value
+  FROM events
+),
+l AS (SELECT event_id, user_id, epoch FROM ev WHERE event_type = 'purchase'),
+r AS (
+  SELECT user_id, epoch, event_id, value FROM (
+    SELECT user_id, epoch, event_id, value,
+           row_number() OVER (PARTITION BY user_id, epoch ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'view') t
+  WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, l.epoch,
+       r.epoch AS matched_epoch,
+       r.event_id AS matched_event_id,
+       CAST(round(r.value * 1000000.0) AS BIGINT) AS matched_value_micros
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.epoch >= r.epoch
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups by content hash (hash-groupBy)."""
     from ..operators.dedup import dedup_exact
@@ -1237,6 +1363,9 @@ REGISTRY: dict[str, tuple] = {
     "topk_window": (q_topk_window, O_TOPK_WINDOW),
     "semi_anti_join": (q_semi_anti_join, O_SEMI_ANTI),
     "windowed_event_counts": (q_windowed_event_counts, O_WINDOWED_EVENTS),
+    "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "hll_registers": (q_hll_registers, O_HLL_REGISTERS),
+    "hll_estimate": (q_hll_estimate, O_HLL_ESTIMATE),
     # dedup / text / similarity
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH),

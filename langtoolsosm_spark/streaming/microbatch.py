@@ -18,14 +18,16 @@ from ..operators.tiling import assign_tiles
 from ..sources.snapshots import SnapshotTable
 
 
-def stream_images(spark: SparkSession, images_dir: str, schema=None) -> DataFrame:
+def stream_images(
+    spark: SparkSession, images_dir: str, schema=None, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream over an images directory (parquet)."""
     if schema is None:
         schema = spark.read.parquet(images_dir).schema
     return (
         spark.readStream.format("parquet")
         .schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(images_dir)
     )
 
@@ -53,6 +55,95 @@ def run_tile_counts_once(
     )
     q.awaitTermination()
     return spark.sql("SELECT tile, n_images FROM tile_counts_stream")
+
+
+def stream_tile_distinct(stream: DataFrame, res: int = 6, id_col: str = "image_id") -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.9 /
+    applyInPandasWithState): per-tile RUNNING approximate-distinct counter
+    with BOUNDED state — each tile's state is its 256-byte HLL register
+    vector plus a row counter, regardless of how many ids ever stream
+    through (an exact running dedup would grow state without bound).
+
+    Registers/rho are computed JVM-side (operators/sketches.py:hll_reg_rho
+    — md5 + integer ops, no Python hashing); the stateful kernel only
+    merges them with a vectorized ``np.maximum.at``. Emits one update row
+    per (tile, trigger): (tile, batch_rows, total_rows, est_milli). The
+    register merge is max(), so the final streaming state is IDENTICAL to
+    the batch sketch over the union of all micro-batches (tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.sketches import M, estimate_from_registers, hll_reg_rho
+
+    reg, rho = hll_reg_rho(id_col)
+    keyed = assign_tiles(stream, res=res).select(
+        "tile", reg.alias("__reg"), rho.alias("__rho")
+    )
+
+    def kernel(key, pdf_iter, state):
+        regs = np.zeros(M, dtype=np.uint8)
+        total = 0
+        if state.exists:
+            regs_b, total = state.get
+            regs = np.frombuffer(regs_b, dtype=np.uint8).copy()
+        batch_rows = 0
+        for pdf in pdf_iter:
+            batch_rows += len(pdf)
+            np.maximum.at(
+                regs,
+                pdf["__reg"].to_numpy(dtype=np.int64),
+                pdf["__rho"].to_numpy(dtype=np.int64).astype(np.uint8),
+            )
+        total = int(total) + batch_rows
+        state.update((regs.tobytes(), total))
+        yield pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "batch_rows": [batch_rows],
+                "total_rows": [total],
+                "est_milli": [estimate_from_registers(regs)],
+            }
+        )
+
+    return keyed.groupBy("tile").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, batch_rows long, total_rows long, est_milli long",
+        stateStructType="regs binary, total long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_tile_distinct_once(
+    spark: SparkSession, images_dir: str, checkpoint: str, res: int = 6
+) -> DataFrame:
+    """Drive the stateful distinct counter over available data (one file
+    per trigger so state actually carries across micro-batches) and return
+    the LATEST update per tile."""
+    q = (
+        stream_tile_distinct(
+            stream_images(spark, images_dir, max_files_per_trigger=1).select(
+                "image_id", "lat", "lon"
+            ),
+            res=res,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tile_distinct_stream")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        """
+        SELECT tile, total_rows, est_milli FROM (
+          SELECT *, row_number() OVER (PARTITION BY tile ORDER BY total_rows DESC) AS rn
+          FROM tile_distinct_stream
+        ) WHERE rn = 1
+        """
+    )
 
 
 def stream_to_snapshots(

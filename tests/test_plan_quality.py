@@ -50,3 +50,65 @@ def test_polygon_dim_joins_are_broadcast(spark, synth_dir):
     assert "BroadcastHashJoin" in plan
     # the fact-side PIP candidate join must not sort-merge the small cover
     assert plan.count("SortMergeJoin") == 0
+
+
+def _docs(spark):
+    import pandas as pd
+
+    rows = [(i, f"src{i % 3}", f"word{i % 5} common a b c token{i}") for i in range(40)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+
+
+def test_simhash_is_jvm_only(spark):
+    """SimHash must stay codegen-eligible: md5 + integer bit arithmetic,
+    zero Python eval nodes (the round-1 per-row kernel is banned)."""
+    from langtoolsosm_spark.operators.dedup import simhash
+
+    plan = _plan(simhash(_docs(spark)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_ann_lsh_plan_is_jvm_only_no_cartesian(spark, synth_dir):
+    """The ANN path: bucket expressions are column-level (no UDF), and the
+    candidate join is keyed (never a cartesian product)."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(200),
+                "embedding": [
+                    [((i * 31 + d * 7) % 13 - 6) / 6.0 for d in range(64)]
+                    for i in range(200)
+                ],
+            }
+        )
+    )
+    plan = _plan(ann_lsh_topk(emb))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_and_banded_hamming_are_jvm_only(spark):
+    from pyspark.sql import functions as F2
+
+    from langtoolsosm_spark.operators.dedup import hamming_band_pairs, jaccard_pairs
+
+    plan = _plan(jaccard_pairs(_docs(spark)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    hashed = _docs(spark).select(
+        "doc_id",
+        F2.lit(0).alias("tile"),
+        (F2.col("doc_id") * 2654435761 % 9223372036854775783).alias("phash"),
+    )
+    plan2 = _plan(
+        hamming_band_pairs(hashed, "doc_id", "phash", 12, block_cols=("tile",))
+    )
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+    assert "CartesianProduct" not in plan2

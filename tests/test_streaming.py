@@ -34,6 +34,53 @@ def test_stream_counts_match_batch(spark, images_dir, tmp_path):
     assert g.equals(b)
 
 
+def test_stateful_tile_distinct_matches_batch_sketch(spark, synth_dir, tmp_path):
+    """applyInPandasWithState running distinct counter: state (256-byte HLL
+    registers per tile) must carry across micro-batches, so after streaming
+    the data as THREE single-file triggers, the per-tile estimate equals
+    the batch sketch computed over the whole table in one pass."""
+    import numpy as np
+
+    from langtoolsosm_spark.operators.sketches import estimate_from_registers, hll_reg_rho
+
+    # stage the table as 3 parquet files -> 3 triggers (maxFilesPerTrigger=1)
+    src = spark.read.parquet(f"{synth_dir}/images.parquet").select(
+        "image_id", "lat", "lon"
+    )
+    d = tmp_path / "img3"
+    d.mkdir()
+    pdf = src.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(pdf)
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * n // 3 : (i + 1) * n // 3], preserve_index=False),
+            str(d / f"part-{i}.parquet"),
+        )
+
+    got = mb.run_tile_distinct_once(spark, str(d), str(tmp_path / "ckpt_sd"), res=4)
+    got_pdf = got.toPandas().set_index("tile").sort_index()
+
+    # batch reference: dense register vector per tile over the full table
+    reg, rho = hll_reg_rho("image_id")
+    from langtoolsosm_spark.operators.tiling import assign_tiles
+
+    batch = (
+        assign_tiles(src, res=4)
+        .select("tile", reg.alias("r"), rho.alias("p"))
+        .groupBy("tile", "r")
+        .agg(F.max("p").alias("p"))
+        .toPandas()
+    )
+    for tile, grp in batch.groupby("tile"):
+        dense = np.zeros(256, dtype=np.int64)
+        dense[grp["r"].to_numpy()] = grp["p"].to_numpy()
+        assert got_pdf.loc[tile, "est_milli"] == estimate_from_registers(dense)
+    assert int(got_pdf["total_rows"].sum()) == n
+
+
 def test_stream_epochs_never_collect_to_driver(spark, images_dir, tmp_path, monkeypatch):
     """The streaming sink must write epoch data executor-side: any bulk
     driver-side materialization (toPandas on the epoch frame) fails this
