@@ -110,6 +110,51 @@ def sign_lsh_buckets(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold_q: int = 320_000,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (a < b, quantized dot >= threshold)
+    restricted to pairs sharing at least one LSH bucket — the candidate
+    restriction IS the operator's deterministic spec (mirrored by the
+    oracle), which is how near-dup dedup runs at scale: the bucket join
+    bounds pair generation, the integer-dot rescore is exact.
+
+    threshold_q is in quantized units: unit-norm embeddings x1000 make a
+    dot of 1e6 ~= cosine 1.0, so 320_000 ~= cos 0.32.
+    """
+    coded = sign_lsh_buckets(emb, n_tables, n_bits, dim, id_col, vec_col)
+    keyed = coded.select(F.col(id_col), "table", "bucket")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__ea"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__eb"))
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: _quantize(x) * _quantize(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("dot", dot)
+        .filter(F.col("dot") >= threshold_q)
+        .select("vec_a", "vec_b", "dot")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,

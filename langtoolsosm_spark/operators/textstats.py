@@ -71,6 +71,28 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.withColumn("guess", guess)
 
 
+def regex_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-style pre-tokenizer counts: alpha runs, digit runs, and single
+    punctuation marks as separate tokens (the GPT-2 pre-tokenizer shape),
+    next to the plain whitespace count. regexp_extract_all with
+    dialect-safe character classes — identical in the DuckDB oracle."""
+    t = F.col(text_col)
+
+    def n(pat: str) -> F.Column:
+        return F.size(
+            F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")
+        ).cast("long")
+
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("ws_tokens"),
+        n("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]").alias("bpe_tokens"),
+        n("[a-zA-Z]+").alias("alpha_tokens"),
+        n("[0-9]+").alias("digit_tokens"),
+        n("[^a-zA-Z0-9 ]").alias("punct_tokens"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content + affix fingerprints (md5)."""
     t = F.col(text_col)

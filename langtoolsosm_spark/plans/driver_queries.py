@@ -1077,6 +1077,25 @@ FROM documents
 """
 
 
+def q_regex_tokens(spark, sf_dir):
+    """BPE-style pre-tokenizer token counts (alpha/digit runs + single
+    punctuation) — regexp_extract_all, codegen, dialect-safe classes."""
+    from ..operators.textstats import regex_tokens
+
+    return regex_tokens(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_REGEX_TOKENS = """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS alpha_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS digit_tokens,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS punct_tokens
+FROM documents
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: content hash + affix hash."""
     from ..operators.textstats import fingerprints
@@ -1233,6 +1252,59 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE r
 O_EMBEDDING_LSH_ANN = _o_lsh_ann()
 
 
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates + exact
+    quantized-dot rescore (>= 0.32 cosine). The bucket restriction is the
+    deterministic spec, mirrored in the oracle."""
+    from ..operators.similarity import cosine_neardup_pairs
+
+    return cosine_neardup_pairs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _o_cosine_neardup(threshold_q: int = 320_000, n_tables: int = 4, n_bits: int = 6, dim: int = 64) -> str:
+    from ..operators.similarity import lsh_sign
+
+    signs_vals = ", ".join(
+        f"({t}, {b}, {d}, {lsh_sign(t, b, d)})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for d in range(dim)
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+signs(tbl, b, d, s) AS (VALUES {signs_vals}),
+proj AS (
+  SELECT f.vec_id, s.tbl, s.b, sum(f.xq * s.s) AS dot
+  FROM flat f JOIN signs s USING (d)
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl, CAST(sum(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, CAST(sum(fa.xq * fb.xq) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.d = fa.d
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b, dot FROM dots WHERE dot >= {threshold_q}
+"""
+
+
+O_EMBEDDING_NEARDUP = _o_cosine_neardup()
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
     """Distinct near-dup candidate pairs from shared LSH buckets."""
     from ..operators.dedup import lsh_candidate_pairs
@@ -1373,10 +1445,12 @@ REGISTRY: dict[str, tuple] = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
+    "regex_tokens": (q_regex_tokens, O_REGEX_TOKENS),
     "embedding_topk": (q_embedding_topk, O_EMBEDDING_TOPK),
     "simhash_neardup": (q_simhash_neardup, O_SIMHASH),
     "embedding_lsh_ann": (q_embedding_lsh_ann, O_EMBEDDING_LSH_ANN),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, O_EMBEDDING_NEARDUP),
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
 }
