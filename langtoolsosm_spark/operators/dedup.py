@@ -53,15 +53,34 @@ def lsh_band_buckets(
     """LSH banding: (band, bucket, n_docs, min_doc) occupancy table.
     Candidate pairs = docs sharing any (band, bucket)."""
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
-    bands = None
-    for b in range(n_hashes // rows_per_band):
-        cols = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sigs.select(
-            F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bucket"), F.col(id_col)
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = _banded(sigs, n_hashes, rows_per_band, id_col)
     return bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_doc")
+    )
+
+
+def _banded(sigs: DataFrame, n_hashes: int, rows_per_band: int, id_col: str) -> DataFrame:
+    """(band, bucket, id): one exploded row per band — a single pass over
+    the signatures instead of a per-band union (which would recompute the
+    whole shingle+minhash pipeline once per band)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.col(f"sig{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_hashes // rows_per_band)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(entries).alias("__e")).select(
+        F.col("__e.band").alias("band"), F.col("__e.bucket").alias("bucket"), id_col
     )
 
 
@@ -71,17 +90,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a < b) from shared LSH buckets."""
     sigs = minhash_signatures(docs, n_hashes, text_col, id_col)
-    pairs = None
-    for b in range(n_hashes // rows_per_band):
-        cols = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
-        keyed = sigs.select(F.md5(F.concat(*cols)).alias("bucket"), F.col(id_col))
-        a = keyed.alias("a")
-        c = keyed.alias("b")
-        p = a.join(c, "bucket").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+    keyed = _banded(sigs, n_hashes, rows_per_band, id_col)
+    a, c = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -200,19 +218,30 @@ def hamming_band_pairs(
         w = base + (1 if b < extra else 0)
         bands.append((off, w))
         off += w
-    keyed = None
-    for b, (off, w) in enumerate(bands):
-        mask = (1 << w) - 1
-        part = df.select(
-            *block_cols,
-            F.col(id_col),
-            F.col(hash_col),
-            F.lit(b).alias("__band"),
-            # arithmetic shift sign-extends, but the mask keeps only the
-            # band's own bits, so the top band is still exact
-            F.shiftright(F.col(hash_col), off).bitwiseAND(F.lit(mask)).alias("__bkey"),
-        )
-        keyed = part if keyed is None else keyed.unionByName(part)
+    # single scan: explode an array of (band, key) structs instead of a
+    # per-band union (a union of N selects re-reads the source N times)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # arithmetic shift sign-extends, but the mask keeps only
+                # the band's own bits, so the top band is still exact
+                F.shiftright(F.col(hash_col), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bkey"),
+            )
+            for b, (off, w) in enumerate(bands)
+        ]
+    )
+    keyed = df.select(
+        *block_cols, F.col(id_col), F.col(hash_col), F.explode(entries).alias("__e")
+    ).select(
+        *block_cols,
+        id_col,
+        hash_col,
+        F.col("__e.band").alias("__band"),
+        F.col("__e.bkey").alias("__bkey"),
+    )
     a, c = keyed.alias("a"), keyed.alias("b")
     join_keys = ["__band", "__bkey", *block_cols]
     # rescore BEFORE dedup: bit_count(xor) is a codegen'd per-row op, so

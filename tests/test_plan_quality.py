@@ -94,6 +94,32 @@ def test_ann_lsh_plan_is_jvm_only_no_cartesian(spark, synth_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_has_no_join_node(spark):
+    """The as-of join must compile to union + window (one shuffle on the
+    key), never a physical join — a per-key range join is quadratic when
+    keys have many rows on both sides."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "ts": [10, 20, 15], "x": ["a", "b", "c"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "ts": [5, 30], "value": [1.0, 2.0]})
+    )
+    out = asof_join(left, right, ["k"], left_ts="ts", right_ts="ts")
+    plan = _plan(out)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan
+    assert "Window" in plan
+    # correctness spot-check: backward matches incl. none-found null
+    rows = {(r["k"], r["ts"]): (r["__matched_ts"], r["matched_value"]) for r in out.collect()}
+    assert rows[(1, 10)] == (5, 1.0)
+    assert rows[(1, 20)] == (5, 1.0)
+    assert rows[(2, 15)] == (None, None)
+
+
 def test_jaccard_and_banded_hamming_are_jvm_only(spark):
     from pyspark.sql import functions as F2
 
