@@ -106,6 +106,7 @@ def jaccard_pairs(
     docs: DataFrame, threshold_milli: int = 600, block_col: str = "source",
     text_col: str = "text", id_col: str = "doc_id",
     prefix_filter: bool = True,
+    materialize_words: bool = False,
 ) -> DataFrame:
     """Word-set Jaccard >= threshold within blocking-column groups.
     Integer milli-Jaccard (exact arithmetic, engine-portable).
@@ -128,6 +129,12 @@ def jaccard_pairs(
     words = docs.select(
         F.col(id_col), F.col(block_col), F.explode(F.split(text_col, " ")).alias("w")
     ).distinct()
+    if materialize_words:
+        # the token table feeds df-ranking, sizes, candidate generation AND
+        # verification (8 scan subtrees in the lazy plan); at scale,
+        # evaluate it once and cut the lineage (exchange reuse only dedupes
+        # bit-identical subtrees, not the differing projections here)
+        words = words.localCheckpoint(eager=True)
     sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
     if prefix_filter:
         from pyspark.sql import Window
