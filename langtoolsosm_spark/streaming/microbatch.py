@@ -57,6 +57,67 @@ def run_tile_counts_once(
     return spark.sql("SELECT tile, n_images FROM tile_counts_stream")
 
 
+def stream_windowed_counts(
+    stream: DataFrame,
+    window_dur: str = "5 minutes",
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts (SURVEY.md §2.9 late-data path):
+    events later than ``watermark`` behind the observed max event time are
+    dropped; windows finalize (append-mode emit) once the watermark passes
+    their end. State is bounded by (windows within watermark x keys)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def run_windowed_counts_once(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_dir: str,
+    window_dur: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drive the watermarked agg over available files (append mode: only
+    windows the watermark has passed are emitted) into a parquet file sink
+    — the memory sink can't recover a checkpoint, the file sink can, so
+    repeated runs continue the same watermark — and return all rows
+    emitted so far."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+        # NTZ parquet timestamps are not a valid event-time column
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_windowed_counts(stream, window_dur, watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(
+        "win_start timestamp, win_end timestamp, event_type string, n long"
+    ).parquet(out_dir)
+
+
 def stream_tile_distinct(stream: DataFrame, res: int = 6, id_col: str = "image_id") -> DataFrame:
     """Custom stateful streaming operator (SURVEY.md §2.9 /
     applyInPandasWithState): per-tile RUNNING approximate-distinct counter

@@ -34,6 +34,53 @@ def test_stream_counts_match_batch(spark, images_dir, tmp_path):
     assert g.equals(b)
 
 
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Watermarked windowed counts: a row later than the watermark behind
+    the observed max event time must be dropped; a mildly-late row (within
+    the watermark) must be counted. Two availableNow runs share a
+    checkpoint so the watermark persists between them."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev"
+    d.mkdir()
+
+    def write(fn, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / fn))
+
+    # batch 1: events up to 01:00 -> watermark after run = 00:50
+    write(
+        "b1.parquet",
+        [("2024-01-01 00:02:00", "a"), ("2024-01-01 00:03:00", "a"),
+         ("2024-01-01 01:00:00", "b")],
+    )
+    ck = str(tmp_path / "ck_wm")
+    out_dir = str(tmp_path / "wm_out")
+    out1 = mb.run_windowed_counts_once(spark, str(d), ck, out_dir).toPandas()
+    # the 00:00-00:05 window (end 00:05 <= watermark 00:50) is finalized
+    assert ((out1["event_type"] == "a") & (out1["n"] == 2)).any()
+
+    # batch 2: one row at 00:01 is >10 min behind the 01:00 watermark ->
+    # dropped; one at 00:55 is within the watermark -> counted
+    write(
+        "b2.parquet",
+        [("2024-01-01 00:01:00", "a"), ("2024-01-01 00:55:00", "c"),
+         ("2024-01-01 02:00:00", "d")],
+    )
+    out2 = mb.run_windowed_counts_once(spark, str(d), ck, out_dir).toPandas()
+    # the file sink accumulates: run 2 adds rows, never rewrites run 1's
+    a_rows = out2[out2["event_type"] == "a"]
+    # the too-late 'a' row was dropped: still exactly one finalized 'a'
+    # window and its count did not grow
+    assert len(a_rows) == 1 and int(a_rows["n"].iloc[0]) == 2
+    # the within-watermark 'c' row lands in 00:55-01:00, finalized once the
+    # watermark advances past 01:00 (new max 02:00 -> watermark 01:50)
+    assert ((out2["event_type"] == "c") & (out2["n"] == 1)).any()
+
+
 def test_stateful_tile_distinct_matches_batch_sketch(spark, synth_dir, tmp_path):
     """applyInPandasWithState running distinct counter: state (256-byte HLL
     registers per tile) must carry across micro-batches, so after streaming
