@@ -49,16 +49,22 @@ from ..functions import geo
 from ..functions.cells import tile_key_col
 
 
-def auto_res(n_feats: int, lat_span: float, lon_span: float, k: int) -> int:
-    """Finest grid resolution keeping ~3k+2 expected features per
-    radius-1 disk: round 1 then resolves most points while candidate
-    volume stays near O(points x k)."""
+def auto_res(
+    n_feats: int, lat_span: float, lon_span: float, k: int,
+    min_per_disk: float | None = None,
+) -> int:
+    """Finest grid resolution keeping ~``min_per_disk`` expected features
+    per radius-1 disk (default 3k+2): round 1 then resolves most points
+    while candidate volume stays near O(points x k). The in-task broadcast
+    kernel passes a larger target (~128): fewer, bigger point groups —
+    NumPy throughput beats per-group dispatch overhead there."""
+    target = min_per_disk if min_per_disk is not None else 3 * k + 2
     for r in range(20, 2, -1):
         cells = max(1.0, lat_span / 180.0 * (1 << r)) * max(
             1.0, lon_span / 360.0 * (1 << r)
         )
         per_disk = 9.0 * n_feats / cells
-        if per_disk >= 3 * k + 2:
+        if per_disk >= target:
             return r
     return 3
 
@@ -205,6 +211,192 @@ def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
     return fn
 
 
+def _grid_topk(
+    plat: np.ndarray,
+    plon: np.ndarray,
+    grid: dict,
+    k: int,
+    metric: str,
+    hav_factor: float,
+):
+    """Exact top-k of each point against a grid-indexed feature array
+    (all NumPy, in-task). Per point-cell group: gather candidates from the
+    Chebyshev-R cell disk, verify with the same exactness bound as the
+    cogroup path (kth dist <= R * cell extent), escalate R for the few
+    points near sparse regions, fall back to all-features brute force once
+    the disk covers the grid. Ties broken by (dist, feature id) exactly
+    like ``_topk_kernel``. Returns (nbr_ids (N,k'), dists, kk)."""
+    n = grid["n"]
+    res_cell_deg = 180.0 / n
+    flat, flon, fid = grid["flat"], grid["flon"], grid["fid"]
+    cells_uniq, starts, ends, order = (
+        grid["cells"], grid["starts"], grid["ends"], grid["order"]
+    )
+    m = len(fid)
+    kk = min(k, m)
+    N = len(plat)
+    out_ids = np.empty((N, kk), dtype=fid.dtype)
+    out_d = np.empty((N, kk), dtype=np.float64)
+    px = np.clip(np.floor((plon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    py = np.clip(np.floor((plat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    pcell = px * n + py
+    sort_idx = np.argsort(pcell, kind="stable")
+    cells_sorted = pcell[sort_idx]
+    group_cells, gstarts = np.unique(cells_sorted, return_index=True)
+    gends = np.append(gstarts[1:], N)
+
+    def solve(sel: np.ndarray, cand: np.ndarray, bound: float | None) -> np.ndarray:
+        """Top-k of points ``sel`` against feature indices ``cand``;
+        writes resolved rows, returns the unresolved subset of sel."""
+        if len(cand) < k and bound is not None:
+            return sel
+        cf = np.sort(cand)  # fid-sorted candidate order for tie-breaks
+        cl, co, ci = flat[cf], flon[cf], fid[cf]
+        if metric == "euclid_deg":
+            d = (plat[sel][:, None] - cl[None, :]) ** 2 + (
+                plon[sel][:, None] - co[None, :]
+            ) ** 2
+        else:
+            d = geo.haversine_m(plat[sel][:, None], plon[sel][:, None], cl[None, :], co[None, :])
+        kk2 = min(k, len(cf))
+        if kk2 < len(cf):
+            idx = np.argpartition(d, kk2 - 1, axis=1)[:, :kk2]
+        else:
+            idx = np.broadcast_to(np.arange(len(cf)), (len(sel), len(cf))).copy()
+        dsel = np.take_along_axis(d, idx, axis=1)
+        srt = np.lexsort((idx, dsel))
+        dsort = np.take_along_axis(dsel, srt, axis=1)
+        isort = np.take_along_axis(idx, srt, axis=1)
+        if bound is None:
+            ok = np.ones(len(sel), dtype=bool)
+        else:
+            ok = (kk2 == kk) & (dsort[:, -1] <= bound)
+            if np.isscalar(ok):
+                ok = np.full(len(sel), bool(ok))
+        done = sel[ok]
+        out_ids[done] = ci[isort[ok][:, :kk]]
+        out_d[done] = dsort[ok][:, :kk]
+        return sel[~ok]
+
+    for g in range(len(group_cells)):
+        sel = sort_idx[gstarts[g]:gends[g]]
+        cx, cy = group_cells[g] // n, group_cells[g] % n
+        radius = 1
+        while True:
+            if radius >= n:  # disk covers the grid: exact brute force
+                solve(sel, np.arange(m), None)
+                break
+            xs = np.mod(np.arange(cx - radius, cx + radius + 1), n)
+            ys = np.arange(max(cy - radius, 0), min(cy + radius, n - 1) + 1)
+            disk = (xs[:, None] * n + ys[None, :]).ravel()
+            pos = np.searchsorted(cells_uniq, disk)
+            pos = pos[pos < len(cells_uniq)]
+            pos = np.unique(pos[np.isin(cells_uniq[pos], disk)])
+            cand = (
+                np.concatenate([order[starts[j]:ends[j]] for j in pos])
+                if len(pos)
+                else np.empty(0, dtype=np.int64)
+            )
+            bound_deg = radius * res_cell_deg
+            bound = (
+                bound_deg * bound_deg
+                if metric == "euclid_deg"
+                else bound_deg * 111_194.9 * hav_factor
+            )
+            sel = solve(sel, cand, bound)
+            if len(sel) == 0:
+                break
+            radius *= 4
+    return out_ids, out_d, kk
+
+
+def knn_broadcast(
+    points: DataFrame,
+    features: DataFrame,
+    k: int = 3,
+    point_id: str = "image_id",
+    feature_id: str = "id",
+    metric: str = "euclid_deg",
+    res: int | None = None,
+) -> DataFrame:
+    """Exact kNN against a BROADCASTABLE feature dimension: one
+    ``mapInPandas`` pass over the points with a grid-indexed copy of the
+    dim shipped to every task — zero shuffles, zero driver rounds, and
+    per-point candidate sets bounded by the cell disk (the in-task
+    analogue of the cogroup ring expansion; a plain broadcast brute force
+    was measured 40% SLOWER than the cogroup path at 200k x 5k because
+    candidate volume, not shuffle, dominates). Identical (dist, id)
+    tie-breaks -> bit-identical to the cogroup path (parity-tested)."""
+    feats_pdf = (
+        features.select(
+            F.col(feature_id).alias("neighbor_id"),
+            F.col("lat").alias("__flat"),
+            F.col("lon").alias("__flon"),
+        )
+        .toPandas()
+        .sort_values("neighbor_id", kind="stable")
+    )
+    m = len(feats_pdf)
+    flat = feats_pdf["__flat"].to_numpy(np.float64)
+    flon = feats_pdf["__flon"].to_numpy(np.float64)
+    fid = feats_pdf["neighbor_id"].to_numpy()
+    if res is None:
+        lat_span = max(float(flat.max() - flat.min()) if m else 1e-6, 1e-6)
+        lon_span = max(float(flon.max() - flon.min()) if m else 1e-6, 1e-6)
+        res = auto_res(m, lat_span, lon_span, k, min_per_disk=max(3 * k + 2, 128))
+    n = np.int64(1) << res
+    fx = np.clip(np.floor((flon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    fy = np.clip(np.floor((flat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    fcell = fx * n + fy
+    order = np.argsort(fcell, kind="stable")  # stable: id order kept per cell
+    cells_uniq, starts = np.unique(fcell[order], return_index=True)
+    ends = np.append(starts[1:], m)
+    hav_factor = 1.0
+    if metric == "haversine" and m:
+        maxabs = min(float(np.abs(flat).max()), 89.999)
+        hav_factor = max(min(1.0, 2.0 * np.cos(np.radians(maxabs))) * 0.999, 1e-9)
+    grid = dict(
+        n=int(n), flat=flat, flon=flon, fid=fid,
+        cells=cells_uniq, starts=starts, ends=ends, order=order,
+    )
+    bc = points.sparkSession.sparkContext.broadcast(grid)
+    pid_type = points.schema[point_id].dataType.simpleString()
+    out_schema = (
+        f"{point_id} {pid_type}, neighbor_id long, rank int, dist double"
+    )
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        g = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            plat = pdf["__plat"].to_numpy(np.float64)
+            plon = pdf["__plon"].to_numpy(np.float64)
+            # per-batch point latitudes can exceed the dim's extent
+            hf = hav_factor
+            if metric == "haversine" and len(plat):
+                pmax = min(float(np.abs(plat).max()), 89.999)
+                hf = min(hf, max(min(1.0, 2.0 * np.cos(np.radians(pmax))) * 0.999, 1e-9))
+            ids, d, kk = _grid_topk(plat, plon, g, k, metric, hf)
+            yield pd.DataFrame(
+                {
+                    point_id: np.repeat(pdf["__pid"].to_numpy(), kk),
+                    "neighbor_id": ids.ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
+                    "dist": d.ravel(),
+                }
+            )
+
+    return pts.mapInPandas(run, schema=out_schema)
+
+
 def knn_join(
     points: DataFrame,
     features: DataFrame,
@@ -215,12 +407,16 @@ def knn_join(
     metric: str = "euclid_deg",
     max_ring: int = 64,
     brute_max_pairs: int = 4_000_000_000,
+    broadcast_threshold: int = 200_000,
 ) -> DataFrame:
     """Exact k-nearest-features per point.
 
     Returns (point_id, neighbor_id, rank, dist). ``points`` needs
     (point_id, lat, lon); ``features`` needs (feature_id, lat, lon).
-    ``res=None`` auto-sizes the grid from the feature density.
+    ``res=None`` auto-sizes the grid from the feature density. Feature
+    dims at or under ``broadcast_threshold`` rows take the broadcast
+    fast path (``knn_broadcast`` — identical results, no shuffle); the
+    ring-expansion cogroup path below is the huge-dim scale path.
     """
     stats = features.agg(
         F.count(F.lit(1)).alias("n"),
@@ -229,6 +425,8 @@ def knn_join(
         F.greatest(F.abs(F.max("lat")), F.abs(F.min("lat"))).alias("maxabs_lat"),
     ).collect()[0]
     n_feats = stats["n"]
+    if n_feats <= broadcast_threshold:
+        return knn_broadcast(points, features, k, point_id, feature_id, metric)
     if res is None:
         res = auto_res(
             n_feats, max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k

@@ -105,6 +105,27 @@ def test_knn_matches_bruteforce(spark, tables):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_knn_broadcast_and_cogroup_paths_identical(spark, tables):
+    """The broadcast fast path (small dim, mapInPandas) and the cogroup
+    ring-expansion path (huge dims) must produce identical rows, including
+    (dist, id) tie-breaks — same kernel, two physical plans."""
+    images, _, features = tables
+    pts = images.select("image_id", "lat", "lon").limit(400)
+    fast = (
+        knn_mod.knn_join(pts, features, k=2)  # dim is tiny -> broadcast
+        .toPandas()
+        .sort_values(["image_id", "rank"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        knn_mod.knn_join(pts, features, k=2, broadcast_threshold=0)
+        .toPandas()
+        .sort_values(["image_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
 def test_tile_assignment_total_and_unique(spark, tables):
     images, _, _ = tables
     tiled = tiling.assign_tiles(images.select("image_id", "lat", "lon"), res=8)
