@@ -1597,9 +1597,15 @@ SYNTH_SF001_IMAGES = os.path.join(_DATA_ROOT, "synth_sf0.01", "images.parquet")
 
 
 def _synth_images(spark, sf_dir):
-    from ..datagen import ensure_dataset, tier_for_sf_dir
+    """The image-table fixture for the oracle-gated queries is PINNED to
+    the sf0.01 tier on both sides: the oracle SQL is a static string (it
+    cannot adapt to the runtime sf_dir), so following the tier on the
+    Spark side would silently compare different datasets at any tier
+    other than 0.01. Image-op scaling is measured by bench.py/-scaling,
+    not the correctness gate."""
+    from ..datagen import ensure_dataset
 
-    synth = ensure_dataset(tier_for_sf_dir(sf_dir))
+    synth = ensure_dataset("sf0.01")
     return spark.read.parquet(f"{synth}/images.parquet")
 
 
