@@ -80,6 +80,10 @@ HEADLINE = [
     "minhash_signatures",
     "embedding_topk",
     "dedup_exact",
+    "asof_join",
+    "hll_estimate",
+    "images_phash_pairs",
+    "lsh_candidate_pairs",
 ]
 
 
