@@ -25,6 +25,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    max_dt: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_cols: tuple[str, ...] = (),
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Interval (range) join: all (left, right) pairs per key with
+    |left_ts - right_ts| <= max_dt — the Flink interval-join shape.
+
+    A naive ``ON l.ts BETWEEN r.ts - D AND r.ts + D`` range join is
+    quadratic per key; here both sides bucket by floor(ts / max_dt) and
+    the left side probes its bucket and the two adjacent ones (an exact
+    cover of the +-max_dt window), so the shuffle is a plain equi-join on
+    (key, bucket) and candidates are bounded by bucket occupancy. Each
+    qualifying pair matches exactly one bucket offset -> no dedup needed.
+    Returns left/right ts + all key cols + dt = left_ts - right_ts.
+    """
+    r = right.select(
+        *key_cols,
+        *[F.col(c).alias(f"right_{c}") for c in right_cols],
+        F.col(right_ts).alias("__rts"),
+        F.floor(F.col(right_ts) / max_dt).alias("__b"),
+    )
+    l = left.select(
+        *key_cols,
+        *[F.col(c).alias(f"left_{c}") for c in left_cols],
+        F.col(left_ts).alias("__lts"),
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col(left_ts) / max_dt) + o).cast("long")
+                    for o in (-1, 0, 1)
+                ]
+            )
+        ).alias("__b"),
+    )
+    return (
+        l.join(r, [*key_cols, "__b"])
+        .filter(F.abs(F.col("__lts") - F.col("__rts")) <= max_dt)
+        .select(
+            *key_cols,
+            *[f"left_{c}" for c in left_cols],
+            *[f"right_{c}" for c in right_cols],
+            F.col("__lts").alias(f"left_{left_ts}"),
+            F.col("__rts").alias(f"right_{right_ts}"),
+            (F.col("__lts") - F.col("__rts")).alias("dt"),
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

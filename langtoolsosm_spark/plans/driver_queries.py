@@ -843,6 +843,40 @@ FROM events GROUP BY 1, 2
 # dedup / text-analysis / similarity family (documents, embeddings)
 # ---------------------------------------------------------------------------
 
+def q_interval_join(spark, sf_dir):
+    """Interval join: purchase-view pairs per user within 4 h, via
+    time-bucket equi-join + adjacent-bucket probe (never a per-key range
+    explosion). Oracle uses the naive BETWEEN formulation as the spec."""
+    from ..operators.asof import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch"), "event_type"
+    )
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "view")
+    return interval_join(
+        left, right, ["user_id"], max_dt=14400, left_ts="epoch", right_ts="epoch",
+        left_cols=("event_id",), right_cols=("event_id",),
+    )
+
+
+O_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, event_type
+  FROM events
+)
+SELECT l.user_id,
+       l.event_id AS left_event_id,
+       r.event_id AS right_event_id,
+       l.epoch AS left_epoch, r.epoch AS right_epoch,
+       l.epoch - r.epoch AS dt
+FROM ev l JOIN ev r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'purchase' AND r.event_type = 'view'
+ AND r.epoch BETWEEN l.epoch - 14400 AND l.epoch + 14400
+"""
+
+
 _HLL_REG_SQL = """
 WITH hh AS (SELECT md5(CAST(o_custkey AS VARCHAR)) AS h FROM orders),
 parts AS (
@@ -1436,6 +1470,7 @@ REGISTRY: dict[str, tuple] = {
     "semi_anti_join": (q_semi_anti_join, O_SEMI_ANTI),
     "windowed_event_counts": (q_windowed_event_counts, O_WINDOWED_EVENTS),
     "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "interval_join": (q_interval_join, O_INTERVAL_JOIN),
     "hll_registers": (q_hll_registers, O_HLL_REGISTERS),
     "hll_estimate": (q_hll_estimate, O_HLL_ESTIMATE),
     # dedup / text / similarity
