@@ -81,6 +81,67 @@ def hll_registers(
     )
 
 
+def quantile_buckets(df: DataFrame, col: str) -> DataFrame:
+    """DDSketch-style log-bucket histogram over a non-negative numeric
+    column, with PURE integer/bit bucketing (no float log — engines
+    disagree in the last ulp of libm functions, which would flip bucket
+    boundaries): x is quantized to milli-units, and the bucket key is
+    (bit_length * 16 + top-4-bits), i.e. gamma = 2^(1/8) ~ 9% relative
+    error; values <= 15 get exact unit buckets. bit_length comes from
+    length(bin(x)) — identical strings in Spark and DuckDB.
+
+    Mergeable: bucket tables from different partitions/tables add up
+    (sum of counts). Size is bounded by ~16 * 64 buckets regardless of N.
+    """
+    x = f"CAST(round(CAST({col} AS DOUBLE) * 1000.0) AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {x} <= 15 THEN {x} "
+        f"ELSE length(bin({x})) * 16 + shiftright({x}, length(bin({x})) - 4) END"
+    )
+    return (
+        df.filter(F.col(col).isNotNull() & (F.col(col) >= 0))
+        .select(F.expr(bucket).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_estimate(
+    df: DataFrame, col: str, qs_milli: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """Quantile estimates from the bucket sketch: per requested q (in
+    milli), the midpoint of the first bucket whose cumulative count
+    reaches ceil(q * N) — all integer arithmetic, so the estimate is
+    bit-reproducible in the oracle. Output (q_milli, est_milli, n_total).
+    """
+    from pyspark.sql import Window
+
+    b = quantile_buckets(df, col)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy())
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(q,) for q in qs_milli], "q_milli int"
+    )
+    # bucket midpoint in milli-units: exact for unit buckets, integer
+    # range midpoint for log buckets
+    mid = (
+        "CASE WHEN bucket <= 15 THEN bucket ELSE "
+        "div(shiftleft(bucket % 16, div(bucket, 16) - 4) "
+        "+ shiftleft(bucket % 16 + 1, div(bucket, 16) - 4) - 1, 2) END"
+    )
+    hit = (
+        qdf.crossJoin(cum)
+        .filter(F.col("cum") * 1000 >= F.col("q_milli") * F.col("total"))
+        .groupBy("q_milli")
+        .agg(F.min("bucket").alias("bucket"), F.max("total").alias("n_total"))
+    )
+    return hit.select(
+        "q_milli", F.expr(mid).cast("long").alias("est_milli"), "n_total"
+    )
+
+
 def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     """Single-row HLL estimate: (m, occupied, sum_scaled, est_milli).
 

@@ -946,6 +946,63 @@ FROM regs
 O_HLL_ESTIMATE = _o_hll_estimate()
 
 
+_QB_SQL = """
+WITH xs AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND value >= 0
+),
+qb AS (
+  SELECT CASE WHEN x <= 15 THEN x
+              ELSE length(bin(x)) * 16 + (x >> (length(bin(x)) - 4)) END AS bucket,
+         count(*) AS n
+  FROM xs GROUP BY 1
+)
+"""
+
+
+def q_quantile_buckets(spark, sf_dir):
+    """DDSketch-style log-bucket histogram of events.value (integer/bit
+    bucketing only — no float log — so the sketch is oracle-exact and
+    mergeable)."""
+    from ..operators.sketches import quantile_buckets
+
+    return quantile_buckets(spark.read.parquet(f"{sf_dir}/events.parquet"), "value")
+
+
+O_QUANTILE_BUCKETS = _QB_SQL + "SELECT bucket, n FROM qb"
+
+
+def q_quantile_estimate(spark, sf_dir):
+    """p50/p90/p99 estimates from the bucket sketch (integer rank walk +
+    integer bucket midpoints — bit-reproducible)."""
+    from ..operators.sketches import quantile_estimate
+
+    return quantile_estimate(spark.read.parquet(f"{sf_dir}/events.parquet"), "value")
+
+
+O_QUANTILE_ESTIMATE = _QB_SQL + """,
+c AS (
+  SELECT bucket, n,
+         CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM qb
+),
+qs(q_milli) AS (VALUES (500), (900), (990)),
+hit AS (
+  SELECT q_milli, min(bucket) AS bucket, max(total) AS n_total
+  FROM qs JOIN c ON c.cum * 1000 >= qs.q_milli * c.total
+  GROUP BY 1
+)
+SELECT CAST(q_milli AS INT) AS q_milli,
+       CAST(CASE WHEN bucket <= 15 THEN bucket
+                 ELSE (((bucket % 16) << (bucket // 16 - 4))
+                       + (((bucket % 16 + 1) << (bucket // 16 - 4)) - 1)) // 2
+            END AS BIGINT) AS est_milli,
+       CAST(n_total AS BIGINT) AS n_total
+FROM hit
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each purchase picks the user's latest view at or before
     its timestamp (engine: union + window carry-forward, one shuffle; the
@@ -1473,6 +1530,8 @@ REGISTRY: dict[str, tuple] = {
     "interval_join": (q_interval_join, O_INTERVAL_JOIN),
     "hll_registers": (q_hll_registers, O_HLL_REGISTERS),
     "hll_estimate": (q_hll_estimate, O_HLL_ESTIMATE),
+    "quantile_buckets": (q_quantile_buckets, O_QUANTILE_BUCKETS),
+    "quantile_estimate": (q_quantile_estimate, O_QUANTILE_ESTIMATE),
     # dedup / text / similarity
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, O_MINHASH),
