@@ -298,6 +298,21 @@ def fill_wikipedia_from_wikidata(features: DataFrame, wikidata: DataFrame, lang:
     return wiki_edits.unionByName(redirect_edits)
 
 
+def map_to_sorted_string(col) -> F.Column:
+    """Canonical 'k=v|k=v' rendering of a map column, entries sorted by
+    key — the generic comparator that lets map-valued operator outputs be
+    hash-checked against a SQL oracle (maps themselves have no stable
+    order in either engine)."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(c)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        "|",
+    )
+
+
 def p31_type_join(
     entities: DataFrame,
     labels: DataFrame,

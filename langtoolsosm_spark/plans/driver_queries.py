@@ -625,6 +625,55 @@ FROM part
 """
 
 
+def q_cdc_merged_tags(spark, sf_dir):
+    """Deep CDC check: the MERGED TAG MAP itself (not just changed/version)
+    rendered canonically (sorted k=v entries) so the map content is
+    hash-comparable against the oracle's per-mode reconstruction."""
+    from ..operators.translate import cdc_merge, map_to_sorted_string
+
+    feats = part_features(spark, sf_dir)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    m = F.col("p_partkey") % 8
+    edits = part.filter(m.isin(0, 1, 3)).select(
+        F.when(F.col("p_partkey") % 3 == 0, "node")
+        .when(F.col("p_partkey") % 3 == 1, "way")
+        .otherwise("relation")
+        .alias("osm_type"),
+        F.col("p_partkey").alias("id"),
+        F.lit("name").alias("key"),
+        F.when(m == 0, F.concat(F.lit("NEW "), F.col("p_name")))
+        .when(m == 1, F.concat(F.lit("X "), F.col("p_name")))
+        .otherwise(F.col("p_name"))
+        .alias("value"),
+    )
+    merged = cdc_merge(feats, edits)
+    return merged.select(
+        "osm_type", "id", map_to_sorted_string("tags").alias("tags_str")
+    )
+
+
+O_CDC_MERGED_TAGS = f"""
+WITH f AS (SELECT p_partkey, p_partkey % 8 AS m, p_name, p_brand,
+                  CAST(p_partkey % 25 AS VARCHAR) AS q
+           FROM part)
+SELECT {OSM_TYPE_SQL.replace("p_partkey", "f.p_partkey")} AS osm_type,
+       f.p_partkey AS id,
+       CASE m
+         WHEN 0 THEN 'brand=' || p_brand || '|name=NEW ' || p_name || '|wikidata=Q' || q
+         WHEN 1 THEN 'brand=' || p_brand || '|name=X ' || p_name || '|name:ca=ca ' || p_name
+         WHEN 2 THEN 'brand=' || p_brand || '|wikipedia=ca:Nation_' || q
+         WHEN 3 THEN 'brand=' || p_brand || '|name=' || p_name || '|name:ca=ca ' || p_name
+         WHEN 4 THEN 'brand=' || p_brand || '|wikidata=Q' || q
+         WHEN 5 THEN 'brand=' || p_brand || '|name=Carrer de ' || p_name
+         WHEN 6 THEN 'brand=' || p_brand || '|name=' || p_name || '|name:ca=ca ' || p_name
+                  || '|official_name=Official ' || p_name || '|wikidata=Q' || q
+         ELSE 'brand=' || p_brand || '|int_name=Intl ' || p_name
+                  || '|official_name=Official ' || p_name || '|wikipedia=ca:Nation_' || q
+       END AS tags_str
+FROM f
+"""
+
+
 def q_conflict_keys(spark, sf_dir):
     """Overwrite-conflict detection (lib/osm_utils.py:109-111)."""
     from ..operators.translate import conflict_keys
@@ -1516,6 +1565,7 @@ REGISTRY: dict[str, tuple] = {
     "footprint_centroid": (q_footprint_centroid, O_FOOTPRINT_CENTROID),
     "p31_type_join": (q_p31_type_join, O_P31_TYPE_JOIN),
     "cdc_merge": (q_cdc_merge, O_CDC_MERGE),
+    "cdc_merged_tags": (q_cdc_merged_tags, O_CDC_MERGED_TAGS),
     "conflict_keys": (q_conflict_keys, O_CONFLICT_KEYS),
     # classic OLAP
     "agg_pushdown": (q_agg_pushdown, O_AGG_PUSHDOWN),
