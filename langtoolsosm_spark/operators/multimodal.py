@@ -1,0 +1,162 @@
+"""Multimodal columns beyond still images: video frame-sampling and audio
+feature extraction over opaque binary columns (SURVEY.md §2.1 image-source
+family; the training-pipeline operator set from BASELINE.json:input_hint).
+
+Design: media stay opaque ``binary`` columns with typed metadata; all
+compute is ``mapInPandas`` over Arrow batches (vectorized NumPy per frame/
+window, no per-row Python loops over samples). Codecs the sandbox can't
+support (h264/opus/...) raise NotImplementedError at the registry gate —
+the Spark-side plumbing (schema, batching, partitioning) is real and
+tested either way:
+
+* video: a from-scratch raw-sequence container (header + fixed-size RGB
+  frames) makes frame decode REAL here — sampled frames run through the
+  same pHash as still images.
+* audio: 16-bit PCM is decoded for real (bytes -> int16), and windowed
+  features are exact integers (energy = sum of squares, zero crossings),
+  so results are bit-stable at any parallelism.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+VIDEO_MAGIC = b"RVSQ"
+SUPPORTED_VIDEO = {"rawseq"}
+SUPPORTED_AUDIO = {"pcm16"}
+
+
+def encode_video_rawseq(frames: list[np.ndarray]) -> bytes:
+    """Container: magic + (n_frames, h, w) uint32 LE + raw RGB frames."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    out = [VIDEO_MAGIC, struct.pack("<III", len(frames), h, w)]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must share (h, w, 3)")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def _video_header(buf: bytes) -> tuple[int, int, int]:
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("not a rawseq video")
+    n, h, w = struct.unpack("<III", buf[4:16])
+    return n, h, w
+
+
+def decode_video_frame(buf: bytes, idx: int) -> np.ndarray:
+    n, h, w = _video_header(buf)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    sz = h * w * 3
+    off = 16 + idx * sz
+    return np.frombuffer(buf[off:off + sz], dtype=np.uint8).reshape(h, w, 3)
+
+
+def sample_video_frames(
+    videos: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video: one output row per
+    sampled frame with (media_id, frame_idx, n_frames, w, h, mean_milli,
+    phash). Real decode + pHash for the rawseq container; other formats
+    raise NotImplementedError (no codec libs in this environment)."""
+    from ..functions import imagecodec as ic
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, nfs, ws, hs, means, phs = [], [], [], [], [], [], []
+            for mid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt not in SUPPORTED_VIDEO:
+                    raise NotImplementedError(
+                        f"video codec {fmt!r}: only {sorted(SUPPORTED_VIDEO)} "
+                        "decode in this environment"
+                    )
+                n, h, w = _video_header(buf)
+                sz = h * w * 3
+                for i in range(0, n, every_n):
+                    px = np.frombuffer(
+                        buf[16 + i * sz:16 + (i + 1) * sz], dtype=np.uint8
+                    ).reshape(h, w, 3)
+                    ids.append(mid)
+                    idxs.append(i)
+                    nfs.append(n)
+                    ws.append(w)
+                    hs.append(h)
+                    # exact integer mean in milli (sum is exact int)
+                    means.append(int(px.sum()) * 1000 // px.size)
+                    phs.append(np.int64(ic.phash64(px)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "w": pd.Series(ws, dtype="int32"),
+                    "h": pd.Series(hs, dtype="int32"),
+                    "mean_milli": pd.Series(means, dtype="int64"),
+                    "phash": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    return videos.select(id_col, bytes_col, fmt_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} string, frame_idx int, n_frames int, w int, h int, "
+        "mean_milli long, phash long",
+    )
+
+
+def pcm16_features(
+    audio: DataFrame,
+    window: int = 1024,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Windowed audio features over 16-bit little-endian PCM: per window,
+    exact integer energy (sum of squares), peak amplitude, and
+    zero-crossing count — the standard cheap VAD/quality trio. Vectorized
+    NumPy over each clip; short final windows are kept (n_samples says how
+    many samples they hold)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {
+                id_col: [], "win_idx": [], "n_samples": [],
+                "energy": [], "peak": [], "zero_crossings": [],
+            }
+            for mid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt not in SUPPORTED_AUDIO:
+                    raise NotImplementedError(
+                        f"audio codec {fmt!r}: only {sorted(SUPPORTED_AUDIO)} "
+                        "decode in this environment"
+                    )
+                x = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                n = len(x)
+                for w0 in range(0, n, window):
+                    seg = x[w0:w0 + window]
+                    rows[id_col].append(mid)
+                    rows["win_idx"].append(w0 // window)
+                    rows["n_samples"].append(len(seg))
+                    rows["energy"].append(int((seg * seg).sum()))
+                    rows["peak"].append(int(np.abs(seg).max()) if len(seg) else 0)
+                    rows["zero_crossings"].append(
+                        int((np.signbit(seg[1:]) != np.signbit(seg[:-1])).sum())
+                        if len(seg) > 1
+                        else 0
+                    )
+            yield pd.DataFrame(rows)
+
+    return audio.select(id_col, bytes_col, fmt_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} string, win_idx int, n_samples int, energy long, "
+        "peak long, zero_crossings long",
+    )

@@ -1,0 +1,76 @@
+"""Video frame-sampling + PCM audio feature plumbing (multimodal binary
+columns: real decode for the in-repo formats, NotImplementedError gate for
+codecs absent from this environment)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from langtoolsosm_spark.functions import imagecodec as ic
+from langtoolsosm_spark.operators import multimodal as mm
+
+
+def _mk_video(seed: int, n_frames: int, h: int = 12, w: int = 10):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+    return frames, mm.encode_video_rawseq(frames)
+
+
+def test_video_frame_sampling_roundtrip(spark):
+    frames_a, buf_a = _mk_video(1, 7)
+    frames_b, buf_b = _mk_video(2, 4, h=8, w=8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": ["va", "vb"], "bytes": [buf_a, buf_b], "fmt": ["rawseq"] * 2}
+        )
+    )
+    out = mm.sample_video_frames(df, every_n=3).toPandas()
+    # va: frames 0, 3, 6; vb: frames 0, 3
+    got_a = out[out.media_id == "va"].sort_values("frame_idx")
+    assert list(got_a.frame_idx) == [0, 3, 6]
+    assert (got_a.n_frames == 7).all() and (got_a.w == 10).all() and (got_a.h == 12).all()
+    for _, r in got_a.iterrows():
+        f = frames_a[r.frame_idx]
+        assert r.phash == np.int64(ic.phash64(f))
+        assert r.mean_milli == int(f.sum()) * 1000 // f.size
+    assert list(out[out.media_id == "vb"].sort_values("frame_idx").frame_idx) == [0, 3]
+    # frame decode is bit-exact
+    assert (mm.decode_video_frame(buf_a, 3) == frames_a[3]).all()
+
+
+def test_video_unknown_codec_raises(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["x"], "bytes": [b"????"], "fmt": ["h264"]})
+    )
+    with pytest.raises(Exception, match="NotImplementedError|h264"):
+        mm.sample_video_frames(df).collect()
+
+
+def test_pcm16_features_match_numpy(spark):
+    sr = 8000
+    t = np.arange(2500) / sr
+    x = (np.sin(2 * np.pi * 440.0 * t) * 12000).astype("<i2")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": ["a"], "bytes": [x.tobytes()], "fmt": ["pcm16"]}
+        )
+    )
+    out = (
+        mm.pcm16_features(df, window=1024)
+        .toPandas()
+        .sort_values("win_idx")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_samples) == [1024, 1024, 452]
+    xi = x.astype(np.int64)
+    for _, r in out.iterrows():
+        seg = xi[r.win_idx * 1024:(r.win_idx + 1) * 1024]
+        assert r.energy == int((seg * seg).sum())
+        assert r.peak == int(np.abs(seg).max())
+        assert r.zero_crossings == int(
+            (np.signbit(seg[1:]) != np.signbit(seg[:-1])).sum()
+        )
+    # a 440 Hz tone crosses zero ~2 * 440 / 8000 per sample
+    full = out[out.n_samples == 1024]
+    assert ((full.zero_crossings - 2 * 440 * 1024 / sr).abs() <= 3).all()
