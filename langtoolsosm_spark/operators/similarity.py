@@ -110,6 +110,101 @@ def sign_lsh_buckets(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: (id, centroid_id, l2q) — each vector joins
+    its nearest coarse centroid by exact quantized L2, ties broken by the
+    smaller centroid id.
+
+    Centroids are the ``n_centroids`` smallest-id vectors (a deterministic
+    'training' that both engines reproduce — k-means would converge to an
+    engine-dependent float fixpoint and break the oracle). The centroid
+    table broadcasts; assignment is one zip_with expression per row pair —
+    no shuffle beyond the broadcast join and the per-id argmin aggregate.
+    """
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+    l2q = F.aggregate(
+        F.zip_with(
+            vec_col, "__cv", lambda a, b: (_quantize(a) - _quantize(b)) * (_quantize(a) - _quantize(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = emb.crossJoin(F.broadcast(cents)).withColumn("__d", l2q)
+    return (
+        d.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__d"), F.col("centroid_id"))).alias("__m"))
+        .select(
+            id_col,
+            F.col("__m.centroid_id").alias("centroid_id"),
+            F.col("__m.__d").alias("l2q"),
+        )
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: queries probe their ``nprobe`` nearest coarse lists and
+    rescore candidates with the exact quantized dot (the other classic ANN
+    scale path next to sign-LSH; candidates bounded by the probed lists'
+    occupancy). Deterministic end to end -> exact DuckDB oracle."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+    q = emb.filter(F.col(id_col) % 50 == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    l2q = F.aggregate(
+        F.zip_with(
+            "__qv", "__cv", lambda a, b: (_quantize(a) - _quantize(b)) * (_quantize(a) - _quantize(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d", l2q)
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(assigned.select(id_col, "centroid_id"), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qe"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ne"))
+    dot = F.aggregate(
+        F.zip_with("__qe", "__ne", lambda a, b: _quantize(a) * _quantize(b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold_q: int = 320_000,

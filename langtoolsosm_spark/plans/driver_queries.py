@@ -1445,6 +1445,60 @@ SELECT vec_a, vec_b, dot FROM dots WHERE dot >= {threshold_q}
 O_EMBEDDING_NEARDUP = _o_cosine_neardup()
 
 
+def q_embedding_ivf_ann(spark, sf_dir):
+    """IVF ANN (the second classic ANN scale path next to sign-LSH):
+    deterministic coarse centroids (the n smallest-id vectors), exact
+    quantized-L2 assignment, nprobe-list probing, exact dot rescore."""
+    from ..operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_EMBEDDING_IVF_ANN = """
+WITH flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+cents AS (SELECT vec_id AS centroid_id, d, xq AS cq FROM flat WHERE vec_id < 16),
+l2 AS (
+  SELECT f.vec_id, c.centroid_id, sum((f.xq - c.cq) * (f.xq - c.cq)) AS l2q
+  FROM flat f JOIN cents c USING (d)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM l2) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM l2 WHERE vec_id % 50 = 0) t WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(qf.xq * nf.xq) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat qf ON qf.vec_id = c.query_id
+  JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.d = qf.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE rank <= 5
+"""
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
     """Distinct near-dup candidate pairs from shared LSH buckets."""
     from ..operators.dedup import lsh_candidate_pairs
@@ -1595,6 +1649,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_lsh_ann": (q_embedding_lsh_ann, O_EMBEDDING_LSH_ANN),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, O_EMBEDDING_NEARDUP),
+    "embedding_ivf_ann": (q_embedding_ivf_ann, O_EMBEDDING_IVF_ANN),
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
 }
