@@ -207,6 +207,78 @@ def run_tile_distinct_once(
     )
 
 
+def stream_sessionize(
+    stream: DataFrame,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization with EVENT-TIME TIMEOUT (the stateful
+    analogue of the batch sessionize query): per key, events within
+    ``gap_sec`` of each other form one session; a session CLOSES — and is
+    emitted — either when a later event proves the gap, or when the
+    watermark passes (last_event + gap) via GroupState's event-time
+    timeout, so trailing sessions don't hang open forever. State per key
+    is one (start, end, n) triple — bounded.
+
+    Emits (key, start_epoch, end_epoch, n_events), one row per CLOSED
+    session. In-batch gap splitting is vectorized (np.diff over sorted
+    epochs); state merges with the first segment when contiguous.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ws = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    )
+
+    def kernel(key, pdf_iter, state):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            s0, e0, n0 = state.get
+            closed.append((key[0], int(s0), int(e0), int(n0)))
+            state.remove()
+        else:
+            eps = []
+            for pdf in pdf_iter:
+                eps.append(
+                    (pdf[ts_col].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
+                )
+            ep = np.sort(np.concatenate(eps)) if eps else np.array([], dtype=np.int64)
+            if len(ep):
+                cuts = np.flatnonzero(np.diff(ep) > gap_sec) + 1
+                bounds = np.concatenate(([0], cuts, [len(ep)]))
+                segs = [
+                    (int(ep[a]), int(ep[b - 1]), int(b - a))
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ]
+                if state.exists:
+                    s0, e0, n0 = state.get
+                    if segs[0][0] <= e0 + gap_sec:
+                        s, e, n = segs[0]
+                        segs[0] = (min(int(s0), s), max(int(e0), e), n + int(n0))
+                    else:
+                        closed.append((key[0], int(s0), int(e0), int(n0)))
+                for s, e, n in segs[:-1]:
+                    closed.append((key[0], s, e, n))
+                s, e, n = segs[-1]
+                state.update((s, e, n))
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max((e + gap_sec) * 1000, wm + 1))
+        yield pd.DataFrame(
+            closed, columns=[key_col, "start_epoch", "end_epoch", "n_events"]
+        )
+
+    return ws.groupBy(key_col).applyInPandasWithState(
+        kernel,
+        outputStructType=f"{key_col} long, start_epoch long, end_epoch long, n_events long",
+        stateStructType="s long, e long, n long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
 def stream_to_snapshots(
     spark: SparkSession,
     images_dir: str,

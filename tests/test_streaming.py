@@ -81,6 +81,64 @@ def test_watermark_drops_too_late_rows(spark, tmp_path):
     assert ((out2["event_type"] == "c") & (out2["n"] == 1)).any()
 
 
+def test_stream_sessionize_closes_by_gap_and_timeout(spark, tmp_path):
+    """Event-time-timeout sessionization: a session closes when a later
+    event proves the gap (in-batch split) AND when the watermark passes
+    last_event + gap (timeout on an idle key); open sessions never emit."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sess_ev"
+    d.mkdir()
+
+    def write(fn, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / fn))
+
+    # user 1: two events 5 min apart, then one 85 min later (> 30 min gap
+    # -> the first session closes in-batch, the second stays in state)
+    write("b1.parquet", [
+        ("2024-01-01 00:00:00", 1), ("2024-01-01 00:05:00", 1),
+        ("2024-01-01 01:30:00", 1),
+    ])
+    write("b2.parquet", [("2024-01-01 03:00:00", 2)])
+    write("b3.parquet", [("2024-01-01 03:20:00", 2)])
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(d))
+    )
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        mb.stream_sessionize(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.schema(
+            "user_id long, start_epoch long, end_epoch long, n_events long"
+        ).parquet(out_dir).toPandas().sort_values(["user_id", "start_epoch"])
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00").value // 10**9
+    rows = list(got.itertuples(index=False))
+    # user 1 session A: closed in-batch by the 85-min gap
+    assert (1, base, base + 300, 2) in [tuple(r) for r in rows]
+    # user 1 session B (single trailing event): closed by TIMEOUT once the
+    # watermark (driven by user 2's later events) passed 01:30 + 30 min
+    assert (1, base + 5400, base + 5400, 1) in [tuple(r) for r in rows]
+    # user 2's session (03:00 + 03:20, within gap) is still open — the
+    # watermark never passed 03:20 + gap
+    assert not (got["user_id"] == 2).any()
+
+
 def test_stateful_tile_distinct_matches_batch_sketch(spark, synth_dir, tmp_path):
     """applyInPandasWithState running distinct counter: state (256-byte HLL
     registers per tile) must carry across micro-batches, so after streaming
