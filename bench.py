@@ -116,6 +116,10 @@ def main():
     timings["flagship_pipeline"] = best_wall
     images_per_sec = n_images / best_wall if best_wall > 0 else 0.0
 
+    # warm the session (first-scan + codegen init otherwise lands on
+    # whichever query runs first and distorts its number)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]
         t0 = time.time()
