@@ -129,10 +129,7 @@ def pcm16_features(
 
     def kernel(batches):
         for pdf in batches:
-            rows = {
-                id_col: [], "win_idx": [], "n_samples": [],
-                "energy": [], "peak": [], "zero_crossings": [],
-            }
+            frames = []
             for mid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
                 if fmt not in SUPPORTED_AUDIO:
                     raise NotImplementedError(
@@ -141,19 +138,43 @@ def pcm16_features(
                     )
                 x = np.frombuffer(buf, dtype="<i2").astype(np.int64)
                 n = len(x)
-                for w0 in range(0, n, window):
-                    seg = x[w0:w0 + window]
-                    rows[id_col].append(mid)
-                    rows["win_idx"].append(w0 // window)
-                    rows["n_samples"].append(len(seg))
-                    rows["energy"].append(int((seg * seg).sum()))
-                    rows["peak"].append(int(np.abs(seg).max()) if len(seg) else 0)
-                    rows["zero_crossings"].append(
-                        int((np.signbit(seg[1:]) != np.signbit(seg[:-1])).sum())
-                        if len(seg) > 1
-                        else 0
+                if n == 0:
+                    continue
+                nw = (n + window - 1) // window
+                # vectorize over ALL windows of the clip at once (an
+                # hour-long clip has millions of windows — a per-window
+                # Python loop would dominate): pad with zeros, reshape to
+                # (n_windows, window); zero padding contributes nothing to
+                # energy or |peak|
+                pad = np.zeros(nw * window, dtype=np.int64)
+                pad[:n] = x
+                m = pad.reshape(nw, window)
+                n_samples = np.minimum(
+                    window, n - np.arange(nw, dtype=np.int64) * window
+                )
+                energy = (m * m).sum(axis=1)
+                peak = np.abs(m).max(axis=1)
+                # zero crossings between consecutive samples WITHIN a
+                # window: drop the pairs that straddle window boundaries,
+                # bin the rest by window index
+                cross = np.signbit(x[1:]) != np.signbit(x[:-1])
+                pair_idx = np.flatnonzero(cross)
+                pair_idx = pair_idx[(pair_idx % window) != window - 1]
+                zc = np.bincount(pair_idx // window, minlength=nw).astype(np.int64)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(np.array([mid], dtype=object), nw),
+                            "win_idx": np.arange(nw, dtype=np.int32),
+                            "n_samples": n_samples.astype(np.int32),
+                            "energy": energy,
+                            "peak": peak,
+                            "zero_crossings": zc,
+                        }
                     )
-            yield pd.DataFrame(rows)
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return audio.select(id_col, bytes_col, fmt_col).mapInPandas(
         kernel,
