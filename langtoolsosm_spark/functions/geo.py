@@ -95,8 +95,14 @@ def rings_centroid(lat2d: np.ndarray, lon2d: np.ndarray) -> tuple[np.ndarray, np
     reproducible term-for-term in an external SQL oracle — the parity
     contract used throughout the engine for float kernels.
     """
-    y = np.asarray(lat2d, dtype=np.float64)
-    x = np.asarray(lon2d, dtype=np.float64)
+    y0 = np.asarray(lat2d, dtype=np.float64)
+    x0 = np.asarray(lon2d, dtype=np.float64)
+    # translate each ring to its first vertex before the shoelace: cross
+    # products of raw coordinates (~lat*lon) catastrophically cancel for
+    # footprints that are tiny relative to their distance from the origin
+    # (hypothesis-found: 3.5e-8 error on a 0.01-degree triangle at lat 34)
+    y = y0 - y0[:, :1]
+    x = x0 - x0[:, :1]
     xn = np.roll(x, -1, axis=1)
     yn = np.roll(y, -1, axis=1)
     cross = x * yn - xn * y
@@ -110,12 +116,12 @@ def rings_centroid(lat2d: np.ndarray, lon2d: np.ndarray) -> tuple[np.ndarray, np
         sy = sy + (y[:, i] + yn[:, i]) * cross[:, i]
     denom = 3.0 * a2
     with np.errstate(divide="ignore", invalid="ignore"):
-        cx = sx / denom
-        cy = sy / denom
+        cx = x0[:, 0] + sx / denom
+        cy = y0[:, 0] + sy / denom
     # zero-area rings (points/lines) fall back to the first vertex
     bad = ~np.isfinite(cx) | ~np.isfinite(cy) | (a2 == 0.0)
-    cx = np.where(bad, x[:, 0], cx)
-    cy = np.where(bad, y[:, 0], cy)
+    cx = np.where(bad, x0[:, 0], cx)
+    cy = np.where(bad, y0[:, 0], cy)
     return cy, cx
 
 

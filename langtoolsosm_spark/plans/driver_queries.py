@@ -516,25 +516,30 @@ def q_footprint_centroid(spark, sf_dir):
     )
 
 
+# Mirrors the kernel's FIRST-VERTEX-TRANSLATED shoelace (functions/geo.py:
+# rings_centroid): translated vertex 0 is exactly (0, 0), so the two edge
+# terms touching it contribute exact zeros (IEEE: a + (+-0.0) == a) and
+# the surviving expression below is bit-identical to the kernel's
+# left-associated accumulation over all three edges.
 O_FOOTPRINT_CENTROID = f"""
 WITH {PTS_CTE},
 fp AS (
   SELECT point_id, lat AS y0, lon AS x0,
-         lat + (0.001 + (point_id % 7) * 0.0005) AS y1, lon AS x1,
-         lat AS y2, lon + (0.001 + (point_id % 11) * 0.0004) AS x2
+         (lat + (0.001 + (point_id % 7) * 0.0005)) - lat AS v1,
+         lon - lon AS u1,
+         lat - lat AS v2,
+         (lon + (0.001 + (point_id % 11) * 0.0004)) - lon AS u2
   FROM pts
 ),
 cr AS (
-  SELECT point_id, x0, y0, x1, y1, x2, y2,
-         x0 * y1 - x1 * y0 AS c0,
-         x1 * y2 - x2 * y1 AS c1,
-         x2 * y0 - x0 * y2 AS c2
+  SELECT point_id, x0, y0, u1, v1, u2, v2,
+         u1 * v2 - u2 * v1 AS c1
   FROM fp
 ),
 ce AS (
   SELECT point_id,
-         ((x0 + x1) * c0 + (x1 + x2) * c1 + (x2 + x0) * c2) / (3.0 * (c0 + c1 + c2)) AS clon,
-         ((y0 + y1) * c0 + (y1 + y2) * c1 + (y2 + y0) * c2) / (3.0 * (c0 + c1 + c2)) AS clat
+         x0 + ((u1 + u2) * c1) / (3.0 * c1) AS clon,
+         y0 + ((v1 + v2) * c1) / (3.0 * c1) AS clat
   FROM cr
 )
 SELECT point_id,
