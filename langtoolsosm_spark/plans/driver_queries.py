@@ -871,6 +871,114 @@ SELECT c_nationkey, has_orders, count(*) AS n FROM flags GROUP BY 1, 2
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Explicit skew-join treatment: 20% of fact rows share one key; the
+    salted join scatters them over 8 buckets and replicates only hot dim
+    keys. The oracle is the PLAIN join — salting must be semantically
+    invisible."""
+    from ..operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fact = orders.select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_orderkey % 997 END"
+        ).alias("skew_key"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dim = part.filter(F.col("p_partkey") < 997).select(
+        F.col("p_partkey").alias("skew_key"), F.col("p_name").alias("label")
+    )
+    out = salted_join(fact, dim, "skew_key", buckets=8, hot_threshold=1000)
+    return out.select("o_orderkey", "skew_key", "label")
+
+
+O_SALTED_JOIN = """
+WITH fact AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE o_orderkey % 997 END AS skew_key
+  FROM orders
+),
+dim AS (SELECT p_partkey AS skew_key, p_name AS label FROM part WHERE p_partkey < 997)
+SELECT f.o_orderkey, f.skew_key, d.label
+FROM fact f JOIN dim d USING (skew_key)
+"""
+
+
+def q_rolling_window(spark, sf_dir):
+    """Event-time rolling aggregation: per user, the sum of quantized
+    values over the trailing hour (RANGE frame — peers at equal epochs
+    are included identically in both engines)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("epoch"),
+        F.round(F.col("value") * 1000000.0).cast("long").alias("vmic"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "epoch", F.sum("vmic").over(w).alias("roll_sum_micros")
+    )
+
+
+O_ROLLING_WINDOW = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         CAST(round(value * 1000000.0) AS BIGINT) AS vmic
+  FROM events
+)
+SELECT event_id, user_id, epoch,
+       CAST(sum(vmic) OVER (PARTITION BY user_id ORDER BY epoch
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_micros
+FROM ev
+"""
+
+
+def q_rollup_counts(spark, sf_dir):
+    """OLAP rollup: (status, priority) hierarchy with subtotal and grand
+    total rows (NULL-filled grouping levels, identical in both engines)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("cents"),
+    )
+
+
+O_ROLLUP_COUNTS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (fixed value list for
+    deterministic schema; absent combinations coalesce to 0)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.groupBy("user_id").pivot("event_type", types).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+O_PIVOT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def q_windowed_event_counts(spark, sf_dir):
     """Time-window aggregation (streaming-shaped, batch-checked; value sums
     quantized to micros for exactness)."""
@@ -1635,6 +1743,10 @@ REGISTRY: dict[str, tuple] = {
     "topk_window": (q_topk_window, O_TOPK_WINDOW),
     "semi_anti_join": (q_semi_anti_join, O_SEMI_ANTI),
     "windowed_event_counts": (q_windowed_event_counts, O_WINDOWED_EVENTS),
+    "salted_join": (q_salted_join, O_SALTED_JOIN),
+    "rolling_window": (q_rolling_window, O_ROLLING_WINDOW),
+    "rollup_counts": (q_rollup_counts, O_ROLLUP_COUNTS),
+    "pivot_counts": (q_pivot_counts, O_PIVOT_COUNTS),
     "asof_join": (q_asof_join, O_ASOF_JOIN),
     "interval_join": (q_interval_join, O_INTERVAL_JOIN),
     "hll_registers": (q_hll_registers, O_HLL_REGISTERS),
