@@ -23,6 +23,26 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def dedup_canonical(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalized ("fuzzy-exact") duplicate groups: texts are
+    lowercased, punctuation-stripped, and whitespace-collapsed before
+    hashing, so trivially reformatted copies collapse to one group — the
+    standard first pass of real dedup pipelines, one groupBy on the
+    canonical hash."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.groupBy(F.md5(canon).alias("canon_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Character n-gram shingles via sequence+substring (JVM-side, no UDF)."""
     return docs.select(

@@ -1235,6 +1235,21 @@ O_DEDUP_EXACT = (
 )
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Fuzzy-exact dedup: lowercase + punctuation-strip + whitespace
+    collapse before hashing (the standard first dedup pass)."""
+    from ..operators.dedup import dedup_canonical
+
+    return dedup_canonical(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_DEDUP_CANONICAL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+       min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures over char-4-gram shingles; hash family h_i(s) =
     md5(i || s) with lexicographic min — identical in both engines."""
@@ -1433,6 +1448,29 @@ acc AS (
 SELECT doc_id,
        CAST({" + ".join("CASE WHEN s%d > 0 THEN %s ELSE 0 END" % (j, "(-9223372036854775807 - 1)" if j == 0 else str(1 << (63 - j))) for j in range(64))} AS BIGINT) AS simhash
 FROM acc
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Composition: SimHash fingerprints -> banded Hamming pair join
+    (near-dup docs within 6 bit flips of each other, no blocking column).
+    The oracle recomputes the simhash CTE and checks pairs quadratically."""
+    from ..operators.dedup import hamming_band_pairs, simhash
+
+    sh = simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return hamming_band_pairs(
+        sh, id_col="doc_id", hash_col="simhash", max_hamming=6
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamm"
+    )
+
+
+O_SIMHASH_PAIRS = f"""
+WITH sims AS ({O_SIMHASH})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamm
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
 
@@ -1763,6 +1801,8 @@ REGISTRY: dict[str, tuple] = {
     "regex_tokens": (q_regex_tokens, O_REGEX_TOKENS),
     "embedding_topk": (q_embedding_topk, O_EMBEDDING_TOPK),
     "simhash_neardup": (q_simhash_neardup, O_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, O_SIMHASH_PAIRS),
+    "dedup_canonical": (q_dedup_canonical, O_DEDUP_CANONICAL),
     "embedding_lsh_ann": (q_embedding_lsh_ann, O_EMBEDDING_LSH_ANN),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, O_EMBEDDING_NEARDUP),

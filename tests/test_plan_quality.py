@@ -120,6 +120,39 @@ def test_asof_join_has_no_join_node(spark):
     assert rows[(2, 15)] == (None, None)
 
 
+def test_salted_join_spreads_hot_key_and_matches_plain(spark):
+    """The salted join must (a) equal the plain join, and (b) actually
+    spread the hot key across salt buckets so no task owns it whole."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 40).alias("k"),
+    )
+    dim = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id")).alias("label")
+    )
+    got = (
+        salted_join(fact, dim, "k", buckets=8, hot_threshold=500)
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    exp = (
+        fact.join(dim, "k").toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["row_id", "k", "label"]], exp[["row_id", "k", "label"]], check_dtype=False
+    )
+    # distribution check: re-derive the salts the operator assigns and
+    # confirm the hot key's rows land in >= 6 of 8 buckets
+    hot_rows = fact.filter(F.col("k") == 7)
+    salts = hot_rows.select(
+        F.pmod(F.abs(F.hash(*[F.col(c) for c in fact.columns])), F.lit(8)).alias("s")
+    ).distinct().count()
+    assert salts >= 6
+
+
 def test_jaccard_and_banded_hamming_are_jvm_only(spark):
     from pyspark.sql import functions as F2
 
