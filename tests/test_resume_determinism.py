@@ -79,6 +79,38 @@ def test_dry_run_writes_nothing_and_releases_caches(spark, synth_dir, tmp_path):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_new_operators_invariant_under_shuffle_partitioning(spark):
+    """asof/interval/salted-join/quantile outputs must be identical at any
+    shuffle parallelism (deterministic tie-breaks; no partition-dependent
+    arithmetic)."""
+    from langtoolsosm_spark.plans.driver_queries import (
+        q_asof_join,
+        q_interval_join,
+        q_quantile_estimate,
+        q_salted_join,
+    )
+
+    def snap(parts: str):
+        cur = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            out = {}
+            for name, q in [
+                ("asof", q_asof_join), ("interval", q_interval_join),
+                ("salted", q_salted_join), ("quantile", q_quantile_estimate),
+            ]:
+                pdf = q(spark, "/root/testdata/sf0.001").toPandas()
+                out[name] = sorted(map(tuple, pdf.fillna(-1).to_numpy().tolist()))
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", cur)
+
+    a = snap("3")
+    b = snap("19")
+    for name in a:
+        assert a[name] == b[name], name
+
+
 def test_output_invariant_under_shuffle_partitioning(spark, synth_dir):
     """Same plan, different shuffle parallelism -> identical content
     (deterministic tie-breaks everywhere, SURVEY.md §7.3)."""
