@@ -1,0 +1,66 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Spark's ``sample()``/``sampleBy()`` draw from a JVM RNG — reproducible
+only within one engine, unverifiable outside it, and unstable if the
+partitioning changes. Large training pipelines instead derive the
+sampling decision from a HASH of a stable key, which makes samples (a)
+identical at any parallelism, (b) consistent across reruns and engines,
+and (c) sticky per key (a document keeps its split when the table is
+rebuilt). Every function below is md5 + integer arithmetic — oracle-exact
+in DuckDB.
+
+The hash fraction is the first 8 md5 hex chars as a uint32 (via the same
+conv trick as the HLL sketch); a row is in a milli-rate sample iff
+``hash32 * 1000 < rate_milli * 2^32`` — exact integer comparison, no
+floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SCALE = 1 << 32
+
+
+def _hash32(key_col, salt: str) -> F.Column:
+    """First 32 bits of md5(salt || key) as a long (uniform on [0, 2^32))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate_milli: int, salt: str = "s0"
+) -> DataFrame:
+    """Keep ~rate_milli/1000 of rows, decided by hash(key) — identical at
+    any parallelism, on any engine, on any rerun."""
+    h = _hash32(F.col(key_col), salt)
+    return df.filter(h * 1000 < rate_milli * _SCALE)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, int] | None = None,
+    salt: str = "split0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash(key) with milli
+    proportions (default 800/100/100 train/val/test). Assignment is
+    sticky per key: re-running over a grown table never moves old rows
+    between splits."""
+    splits = splits or {"train": 800, "val": 100, "test": 100}
+    if sum(splits.values()) != 1000:
+        raise ValueError("split proportions must sum to 1000 milli")
+    h = _hash32(F.col(key_col), salt)
+    expr = None
+    acc = 0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = h * 1000 < acc * _SCALE
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn(out_col, expr)

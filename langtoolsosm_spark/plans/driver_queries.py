@@ -117,6 +117,17 @@ def geo_polygons_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _o_hex8(col_expr: str, start: int) -> str:
+    """DuckDB: parse 8 hex chars of ``col_expr`` starting at 1-based
+    ``start`` into a BIGINT (position-weighted digit sum — no hex-cast
+    dialect dependence)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({col_expr}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
 def _tile_sql(res: int, lat: str = "lat", lon: str = "lon") -> str:
     n = 1 << res
     return (
@@ -871,6 +882,44 @@ SELECT c_nationkey, has_orders, count(*) AS n FROM flags GROUP BY 1, 2
 """
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 10% sample by md5(key): identical at any parallelism
+    and engine (Spark's RNG-based sample() cannot be oracle-checked)."""
+    from ..operators.sampling import deterministic_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return deterministic_sample(orders, "o_orderkey", 100).select("o_orderkey")
+
+
+O_HASH_SAMPLE = f"""
+SELECT o_orderkey FROM orders
+WHERE {_o_hex8("md5('s0' || CAST(o_orderkey AS VARCHAR))", 1)} * 1000 < 100 * 4294967296
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Sticky train/val/test assignment (800/100/100 milli) by md5(key):
+    rows keep their split across reruns and table growth."""
+    from ..operators.sampling import hash_split
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hash_split(orders, "o_orderkey").select("o_orderkey", "split")
+
+
+O_HASH_SPLIT = f"""
+WITH h AS (
+  SELECT o_orderkey,
+         {_o_hex8("md5('split0' || CAST(o_orderkey AS VARCHAR))", 1)} AS h32
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE WHEN h32 * 1000 < 800 * 4294967296 THEN 'train'
+            WHEN h32 * 1000 < 900 * 4294967296 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Explicit skew-join treatment: 20% of fact rows share one key; the
     salted join scatters them over 8 buckets and replicates only hot dim
@@ -1418,17 +1467,6 @@ def q_simhash_neardup(spark, sf_dir):
     return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _o_hex8(col_expr: str, start: int) -> str:
-    """DuckDB: parse 8 hex chars of ``col_expr`` starting at 1-based
-    ``start`` into a BIGINT (position-weighted digit sum — no hex-cast
-    dialect dependence)."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({col_expr}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"({terms})"
-
-
 O_SIMHASH = f"""
 WITH words AS (
   SELECT DISTINCT doc_id, w
@@ -1781,6 +1819,8 @@ REGISTRY: dict[str, tuple] = {
     "topk_window": (q_topk_window, O_TOPK_WINDOW),
     "semi_anti_join": (q_semi_anti_join, O_SEMI_ANTI),
     "windowed_event_counts": (q_windowed_event_counts, O_WINDOWED_EVENTS),
+    "hash_sample": (q_hash_sample, O_HASH_SAMPLE),
+    "hash_split": (q_hash_split, O_HASH_SPLIT),
     "salted_join": (q_salted_join, O_SALTED_JOIN),
     "rolling_window": (q_rolling_window, O_ROLLING_WINDOW),
     "rollup_counts": (q_rollup_counts, O_ROLLUP_COUNTS),
