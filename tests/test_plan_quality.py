@@ -120,6 +120,39 @@ def test_asof_join_has_no_join_node(spark):
     assert rows[(2, 15)] == (None, None)
 
 
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed+sorted on the same key with equal bucket counts
+    must join without ANY Exchange in the physical plan — the write-once
+    shuffle that makes recurring fact-fact joins viable at scale."""
+    from langtoolsosm_spark.sources.bucketed import read_table, write_bucketed
+
+    a = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("va")
+    )
+    b = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("vb")
+    )
+    write_bucketed(a, "bt_a", "k", buckets=4)
+    write_bucketed(b, "bt_b", "k", buckets=4)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-or-bucket decision (tiny test tables would
+        # otherwise broadcast and bypass the bucketed path entirely)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_table(spark, "bt_a").join(read_table(spark, "bt_b"), "k")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == 2000
+        # and an aggregation on the bucket key is also shuffle-free
+        g = read_table(spark, "bt_a").groupBy("k").agg(F.sum("va").alias("s"))
+        assert "Exchange" not in _plan(g)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_salted_join_spreads_hot_key_and_matches_plain(spark):
     """The salted join must (a) equal the plain join, and (b) actually
     spread the hot key across salt buckets so no task owns it whole."""
