@@ -217,6 +217,64 @@ def jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (doc_id,
+    cluster_id) where cluster_id = the smallest doc id reachable through
+    the pair graph — the final step of a dedup pipeline (pairs -> groups
+    -> keep one representative per group).
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round pulls the minimum label across its neighbors
+    (one join + one groupBy per round) until a round changes nothing.
+    Rounds needed = graph diameter in min-label hops (near-dup clusters
+    are dense, so a handful); each round localCheckpoints so lineage does
+    not stack. Deterministic: min() has no ties to break.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = (
+            new_labels.select("id", F.col("new_lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def hamming_band_pairs(
     df: DataFrame,
     id_col: str,

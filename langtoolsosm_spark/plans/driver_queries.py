@@ -1376,6 +1376,44 @@ WHERE (1000 * inter) // (sa.nw + sb.nw - inter) >= 600
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup endgame: near-dup pairs -> connected components -> one
+    cluster id (min reachable doc id) per document. Engine: distributed
+    min-label propagation; oracle: DuckDB recursive CTE transitive
+    closure."""
+    from ..operators.dedup import dedup_clusters, jaccard_pairs
+
+    pairs = jaccard_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup_clusters(pairs)
+
+
+O_DEDUP_CLUSTERS = """
+WITH RECURSIVE words AS (
+  SELECT DISTINCT doc_id, source, w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+),
+sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM words a JOIN words b ON a.w = b.w AND a.source = b.source
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE (1000 * inter) // (sa.nw + sb.nw - inter) >= 600
+),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+)
+SELECT id AS doc_id, min(x) AS cluster_id FROM r GROUP BY id
+"""
+
+
 def q_text_quality(spark, sf_dir):
     """Text quality metrics: token count, marker-word counts, avg word
     length (length/replace arithmetic -> exact parity, zero UDFs)."""
@@ -1836,6 +1874,7 @@ REGISTRY: dict[str, tuple] = {
     "minhash_signatures": (q_minhash_signatures, O_MINHASH),
     "lsh_band_buckets": (q_lsh_band_buckets, O_LSH_BANDS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "regex_tokens": (q_regex_tokens, O_REGEX_TOKENS),
