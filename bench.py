@@ -135,15 +135,27 @@ def main():
     # real-world embeddings the same config prunes exponentially.
     from pyspark.sql import functions as F
 
-    from langtoolsosm_spark.operators.similarity import ann_lsh_topk, topk_dot
+    from langtoolsosm_spark.operators.similarity import (
+        ann_lsh_topk,
+        ivf_ann_topk,
+        topk_dot,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
-    exact = topk_dot(emb).select("query_id", "neighbor_id")
-    approx = ann_lsh_topk(emb).select("query_id", "neighbor_id")
+    exact = topk_dot(emb).select("query_id", "neighbor_id").persist()
     n_true = exact.count()
-    n_hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
-    ann_recall = round(n_hit / n_true, 3) if n_true else 0.0
+
+    def recall(approx):
+        n_hit = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        return round(n_hit / n_true, 3) if n_true else 0.0
+
+    ann_recall = recall(ann_lsh_topk(emb))
+    ivf_recall = recall(ivf_ann_topk(emb))
+    exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -157,6 +169,7 @@ def main():
         "flagship_images": n_images,
         "flagship_trials": walls,
         "ann_recall_at_5": ann_recall,
+        "ivf_recall_at_5": ivf_recall,
         "cpus": cpus,
     }
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes

@@ -275,6 +275,20 @@ def dedup_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def dedup_apply(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Deduplicated corpus: keep the cluster representative (the doc whose
+    id IS its cluster id) plus every unclustered singleton — the actual
+    table a training pipeline trains on after pairing + clustering. One
+    broadcastable join against the (small) cluster assignment."""
+    drop = clusters.filter(F.col(id_col) != F.col(cluster_col)).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def hamming_band_pairs(
     df: DataFrame,
     id_col: str,

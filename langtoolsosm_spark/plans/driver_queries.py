@@ -1414,6 +1414,28 @@ SELECT id AS doc_id, min(x) AS cluster_id FROM r GROUP BY id
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup: documents minus non-representative cluster
+    members (keep min-id per near-dup cluster + all singletons) — the
+    deduplicated training corpus."""
+    from ..operators.dedup import dedup_apply, dedup_clusters, jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = dedup_clusters(jaccard_pairs(docs))
+    return dedup_apply(docs, clusters).select("doc_id", "source")
+
+
+# reuse the clustering oracle's CTE chain; the final projection becomes a
+# cl CTE and the output is the anti-joined corpus
+O_DEDUP_APPLY = O_DEDUP_CLUSTERS.replace(
+    "SELECT id AS doc_id, min(x) AS cluster_id FROM r GROUP BY id",
+    """, cl AS (SELECT id AS doc_id, min(x) AS cluster_id FROM r GROUP BY id)
+SELECT d.doc_id, d.source FROM documents d
+LEFT JOIN cl ON cl.doc_id = d.doc_id
+WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id""",
+)
+
+
 def q_text_quality(spark, sf_dir):
     """Text quality metrics: token count, marker-word counts, avg word
     length (length/replace arithmetic -> exact parity, zero UDFs)."""
@@ -1875,6 +1897,7 @@ REGISTRY: dict[str, tuple] = {
     "lsh_band_buckets": (q_lsh_band_buckets, O_LSH_BANDS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, O_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
+    "dedup_apply": (q_dedup_apply, O_DEDUP_APPLY),
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, O_DOC_FINGERPRINT),
     "regex_tokens": (q_regex_tokens, O_REGEX_TOKENS),
