@@ -138,12 +138,14 @@ def main():
     from langtoolsosm_spark.operators.similarity import (
         ann_lsh_topk,
         ivf_ann_topk,
-        topk_dot,
+        topk_dot_kernel,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
-    exact = topk_dot(emb).select("query_id", "neighbor_id").persist()
+    # exact baseline computed ONCE via the broadcast kernel (the explode
+    # -join formulation is the oracle spec only) and reused by both recalls
+    exact = topk_dot_kernel(emb).select("query_id", "neighbor_id").persist()
     n_true = exact.count()
 
     def recall(approx):

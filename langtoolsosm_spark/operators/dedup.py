@@ -228,12 +228,15 @@ def dedup_clusters(
     the pair graph — the final step of a dedup pipeline (pairs -> groups
     -> keep one representative per group).
 
-    Distributed min-label propagation: every node starts labeled with
-    itself; each round pulls the minimum label across its neighbors
-    (one join + one groupBy per round) until a round changes nothing.
-    Rounds needed = graph diameter in min-label hops (near-dup clusters
-    are dense, so a handful); each round localCheckpoints so lineage does
-    not stack. Deterministic: min() has no ties to break.
+    Distributed min-label propagation with pointer jumping: every node
+    starts labeled with itself; each round pulls the minimum label across
+    its neighbors AND its current label's own label (lbl(lbl(x)) — valid
+    because labels are always ids of reachable nodes and reachability is
+    transitive). The jump halves label-chain depth every round, so rounds
+    scale with log(diameter) instead of diameter on chain-shaped graphs;
+    each round localCheckpoints so lineage does not stack. Deterministic:
+    min() has no ties to break. Raises if ``max_iter`` rounds pass without
+    convergence rather than returning silently-wrong cluster ids.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -249,19 +252,27 @@ def dedup_clusters(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # pointer jump: each node also adopts its label's label
+        jump = labels.alias("l1").join(
+            labels.alias("l2"), F.col("l1.lbl") == F.col("l2.id")
+        ).select(F.col("l1.id").alias("jid"), F.col("l2.lbl").alias("jump_lbl"))
         new_labels = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .join(jump, labels["id"] == jump["jid"], "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
+                ).alias("new_lbl"),
                 "lbl",
             )
         )
@@ -272,6 +283,11 @@ def dedup_clusters(
         )
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -280,13 +296,21 @@ def dedup_apply(
     clusters: DataFrame,
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Deduplicated corpus: keep the cluster representative (the doc whose
     id IS its cluster id) plus every unclustered singleton — the actual
-    table a training pipeline trains on after pairing + clustering. One
-    broadcastable join against the (small) cluster assignment."""
+    table a training pipeline trains on after pairing + clustering.
+
+    The drop-list is every non-representative duplicate: at 100 TB with
+    30-50% dup rates that is billions of ids — far beyond any broadcast.
+    The anti-join therefore broadcasts only below a counted threshold
+    (the knn_join pattern) and otherwise stays a shuffled anti-join that
+    AQE can re-plan."""
     drop = clusters.filter(F.col(id_col) != F.col(cluster_col)).select(id_col)
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    if drop.count() <= broadcast_threshold:
+        drop = F.broadcast(drop)
+    return docs.join(drop, id_col, "left_anti")
 
 
 def hamming_band_pairs(

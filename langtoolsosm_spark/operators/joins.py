@@ -30,7 +30,19 @@ def salted_join(
     single-copy), so the replication cost is |hot keys| x buckets. The
     join key becomes (key, salt) — per-task input is bounded by
     max(cold-key volume, hot-key volume / buckets).
+
+    ``how`` is restricted to fact-preserving joins: because dim rows are
+    replicated to every salt for hot keys, a right/full outer join would
+    emit a spurious null-extended row for each dim replica whose salt
+    bucket holds no fact rows of that key.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only {sorted(allowed)}, "
+            f"got {how!r}: replicated dim rows break right/full outer semantics"
+        )
     hot = (
         fact.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))

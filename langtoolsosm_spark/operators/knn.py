@@ -426,7 +426,7 @@ def knn_join(
     ).collect()[0]
     n_feats = stats["n"]
     if n_feats <= broadcast_threshold:
-        return knn_broadcast(points, features, k, point_id, feature_id, metric)
+        return knn_broadcast(points, features, k, point_id, feature_id, metric, res=res)
     if res is None:
         res = auto_res(
             n_feats, max(stats["lat_span"], 1e-6), max(stats["lon_span"], 1e-6), k

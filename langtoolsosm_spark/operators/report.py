@@ -209,17 +209,26 @@ def footprint_centroid(
             if len(pdf) == 0:
                 continue
             rings = pdf[ring_col]
-            m = max(len(r) for r in rings)
+            m = max(max(len(r) for r in rings), 1)
             b = len(pdf)
-            lat2d = np.empty((b, m), dtype=np.float64)
-            lon2d = np.empty((b, m), dtype=np.float64)
+            # zero-fill, not np.empty: an empty ring must not read
+            # uninitialized memory (it gets a NaN centroid below)
+            lat2d = np.zeros((b, m), dtype=np.float64)
+            lon2d = np.zeros((b, m), dtype=np.float64)
+            empty = np.zeros(b, dtype=bool)
             for r_i, ring in enumerate(rings):
                 n = len(ring)
+                if n == 0:
+                    empty[r_i] = True
+                    continue
                 lat2d[r_i, :n] = [v["lat"] for v in ring]
                 lon2d[r_i, :n] = [v["lon"] for v in ring]
                 lat2d[r_i, n:] = lat2d[r_i, 0]
                 lon2d[r_i, n:] = lon2d[r_i, 0]
             clat, clon = rings_centroid(lat2d, lon2d)
+            if empty.any():
+                clat = np.where(empty, np.nan, clat)
+                clon = np.where(empty, np.nan, clon)
             out = pdf.copy()
             out[lat_out] = clat
             out[lon_out] = clon

@@ -51,6 +51,104 @@ def topk_dot(
     )
 
 
+def topk_dot_kernel(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by quantized dot product — the scale-safe
+    plan. Bit-identical to ``topk_dot`` (same quantization, same
+    (dot desc, id asc) total order; the dimension-explode SQL formulation
+    stays the DuckDB oracle spec) but executes as ONE ``mapInPandas``
+    pass over the corpus with the query matrix broadcast: per-partition
+    NumPy dot products + partial top-k, then a k-row-per-query global
+    merge. The explode-join formulation materializes
+    |queries| x |corpus| x dim rows into a shuffle — a factored cross
+    product that dies at 100x; here nothing shuffles but the
+    <= k x partitions partial winners.
+
+    Quantization runs JVM-side (``F.transform`` + the shared
+    ``_quantize``) so rounding parity with the oracle is byte-exact; the
+    kernel only ever does integer arithmetic on the quantized values
+    (via float64 matmul when magnitudes stay under 2^53 — exact — else
+    int64).
+
+    The query side is collected to the driver: bounded by design (query
+    sets are small relative to the corpus; at 100 TB you'd shard the
+    query set and union — each shard is one broadcast).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qarr = F.transform(F.col(vec_col), lambda x: _quantize(x))
+    corpus = emb.select(F.col(id_col).alias("__cid"), qarr.alias("__q"))
+    qsrc = corpus if queries is None else queries.select(
+        F.col(id_col).alias("__cid"), qarr.alias("__q")
+    )
+    if queries is None:
+        qsrc = qsrc.filter(F.col("__cid") % 50 == 0)
+    q_pdf = qsrc.toPandas().sort_values("__cid", kind="stable")
+    qids = q_pdf["__cid"].to_numpy(np.int64)
+    Q = (
+        np.array(q_pdf["__q"].tolist(), dtype=np.int64)
+        if len(q_pdf)
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    bc = emb.sparkSession.sparkContext.broadcast((qids, Q))
+    NEG = np.iinfo(np.int64).min
+
+    def run(batches):
+        qids, Q = bc.value
+        nq, dim = Q.shape
+        qmax = int(np.abs(Q).max()) if Q.size else 0
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0 or nq == 0:
+                continue
+            cid = pdf["__cid"].to_numpy(np.int64)
+            X = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            xmax = int(np.abs(X).max()) if X.size else 0
+            # float64 matmul (BLAS) is exact while every product and the
+            # running sum stay under 2^53; fall back to int64 otherwise
+            if qmax * xmax * dim < (1 << 53):
+                D = (Q.astype(np.float64) @ X.T.astype(np.float64)).astype(np.int64)
+            else:
+                D = Q @ X.T
+            D[qids[:, None] == cid[None, :]] = NEG  # never match self
+            kk = min(k, nb)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                row = D[qi]
+                # exact partial top-k under (dot desc, id asc): keep every
+                # boundary tie, then settle ties by id before truncating
+                thresh = np.partition(row, nb - kk)[nb - kk]
+                keep = np.flatnonzero(row >= thresh)
+                keep = keep[np.lexsort((cid[keep], -row[keep]))][:kk]
+                keep = keep[row[keep] != NEG]
+                out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+                out_n.append(cid[keep])
+                out_d.append(row[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dot": np.concatenate(out_d),
+                }
+            )
+
+    part = corpus.mapInPandas(run, schema="query_id long, neighbor_id long, dot long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
 def lsh_sign(table: int, bit: int, dim: int) -> int:
     """Rademacher ±1 entry of the seeded projection matrix: parity of the
     first hex digit of md5("{table}_{bit}_{dim}"). Deterministic and
@@ -152,7 +250,7 @@ def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

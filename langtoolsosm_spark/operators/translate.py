@@ -102,7 +102,8 @@ def regex_name_lang(features: DataFrame, find: str, replace: str, lang: str) -> 
 
     @F.pandas_udf(T.StringType())
     def sub_udf(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: pat.sub(replace, v) if isinstance(v, str) else v)
+        # per-batch C-loop substitution (re.sub semantics incl. \1 backrefs)
+        return s.str.replace(pat, replace, regex=True)
 
     dst = f"name:{lang}"
     return (

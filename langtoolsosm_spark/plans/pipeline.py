@@ -172,6 +172,7 @@ def run_to_snapshot(
             "__part",
             summary={"comment": "flagship tile enrichment", "created_by": "langtoolsosm_spark"},
             skip_partitions=skip,
+            stats_col="tile",
         )
         wall = time.time() - t0
         rows = sum(s["total_rows"] for s in snaps)
@@ -297,6 +298,7 @@ def run_ingest(
         table,
         "__part",
         summary={"comment": "ingest", "created_by": "langtoolsosm_spark"},
+        stats_col="tile",
     )
     wall = time.time() - t0
     rows = sum(s["total_rows"] for s in snaps)

@@ -114,6 +114,50 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot table {self.path} is empty")
         return spark.read.parquet(*files)
 
+    # -- manifest-stats file pruning (Iceberg-style) --------------------------
+
+    def pruned_files(
+        self, col: str, lo: int, hi: int, snapshot_id: int | None = None
+    ) -> list[str]:
+        """Live files whose manifest [min, max] stats for ``col`` overlap
+        [lo, hi]. Files committed without stats are kept (never prune
+        blind). This is the Iceberg manifest-pruning model: a range scan
+        opens only matching data files — no footer reads, no list+filter
+        over the whole table (SURVEY.md §4 cell-range pruning)."""
+        stats: dict[str, tuple] = {}
+        live: list[str] = []
+        for s in self.snapshots():
+            if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+                break
+            if s.get("operation") == "overwrite":
+                live = []
+            live.extend(s["files"])
+            for rec in s.get("lineage", []):
+                st = rec.get("stats", {}).get(col)
+                if rec.get("file") and st is not None:
+                    stats[rec["file"]] = (st[0], st[1])
+        out = []
+        for f in live:
+            st = stats.get(f)
+            if st is None or (st[0] <= hi and st[1] >= lo):
+                out.append(os.path.join(self.data_dir, f))
+        return out
+
+    def read_range(self, spark, col: str, lo: int, hi: int,
+                   snapshot_id: int | None = None):
+        """Range scan over ``col``: manifest-pruned file list + the
+        residual predicate (files can straddle the range boundary)."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files(col, lo, hi, snapshot_id)
+        if not files:
+            raise FileNotFoundError(
+                f"no files overlap {col} in [{lo}, {hi}] at {self.path}"
+            )
+        return spark.read.parquet(*files).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+
 
 def write_partitioned(
     df,
@@ -122,12 +166,17 @@ def write_partitioned(
     summary: dict | None = None,
     batch_partitions: int = 0,
     skip_partitions: set[int] | None = None,
+    stats_col: str | None = None,
 ) -> list[dict]:
     """Write a DataFrame as snapshot commits batched by partition groups.
 
     Mirrors reference changeset batching: ``batch_partitions`` partitions
     per snapshot (0 = all in one), `` (part N)`` comment suffix, resumable
     via ``skip_partitions`` (from ``table.committed_partitions()``).
+
+    ``stats_col`` (an integer column, e.g. the tile key) records per-file
+    min/max in the manifest lineage so ``read_range`` can prune files
+    without touching them — the Iceberg manifest-stats model.
 
     The write itself is distributed (one pass, hash-partitioned by
     ``partition_col``); only manifest bookkeeping is driver-side.
@@ -152,12 +201,16 @@ def write_partitioned(
             fn = f"part-{pid:05d}-{_u.uuid4().hex}.parquet"
             tbl = pa.Table.from_pandas(pdf.drop(columns=["__pid"]), preserve_index=False)
             pqw.write_table(tbl, os.path.join(data_dir, fn))
+            smin = int(pdf[stats_col].min()) if stats_col else None
+            smax = int(pdf[stats_col].max()) if stats_col else None
             yield pa.RecordBatch.from_pydict(
                 {
                     "partition_id": [pid],
                     "file": [fn],
                     "rows": [len(pdf)],
                     "duration_ms": [int((_t.time() - t0) * 1000)],
+                    "stat_min": [smin],
+                    "stat_max": [smax],
                 }
             ).to_pandas()
 
@@ -166,7 +219,8 @@ def write_partitioned(
     with_pid = df.withColumn("__pid", F.abs(F.hash(F.col(partition_col))))
     manifest_df = with_pid.groupBy("__pid").applyInPandas(
         lambda pdf: next(iter(_write_partition([pdf])), _empty_manifest_pdf()),
-        schema="partition_id long, file string, rows long, duration_ms long",
+        schema="partition_id long, file string, rows long, duration_ms long, "
+        "stat_min long, stat_max long",
     )
     recs = [r.asDict() for r in manifest_df.collect() if r["file"] is not None]
 
@@ -177,13 +231,22 @@ def write_partitioned(
         s = dict(summary or {})
         if len(recs) > batch:
             s["comment"] = f"{s.get('comment', '')} (part {i // batch + 1})".strip()
+
+        def _lineage(r: dict) -> dict:
+            rec = {
+                "partition_id": r["partition_id"],
+                "rows": r["rows"],
+                "duration_ms": r["duration_ms"],
+                "file": r["file"],
+            }
+            if stats_col is not None and r["stat_min"] is not None:
+                rec["stats"] = {stats_col: [r["stat_min"], r["stat_max"]]}
+            return rec
+
         snaps.append(
             table.commit(
                 files=[r["file"] for r in chunk],
-                lineage=[
-                    {"partition_id": r["partition_id"], "rows": r["rows"], "duration_ms": r["duration_ms"]}
-                    for r in chunk
-                ],
+                lineage=[_lineage(r) for r in chunk],
                 summary=s,
             )
         )
@@ -195,5 +258,6 @@ def _empty_manifest_pdf():
 
     return pd.DataFrame(
         {"partition_id": pd.Series([], dtype="int64"), "file": pd.Series([], dtype="object"),
-         "rows": pd.Series([], dtype="int64"), "duration_ms": pd.Series([], dtype="int64")}
+         "rows": pd.Series([], dtype="int64"), "duration_ms": pd.Series([], dtype="int64"),
+         "stat_min": pd.Series([], dtype="int64"), "stat_max": pd.Series([], dtype="int64")}
     )

@@ -216,15 +216,22 @@ def stream_sessionize(
 ) -> DataFrame:
     """Streaming sessionization with EVENT-TIME TIMEOUT (the stateful
     analogue of the batch sessionize query): per key, events within
-    ``gap_sec`` of each other form one session; a session CLOSES — and is
-    emitted — either when a later event proves the gap, or when the
-    watermark passes (last_event + gap) via GroupState's event-time
-    timeout, so trailing sessions don't hang open forever. State per key
-    is one (start, end, n) triple — bounded.
+    ``gap_sec`` of each other form one session. A session is emitted ONLY
+    once the watermark passes (session_end + gap) — before that, even a
+    gap-closed session stays in state, because a late-but-within-watermark
+    event in a later micro-batch may still fall inside it (emitting early
+    would split sessions and diverge from the batch result). State per key
+    is the list of not-yet-watermark-safe sessions — bounded by
+    (watermark delay / gap) + 1 entries.
 
-    Emits (key, start_epoch, end_epoch, n_events), one row per CLOSED
-    session. In-batch gap splitting is vectorized (np.diff over sorted
-    epochs); state merges with the first segment when contiguous.
+    Merging is symmetric: new-batch events are gap-segmented (vectorized
+    np.diff), the segments and held sessions are sorted by start, and one
+    sweep merges anything within ``gap_sec`` of its predecessor — so late
+    events can land inside, before, between, or bridging held sessions and
+    the result equals the batch sessionization of the union.
+
+    Emits (key, start_epoch, end_epoch, n_events), one row per session
+    whose (end + gap) the watermark has strictly passed.
     """
     import numpy as np
     import pandas as pd
@@ -234,38 +241,45 @@ def stream_sessionize(
     )
 
     def kernel(key, pdf_iter, state):
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            s0, e0, n0 = state.get
-            closed.append((key[0], int(s0), int(e0), int(n0)))
-            state.remove()
-        else:
-            eps = []
+        held: list[tuple[int, int, int]] = []
+        if state.exists:
+            ss, es, ns = state.get
+            held = [(int(s), int(e), int(n)) for s, e, n in zip(ss, es, ns)]
+        eps = []
+        if not state.hasTimedOut:
             for pdf in pdf_iter:
                 eps.append(
                     (pdf[ts_col].astype("datetime64[ns]").astype("int64") // 10**9).to_numpy()
                 )
-            ep = np.sort(np.concatenate(eps)) if eps else np.array([], dtype=np.int64)
-            if len(ep):
-                cuts = np.flatnonzero(np.diff(ep) > gap_sec) + 1
-                bounds = np.concatenate(([0], cuts, [len(ep)]))
-                segs = [
-                    (int(ep[a]), int(ep[b - 1]), int(b - a))
-                    for a, b in zip(bounds[:-1], bounds[1:])
-                ]
-                if state.exists:
-                    s0, e0, n0 = state.get
-                    if segs[0][0] <= e0 + gap_sec:
-                        s, e, n = segs[0]
-                        segs[0] = (min(int(s0), s), max(int(e0), e), n + int(n0))
-                    else:
-                        closed.append((key[0], int(s0), int(e0), int(n0)))
-                for s, e, n in segs[:-1]:
-                    closed.append((key[0], s, e, n))
-                s, e, n = segs[-1]
-                state.update((s, e, n))
-                wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(max((e + gap_sec) * 1000, wm + 1))
+        ep = np.sort(np.concatenate(eps)) if eps else np.array([], dtype=np.int64)
+        segs: list[tuple[int, int, int]] = []
+        if len(ep):
+            cuts = np.flatnonzero(np.diff(ep) > gap_sec) + 1
+            bounds = np.concatenate(([0], cuts, [len(ep)]))
+            segs = [
+                (int(ep[a]), int(ep[b - 1]), int(b - a))
+                for a, b in zip(bounds[:-1], bounds[1:])
+            ]
+        merged: list[tuple[int, int, int]] = []
+        for s, e, n in sorted(held + segs):
+            if merged and s <= merged[-1][1] + gap_sec:
+                ls, le, ln = merged[-1]
+                merged[-1] = (ls, max(le, e), ln + n)
+            else:
+                merged.append((s, e, n))
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [
+            (key[0], s, e, n) for s, e, n in merged if (e + gap_sec) * 1000 < wm_ms
+        ]
+        keep = [t for t in merged if (t[1] + gap_sec) * 1000 >= wm_ms]
+        if keep:
+            state.update(
+                ([t[0] for t in keep], [t[1] for t in keep], [t[2] for t in keep])
+            )
+            next_close = min((e + gap_sec) * 1000 for _, e, _ in keep)
+            state.setTimeoutTimestamp(max(next_close, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             closed, columns=[key_col, "start_epoch", "end_epoch", "n_events"]
         )
@@ -273,7 +287,7 @@ def stream_sessionize(
     return ws.groupBy(key_col).applyInPandasWithState(
         kernel,
         outputStructType=f"{key_col} long, start_epoch long, end_epoch long, n_events long",
-        stateStructType="s long, e long, n long",
+        stateStructType="ss array<long>, es array<long>, ns array<long>",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
@@ -312,6 +326,7 @@ def stream_to_snapshots(
             table,
             "tile",
             summary={"comment": "stream ingest", "epoch": int(epoch_id)},
+            stats_col="tile",
         )
 
     q = (

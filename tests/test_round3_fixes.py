@@ -1,0 +1,199 @@
+"""Round-3 regression tests: exact top-k broadcast kernel parity,
+dedup_apply broadcast gating, salted_join outer-join guard, pointer-jump
+connected components, empty-ring centroids, manifest-stats file pruning,
+and watermark-correct streaming sessionization."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_kernel_matches_explode_formulation(spark):
+    """topk_dot_kernel (broadcast NumPy partial top-k) must be
+    bit-identical to the dimension-explode formulation that mirrors the
+    DuckDB oracle — same quantization, same (dot desc, id asc) order."""
+    from langtoolsosm_spark.operators.similarity import topk_dot, topk_dot_kernel
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cols = ["query_id", "neighbor_id", "rank", "dot"]
+    got = topk_dot_kernel(emb).toPandas().sort_values(cols).reset_index(drop=True)
+    exp = topk_dot(emb).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_topk_kernel_boundary_ties_break_by_id(spark):
+    """Equal-dot candidates straddling the k-th slot must resolve by
+    smaller id — the partial top-k has to keep boundary ties, not let
+    argpartition pick arbitrarily."""
+    from langtoolsosm_spark.operators.similarity import topk_dot, topk_dot_kernel
+
+    # all corpus vectors identical -> every dot ties; ids decide everything
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(300), "embedding": [[1.0, 0.5, -0.25]] * 300}
+        )
+    ).repartition(7)
+    cols = ["query_id", "neighbor_id", "rank", "dot"]
+    got = topk_dot_kernel(emb, k=5).toPandas().sort_values(cols).reset_index(drop=True)
+    exp = topk_dot(emb, k=5).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+def test_dedup_apply_broadcast_gated_on_droplist_size(spark):
+    """Above the threshold the anti-join must NOT broadcast the drop-list
+    (at 100 TB it is billions of ids); below, the hint applies."""
+    from langtoolsosm_spark.operators.dedup import dedup_apply
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    clusters = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10).alias("cluster_id")
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = dedup_apply(docs, clusters, broadcast_threshold=0)
+        assert "BroadcastHashJoin" not in _plan(big)
+        small = dedup_apply(docs, clusters, broadcast_threshold=10**6)
+        assert "BroadcastHashJoin" in _plan(small)
+        # same rows either way
+        assert sorted(r["doc_id"] for r in big.collect()) == sorted(
+            r["doc_id"] for r in small.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from langtoolsosm_spark.operators.joins import salted_join
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "k", how="right")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "k", how="full_outer")
+
+
+def test_dedup_clusters_chain_converges_via_pointer_jump(spark):
+    """A 64-node chain has min-label hop radius 63; plain propagation
+    needs 63 rounds, pointer jumping must finish within 10."""
+    from langtoolsosm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(63), "doc_b": range(1, 64)})
+    )
+    got = dedup_clusters(pairs, max_iter=10).toPandas()
+    assert (got["cluster_id"] == 0).all() and len(got) == 64
+
+
+def test_dedup_clusters_raises_when_unconverged(spark):
+    from langtoolsosm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": range(31), "doc_b": range(1, 32)})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=1)
+
+
+def test_footprint_centroid_empty_ring_yields_nan(spark):
+    from langtoolsosm_spark.operators.report import footprint_centroid
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"lat": 10.0, "lon": 20.0}, {"lat": 10.0, "lon": 21.0},
+                 {"lat": 11.0, "lon": 21.0}]),
+            (2, []),
+        ],
+        "id long, footprint array<struct<lat:double,lon:double>>",
+    )
+    got = footprint_centroid(df).toPandas().set_index("id")
+    assert np.isfinite(got.loc[1, "latitude"]) and np.isfinite(got.loc[1, "longitude"])
+    assert np.isnan(got.loc[2, "latitude"]) and np.isnan(got.loc[2, "longitude"])
+
+
+def test_snapshot_read_range_prunes_files_by_manifest_stats(spark, tmp_path):
+    """SURVEY §4: a cell-range read of a written snapshot must open only
+    the files whose manifest [min, max] tile stats overlap the range —
+    Iceberg-style pruning, no footer reads of non-matching files."""
+    from langtoolsosm_spark.sources.snapshots import SnapshotTable, write_partitioned
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 16).alias("tile")
+    )
+    table = SnapshotTable(str(tmp_path / "snap"))
+    write_partitioned(df, table, "tile", stats_col="tile")
+    all_files = table.live_files()
+    assert len(all_files) == 16  # one file per tile partition
+
+    pruned = table.pruned_files("tile", 3, 5)
+    assert len(pruned) == 3  # tiles 3, 4, 5 only
+
+    got = table.read_range(spark, "tile", 3, 5)
+    assert set(got.inputFiles()) == {f"file://{p}" for p in pruned} or set(
+        got.inputFiles()
+    ) == set(pruned)
+    assert got.count() == df.filter(F.col("tile").between(3, 5)).count()
+
+
+def test_stream_sessionize_holds_sessions_until_watermark(spark, tmp_path):
+    """A late-but-within-watermark event arriving in a LATER micro-batch
+    that falls inside a gap-closed (but not yet watermark-safe) session
+    must merge into it — emitting at gap time would split the session and
+    diverge from batch sessionization."""
+    import langtoolsosm_spark.streaming.microbatch as mb
+
+    d = tmp_path / "sess_late"
+    d.mkdir()
+
+    def write(fn, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), str(d / fn))
+
+    # b1: 00:00 + 00:05, then 00:40 (35 min gap -> session A closes by gap
+    # under the OLD semantics). Watermark after b1 = 00:30.
+    write("b1.parquet", [
+        ("2024-01-01 00:00:00", 1), ("2024-01-01 00:05:00", 1),
+        ("2024-01-01 00:40:00", 1),
+    ])
+    # b2: late event 00:32 (>= watermark, so NOT dropped) — within 30 min
+    # of 00:05 AND of 00:40: it must bridge everything into ONE session.
+    write("b2.parquet", [("2024-01-01 00:32:00", 1)])
+    # b3: another key far in the future pushes the watermark past
+    # 00:40 + 30 min so user 1's merged session closes by timeout.
+    write("b3.parquet", [("2024-01-01 03:00:00", 2)])
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(d))
+    )
+    out_dir = str(tmp_path / "sess_late_out")
+    q = (
+        mb.stream_sessionize(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_late_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.schema(
+            "user_id long, start_epoch long, end_epoch long, n_events long"
+        ).parquet(out_dir).toPandas()
+    )
+    base = pd.Timestamp("2024-01-01 00:00:00").value // 10**9
+    rows = {tuple(r) for r in got.itertuples(index=False)}
+    assert (1, base, base + 2400, 4) in rows  # one merged session
+    assert (1, base, base + 300, 2) not in rows  # never the split prefix
