@@ -138,6 +138,7 @@ def main():
     from langtoolsosm_spark.operators.similarity import (
         ann_lsh_topk,
         ivf_ann_topk,
+        ivf_lloyd_ann_topk,
         topk_dot_kernel,
     )
 
@@ -157,6 +158,7 @@ def main():
 
     ann_recall = recall(ann_lsh_topk(emb))
     ivf_recall = recall(ivf_ann_topk(emb))
+    ivf_lloyd_recall = recall(ivf_lloyd_ann_topk(emb, nprobe=4))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -172,6 +174,7 @@ def main():
         "flagship_trials": walls,
         "ann_recall_at_5": ann_recall,
         "ivf_recall_at_5": ivf_recall,
+        "ivf_lloyd_recall_at_5_nprobe4": ivf_lloyd_recall,
         "cpus": cpus,
     }
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes

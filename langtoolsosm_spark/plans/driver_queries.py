@@ -1783,6 +1783,91 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE r
 """
 
 
+def q_embedding_ivf_lloyd(spark, sf_dir):
+    """IVF ANN over Lloyd-REFINED coarse lists: two integer-arithmetic
+    k-means rounds from the deterministic seeds, then nprobe probing +
+    exact dot rescore. Centroid means use truncated integer division
+    (Spark div == DuckDB // on negatives, verified) so the oracle unrolls
+    the identical rounds."""
+    from ..operators.similarity import ivf_lloyd_ann_topk
+
+    return ivf_lloyd_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _o_ivf_lloyd(n_centroids: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5) -> str:
+    """Unrolled Lloyd rounds: c0 (seed vectors) -> a0 -> c1 -> a1 -> c2,
+    final assignment + query probing against the last centroid table."""
+    parts = [
+        f"""flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+c0 AS (SELECT vec_id AS centroid_id, d, xq AS cq FROM flat WHERE vec_id < {n_centroids})"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""l{it} AS (
+  SELECT f.vec_id, c.centroid_id, sum((f.xq - c.cq) * (f.xq - c.cq)) AS l2
+  FROM flat f JOIN c{it} c USING (d) GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rn
+    FROM l{it}) t WHERE rn = 1
+),
+c{it + 1} AS (
+  SELECT a.centroid_id, f.d, CAST(sum(f.xq) // count(*) AS BIGINT) AS cq
+  FROM a{it} a JOIN flat f USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+    fin = iters
+    parts.append(
+        f"""lf AS (
+  SELECT f.vec_id, c.centroid_id, sum((f.xq - c.cq) * (f.xq - c.cq)) AS l2
+  FROM flat f JOIN c{fin} c USING (d) GROUP BY 1, 2
+),
+af AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rn
+    FROM lf) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rn
+    FROM lf WHERE vec_id % 50 = 0) t WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN af a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(qf.xq * nf.xq) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat qf ON qf.vec_id = c.query_id
+  JOIN flat nf ON nf.vec_id = c.neighbor_id AND nf.d = qf.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE rank <= {k}"
+    )
+
+
+O_EMBEDDING_IVF_LLOYD = _o_ivf_lloyd()
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
     """Distinct near-dup candidate pairs from shared LSH buckets."""
     from ..operators.dedup import lsh_candidate_pairs
@@ -1944,6 +2029,7 @@ REGISTRY: dict[str, tuple] = {
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, O_LSH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, O_EMBEDDING_NEARDUP),
     "embedding_ivf_ann": (q_embedding_ivf_ann, O_EMBEDDING_IVF_ANN),
+    "embedding_ivf_lloyd": (q_embedding_ivf_lloyd, O_EMBEDDING_IVF_LLOYD),
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
 }
