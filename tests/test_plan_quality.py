@@ -186,6 +186,33 @@ def test_salted_join_spreads_hot_key_and_matches_plain(spark):
     assert salts >= 6
 
 
+def test_topk_kernel_plan_has_no_explode_join(spark):
+    """The exact top-k kernel must be one mapInPandas pass over the
+    corpus + a k-per-query window merge — never the dimension-explode
+    join (|q| x |corpus| x dim shuffle rows, a factored cross product)."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.similarity import topk_dot_kernel
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(150),
+                "embedding": [
+                    [((i * 17 + d * 3) % 11 - 5) / 5.0 for d in range(8)]
+                    for i in range(150)
+                ],
+            }
+        )
+    )
+    plan = _plan(topk_dot_kernel(emb))
+    assert plan.count("MapInPandas") == 1
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "Generate"):
+        assert node not in plan
+    assert "Window" in plan
+
+
 def test_jaccard_and_banded_hamming_are_jvm_only(spark):
     from pyspark.sql import functions as F2
 

@@ -3,6 +3,8 @@ dedup_apply broadcast gating, salted_join outer-join guard, pointer-jump
 connected components, empty-ring centroids, manifest-stats file pruning,
 and watermark-correct streaming sessionization."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -197,3 +199,78 @@ def test_stream_sessionize_holds_sessions_until_watermark(spark, tmp_path):
     rows = {tuple(r) for r in got.itertuples(index=False)}
     assert (1, base, base + 2400, 4) in rows  # one merged session
     assert (1, base, base + 300, 2) not in rows  # never the split prefix
+
+
+def test_stream_sessionize_matches_batch_on_events_table(spark, tmp_path):
+    """End-to-end parity: streaming the real events table in 4 jittered
+    micro-batches (out-of-order within the watermark delay) plus a
+    far-future sentinel batch (closes every real session) must emit
+    EXACTLY the sessions the batch gap-split query computes."""
+    import langtoolsosm_spark.streaming.microbatch as mb
+    from langtoolsosm_spark.plans.driver_queries import q_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .toPandas()
+    )
+    # arrival order: event time + deterministic jitter < the 10-min
+    # watermark delay, so some events arrive out of order but none are
+    # dropped as too-late (dropped rows would legitimately diverge)
+    ev["__arr"] = ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9 + (
+        ev["user_id"] * 7919 + ev.index * 104729
+    ) % 300
+    ev = ev.sort_values("__arr").drop(columns="__arr").reset_index(drop=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "ev_stream"
+    d.mkdir()
+    n = len(ev)
+    for i in range(4):
+        chunk = ev.iloc[i * n // 4 : (i + 1) * n // 4].copy()
+        chunk["ts"] = chunk["ts"].astype("datetime64[us]")
+        p = d / f"b{i}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), str(p))
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))  # force trigger order
+    sentinel = pd.DataFrame({"user_id": [-1], "ts": ["2030-01-01"]})
+    sentinel["ts"] = pd.to_datetime(sentinel["ts"]).astype("datetime64[us]")
+    sentinel["user_id"] = sentinel["user_id"].astype("int64")
+    sp = d / "b9_sentinel.parquet"
+    pq.write_table(pa.Table.from_pandas(sentinel, preserve_index=False), str(sp))
+    os.utime(sp, (1_000_009, 1_000_009))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(d))
+    )
+    out_dir = str(tmp_path / "ev_sess_out")
+    q = (
+        mb.stream_sessionize(stream, gap_sec=1800)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ev_sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.schema(
+            "user_id long, start_epoch long, end_epoch long, n_events long"
+        )
+        .parquet(out_dir)
+        .filter("user_id >= 0")
+        .toPandas()
+    )
+    exp = (
+        q_sessionize(spark, sf_dir)
+        .select("user_id", "start_epoch", "end_epoch", "n_events")
+        .toPandas()
+    )
+    key = ["user_id", "start_epoch", "end_epoch", "n_events"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    exp_s = exp[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
