@@ -328,6 +328,36 @@ def q_knn_join(spark, sf_dir):
     ).select("point_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
 
 
+def q_knn_join_cogroup(spark, sf_dir):
+    """The kNN SCALE path under the oracle gate: broadcast_threshold=0
+    forces the cogroup ring-expansion rounds (the plan used when the
+    feature dim is too large to ship to every task), which must produce
+    bit-identical results to the broadcast-grid fast path and the SQL
+    spec."""
+    from ..operators.knn import knn_join
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 97 == 0)
+    feats = geo_features(spark, sf_dir)
+    return knn_join(
+        pts, feats, k=3, res=7, point_id="point_id", feature_id="id",
+        broadcast_threshold=0,
+    ).select("point_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+
+def q_pip_join_shuffled(spark, sf_dir):
+    """The PIP SCALE path under the oracle gate: broadcast_cover=False +
+    broadcast_rings=False shuffle both dimension joins (the plan for
+    10^6-polygon dims whose cover/rings exceed any executor broadcast);
+    results must equal the broadcast plan and the predicate oracle."""
+    from ..operators.pip_join import pip_join
+
+    pts = geo_points(spark, sf_dir)
+    return pip_join(
+        pts, geo_polygons_df(spark), res=8, id_col="point_id",
+        broadcast_cover=False, broadcast_rings=False,
+    ).select("point_id", "polygon_id")
+
+
 O_KNN_JOIN = f"""
 WITH {PTS_CTE}, {FEATS_CTE},
 q AS (SELECT * FROM pts WHERE point_id % 97 = 0),
@@ -1976,6 +2006,8 @@ REGISTRY: dict[str, tuple] = {
     "pip_join": (q_pip_join, O_PIP_JOIN),
     "pip_unique_owner": (q_pip_unique_owner, O_PIP_UNIQUE),
     "knn_join": (q_knn_join, O_KNN_JOIN),
+    "knn_join_cogroup": (q_knn_join_cogroup, O_KNN_JOIN),
+    "pip_join_shuffled": (q_pip_join_shuffled, O_PIP_JOIN),
     "adaptive_split": (q_adaptive_split, O_ADAPTIVE_SPLIT),
     "salted_repartition": (q_salted_repartition, O_SALTED_REPARTITION),
     # reference translation-fill family
