@@ -11,22 +11,27 @@ Design (exact kNN, skew-proof, broadcast-free):
 * both sides get a grid cell at an auto-sized resolution (one aggregate
   over the feature dim picks the finest res that keeps ~3k+2 expected
   features per radius-1 disk);
-* per round, features are exploded to every cell within Chebyshev radius R
-  of their own cell (the SMALL side fans out, never the points), then
-  points cogroup with them per cell and a NumPy kernel computes each
-  point's top-k with chunked distance matrices — candidates never
-  materialize as JVM rows. (A naive explode+window formulation produced a
-  51M-row window at sf0.1 — 20% of points and features share one urban
-  cell — and took minutes; the cogroup kernel does the same work as a few
-  hundred vectorized matrix blocks.)
+* per round, features are exploded to every cell of the round's ANNULUS —
+  wrap-aware Chebyshev distance in (prev_radius, radius] from their own
+  cell (the SMALL side fans out, never the points; round 1's annulus is
+  the radius-1 disk) — then points cogroup with them per cell and a NumPy
+  kernel computes each point's top-k with chunked distance matrices —
+  candidates never materialize as JVM rows. (A naive explode+window
+  formulation produced a 51M-row window at sf0.1 — 20% of points and
+  features share one urban cell — and took minutes; the cogroup kernel
+  does the same work as a few hundred vectorized matrix blocks.)
 * the kernel itself applies the exactness test — a point is RESOLVED when
   it has k neighbors and its kth distance is <= the guaranteed lower bound
   of any cell beyond the explored disk (R * cell_lat_extent degrees, the
   smaller grid axis for |lat| < 60°) — and emits either the k result rows
-  or one carry-forward row with the point's coordinates. Each round's
-  input is the previous round's unresolved output: no driver-side
-  broadcasts of id sets, no anti-joins (an earlier design broadcast
-  ~500k-id done-sets per round — pure serial driver time);
+  or one carry-forward row with the point's coordinates plus its partial
+  top-k (exact over the explored disk; annulus candidate sets are
+  disjoint across rounds, so the next round merges instead of re-scoring
+  — round N's explode volume is the ring only, not the whole disk, and
+  explored features are never re-scored). Each round's input is the
+  previous round's unresolved output: no driver-side broadcasts of id
+  sets, no anti-joins (an earlier design broadcast ~500k-id done-sets per
+  round — pure serial driver time);
 * once the remaining pairwise volume is small, a group-partitioned
   brute-force pass (features replicated per group) finishes the stragglers
   exactly.
@@ -69,10 +74,21 @@ def auto_res(
     return 3
 
 
-def _explode_feature_disk(feats: DataFrame, res: int, radius: int) -> DataFrame:
-    """Explode each feature to every cell within Chebyshev ``radius`` of
-    its own cell (lon wraps, lat clamps). Small-side fan-out: output is
-    |features| x (2R+1)^2 rows of 4 narrow columns."""
+def _explode_feature_disk(
+    feats: DataFrame, res: int, radius: int, min_radius: int = -1
+) -> DataFrame:
+    """Explode each feature to every cell whose wrap-aware Chebyshev
+    distance from its own cell is in (``min_radius``, ``radius``] (all of
+    [0, radius] when ``min_radius`` = -1, the no-previous-disk default;
+    note distance 0 — the feature's own cell — must be included then).
+    ``min_radius`` >= 0 emits only
+    the ANNULUS between two rounds' disks — round N's kernel merges its
+    carried top-k (exact over the previous disk) with annulus candidates,
+    so features are never re-exploded to already-explored cells.
+
+    Longitude wraps: distances use min(|dx|, n - |dx|) and cells reached
+    twice around the globe are deduplicated, so the annulus never
+    re-emits a cell the previous disk already covered."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def disk(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -84,18 +100,26 @@ def _explode_feature_disk(feats: DataFrame, res: int, radius: int) -> DataFrame:
         offs = np.arange(-radius, radius + 1, dtype=np.int64)
         dx, dy = np.meshgrid(offs, offs, indexing="ij")
         dx, dy = dx.ravel(), dy.ravel()
+        wrap_dx = np.minimum(np.abs(dx), n - np.abs(dx))
+        cheb = np.maximum(wrap_dx, np.abs(dy))
+        ring = (cheb > min_radius) & (cheb <= radius)
+        dx, dy = dx[ring], dy[ring]
         nx = np.mod(ix[:, None] + dx[None, :], n)
         ny = iy[:, None] + dy[None, :]
         valid = (ny >= 0) & (ny < n)
         keys = nx * n + ny
-        return pd.Series([keys[i][valid[i]].tolist() for i in range(len(keys))])
+        # unique: a cell reachable both ways around the globe appears once
+        return pd.Series([np.unique(keys[i][valid[i]]).tolist() for i in range(len(keys))])
 
     return feats.withColumn(
         "__cell", F.explode(disk(F.col("__flat"), F.col("__flon")))
     )
 
 
-_EMPTY_COLS = ["__pid", "__plat", "__plon", "neighbor_id", "rank", "dist", "__ok"]
+_EMPTY_COLS = [
+    "__pid", "__plat", "__plon", "neighbor_id", "rank", "dist", "__ok",
+    "__cids", "__cds",
+]
 
 
 def _empty_out() -> pd.DataFrame:
@@ -108,69 +132,107 @@ def _empty_out() -> pd.DataFrame:
             "rank": pd.Series(dtype="int32"),
             "dist": pd.Series(dtype="float64"),
             "__ok": pd.Series(dtype="bool"),
+            "__cids": pd.Series(dtype="object"),
+            "__cds": pd.Series(dtype="object"),
         }
     )
 
 
 def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
     """Cogroup kernel: per cell, chunked distance matrix -> per-point
-    top-k. ``bound`` is the exactness threshold for this round's explored
-    disk: points whose kth distance exceeds it (or with < k candidates)
-    are emitted as single carry-forward rows (__ok=False) with their
-    coordinates, so the next round needs no join against the input.
-    ``bound=None`` -> unconditional (brute-force mode). Ties broken by
-    (dist, feature id) via lexsort — deterministic at any parallelism."""
+    top-k, MERGED with each point's carried partial top-k (``__cids`` /
+    ``__cds`` — the exact top-k over every previously explored disk, so
+    with annulus-only feature explosion candidate sets across rounds are
+    disjoint and the merge is exact top-k over the union). ``bound`` is
+    the exactness threshold for the full explored disk: points whose
+    merged kth distance exceeds it (or with < k candidates) are emitted
+    as single carry-forward rows (__ok=False) holding their coordinates
+    AND their merged candidates, so the next round needs no join against
+    the input and never re-scores explored features. ``bound=None`` ->
+    unconditional brute force over ALL features (carry ignored: the full
+    recompute supersedes it). Ties broken by (dist, feature id) via
+    lexsort — deterministic at any parallelism."""
 
     def fn(key, pts: pd.DataFrame, fts: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0:
             return _empty_out()
-        if len(fts) == 0:
-            if bound is None:
-                return _empty_out()
-            return pd.DataFrame(
-                {
-                    "__pid": pts["__pid"],
-                    "__plat": pts["__plat"],
-                    "__plon": pts["__plon"],
-                    "neighbor_id": np.int64(-1),
-                    "rank": np.int32(0),
-                    "dist": np.float64(0.0),
-                    "__ok": False,
-                }
-            )
-        flat = fts["__flat"].to_numpy(np.float64)
-        flon = fts["__flon"].to_numpy(np.float64)
-        fid = fts["neighbor_id"].to_numpy()
-        order = np.argsort(fid, kind="stable")
-        flat, flon, fid = flat[order], flon[order], fid[order]
-        m = len(fid)
+        has_carry = bound is not None and "__cids" in pts.columns
+        m = len(fts)
+        if m:
+            flat = fts["__flat"].to_numpy(np.float64)
+            flon = fts["__flon"].to_numpy(np.float64)
+            fid = fts["neighbor_id"].to_numpy()
+            order = np.argsort(fid, kind="stable")
+            flat, flon, fid = flat[order], flon[order], fid[order]
+        if m == 0 and bound is None:
+            return _empty_out()
         kk = min(k, m)
         frames = []
         for s in range(0, len(pts), chunk):
             sub = pts.iloc[s : s + chunk]
             plat = sub["__plat"].to_numpy(np.float64)
             plon = sub["__plon"].to_numpy(np.float64)
-            if metric == "euclid_deg":
-                d = (plat[:, None] - flat[None, :]) ** 2 + (
-                    plon[:, None] - flon[None, :]
-                ) ** 2
+            if m:
+                if metric == "euclid_deg":
+                    d = (plat[:, None] - flat[None, :]) ** 2 + (
+                        plon[:, None] - flon[None, :]
+                    ) ** 2
+                else:
+                    d = geo.haversine_m(
+                        plat[:, None], plon[:, None], flat[None, :], flon[None, :]
+                    )
+                if kk < m:
+                    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                else:
+                    idx = np.broadcast_to(np.arange(m), (len(sub), m)).copy()
+                dsel = np.take_along_axis(d, idx, axis=1)
+                # order the kk selected by (dist, then fid): idx indexes
+                # the fid-sorted arrays, so it is the deterministic
+                # secondary key
+                srt = np.lexsort((idx, dsel))
+                dsort = np.take_along_axis(dsel, srt, axis=1)
+                isort = np.take_along_axis(idx, srt, axis=1)
+            if has_carry:
+                car_i = sub["__cids"].to_numpy()
+                car_d = sub["__cds"].to_numpy()
+                carry_rows = np.array(
+                    [isinstance(c, (list, np.ndarray)) and len(c) > 0 for c in car_i],
+                    dtype=bool,
+                )
             else:
-                d = geo.haversine_m(plat[:, None], plon[:, None], flat[None, :], flon[None, :])
-            if kk < m:
-                idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                carry_rows = np.zeros(len(sub), dtype=bool)
+            # vectorized fast path: rows with no carried candidates
+            plain = ~carry_rows
+            if m:
+                ok = np.zeros(len(sub), dtype=bool)
+                if bound is None:
+                    ok[plain] = True
+                else:
+                    okp = (kk == k) & (dsort[plain][:, -1] <= bound)
+                    ok[np.flatnonzero(plain)] = okp
             else:
-                idx = np.broadcast_to(np.arange(m), (len(sub), m)).copy()
-            dsel = np.take_along_axis(d, idx, axis=1)
-            # order the kk selected by (dist, then fid): idx indexes the
-            # fid-sorted arrays, so it is the deterministic secondary key
-            srt = np.lexsort((idx, dsel))
-            dsort = np.take_along_axis(dsel, srt, axis=1)
-            isort = np.take_along_axis(idx, srt, axis=1)
-            ok = np.ones(len(sub), dtype=bool) if bound is None else (
-                (kk == k) & (dsort[:, -1] <= bound)
-            )
-            if bound is not None and np.isscalar(ok):
-                ok = np.full(len(sub), bool(ok))
+                ok = np.zeros(len(sub), dtype=bool)
+            # merged path: rows carrying candidates from previous disks
+            mg_pid, mg_lat, mg_lon, mg_ids, mg_ds = [], [], [], [], []
+            cf_pid, cf_lat, cf_lon, cf_ids, cf_ds = [], [], [], [], []
+            for r in np.flatnonzero(carry_rows):
+                ci = np.asarray(car_i[r], dtype=np.int64)
+                cd = np.asarray(car_d[r], dtype=np.float64)
+                if m:
+                    ids = np.concatenate([ci, fid[isort[r]]])
+                    ds = np.concatenate([cd, dsort[r]])
+                else:
+                    ids, ds = ci, cd
+                o = np.lexsort((ids, ds))
+                ids, ds = ids[o][:k], ds[o][:k]
+                if len(ids) >= k and ds[k - 1] <= bound:
+                    mg_pid.append(sub["__pid"].iloc[r])
+                    mg_lat.append(plat[r]); mg_lon.append(plon[r])
+                    mg_ids.append(ids); mg_ds.append(ds)
+                else:
+                    cf_pid.append(sub["__pid"].iloc[r])
+                    cf_lat.append(plat[r]); cf_lon.append(plon[r])
+                    cf_ids.append(ids.tolist()); cf_ds.append(ds.tolist())
             n_ok = int(ok.sum())
             if n_ok:
                 sel = np.flatnonzero(ok)
@@ -186,21 +248,51 @@ def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
                             ),
                             "dist": dsort[sel].ravel(),
                             "__ok": True,
+                            "__cids": None,
+                            "__cds": None,
                         }
                     )
                 )
-            if bound is not None and n_ok < len(sub):
-                sel = np.flatnonzero(~ok)
+            if mg_pid:
                 frames.append(
                     pd.DataFrame(
                         {
-                            "__pid": sub["__pid"].to_numpy()[sel],
-                            "__plat": plat[sel],
-                            "__plon": plon[sel],
+                            "__pid": np.repeat(np.asarray(mg_pid, dtype=object), k),
+                            "__plat": np.repeat(mg_lat, k),
+                            "__plon": np.repeat(mg_lon, k),
+                            "neighbor_id": np.concatenate(mg_ids),
+                            "rank": np.tile(np.arange(1, k + 1, dtype=np.int32), len(mg_pid)),
+                            "dist": np.concatenate(mg_ds),
+                            "__ok": True,
+                            "__cids": None,
+                            "__cds": None,
+                        }
+                    )
+                )
+            unres = plain & ~ok if bound is not None else np.zeros(len(sub), dtype=bool)
+            if bound is not None and (unres.any() or cf_pid):
+                sel = np.flatnonzero(unres)
+                pid_all = list(sub["__pid"].to_numpy()[sel]) + cf_pid
+                lat_all = list(plat[sel]) + cf_lat
+                lon_all = list(plon[sel]) + cf_lon
+                if m:
+                    ids_all = [fid[isort[r]].tolist() for r in sel] + cf_ids
+                    ds_all = [dsort[r].tolist() for r in sel] + cf_ds
+                else:
+                    ids_all = [[] for _ in sel] + cf_ids
+                    ds_all = [[] for _ in sel] + cf_ds
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__pid": pid_all,
+                            "__plat": np.asarray(lat_all, dtype=np.float64),
+                            "__plon": np.asarray(lon_all, dtype=np.float64),
                             "neighbor_id": np.int64(-1),
                             "rank": np.int32(0),
                             "dist": np.float64(0.0),
                             "__ok": False,
+                            "__cids": pd.Series(ids_all, dtype="object"),
+                            "__cds": pd.Series(ds_all, dtype="object"),
                         }
                     )
                 )
@@ -449,7 +541,8 @@ def knn_join(
     pid_type = points.schema[point_id].dataType.simpleString()
     out_schema = (
         f"__pid {pid_type}, __plat double, __plon double, "
-        "neighbor_id long, rank int, dist double, __ok boolean"
+        "neighbor_id long, rank int, dist double, __ok boolean, "
+        "__cids array<long>, __cds array<double>"
     )
 
     feats = features.select(
@@ -462,6 +555,8 @@ def knn_join(
         F.col(point_id).alias("__pid"),
         F.col("lat").alias("__plat"),
         F.col("lon").alias("__plon"),
+        F.array().cast("array<long>").alias("__cids"),
+        F.array().cast("array<double>").alias("__cds"),
     )
 
     def with_cell(df: DataFrame) -> DataFrame:
@@ -472,6 +567,7 @@ def knn_join(
     resolved_parts: list[DataFrame] = []
     persisted: list[DataFrame] = [feats]
     radius = 1
+    prev_radius = -1  # no previous disk: round 1 covers [0, 1]
     while radius <= max_ring:
         bound_deg = radius * cell_lat_deg
         bound = (
@@ -480,10 +576,18 @@ def knn_join(
             else bound_deg * 111_194.9 * hav_factor
         )
         kernel = _topk_kernel(k, metric, bound)
+        # annulus-only fan-out: round N explodes features to the ring
+        # (prev_radius, radius] only — carried candidates already hold the
+        # exact top-k over the previous disk, so re-exploding it would
+        # only re-score known features
         round_out = (
             with_cell(unresolved)
             .groupBy("__cell")
-            .cogroup(_explode_feature_disk(feats, res, radius).groupBy("__cell"))
+            .cogroup(
+                _explode_feature_disk(
+                    feats, res, radius, min_radius=prev_radius
+                ).groupBy("__cell")
+            )
             .applyInPandas(kernel, schema=out_schema)
         ).persist()
         persisted.append(round_out)
@@ -491,7 +595,7 @@ def knn_join(
             round_out.filter(F.col("__ok")).select("__pid", "neighbor_id", "rank", "dist")
         )
         unresolved = round_out.filter(~F.col("__ok")).select(
-            "__pid", "__plat", "__plon"
+            "__pid", "__plat", "__plon", "__cids", "__cds"
         )
         n_unresolved = unresolved.count()
         if n_unresolved == 0:
@@ -503,6 +607,7 @@ def knn_join(
         # larger disks — radius-R disks multiply the FULL dim by (2R+1)^2.
         if n_unresolved * n_feats <= brute_max_pairs:
             break
+        prev_radius = radius
         radius *= 4
 
     if unresolved is not None:
