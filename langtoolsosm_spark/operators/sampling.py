@@ -64,3 +64,49 @@ def hash_split(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn(out_col, expr)
+
+
+def token_shard_pack(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_buckets: int = 16,
+    salt: str = "pack0",
+) -> DataFrame:
+    """Pack documents into token-budget training shards — the step that
+    turns a deduplicated corpus into fixed-size training chunks.
+
+    Greedy sequential packing is inherently serial, so the parallel
+    formulation packs ``n_buckets`` INDEPENDENT streams: each doc hashes
+    into a bucket (md5 — sticky, engine-portable), docs pack in key order
+    within their bucket, and a doc belongs to the budget block containing
+    its cumulative token end. One window per bucket — no global sort, no
+    single-partition bottleneck; at 100 TB n_buckets scales with the
+    cluster and each shard stays one task's output.
+
+    Returns (key, n_tokens, bucket, shard_id) with
+    shard_id = bucket * 2^32 + (cumulative_end - 1) div budget.
+    Whitespace token count (the ws_tokens definition shared with
+    regex_tokens) keeps the oracle exact.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, " ", "")) + 1
+    ).cast("long")
+    d = df.select(
+        F.col(key_col),
+        toks.alias("n_tokens"),
+        F.pmod(_hash32(F.col(key_col), salt), F.lit(n_buckets)).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy(key_col)
+    return (
+        d.withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard_id",
+            F.col("bucket") * F.lit(_SCALE).cast("long")
+            + F.expr(f"div(__cum - 1, {budget})"),
+        )
+        .drop("__cum")
+    )

@@ -1964,6 +1964,34 @@ FROM scored
 )
 
 
+def q_token_shard_pack(spark, sf_dir):
+    """Token-budget shard packing over the documents table: md5-bucketed
+    parallel greedy packing (window cumsum per bucket), deterministic at
+    any parallelism."""
+    from ..operators.sampling import token_shard_pack
+
+    return token_shard_pack(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_TOKEN_SHARD_PACK = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         {_o_hex8("md5('pack0' || CAST(doc_id AS VARCHAR))", 1)} % 16 AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * 4294967296 + (cum - 1) // 512 AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """Set operations (SURVEY.md §2.7): union/intersect/except of the
     nation-key sets of customers and suppliers."""
@@ -2064,6 +2092,7 @@ REGISTRY: dict[str, tuple] = {
     "embedding_ivf_lloyd": (q_embedding_ivf_lloyd, O_EMBEDDING_IVF_LLOYD),
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
+    "token_shard_pack": (q_token_shard_pack, O_TOKEN_SHARD_PACK),
 }
 
 
