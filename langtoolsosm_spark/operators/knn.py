@@ -181,17 +181,12 @@ def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
                     d = geo.haversine_m(
                         plat[:, None], plon[:, None], flat[None, :], flon[None, :]
                     )
-                if kk < m:
-                    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                else:
-                    idx = np.broadcast_to(np.arange(m), (len(sub), m)).copy()
-                dsel = np.take_along_axis(d, idx, axis=1)
-                # order the kk selected by (dist, then fid): idx indexes
-                # the fid-sorted arrays, so it is the deterministic
-                # secondary key
-                srt = np.lexsort((idx, dsel))
-                dsort = np.take_along_axis(dsel, srt, axis=1)
-                isort = np.take_along_axis(idx, srt, axis=1)
+                # stable argsort of the fid-sorted candidates IS the
+                # (dist, then fid) order — and unlike argpartition it
+                # never drops an equal-distance smaller-id candidate at
+                # the kk boundary (exact coordinate duplicates tie)
+                isort = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                dsort = np.take_along_axis(d, isort, axis=1)
             if has_carry:
                 car_i = sub["__cids"].to_numpy()
                 car_d = sub["__cds"].to_numpy()
@@ -351,14 +346,10 @@ def _grid_topk(
         else:
             d = geo.haversine_m(plat[sel][:, None], plon[sel][:, None], cl[None, :], co[None, :])
         kk2 = min(k, len(cf))
-        if kk2 < len(cf):
-            idx = np.argpartition(d, kk2 - 1, axis=1)[:, :kk2]
-        else:
-            idx = np.broadcast_to(np.arange(len(cf)), (len(sel), len(cf))).copy()
-        dsel = np.take_along_axis(d, idx, axis=1)
-        srt = np.lexsort((idx, dsel))
-        dsort = np.take_along_axis(dsel, srt, axis=1)
-        isort = np.take_along_axis(idx, srt, axis=1)
+        # stable argsort = (dist, fid) order incl. boundary ties (cf is
+        # index- = fid-sorted); argpartition would drop tied smaller ids
+        isort = np.argsort(d, axis=1, kind="stable")[:, :kk2]
+        dsort = np.take_along_axis(d, isort, axis=1)
         if bound is None:
             ok = np.ones(len(sel), dtype=bool)
         else:

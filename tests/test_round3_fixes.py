@@ -274,3 +274,67 @@ def test_stream_sessionize_matches_batch_on_events_table(spark, tmp_path):
     got_s = got[key].sort_values(key).reset_index(drop=True)
     exp_s = exp[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_knn_cogroup_annulus_matches_bruteforce_at_dateline_and_poles(spark):
+    """Adversarial coordinates for the wrap-aware annulus: features and
+    points hugging the antimeridian and the poles, plus a duplicate-
+    coordinate cluster. The cogroup rounds (forced via
+    broadcast_threshold=0, tiny max_ring so several annulus rounds fire)
+    must equal a NumPy brute force with the same (dist, id) tie-break."""
+    from langtoolsosm_spark.operators.knn import knn_join
+
+    rng_pts = []
+    for i in range(60):
+        lat = [-89.95, 89.95, 0.0, 45.0, -45.0][i % 5] + (i % 7) * 0.01
+        lon = [-179.95, 179.95, 0.0, 90.0, -90.0][i % 5] + (i % 11) * 0.01
+        rng_pts.append((i, lat, lon))
+    feats = []
+    for j in range(40):
+        lat = [-89.9, 89.9, 0.05, 44.9, -44.9, 10.0][j % 6] + (j % 5) * 0.02
+        lon = [179.9, -179.9, 0.05, 89.9, -89.9, 10.0][j % 6] + (j % 3) * 0.02
+        feats.append((100 + j, lat, lon))
+    feats.append((200, 10.0, 10.0))  # exact duplicate coordinates
+    feats.append((201, 10.0, 10.0))
+
+    pts_df = spark.createDataFrame(
+        pd.DataFrame(rng_pts, columns=["image_id", "lat", "lon"])
+    )
+    fts_df = spark.createDataFrame(
+        pd.DataFrame(feats, columns=["id", "lat", "lon"])
+    )
+    got = (
+        knn_join(pts_df, fts_df, k=3, broadcast_threshold=0, res=4,
+                 brute_max_pairs=0)
+        .toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+    )
+    # NumPy reference: full distance matrix, (dist, id) lexsort
+    P = np.array([[p[1], p[2]] for p in rng_pts])
+    Fm = np.array([[f[1], f[2]] for f in feats])
+    fids = np.array([f[0] for f in feats])
+    order_f = np.argsort(fids)
+    Fm, fids = Fm[order_f], fids[order_f]
+    d = (P[:, None, 0] - Fm[None, :, 0]) ** 2 + (P[:, None, 1] - Fm[None, :, 1]) ** 2
+    rows = []
+    for i, p in enumerate(rng_pts):
+        o = np.lexsort((fids, d[i]))[:3]
+        for r, j in enumerate(o):
+            rows.append((p[0], fids[j], r + 1, d[i][j]))
+    exp = pd.DataFrame(rows, columns=["image_id", "neighbor_id", "rank", "dist"])
+    exp = exp.sort_values(["image_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["image_id", "neighbor_id", "rank"]],
+        exp[["image_id", "neighbor_id", "rank"]],
+        check_dtype=False,
+    )
+    assert np.allclose(got["dist"].to_numpy(), exp["dist"].to_numpy())
+    # the broadcast grid path had the same argpartition boundary-tie bug
+    got_b = (
+        knn_join(pts_df, fts_df, k=3, res=4)  # tiny dim -> broadcast path
+        .toPandas().sort_values(["image_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_b[["image_id", "neighbor_id", "rank"]],
+        exp[["image_id", "neighbor_id", "rank"]],
+        check_dtype=False,
+    )
