@@ -1992,6 +1992,54 @@ FROM c
 """
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-corpus preparation as ONE dataflow: quality
+    filter (>= 8 whitespace tokens) -> canonicalized dedup (keep min-id
+    per canonical hash) -> token-budget shard packing. The composition a
+    real pipeline runs nightly; every stage is individually oracle-gated
+    and the composition is too."""
+    from ..operators.dedup import dedup_canonical
+    from ..operators.sampling import token_shard_pack
+    from ..operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    good = docs.filter(token_count(F.col("text")) >= 8)
+    keepers = dedup_canonical(good).select(F.col("keep_id").alias("doc_id"))
+    kept = good.join(keepers, "doc_id", "left_semi")
+    return token_shard_pack(kept)
+
+
+O_CORPUS_PREP = f"""
+WITH good AS (
+  SELECT * FROM documents
+  WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 8
+),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS ch
+        FROM good) t
+  GROUP BY ch
+),
+kept AS (SELECT g.* FROM good g JOIN keep USING (doc_id)),
+d AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         {_o_hex8("md5('pack0' || CAST(doc_id AS VARCHAR))", 1)} % 16 AS bucket
+  FROM kept
+),
+c AS (
+  SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(bucket * 4294967296 + (cum - 1) // 512 AS BIGINT) AS shard_id
+FROM c
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """Set operations (SURVEY.md §2.7): union/intersect/except of the
     nation-key sets of customers and suppliers."""
@@ -2093,6 +2141,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "set_ops": (q_set_ops, O_SET_OPS),
     "token_shard_pack": (q_token_shard_pack, O_TOKEN_SHARD_PACK),
+    "corpus_prep": (q_corpus_prep, O_CORPUS_PREP),
 }
 
 
