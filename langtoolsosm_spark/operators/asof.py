@@ -117,9 +117,16 @@ def asof_join(
     )
     r = r.withColumn("__lp", F.lit(None).cast(lp_ddl))
     u = l.unionByName(r)
+    # third sort key: among right rows sharing (key, ts) the LARGEST
+    # (matched_ts, value...) struct sorts last and wins last() — without
+    # it the pick among exact duplicates would follow shuffle order and
+    # differ across parallelism (SURVEY §7.3 determinism contract)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts").asc(), F.col("__is_r").desc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_r").desc(),
+            F.col("__rv").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w)).filter(

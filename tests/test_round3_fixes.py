@@ -338,3 +338,76 @@ def test_knn_cogroup_annulus_matches_bruteforce_at_dateline_and_poles(spark):
         exp[["image_id", "neighbor_id", "rank"]],
         check_dtype=False,
     )
+
+
+def test_asof_join_duplicate_right_ts_is_deterministic(spark):
+    """Several right rows sharing (key, ts): the pick must be the largest
+    (matched_ts, value) struct — deterministic at any parallelism, not
+    shuffle order."""
+    from langtoolsosm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [10, 20], "x": ["a", "b"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "ts": [10, 10, 10],
+                      "value": [3.0, 9.0, 5.0]})
+    ).repartition(5)
+    for _ in range(3):  # stable across reruns
+        rows = {r["ts"]: r["matched_value"] for r in
+                asof_join(left, right, ["k"]).collect()}
+        assert rows == {10: 9.0, 20: 9.0}
+
+
+def test_hamming_band_pairs_extreme_hash_values(spark):
+    """Sign extension + band masking at the extremes: Long.MIN/MAX, -1, 0
+    — pairs must match a Python popcount brute force exactly."""
+    from langtoolsosm_spark.operators.dedup import hamming_band_pairs
+
+    vals = [
+        (0, -(1 << 63)),          # Long.MIN: top bit only
+        (1, (1 << 63) - 1),       # Long.MAX: all but top bit
+        (2, -1),                  # all 64 bits set
+        (3, 0),
+        (4, -1 - 0b1011),         # a few flips off all-ones
+        (5, 0b1011),              # a few flips off zero
+        (6, -(1 << 63) | 0b1),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(vals, columns=["id", "h"]))
+    got = {
+        (r["id_a"], r["id_b"], r["hamm"])
+        for r in hamming_band_pairs(df, "id", "h", max_hamming=8).collect()
+    }
+    exp = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            hamm = bin((vals[i][1] ^ vals[j][1]) & ((1 << 64) - 1)).count("1")
+            if hamm <= 8:
+                exp.add((vals[i][0], vals[j][0], hamm))
+    assert got == exp
+
+
+def test_salted_left_join_matches_plain_left_join(spark):
+    """Left join through salting: unmatched fact rows null-extend exactly
+    once (dim replicas must not multiply them)."""
+    from langtoolsosm_spark.operators.joins import salted_join
+
+    fact = spark.range(0, 3000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 50).alias("k"),
+    )
+    dim = spark.range(0, 30).select(  # keys 30..49 unmatched
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id")).alias("label")
+    )
+    got = (
+        salted_join(fact, dim, "k", buckets=8, hot_threshold=500, how="left")
+        .toPandas().sort_values("row_id").reset_index(drop=True)
+    )
+    exp = (
+        fact.join(dim, "k", "left").toPandas()
+        .sort_values("row_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["row_id", "k", "label"]], exp[["row_id", "k", "label"]],
+        check_dtype=False,
+    )
