@@ -110,3 +110,28 @@ def token_shard_pack(
         )
         .drop("__cum")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strat_col: str,
+    rates_milli: dict[str, int],
+    default_milli: int = 1000,
+    salt: str = "strat0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the curation knob that keeps
+    100% of rare strata while downsampling dominant ones (rates in milli
+    per stratum value; unlisted strata keep ``default_milli``). The
+    decision is md5(key)-based like ``deterministic_sample``: identical
+    at any parallelism, sticky per key, engine-portable."""
+    for r in list(rates_milli.values()) + [default_milli]:
+        if not 0 <= r <= 1000:
+            raise ValueError("rates are milli (0..1000)")
+    h = _hash32(F.col(key_col), salt)
+    rate = None
+    for sval, r in rates_milli.items():
+        cond = F.col(strat_col) == sval
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default_milli) if rate is not None else F.lit(default_milli)
+    return df.filter(h * 1000 < rate.cast("long") * _SCALE)

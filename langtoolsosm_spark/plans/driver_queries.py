@@ -1992,6 +1992,29 @@ FROM c
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling over documents by source:
+    downsample src0 to 25%, keep src1 whole, others 50%."""
+    from ..operators.sampling import stratified_sample
+
+    return stratified_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        key_col="doc_id",
+        strat_col="source",
+        rates_milli={"src0": 250, "src1": 1000},
+        default_milli=500,
+    ).select("doc_id", "source")
+
+
+O_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE {_o_hex8("md5('strat0' || CAST(doc_id AS VARCHAR))", 1)} * 1000 <
+      (CASE WHEN source = 'src0' THEN 250
+            WHEN source = 'src1' THEN 1000
+            ELSE 500 END) * 4294967296
+"""
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-corpus preparation as ONE dataflow: quality
     filter (>= 8 whitespace tokens) -> canonicalized dedup (keep min-id
@@ -2142,6 +2165,7 @@ REGISTRY: dict[str, tuple] = {
     "set_ops": (q_set_ops, O_SET_OPS),
     "token_shard_pack": (q_token_shard_pack, O_TOKEN_SHARD_PACK),
     "corpus_prep": (q_corpus_prep, O_CORPUS_PREP),
+    "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
 }
 
 

@@ -213,6 +213,17 @@ def test_topk_kernel_plan_has_no_explode_join(spark):
     assert "Window" in plan
 
 
+def test_token_shard_pack_is_one_shuffle_jvm_only(spark):
+    """Shard packing must be pure column arithmetic + ONE bucket-keyed
+    window shuffle — no Python nodes, no global single-partition sort."""
+    from langtoolsosm_spark.operators.sampling import token_shard_pack
+
+    plan = _plan(token_shard_pack(_docs(spark)))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
 def test_jaccard_and_banded_hamming_are_jvm_only(spark):
     from pyspark.sql import functions as F2
 
