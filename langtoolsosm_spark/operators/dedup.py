@@ -348,9 +348,11 @@ def hamming_band_pairs(
             F.struct(
                 F.lit(b).alias("band"),
                 # arithmetic shift sign-extends, but the mask keeps only
-                # the band's own bits, so the top band is still exact
+                # the band's own bits, so the top band is still exact.
+                # A full-width band (max_hamming=0) needs the all-ones
+                # mask spelled as signed -1: (1 << 64) - 1 overflows long
                 F.shiftright(F.col(hash_col), off)
-                .bitwiseAND(F.lit((1 << w) - 1))
+                .bitwiseAND(F.lit(-1 if w >= 64 else (1 << w) - 1))
                 .alias("bkey"),
             )
             for b, (off, w) in enumerate(bands)

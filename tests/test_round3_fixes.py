@@ -411,3 +411,73 @@ def test_salted_left_join_matches_plain_left_join(spark):
         got[["row_id", "k", "label"]], exp[["row_id", "k", "label"]],
         check_dtype=False,
     )
+
+
+def test_pip_join_half_open_edges_and_vertices(spark):
+    """Points EXACTLY on polygon corners and edges: the engine's ray-cast
+    half-open rule must match the documented predicates (south/west edges
+    inclusive, north/east exclusive for axis-aligned rings) — boundary
+    points are where cover-cell classification and the refine kernel can
+    disagree."""
+    from langtoolsosm_spark.operators.pip_join import pip_join
+    from langtoolsosm_spark.plans.driver_queries import geo_polygons_df
+
+    cases = [
+        (0, 36.0, -3.0),   # G1 SW corner -> inside G1
+        (1, 39.0, -3.0),   # G1 NW corner -> north edge excluded
+        (2, 36.0, 1.0),    # G1 SE corner -> east edge excluded
+        (3, 37.0, -3.0),   # G1 west edge -> inside
+        (4, 36.0, 0.0),    # G1 south edge -> inside
+        (5, 39.0, 0.0),    # G1 north edge -> excluded
+        (6, 37.0, 1.0),    # G1 east edge -> excluded
+        (7, 39.5, 1.0),    # G2 SW corner -> inside G2
+        (8, 42.0, 1.0),    # G2 NW corner = G3 interior lat start -> G3 only
+        (9, 42.0, 4.0),    # G5 SW corner -> inside G5
+        (10, 43.0, 6.0),   # G5 notch corner -> inside (lat in [43,44), lon < 6... excluded from upper arm, lon 6 >= 6 not < 6) -> check below
+        (11, 38.0, 38.0),  # far outside everything
+    ]
+    pts = spark.createDataFrame(
+        pd.DataFrame(cases, columns=["image_id", "lat", "lon"])
+    )
+    got = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_join(pts, geo_polygons_df(spark), res=8,
+                          id_col="image_id").collect()
+    }
+
+    def pred(pid, lat, lon):
+        if pid == "G1":
+            return 36.0 <= lat < 39.0 and -3.0 <= lon < 1.0
+        if pid == "G2":
+            return 39.5 <= lat < 42.0 and 1.0 <= lon < 4.0
+        if pid == "G3":
+            return 42.0 <= lat < 44.5 and -2.0 <= lon < 3.0
+        if pid == "G4":
+            return (35.5 <= lat < 40.0 and 4.0 <= lon
+                    and lon < 9.0 + (lat - 35.5) * (4.0 - 9.0) / (40.0 - 35.5))
+        if pid == "G5":
+            return (42.0 <= lat < 43.0 and 4.0 <= lon < 8.0) or (
+                43.0 <= lat < 44.0 and 4.0 <= lon < 6.0)
+        return False
+
+    exp = {
+        (i, pid)
+        for (i, lat, lon) in cases
+        for pid in ("G1", "G2", "G3", "G4", "G5")
+        if pred(pid, lat, lon)
+    }
+    assert got == exp
+
+
+def test_hamming_band_pairs_zero_distance_single_band(spark):
+    """max_hamming=0 -> one 64-bit band; only exact-equal hashes pair."""
+    from langtoolsosm_spark.operators.dedup import hamming_band_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1, 2, 3], "h": [7, 7, -7, 6]})
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamm"])
+        for r in hamming_band_pairs(df, "id", "h", max_hamming=0).collect()
+    }
+    assert got == {(0, 1, 0)}
