@@ -46,11 +46,21 @@ def interval_join(
     qualifying pair matches exactly one bucket offset -> no dedup needed.
     Returns left/right ts + all key cols + dt = left_ts - right_ts.
     """
+    def floor_div(col: str) -> F.Column:
+        # exact integer floor division: floor(ts / D) via double division
+        # silently misbuckets timestamps above 2^53 (ns epochs) — the
+        # double cast drops low bits and a boundary pair can land 2
+        # buckets apart, past the +-1 probe. div() on the pmod-adjusted
+        # numerator stays in long arithmetic and is exact at any
+        # magnitude (and correct for negative ts, where truncation alone
+        # would round the wrong way).
+        return F.expr(f"div(`{col}` - pmod(`{col}`, {max_dt}), {max_dt})")
+
     r = right.select(
         *key_cols,
         *[F.col(c).alias(f"right_{c}") for c in right_cols],
         F.col(right_ts).alias("__rts"),
-        F.floor(F.col(right_ts) / max_dt).alias("__b"),
+        floor_div(right_ts).alias("__b"),
     )
     l = left.select(
         *key_cols,
@@ -58,10 +68,7 @@ def interval_join(
         F.col(left_ts).alias("__lts"),
         F.explode(
             F.array(
-                *[
-                    (F.floor(F.col(left_ts) / max_dt) + o).cast("long")
-                    for o in (-1, 0, 1)
-                ]
+                *[(floor_div(left_ts) + o).cast("long") for o in (-1, 0, 1)]
             )
         ).alias("__b"),
     )

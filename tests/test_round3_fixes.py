@@ -481,3 +481,27 @@ def test_hamming_band_pairs_zero_distance_single_band(spark):
         for r in hamming_band_pairs(df, "id", "h", max_hamming=0).collect()
     }
     assert got == {(0, 1, 0)}
+
+
+def test_interval_join_exact_at_ns_scale_and_negative_ts(spark):
+    """Bucketing must be exact integer floor division: nanosecond-scale
+    epochs (> 2^53, where double division drops low bits) and negative
+    timestamps must pair exactly like a brute-force reference."""
+    from langtoolsosm_spark.operators.asof import interval_join
+
+    base = 1 << 60
+    lts = [base + d for d in (0, 5, 9, 10, 11, 999_999)] + [-5, -3, 0]
+    rts = [base + d for d in (1, 10, 21, 1_000_000)] + [-4, 2]
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "ts": pd.Series(lts, dtype="int64")})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": 1, "ts": pd.Series(rts, dtype="int64")})
+    )
+    D = 10
+    got = {
+        (r["left_ts"], r["right_ts"])
+        for r in interval_join(left, right, ["k"], max_dt=D).collect()
+    }
+    exp = {(a, b) for a in lts for b in rts if abs(a - b) <= D}
+    assert got == exp
