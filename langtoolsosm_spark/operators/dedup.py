@@ -425,3 +425,54 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return acc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def word_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ng): DISTINCT word n-grams per document — JVM-side
+    (split + sequence + slice + array_join, no UDF). Documents shorter
+    than ``n`` words emit nothing."""
+    words = F.split(F.col(text_col), " ")
+    idxs = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idxs, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return docs.select(F.col(id_col), F.explode(grams).alias("ng")).distinct()
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per eval document, how many of its
+    distinct word n-grams appear anywhere in the training corpus (the
+    standard n-gram-overlap leak check run before training). Returns
+    (id, n_shared_ngrams, contaminated) for EVERY eval doc, zero-filled.
+
+    Scale shape: both sides reduce to distinct (doc, ngram) postings; the
+    train side further collapses to a distinct ngram set, so the overlap
+    is one equi-join on the ngram hash + one count per eval doc — never a
+    doc-by-doc comparison. The train ngram set shuffles by ngram (its
+    size is bounded by corpus vocabulary of n-grams, and the join key is
+    content — AQE/broadcast applies when eval is small)."""
+    tr = word_ngrams(train, n, text_col, id_col).select("ng").distinct()
+    ev = word_ngrams(eval_docs, n, text_col, id_col)
+    hits = (
+        ev.join(tr, "ng", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+    return (
+        eval_docs.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

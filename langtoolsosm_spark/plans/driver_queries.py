@@ -1992,6 +1992,46 @@ FROM c
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: word-5-gram overlap of each held-out
+    eval doc (doc_id % 10 = 0) against the training corpus (the rest) —
+    the standard pre-training leak check, as one ngram equi-join."""
+    from ..operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=5,
+    )
+
+
+O_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tr AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS ng
+  FROM w JOIN generate_series(1, 8192) t(i) ON i <= len(ws) - 4
+  WHERE doc_id % 10 <> 0
+),
+ev AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS ng
+  FROM w JOIN generate_series(1, 8192) t(i) ON i <= len(ws) - 4
+  WHERE doc_id % 10 = 0
+),
+agg AS (
+  SELECT e.doc_id, count(*) AS n_shared
+  FROM ev e JOIN tr USING (ng)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       CAST(COALESCE(a.n_shared, 0) > 0 AS INT) AS contaminated
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling over documents by source:
     downsample src0 to 25%, keep src1 whole, others 50%."""
@@ -2166,6 +2206,7 @@ REGISTRY: dict[str, tuple] = {
     "token_shard_pack": (q_token_shard_pack, O_TOKEN_SHARD_PACK),
     "corpus_prep": (q_corpus_prep, O_CORPUS_PREP),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
+    "decontaminate": (q_decontaminate, O_DECONTAMINATE),
 }
 
 
