@@ -476,3 +476,77 @@ def contamination_check(
             (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def hamming_cross_contamination(
+    train: DataFrame,
+    eval_rows: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 10,
+    n_hash_bits: int = 64,
+) -> DataFrame:
+    """Visual decontamination: per eval row, how many TRAIN rows sit
+    within ``max_hamming`` bits of its perceptual hash (near-duplicate
+    images leaking from eval sets into training data). Same pigeonhole
+    banding as ``hamming_band_pairs`` but across two corpora: both sides
+    band their hash into (max_hamming + 1) disjoint bit ranges, candidates
+    come from the (band, bits) equi-join, and bit_count(xor) rescores
+    exactly. Returns (id, n_train_neardups, min_hamming, contaminated)
+    for EVERY eval row, zero-filled (min_hamming null when clean)."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(n_hash_bits, n_bands)
+    bands: list[tuple[int, int]] = []
+    off = 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        bands.append((off, w))
+        off += w
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), off)
+                .bitwiseAND(F.lit(-1 if w >= 64 else (1 << w) - 1))
+                .alias("bkey"),
+            )
+            for b, (off, w) in enumerate(bands)
+        ]
+    )
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(hash_col).alias(f"{prefix}_h"),
+            F.explode(entries).alias("__e"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_h",
+            F.col("__e.band").alias("__band"),
+            F.col("__e.bkey").alias("__bkey"),
+        )
+
+    hits = (
+        keyed(eval_rows, "ev")
+        .join(keyed(train, "tr"), ["__band", "__bkey"])
+        .withColumn("hamm", F.bit_count(F.col("ev_h").bitwiseXOR(F.col("tr_h"))))
+        .filter(F.col("hamm") <= max_hamming)
+        .select("ev_id", "tr_id", "hamm")
+        .distinct()  # a true pair can match in several bands
+        .groupBy("ev_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_neardups"),
+            F.min("hamm").cast("int").alias("min_hamming"),
+        )
+    )
+    return (
+        eval_rows.select(F.col(id_col).alias("ev_id"))
+        .distinct()
+        .join(hits, "ev_id", "left")
+        .select(
+            F.col("ev_id").alias(id_col),
+            F.coalesce("n_train_neardups", F.lit(0)).alias("n_train_neardups"),
+            "min_hamming",
+            (F.coalesce("n_train_neardups", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -2408,8 +2408,46 @@ FROM img a JOIN img b USING (tile)
 WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 12
 """
 
+def q_images_decontaminate(spark, sf_dir):
+    """Visual decontamination over the image table: per eval image (first
+    md5(image_id) hex digit = '0', ~1/16 of rows), count train images
+    within 10 pHash bits — banded cross-corpus join + exact rescore; the
+    oracle keeps the quadratic formulation as the spec."""
+    from ..operators.dedup import hamming_cross_contamination
+
+    img = _synth_images(spark, sf_dir).select("image_id", "phash")
+    is_eval = F.substring(F.md5("image_id"), 1, 1) == "0"
+    return hamming_cross_contamination(
+        img.filter(~is_eval), img.filter(is_eval), "image_id", "phash",
+        max_hamming=10,
+    )
+
+
+O_IMAGES_DECON = f"""
+WITH img AS (
+  SELECT image_id, phash, substr(md5(image_id), 1, 1) = '0' AS is_eval
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+agg AS (
+  SELECT e.image_id, count(*) AS n_nd,
+         CAST(min(bit_count(xor(e.phash, t.phash))) AS INT) AS min_hamming
+  FROM img e JOIN img t ON NOT t.is_eval
+   AND bit_count(xor(e.phash, t.phash)) <= 10
+  WHERE e.is_eval
+  GROUP BY 1
+)
+SELECT d.image_id,
+       CAST(COALESCE(a.n_nd, 0) AS BIGINT) AS n_train_neardups,
+       a.min_hamming,
+       CAST(COALESCE(a.n_nd, 0) > 0 AS INT) AS contaminated
+FROM (SELECT image_id FROM img WHERE is_eval) d
+LEFT JOIN agg a USING (image_id)
+"""
+
+
 REGISTRY.update(
     {
+        "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),
         "flatten_distinct": (q_flatten_distinct, O_FLATTEN_DISTINCT),
