@@ -505,3 +505,52 @@ def test_interval_join_exact_at_ns_scale_and_negative_ts(spark):
     }
     exp = {(a, b) for a in lts for b in rts if abs(a - b) <= D}
     assert got == exp
+
+
+def test_tile_key_boundary_coords_match_oracle_sql(spark):
+    """lat = +-90 and lon = +-180 exactly: the engine clip must agree
+    with the oracle's least/greatest clip at every resolution used."""
+    import duckdb
+
+    from langtoolsosm_spark.functions.cells import tile_key_col
+    from langtoolsosm_spark.plans.driver_queries import _tile_sql
+
+    cases = [(90.0, 180.0), (-90.0, -180.0), (90.0, -180.0), (-90.0, 180.0),
+             (0.0, 0.0), (89.999999, 179.999999), (-89.999999, -179.999999)]
+    df = spark.createDataFrame(pd.DataFrame(cases, columns=["lat", "lon"]))
+    for res in (5, 8, 14):
+        got = [
+            r["t"] for r in df.select(
+                tile_key_col(F.col("lat"), F.col("lon"), res).alias("t")
+            ).collect()
+        ]
+        con = duckdb.connect()
+        exp = [
+            con.execute(
+                f"SELECT {_tile_sql(res)} FROM (SELECT ? AS lat, ? AS lon)",
+                [la, lo],
+            ).fetchone()[0]
+            for la, lo in cases
+        ]
+        assert got == exp, f"res={res}"
+
+
+def test_adaptive_split_degenerate_configs(spark):
+    """max_res == base_res (no recursion possible) and an all-one-cell
+    input: every row must still get exactly one assignment at a res
+    within bounds."""
+    from langtoolsosm_spark.operators.tiling import adaptive_split
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0001 + i * 1e-7 for i in range(50)],
+                      "lon": [20.0001] * 50})
+    )
+    same = adaptive_split(pts, base_res=6, max_rows=5, max_res=6).toPandas()
+    assert len(same) == 50 and (same["acell_res"] == 6).all()
+    deep = adaptive_split(pts, base_res=6, max_rows=5, max_res=18).toPandas()
+    assert len(deep) == 50
+    assert deep["acell_res"].between(6, 18).all()
+    # dense identical-ish points: the split must have recursed past base
+    assert (deep["acell_res"] > 6).any()
+    with pytest.raises(ValueError):
+        adaptive_split(pts, base_res=8, max_rows=5, max_res=7)
