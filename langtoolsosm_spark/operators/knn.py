@@ -138,6 +138,35 @@ def _empty_out() -> pd.DataFrame:
     )
 
 
+def _stable_topk(d: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row top-``kk`` of a distance matrix under the
+    (value, column-position) total order. Fast path: argpartition +
+    lexsort of the selected block (columns are fid-sorted, so position is
+    the id tie-break). A full stable argsort everywhere would be exact
+    too but costs ~log(m) more comparisons — measured as a 1.5x flagship
+    kNN regression — so rows whose kk-th value also occurs OUTSIDE the
+    partition selection (the only case argpartition can get wrong: a
+    boundary tie dropping a smaller-position candidate) are detected with
+    one equality pass and re-sorted stably individually."""
+    n, m = d.shape
+    if kk >= m:
+        isort = np.argsort(d, axis=1, kind="stable")
+        return isort, np.take_along_axis(d, isort, axis=1)
+    idx = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+    dsel = np.take_along_axis(d, idx, axis=1)
+    srt = np.lexsort((idx, dsel))
+    isort = np.take_along_axis(idx, srt, axis=1)
+    dsort = np.take_along_axis(dsel, srt, axis=1)
+    thresh = dsort[:, -1]
+    n_eq_total = (d == thresh[:, None]).sum(axis=1)
+    n_eq_sel = (dsort == thresh[:, None]).sum(axis=1)
+    for r in np.flatnonzero(n_eq_total > n_eq_sel):
+        o = np.argsort(d[r], kind="stable")[:kk]
+        isort[r] = o
+        dsort[r] = d[r][o]
+    return isort, dsort
+
+
 def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
     """Cogroup kernel: per cell, chunked distance matrix -> per-point
     top-k, MERGED with each point's carried partial top-k (``__cids`` /
@@ -181,12 +210,10 @@ def _topk_kernel(k: int, metric: str, bound: float | None, chunk: int = 4096):
                     d = geo.haversine_m(
                         plat[:, None], plon[:, None], flat[None, :], flon[None, :]
                     )
-                # stable argsort of the fid-sorted candidates IS the
-                # (dist, then fid) order — and unlike argpartition it
-                # never drops an equal-distance smaller-id candidate at
-                # the kk boundary (exact coordinate duplicates tie)
-                isort = np.argsort(d, axis=1, kind="stable")[:, :kk]
-                dsort = np.take_along_axis(d, isort, axis=1)
+                # exact (dist, fid) order incl. boundary ties (columns
+                # are fid-sorted) — argpartition fast path + per-row
+                # stable fallback on detected boundary ties
+                isort, dsort = _stable_topk(d, kk)
             if has_carry:
                 car_i = sub["__cids"].to_numpy()
                 car_d = sub["__cds"].to_numpy()
@@ -346,10 +373,9 @@ def _grid_topk(
         else:
             d = geo.haversine_m(plat[sel][:, None], plon[sel][:, None], cl[None, :], co[None, :])
         kk2 = min(k, len(cf))
-        # stable argsort = (dist, fid) order incl. boundary ties (cf is
-        # index- = fid-sorted); argpartition would drop tied smaller ids
-        isort = np.argsort(d, axis=1, kind="stable")[:, :kk2]
-        dsort = np.take_along_axis(d, isort, axis=1)
+        # exact (dist, fid) order incl. boundary ties (cf is index- =
+        # fid-sorted): argpartition fast path + stable fallback
+        isort, dsort = _stable_topk(d, kk2)
         if bound is None:
             ok = np.ones(len(sel), dtype=bool)
         else:
