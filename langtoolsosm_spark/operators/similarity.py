@@ -542,3 +542,59 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+def embedding_contamination(
+    train: DataFrame,
+    eval_vecs: DataFrame,
+    threshold_q: int = 320_000,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: per eval vector, how many TRAIN
+    vectors exceed ``threshold_q`` quantized cosine similarity — the
+    semantic leak check that catches paraphrased/near-duplicate eval
+    items exact n-gram matching misses. Candidates are restricted to
+    shared sign-LSH buckets across the two corpora (the deterministic
+    spec, mirrored by the oracle) and rescored with the exact integer
+    dot. Returns (id, n_train_neardups, max_dot, contaminated) for EVERY
+    eval vector, zero-filled (max_dot null when clean)."""
+    tr = sign_lsh_buckets(train, n_tables, n_bits, dim, id_col, vec_col).select(
+        F.col(id_col).alias("tr_id"), "table", "bucket"
+    )
+    ev = sign_lsh_buckets(eval_vecs, n_tables, n_bits, dim, id_col, vec_col).select(
+        F.col(id_col).alias("ev_id"), "table", "bucket"
+    )
+    cand = ev.join(tr, ["table", "bucket"]).select("ev_id", "tr_id").distinct()
+    va = eval_vecs.select(F.col(id_col).alias("ev_id"), F.col(vec_col).alias("__ea"))
+    vb = train.select(F.col(id_col).alias("tr_id"), F.col(vec_col).alias("__eb"))
+    dot = F.aggregate(
+        F.zip_with("__ea", "__eb", lambda x, y: _quantize(x) * _quantize(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    hits = (
+        cand.join(va, "ev_id")
+        .join(vb, "tr_id")
+        .withColumn("dot", dot)
+        .filter(F.col("dot") >= threshold_q)
+        .groupBy("ev_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_neardups"),
+            F.max("dot").alias("max_dot"),
+        )
+    )
+    return (
+        eval_vecs.select(F.col(id_col).alias("ev_id"))
+        .distinct()
+        .join(hits, "ev_id", "left")
+        .select(
+            F.col("ev_id").alias(id_col),
+            F.coalesce("n_train_neardups", F.lit(0)).alias("n_train_neardups"),
+            "max_dot",
+            (F.coalesce("n_train_neardups", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -1813,6 +1813,74 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot FROM ranked WHERE r
 """
 
 
+def q_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: per eval vector (vec_id % 10 = 0)
+    count train vectors above quantized cosine 0.32, candidates
+    restricted to shared sign-LSH buckets (the deterministic spec) with
+    exact integer-dot rescore; completes the text/image/embedding
+    decontamination trio."""
+    from ..operators.similarity import embedding_contamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_contamination(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+    )
+
+
+def _o_embedding_decon(threshold_q: int = 320_000, n_tables: int = 4, n_bits: int = 6, dim: int = 64) -> str:
+    from ..operators.similarity import lsh_sign
+
+    signs_vals = ", ".join(
+        f"({t}, {b}, {d}, {lsh_sign(t, b, d)})"
+        for t in range(n_tables)
+        for b in range(n_bits)
+        for d in range(dim)
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+signs(tbl, b, d, s) AS (VALUES {signs_vals}),
+proj AS (
+  SELECT f.vec_id, s.tbl, s.b, sum(f.xq * s.s) AS dot
+  FROM flat f JOIN signs s USING (d)
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl, CAST(sum(CASE WHEN dot > 0 THEN (1 << b) ELSE 0 END) AS INT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT e.vec_id AS ev_id, t.vec_id AS tr_id
+  FROM buckets e JOIN buckets t ON e.tbl = t.tbl AND e.bucket = t.bucket
+  WHERE e.vec_id % 10 = 0 AND t.vec_id % 10 <> 0
+),
+dots AS (
+  SELECT c.ev_id, c.tr_id, CAST(sum(fe.xq * ft.xq) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat fe ON fe.vec_id = c.ev_id
+  JOIN flat ft ON ft.vec_id = c.tr_id AND ft.d = fe.d
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT ev_id, count(*) AS n_nd, max(dot) AS max_dot
+  FROM dots WHERE dot >= {threshold_q} GROUP BY 1
+)
+SELECT d.vec_id,
+       CAST(COALESCE(a.n_nd, 0) AS BIGINT) AS n_train_neardups,
+       a.max_dot,
+       CAST(COALESCE(a.n_nd, 0) > 0 AS INT) AS contaminated
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 10 = 0) d
+LEFT JOIN agg a ON a.ev_id = d.vec_id
+"""
+
+
+O_EMBEDDING_DECON = _o_embedding_decon()
+
+
 def q_embedding_ivf_lloyd(spark, sf_dir):
     """IVF ANN over Lloyd-REFINED coarse lists: two integer-arithmetic
     k-means rounds from the deterministic seeds, then nprobe probing +
@@ -2207,6 +2275,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_prep": (q_corpus_prep, O_CORPUS_PREP),
     "stratified_sample": (q_stratified_sample, O_STRATIFIED_SAMPLE),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
+    "embedding_decontaminate": (q_embedding_decontaminate, O_EMBEDDING_DECON),
 }
 
 
