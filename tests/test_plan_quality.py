@@ -242,3 +242,40 @@ def test_jaccard_and_banded_hamming_are_jvm_only(spark):
     )
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
     assert "CartesianProduct" not in plan2
+
+
+def test_decontamination_plans_are_jvm_keyed_joins(spark):
+    """All three decontamination ops must be keyed joins over JVM-side
+    feature extraction — no Python eval nodes, no cartesian products."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.dedup import (
+        contamination_check,
+        hamming_cross_contamination,
+    )
+    from langtoolsosm_spark.operators.similarity import embedding_contamination
+
+    docs = _docs(spark)
+    p1 = _plan(contamination_check(docs, docs.limit(10), n=3))
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("doc_id") * 2654435761 % 9223372036854775783).alias("phash"),
+    )
+    p2 = _plan(
+        hamming_cross_contamination(imgs, imgs.limit(10), "image_id", "phash")
+    )
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(60),
+                "embedding": [
+                    [((i * 13 + d * 5) % 9 - 4) / 4.0 for d in range(64)]
+                    for i in range(60)
+                ],
+            }
+        )
+    )
+    p3 = _plan(embedding_contamination(emb, emb.limit(10)))
+    for plan in (p1, p2, p3):
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
