@@ -145,20 +145,24 @@ def main():
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     t0 = time.time()
     # exact baseline computed ONCE via the broadcast kernel (the explode
-    # -join formulation is the oracle spec only) and reused by both recalls
+    # -join formulation is the oracle spec only) and reused by all recalls
+    fam_sec: dict[str, float] = {}
     exact = topk_dot_kernel(emb).select("query_id", "neighbor_id").persist()
     n_true = exact.count()
+    fam_sec["exact_baseline"] = round(time.time() - t0, 3)
 
-    def recall(approx):
+    def recall(name, approx):
+        t1 = time.time()
         n_hit = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"],
             "left_semi",
         ).count()
+        fam_sec[name] = round(time.time() - t1, 3)
         return round(n_hit / n_true, 3) if n_true else 0.0
 
-    ann_recall = recall(ann_lsh_topk(emb))
-    ivf_recall = recall(ivf_ann_topk(emb))
-    ivf_lloyd_recall = recall(ivf_lloyd_ann_topk(emb, nprobe=4))
+    ann_recall = recall("lsh", ann_lsh_topk(emb))
+    ivf_recall = recall("ivf", ivf_ann_topk(emb))
+    ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb, nprobe=4))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -175,6 +179,10 @@ def main():
         "ann_recall_at_5": ann_recall,
         "ivf_recall_at_5": ivf_recall,
         "ivf_lloyd_recall_at_5_nprobe4": ivf_lloyd_recall,
+        # per-family breakdown of ann_recall_check (most of the LSH cost
+        # is fixed Catalyst planning of the 1,536-literal projection
+        # trees — it amortizes at scale)
+        "ann_family_sec": fam_sec,
         "cpus": cpus,
     }
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes
