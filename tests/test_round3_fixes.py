@@ -554,3 +554,68 @@ def test_adaptive_split_degenerate_configs(spark):
     assert (deep["acell_res"] > 6).any()
     with pytest.raises(ValueError):
         adaptive_split(pts, base_res=8, max_rows=5, max_res=7)
+
+
+def test_ivf_lloyd_survives_vanishing_centroids(spark):
+    """Seed vectors that attract no members after a round simply vanish
+    from the centroid table (both engines drop them via the inner join);
+    the refined ANN must still answer with full top-k."""
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_lloyd_ann_topk,
+        ivf_train_lloyd,
+    )
+
+    # 4 seed ids but only 2 distinct locations -> duplicated seeds starve
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(200),
+                "embedding": [
+                    [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+                    for i in range(200)
+                ],
+            }
+        )
+    )
+    cents = ivf_train_lloyd(emb, n_centroids=4, iters=2, vec_col="embedding")
+    n_cents = cents.count()
+    assert 1 <= n_cents <= 4  # duplicates may starve seeds; never grows
+    out = ivf_lloyd_ann_topk(emb, k=3, n_centroids=4, nprobe=2).toPandas()
+    assert (out.groupby("query_id")["rank"].max() == 3).all()
+
+
+def test_snapshot_read_range_after_overwrite_uses_new_stats(spark, tmp_path):
+    """An overwrite resets the live file set; range reads must prune by
+    the NEW files' stats and never resurrect dropped files."""
+    from langtoolsosm_spark.sources.snapshots import SnapshotTable, write_partitioned
+
+    table = SnapshotTable(str(tmp_path / "snap_ow"))
+    old = spark.range(0, 800).select(
+        F.col("id").alias("row_id"), (F.col("id") % 8).alias("tile")
+    )
+    write_partitioned(old, table, "tile", stats_col="tile")
+    new = spark.range(0, 400).select(
+        (F.col("id") + 10_000).alias("row_id"), (F.col("id") % 4 + 2).alias("tile")
+    )
+
+    def _overwrite():
+        # emulate an overwrite commit: write files then commit op=overwrite
+        import glob
+        import os as _os
+
+        before = set(_os.path.basename(p) for p in glob.glob(f"{table.data_dir}/*"))
+        write_partitioned(new, table, "tile", stats_col="tile")
+        snaps = table.snapshots()
+        last = snaps[-1]
+        table.commit(
+            files=last["files"], lineage=last["lineage"],
+            summary={"comment": "compact"}, operation="overwrite",
+        )
+        return before
+
+    _overwrite()
+    files = table.pruned_files("tile", 2, 3)
+    assert len(files) == 2  # tiles 2 and 3 of the NEW write only
+    got = table.read_range(spark, "tile", 2, 3)
+    assert got.count() == new.filter(F.col("tile").between(2, 3)).count()
+    assert got.filter(F.col("row_id") < 10_000).count() == 0
