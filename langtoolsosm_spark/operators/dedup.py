@@ -237,7 +237,17 @@ def dedup_clusters(
     each round localCheckpoints so lineage does not stack. Deterministic:
     min() has no ties to break. Raises if ``max_iter`` rounds pass without
     convergence rather than returning silently-wrong cluster ids.
+
+    The changed-label count rides the SAME job as the label update (an
+    ``Observation`` on the checkpoint materialization) — one Spark action
+    per round, not a separate ``count()`` per round. Convergence needs
+    one verification round after the last change, so ``max_iter`` must
+    exceed the true convergence round count by 1.
     """
+    from pyspark.sql import Observation
+
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -276,17 +286,25 @@ def dedup_clusters(
                 "lbl",
             )
         )
-        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        # the observe node sits UNDER the checkpoint's select, so the
+        # eager materialization is the only action of the round and the
+        # changed-count falls out of it for free
+        obs = Observation()
         labels = (
-            new_labels.select("id", F.col("new_lbl").alias("lbl"))
+            new_labels.observe(
+                obs, F.sum((F.col("new_lbl") != F.col("lbl")).cast("long")).alias("changed")
+            )
+            .select("id", F.col("new_lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        changed = int(obs.get["changed"] or 0)
         if changed == 0:
             break
     if changed != 0:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter"
+            f"dedup_clusters did not converge within {max_iter} rounds "
+            f"(last round changed {changed} labels); allow at least one "
+            "more round than the expected convergence count"
         )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

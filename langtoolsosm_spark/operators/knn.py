@@ -100,7 +100,12 @@ def _explode_feature_disk(
         offs = np.arange(-radius, radius + 1, dtype=np.int64)
         dx, dy = np.meshgrid(offs, offs, indexing="ij")
         dx, dy = dx.ravel(), dy.ravel()
-        wrap_dx = np.minimum(np.abs(dx), n - np.abs(dx))
+        # true modular wrap distance: min(|dx|, n - |dx|) alone goes
+        # NEGATIVE once |dx| > n (possible if a radius schedule ever
+        # exceeds the grid), collapsing cheb to |dy| and double-emitting
+        # cells across annulus rounds — reduce mod n first
+        adx = np.abs(dx) % n
+        wrap_dx = np.minimum(adx, n - adx)
         cheb = np.maximum(wrap_dx, np.abs(dy))
         ring = (cheb > min_radius) & (cheb <= radius)
         dx, dy = dx[ring], dy[ring]

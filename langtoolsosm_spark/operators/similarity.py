@@ -57,12 +57,13 @@ def topk_dot_kernel(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_rows: int = 65_536,
 ) -> DataFrame:
     """Exact top-k neighbors by quantized dot product — the scale-safe
     plan. Bit-identical to ``topk_dot`` (same quantization, same
     (dot desc, id asc) total order; the dimension-explode SQL formulation
-    stays the DuckDB oracle spec) but executes as ONE ``mapInPandas``
-    pass over the corpus with the query matrix broadcast: per-partition
+    stays the DuckDB oracle spec) but executes as ``mapInPandas``
+    passes over the corpus with the query matrix broadcast: per-partition
     NumPy dot products + partial top-k, then a k-row-per-query global
     merge. The explode-join formulation materializes
     |queries| x |corpus| x dim rows into a shuffle — a factored cross
@@ -75,10 +76,19 @@ def topk_dot_kernel(
     (via float64 matmul when magnitudes stay under 2^53 — exact — else
     int64).
 
-    The query side is collected to the driver: bounded by design (query
-    sets are small relative to the corpus; at 100 TB you'd shard the
-    query set and union — each shard is one broadcast).
+    The query side is driver-collected, but gated by a count first (the
+    ``dedup_apply`` pattern): above ``shard_rows`` queries it is
+    processed in ``ceil(n / shard_rows)`` deterministic id-sharded
+    chunks (``pmod(id, n_shards)``), each its own bounded broadcast —
+    driver and executor memory never hold more than one shard's matrix
+    at a time, because every shard's partial result is materialized
+    (eager localCheckpoint) before its broadcast is destroyed. The
+    union of per-shard partials feeds one global merge; shards partition
+    the query set, so the result is the byte-exact union of per-shard
+    exact answers.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -89,61 +99,82 @@ def topk_dot_kernel(
     )
     if queries is None:
         qsrc = qsrc.filter(F.col("__cid") % 50 == 0)
-    q_pdf = qsrc.toPandas().sort_values("__cid", kind="stable")
-    qids = q_pdf["__cid"].to_numpy(np.int64)
-    Q = (
-        np.array(q_pdf["__q"].tolist(), dtype=np.int64)
-        if len(q_pdf)
-        else np.zeros((0, 1), dtype=np.int64)
-    )
-    bc = emb.sparkSession.sparkContext.broadcast((qids, Q))
+    n_q = qsrc.count()
+    n_shards = max(1, math.ceil(n_q / shard_rows))
     NEG = np.iinfo(np.int64).min
 
-    def run(batches):
-        qids, Q = bc.value
-        nq, dim = Q.shape
-        qmax = int(np.abs(Q).max()) if Q.size else 0
-        for pdf in batches:
-            nb = len(pdf)
-            if nb == 0 or nq == 0:
-                continue
-            cid = pdf["__cid"].to_numpy(np.int64)
-            X = np.array(pdf["__q"].tolist(), dtype=np.int64)
-            xmax = int(np.abs(X).max()) if X.size else 0
-            # float64 matmul (BLAS) is exact while every product and the
-            # running sum stay under 2^53; fall back to int64 otherwise
-            if qmax * xmax * dim < (1 << 53):
-                D = (Q.astype(np.float64) @ X.T.astype(np.float64)).astype(np.int64)
-            else:
-                D = Q @ X.T
-            D[qids[:, None] == cid[None, :]] = NEG  # never match self
-            kk = min(k, nb)
-            out_q, out_n, out_d = [], [], []
-            for qi in range(nq):
-                row = D[qi]
-                # exact partial top-k under (dot desc, id asc): keep every
-                # boundary tie, then settle ties by id before truncating
-                thresh = np.partition(row, nb - kk)[nb - kk]
-                keep = np.flatnonzero(row >= thresh)
-                keep = keep[np.lexsort((cid[keep], -row[keep]))][:kk]
-                keep = keep[row[keep] != NEG]
-                out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
-                out_n.append(cid[keep])
-                out_d.append(row[keep])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "dot": np.concatenate(out_d),
-                }
-            )
+    def make_run(bc):
+        def run(batches):
+            qids, Q = bc.value
+            nq, dim = Q.shape
+            qmax = int(np.abs(Q).max()) if Q.size else 0
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0 or nq == 0:
+                    continue
+                cid = pdf["__cid"].to_numpy(np.int64)
+                X = np.array(pdf["__q"].tolist(), dtype=np.int64)
+                xmax = int(np.abs(X).max()) if X.size else 0
+                # float64 matmul (BLAS) is exact while every product and
+                # the running sum stay under 2^53; else int64
+                if qmax * xmax * dim < (1 << 53):
+                    D = (Q.astype(np.float64) @ X.T.astype(np.float64)).astype(np.int64)
+                else:
+                    D = Q @ X.T
+                D[qids[:, None] == cid[None, :]] = NEG  # never match self
+                kk = min(k, nb)
+                out_q, out_n, out_d = [], [], []
+                for qi in range(nq):
+                    row = D[qi]
+                    # exact partial top-k under (dot desc, id asc): keep
+                    # every boundary tie, settle ties by id, then truncate
+                    thresh = np.partition(row, nb - kk)[nb - kk]
+                    keep = np.flatnonzero(row >= thresh)
+                    keep = keep[np.lexsort((cid[keep], -row[keep]))][:kk]
+                    keep = keep[row[keep] != NEG]
+                    out_q.append(np.full(len(keep), qids[qi], dtype=np.int64))
+                    out_n.append(cid[keep])
+                    out_d.append(row[keep])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "dot": np.concatenate(out_d),
+                    }
+                )
 
-    part = corpus.mapInPandas(run, schema="query_id long, neighbor_id long, dot long")
+        return run
+
+    parts = []
+    for s in range(n_shards):
+        shard = qsrc if n_shards == 1 else qsrc.filter(
+            F.pmod(F.col("__cid"), F.lit(n_shards)) == s
+        )
+        q_pdf = shard.toPandas().sort_values("__cid", kind="stable")
+        qids = q_pdf["__cid"].to_numpy(np.int64)
+        Q = (
+            np.array(q_pdf["__q"].tolist(), dtype=np.int64)
+            if len(q_pdf)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        bc = emb.sparkSession.sparkContext.broadcast((qids, Q))
+        part = corpus.mapInPandas(
+            make_run(bc), schema="query_id long, neighbor_id long, dot long"
+        )
+        # materialize the <= k x partitions partial winners, then release
+        # the shard's broadcast — nothing downstream re-reads it, and a
+        # long-lived session doesn't accumulate query-matrix copies
+        part = part.localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
     return (
-        part.withColumn("rank", F.row_number().over(w).cast("int"))
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
@@ -205,6 +236,93 @@ def sign_lsh_buckets(
         F.col(id_col),
         F.col(vec_col),
         F.posexplode(F.array(*bucket_exprs)).alias("table", "bucket"),
+    )
+
+
+def sign_lsh_buckets_kernel(
+    emb: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table, bucket): bit-identical buckets to ``sign_lsh_buckets``
+    computed by a broadcast sign matrix + ``mapInPandas`` NumPy kernel
+    instead of column expressions.
+
+    The expression form embeds n_tables x n_bits x dim sign literals into
+    the plan — 1,536 nodes at dim=64 (fine), ~150k at real embedding dims
+    (768-1536), where Catalyst planning of the literal trees, not
+    execution, becomes the bottleneck. Here the plan carries ONE
+    mapInPandas node regardless of dim; the (T*B, dim) ±1 matrix ships as
+    a broadcast. Quantization stays JVM-side (``F.transform`` +
+    ``_quantize``) for byte-exact oracle parity; the matmul is exact
+    float64 BLAS while magnitudes stay under 2^53, else int64 — the
+    ``topk_dot_kernel`` discipline. The expression form remains the
+    DuckDB oracle spec; parity at dim=64 is regression-tested."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [
+            [lsh_sign(t, b, d) for d in range(dim)]
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.int64,
+    )
+    pw = 1 << np.arange(n_bits, dtype=np.int64)
+    qv = emb.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: _quantize(x)).alias("__xq"),
+    )
+    bc = emb.sparkSession.sparkContext.broadcast(S)
+
+    def run(batches):
+        S = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+            xmax = int(np.abs(X).max()) if X.size else 0
+            if xmax * dim < (1 << 53):
+                D = (X.astype(np.float64) @ S.T.astype(np.float64)).astype(np.int64)
+            else:
+                D = X @ S.T
+            bits = (D > 0).astype(np.int64).reshape(n, n_tables, n_bits)
+            buckets = (bits * pw[None, None, :]).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf["__id"].to_numpy(np.int64), n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return qv.mapInPandas(run, schema=f"{id_col} long, table int, bucket int")
+
+
+def _buckets_keyed(
+    emb: DataFrame,
+    n_tables: int,
+    n_bits: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    kernel: bool | None,
+) -> DataFrame:
+    """(id, table, bucket) via the expression form or the broadcast
+    kernel. ``kernel=None`` auto-selects: expressions under dim<=128
+    (whole-stage codegen, zero Python), the kernel above (where the
+    literal trees would dominate planning)."""
+    if kernel is None:
+        kernel = dim > 128
+    if kernel:
+        return sign_lsh_buckets_kernel(emb, n_tables, n_bits, dim, id_col, vec_col)
+    return sign_lsh_buckets(emb, n_tables, n_bits, dim, id_col, vec_col).select(
+        F.col(id_col), "table", "bucket"
     )
 
 
@@ -374,7 +492,7 @@ def ivf_lloyd_ann_topk(
     emb: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -437,6 +555,7 @@ def cosine_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel_buckets: bool | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (a < b, quantized dot >= threshold)
     restricted to pairs sharing at least one LSH bucket — the candidate
@@ -447,8 +566,7 @@ def cosine_neardup_pairs(
     threshold_q is in quantized units: unit-norm embeddings x1000 make a
     dot of 1e6 ~= cosine 1.0, so 320_000 ~= cos 0.32.
     """
-    coded = sign_lsh_buckets(emb, n_tables, n_bits, dim, id_col, vec_col)
-    keyed = coded.select(F.col(id_col), "table", "bucket")
+    keyed = _buckets_keyed(emb, n_tables, n_bits, dim, id_col, vec_col, kernel_buckets)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(b, ["table", "bucket"])
@@ -484,6 +602,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
+    kernel_buckets: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table multi-probe sign-LSH candidates,
     exact quantized-dot rescore (same kernel/quantization as ``topk_dot``
@@ -495,14 +614,17 @@ def ann_lsh_topk(
     the candidate fraction drops exponentially with n_bits; the uniform
     fixture is the worst case (documented in BENCH notes) — the default
     (4 tables, 6 bits, radius 2) holds recall@5 >= 0.95 there.
+
+    ``kernel_buckets`` picks the bucket implementation (None = auto by
+    dim, see ``_buckets_keyed``): expression buckets stay JVM-codegen at
+    dim<=128; the broadcast-matrix kernel keeps planning O(1) in dim.
     """
-    coded = sign_lsh_buckets(emb, n_tables, n_bits, dim, id_col, vec_col)
-    keyed = coded.select(F.col(id_col), "table", "bucket")
+    keyed = _buckets_keyed(emb, n_tables, n_bits, dim, id_col, vec_col, kernel_buckets)
     if queries is None:
         q = keyed.filter(F.col(id_col) % 50 == 0)
     else:
-        q = sign_lsh_buckets(queries, n_tables, n_bits, dim, id_col, vec_col).select(
-            F.col(id_col), "table", "bucket"
+        q = _buckets_keyed(
+            queries, n_tables, n_bits, dim, id_col, vec_col, kernel_buckets
         )
     probes = q.select(
         F.col(id_col).alias("query_id"),
@@ -553,6 +675,7 @@ def embedding_contamination(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel_buckets: bool | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: per eval vector, how many TRAIN
     vectors exceed ``threshold_q`` quantized cosine similarity — the
@@ -562,12 +685,12 @@ def embedding_contamination(
     spec, mirrored by the oracle) and rescored with the exact integer
     dot. Returns (id, n_train_neardups, max_dot, contaminated) for EVERY
     eval vector, zero-filled (max_dot null when clean)."""
-    tr = sign_lsh_buckets(train, n_tables, n_bits, dim, id_col, vec_col).select(
-        F.col(id_col).alias("tr_id"), "table", "bucket"
-    )
-    ev = sign_lsh_buckets(eval_vecs, n_tables, n_bits, dim, id_col, vec_col).select(
-        F.col(id_col).alias("ev_id"), "table", "bucket"
-    )
+    tr = _buckets_keyed(
+        train, n_tables, n_bits, dim, id_col, vec_col, kernel_buckets
+    ).select(F.col(id_col).alias("tr_id"), "table", "bucket")
+    ev = _buckets_keyed(
+        eval_vecs, n_tables, n_bits, dim, id_col, vec_col, kernel_buckets
+    ).select(F.col(id_col).alias("ev_id"), "table", "bucket")
     cand = ev.join(tr, ["table", "bucket"]).select("ev_id", "tr_id").distinct()
     va = eval_vecs.select(F.col(id_col).alias("ev_id"), F.col(vec_col).alias("__ea"))
     vb = train.select(F.col(id_col).alias("tr_id"), F.col(vec_col).alias("__eb"))

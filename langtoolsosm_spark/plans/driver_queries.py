@@ -1892,7 +1892,7 @@ def q_embedding_ivf_lloyd(spark, sf_dir):
     return ivf_lloyd_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
-def _o_ivf_lloyd(n_centroids: int = 16, nprobe: int = 4, iters: int = 2, k: int = 5) -> str:
+def _o_ivf_lloyd(n_centroids: int = 16, nprobe: int = 8, iters: int = 2, k: int = 5) -> str:
     """Unrolled Lloyd rounds: c0 (seed vectors) -> a0 -> c1 -> a1 -> c2,
     final assignment + query probing against the last centroid table."""
     parts = [
@@ -2291,27 +2291,38 @@ def q_wide_report(spark, sf_dir):
     return build_report(part_features(spark, sf_dir), "ca", extra_tags=["wikidata"])
 
 
+# the oracle rebuilds the SAME tag map as the part_features fixture (the
+# per-key CASEs replicate fixture generation, unavoidable), then derives
+# every report column GENERICALLY from the sorted entry list — the
+# cdc_merged_tags sorted-entries comparator pattern, so a future map-typed
+# column can't silently diverge behind a hand-enumerated mode CASE
 O_WIDE_REPORT = f"""
-WITH f AS (SELECT p_partkey, p_partkey % 8 AS m, p_name, p_brand FROM part)
-SELECT {OSM_TYPE_SQL.replace("p_partkey", "f.p_partkey")} AS osm_type,
-       f.p_partkey AS id,
-       CASE WHEN m = 5 THEN 'Carrer de ' || p_name
-            WHEN m IN (0, 3, 6) THEN p_name END AS name,
-       CASE WHEN m IN (1, 3, 6) THEN 'ca ' || p_name END AS "name:ca",
-       CASE WHEN m IN (0, 4, 6) THEN 'Q' || CAST(f.p_partkey % 25 AS VARCHAR) END AS wikidata,
-       CASE WHEN m IN (1, 3) THEN 'ca ' || p_name
-            WHEN m = 6 THEN 'Official ' || p_name || ', ' || 'ca ' || p_name
-            WHEN m = 7 THEN 'Intl ' || p_name || ', ' || 'Official ' || p_name
-            ELSE '' END AS multilang_names,
-       CASE WHEN m = 0 THEN 'brand, name, wikidata'
-            WHEN m = 1 THEN 'brand, name:ca'
-            WHEN m = 2 THEN 'brand, wikipedia'
-            WHEN m = 3 THEN 'brand, name, name:ca'
-            WHEN m = 4 THEN 'brand, wikidata'
-            WHEN m = 5 THEN 'brand, name'
-            WHEN m = 6 THEN 'brand, name, name:ca, official_name, wikidata'
-            ELSE 'brand, int_name, official_name, wikipedia' END AS all_tags
-FROM f
+WITH f AS (SELECT p_partkey, p_partkey % 8 AS m, p_name, p_brand FROM part),
+ent AS (
+  SELECT p_partkey, list_filter([
+    struct_pack(k := 'name', v := CASE WHEN m = 5 THEN 'Carrer de ' || p_name
+                                       WHEN m IN (0, 3, 6) THEN p_name END),
+    struct_pack(k := 'name:ca', v := CASE WHEN m IN (1, 3, 6) THEN 'ca ' || p_name END),
+    struct_pack(k := 'wikidata', v := CASE WHEN m IN (0, 4, 6)
+                                           THEN 'Q' || CAST(p_partkey % 25 AS VARCHAR) END),
+    struct_pack(k := 'wikipedia', v := CASE WHEN m IN (2, 7)
+                                            THEN 'ca:Nation_' || CAST(p_partkey % 25 AS VARCHAR) END),
+    struct_pack(k := 'int_name', v := CASE WHEN m = 7 THEN 'Intl ' || p_name END),
+    struct_pack(k := 'official_name', v := CASE WHEN m IN (6, 7) THEN 'Official ' || p_name END),
+    struct_pack(k := 'brand', v := p_brand)
+  ], x -> x.v IS NOT NULL) AS tags
+  FROM f
+)
+SELECT {OSM_TYPE_SQL.replace("p_partkey", "e.p_partkey")} AS osm_type,
+       e.p_partkey AS id,
+       list_filter(tags, x -> x.k = 'name')[1].v AS name,
+       list_filter(tags, x -> x.k = 'name:ca')[1].v AS "name:ca",
+       list_filter(tags, x -> x.k = 'wikidata')[1].v AS wikidata,
+       COALESCE(array_to_string(list_sort(list_transform(list_filter(tags,
+           x -> x.k LIKE 'name:%' OR x.k IN ('int_name', 'loc_name',
+                'short_name', 'official_name')), x -> x.v)), ', '), '') AS multilang_names,
+       COALESCE(array_to_string(list_sort(list_transform(tags, x -> x.k)), ', '), '') AS all_tags
+FROM ent e
 """
 
 
@@ -2514,8 +2525,36 @@ LEFT JOIN agg a USING (image_id)
 """
 
 
+def q_embedding_lsh_ann_kernel(spark, sf_dir):
+    """Driver gate for the broadcast-matrix LSH bucket kernel
+    (operators/similarity.py:sign_lsh_buckets_kernel): same ANN query as
+    ``embedding_lsh_ann`` with ``kernel_buckets=True``, so the scale path
+    for high embedding dims (plan stays O(1) in dim instead of carrying
+    n_tables x n_bits x dim sign literals) is itself oracle-checked, not
+    just parity-tested against the expression form."""
+    from ..operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), kernel_buckets=True
+    )
+
+
+def q_embedding_topk_sharded(spark, sf_dir):
+    """Driver gate for the sharded query side of ``topk_dot_kernel``: a
+    tiny ``shard_rows`` forces the id-sharded multi-broadcast path (the
+    100-TB shape for large query sets), which must be byte-identical to
+    the single-broadcast answer."""
+    from ..operators.similarity import topk_dot_kernel
+
+    return topk_dot_kernel(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), shard_rows=16
+    )
+
+
 REGISTRY.update(
     {
+        "embedding_lsh_ann_kernel": (q_embedding_lsh_ann_kernel, O_EMBEDDING_LSH_ANN),
+        "embedding_topk_sharded": (q_embedding_topk_sharded, O_EMBEDDING_TOPK),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),

@@ -146,14 +146,25 @@ class SnapshotTable:
     def read_range(self, spark, col: str, lo: int, hi: int,
                    snapshot_id: int | None = None):
         """Range scan over ``col``: manifest-pruned file list + the
-        residual predicate (files can straddle the range boundary)."""
+        residual predicate (files can straddle the range boundary).
+
+        An empty overlap is a legitimate outcome (range between key
+        values, or an overwrite shrank the key space): it returns an
+        EMPTY DataFrame with the table schema, read from one live file
+        under a false predicate. Only a table with no live files at all
+        raises — that is 'missing/corrupt', not 'no rows in range'."""
         from pyspark.sql import functions as F
 
         files = self.pruned_files(col, lo, hi, snapshot_id)
         if not files:
-            raise FileNotFoundError(
-                f"no files overlap {col} in [{lo}, {hi}] at {self.path}"
+            live = self.pruned_files(
+                col, -(1 << 62), (1 << 62) - 1, snapshot_id
             )
+            if not live:
+                raise FileNotFoundError(
+                    f"snapshot table has no live files at {self.path}"
+                )
+            return spark.read.parquet(live[0]).filter(F.lit(False))
         return spark.read.parquet(*files).filter(
             (F.col(col) >= lo) & (F.col(col) <= hi)
         )
