@@ -84,6 +84,12 @@ HEADLINE = [
     "hll_estimate",
     "images_phash_pairs",
     "lsh_candidate_pairs",
+    # text-pipeline headline (corpus_prep = quality -> dedup -> shard
+    # packing; decontaminate = eval-vs-train 5-gram leak check): the
+    # text-side counterpart of the flagship geo number, so text-pipeline
+    # regressions have a tracked wall-time
+    "corpus_prep",
+    "decontaminate",
 ]
 
 
@@ -161,8 +167,11 @@ def main():
         return round(n_hit / n_true, 3) if n_true else 0.0
 
     ann_recall = recall("lsh", ann_lsh_topk(emb))
+    # the broadcast-matrix bucket kernel (scale path for high dims) must
+    # hold the same recall; its family time tracks the planning win
+    ann_recall_kernel = recall("lsh_kernel", ann_lsh_topk(emb, kernel_buckets=True))
     ivf_recall = recall("ivf", ivf_ann_topk(emb))
-    ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb, nprobe=4))
+    ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -177,8 +186,12 @@ def main():
         "flagship_images": n_images,
         "flagship_trials": walls,
         "ann_recall_at_5": ann_recall,
+        "ann_recall_at_5_kernel": ann_recall_kernel,
         "ivf_recall_at_5": ivf_recall,
-        "ivf_lloyd_recall_at_5_nprobe4": ivf_lloyd_recall,
+        "ivf_lloyd_recall_at_5": ivf_lloyd_recall,
+        "corpus_pipeline_sec": round(
+            timings["corpus_prep"] + timings["decontaminate"], 3
+        ),
         # per-family breakdown of ann_recall_check (most of the LSH cost
         # is fixed Catalyst planning of the 1,536-literal projection
         # trees — it amortizes at scale)

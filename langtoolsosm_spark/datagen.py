@@ -179,6 +179,53 @@ def synth_images(n: int, seed: int = SEED) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# media (rawseq video + pcm16 audio) — FIXTURES for operators/multimodal.py
+# ---------------------------------------------------------------------------
+
+def synth_media(n_video: int = 60, n_audio: int = 40, seed: int = SEED) -> pd.DataFrame:
+    """Deterministic multimodal fixture: small rawseq videos (2-8 frames,
+    6-16 px sides) and pcm16 audio clips with non-multiple-of-window
+    lengths (short final windows are the edge case the features kernel
+    must keep). Sizes stay tiny on purpose — the DuckDB oracle re-decodes
+    every byte from hex() in SQL, an independent second implementation."""
+    from .operators.multimodal import encode_video_rawseq
+
+    rng = np.random.default_rng(seed + 3)
+    recs = []
+    for i in range(n_video):
+        h = int(rng.integers(6, 17))
+        w = int(rng.integers(6, 17))
+        nf = int(rng.integers(2, 9))
+        frames = []
+        for f in range(nf):
+            yy, xx = np.mgrid[0:h, 0:w]
+            # scene phase advances every SECOND frame: consecutive pairs
+            # alternate noise-only diffs vs real scene changes, so cut
+            # detection has both classes to separate
+            base = 128 + 90 * np.sin(yy / 3.0 + f // 2) * np.cos(xx / 4.0 + i % 6)
+            noise = rng.normal(0, 12, (h, w, 3))
+            frames.append(np.clip(base[:, :, None] + noise, 0, 255).astype(np.uint8))
+        recs.append(
+            dict(media_id=f"vid{i:06d}", kind="video", fmt="rawseq",
+                 bytes=encode_video_rawseq(frames))
+        )
+    for i in range(n_audio):
+        n = int(rng.integers(700, 8193))
+        x = (3000 * np.sin(np.arange(n) / (4.0 + i % 7))).astype(np.int64)
+        x = x + rng.integers(-2000, 2001, n)
+        # silence every third 1024-sample window (phase-shifted per clip)
+        # so energy-gated VAD segmentation has real islands to find
+        silent = ((np.arange(n) // 1024) + i) % 3 == 0
+        x[silent] = 0
+        x = np.clip(x, -32768, 32767).astype("<i2")
+        recs.append(
+            dict(media_id=f"aud{i:06d}", kind="audio", fmt="pcm16",
+                 bytes=x.tobytes())
+        )
+    return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
 # features (OSM-style) + wikidata dimension
 # ---------------------------------------------------------------------------
 
@@ -336,6 +383,31 @@ def ensure_dataset(tier: str = "sf0.001", root: str | None = None) -> str:
         shutil.rmtree(out)
     os.rename(tmp, out)
     return out
+
+
+_MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("fmt", pa.string()),
+        ("bytes", pa.binary()),
+    ]
+)
+
+
+def ensure_media(tier: str = "sf0.01", root: str | None = None) -> str:
+    """Generate (once) and return the media.parquet path for a tier.
+
+    Additive next to the core four tables (existing cached dataset dirs
+    predate it, so it keys on its own file, not the dir's _SUCCESS
+    marker); constant-size per tier like polygons/wikidata."""
+    out = ensure_dataset(tier, root)
+    path = os.path.join(out, "media.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _write(synth_media(), _MEDIA_SCHEMA, tmp)
+        os.rename(tmp, path)
+    return path
 
 
 def tier_for_sf_dir(sf_dir: str) -> str:

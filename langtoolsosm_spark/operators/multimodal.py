@@ -114,6 +114,104 @@ def sample_video_frames(
     )
 
 
+def video_scene_cuts(
+    videos: DataFrame,
+    threshold_milli: int = 25_000,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Scene-cut candidates: per consecutive frame pair, the exact
+    integer mean absolute pixel difference in milli-units
+    (sum|a-b| * 1000 // (h*w*3)); ``is_cut`` flags pairs at or above
+    ``threshold_milli``. One output row per frame pair, indexed by the
+    LATER frame — the standard cheap shot-boundary detector, fully
+    integer so any engine reproduces it bit-exactly. Vectorized: one
+    np.abs diff over the whole (n_frames, h*w*3) matrix per clip."""
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, mads, cuts = [], [], [], []
+            for mid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
+                if fmt not in SUPPORTED_VIDEO:
+                    raise NotImplementedError(
+                        f"video codec {fmt!r}: only {sorted(SUPPORTED_VIDEO)} "
+                        "decode in this environment"
+                    )
+                n, h, w = _video_header(buf)
+                if n < 2:
+                    continue
+                sz = h * w * 3
+                px = np.frombuffer(buf[16:16 + n * sz], dtype=np.uint8).reshape(n, sz)
+                sad = np.abs(
+                    px[1:].astype(np.int64) - px[:-1].astype(np.int64)
+                ).sum(axis=1)
+                mad = sad * 1000 // sz
+                ids.extend([mid] * (n - 1))
+                idxs.extend(range(1, n))
+                mads.extend(mad.tolist())
+                cuts.extend((mad >= threshold_milli).astype(np.int32).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "mad_milli": pd.Series(mads, dtype="int64"),
+                    "is_cut": pd.Series(cuts, dtype="int32"),
+                }
+            )
+
+    return videos.select(id_col, bytes_col, fmt_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} string, frame_idx int, mad_milli long, is_cut int",
+    )
+
+
+def audio_vad_segments(
+    audio: DataFrame,
+    window: int = 1024,
+    energy_threshold: int = 1_000_000_000,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Voice-activity segments: windows whose exact integer energy meets
+    ``energy_threshold`` are active; consecutive active windows merge
+    into segments (gaps-and-islands). Output one row per segment:
+    (media_id, seg_idx, start_win, end_win, n_windows, energy_sum).
+
+    Composition, not a new kernel: the decode + per-window features come
+    from ``pcm16_features``; the segmentation itself is pure JVM window
+    arithmetic (win_idx - row_number island key), so everything after the
+    Arrow batch decode stays in whole-stage codegen and shuffles once on
+    the media id."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    feats = pcm16_features(audio, window, id_col, bytes_col, fmt_col)
+    active = feats.filter(F.col("energy") >= energy_threshold)
+    wseq = W.partitionBy(id_col).orderBy("win_idx")
+    grp = (F.col("win_idx") - F.row_number().over(wseq)).alias("__grp")
+    segs = (
+        active.select(id_col, "win_idx", "energy", grp)
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("win_idx").alias("start_win"),
+            F.max("win_idx").alias("end_win"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+            F.sum("energy").alias("energy_sum"),
+        )
+    )
+    wseg = W.partitionBy(id_col).orderBy("start_win")
+    return segs.select(
+        id_col,
+        (F.row_number().over(wseg) - 1).cast("int").alias("seg_idx"),
+        "start_win",
+        "end_win",
+        "n_windows",
+        "energy_sum",
+    )
+
+
 def pcm16_features(
     audio: DataFrame,
     window: int = 1024,

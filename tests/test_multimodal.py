@@ -74,3 +74,58 @@ def test_pcm16_features_match_numpy(spark):
     # a 440 Hz tone crosses zero ~2 * 440 / 8000 per sample
     full = out[out.n_samples == 1024]
     assert ((full.zero_crossings - 2 * 440 * 1024 / sr).abs() <= 3).all()
+
+
+def test_video_scene_cuts_exact_mad_and_single_frame_skip(spark):
+    """Scene-cut MAD values must equal the NumPy reference exactly; a
+    single-frame clip emits no pairs."""
+    frames_a, buf_a = _mk_video(3, 4)
+    _, buf_single = _mk_video(4, 1)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ["vc", "vs"],
+                "bytes": [buf_a, buf_single],
+                "fmt": ["rawseq"] * 2,
+            }
+        )
+    )
+    out = mm.video_scene_cuts(df, threshold_milli=10_000).toPandas()
+    assert set(out.media_id) == {"vc"}
+    got = out.sort_values("frame_idx")
+    sz = frames_a[0].size
+    for k, (prev, cur) in enumerate(zip(frames_a[:-1], frames_a[1:]), start=1):
+        sad = int(np.abs(cur.astype(np.int64) - prev.astype(np.int64)).sum())
+        row = got[got.frame_idx == k].iloc[0]
+        assert row.mad_milli == sad * 1000 // sz
+        assert row.is_cut == int(row.mad_milli >= 10_000)
+
+
+def test_audio_vad_segments_islands(spark):
+    """Known silence layout -> known segments: windows [0,1] active,
+    [2] silent, [3,4] active gives two islands; an all-silent clip
+    yields no rows."""
+    w = 64
+    loud = np.full(w, 2000, dtype="<i2")
+    quiet = np.zeros(w, dtype="<i2")
+    clip = np.concatenate([loud, loud, quiet, loud, loud]).tobytes()
+    silent = np.zeros(3 * w, dtype="<i2").tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ["talk", "hush"],
+                "bytes": [clip, silent],
+                "fmt": ["pcm16"] * 2,
+            }
+        )
+    )
+    out = mm.audio_vad_segments(
+        df, window=w, energy_threshold=1_000_000
+    ).toPandas()
+    assert set(out.media_id) == {"talk"}
+    segs = out.sort_values("seg_idx")[
+        ["seg_idx", "start_win", "end_win", "n_windows"]
+    ].to_numpy()
+    assert segs.tolist() == [[0, 0, 1, 2], [1, 3, 4, 2]]
+    e = int(out.energy_sum.iloc[0])
+    assert e == 2 * w * 2000 * 2000

@@ -206,11 +206,15 @@ def test_topk_kernel_plan_has_no_explode_join(spark):
         )
     )
     plan = _plan(topk_dot_kernel(emb))
-    assert plan.count("MapInPandas") == 1
+    # the mapInPandas partial pass is materialized behind an eager
+    # localCheckpoint (so per-shard query broadcasts can be destroyed);
+    # the final plan is the checkpointed partial scan + the k-per-query
+    # window merge — still zero joins, zero Generate (explode) nodes
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct", "Generate"):
         assert node not in plan
     assert "Window" in plan
+    assert "ExistingRDD" in plan  # the checkpointed partial winners
 
 
 def test_token_shard_pack_is_one_shuffle_jvm_only(spark):

@@ -1,0 +1,167 @@
+"""Round-4 regression tests: LSH bucket-kernel parity + dim-independent
+planning, sharded exact-top-k parity, typed-empty range reads, single-
+action-per-round connected components, and the modular wrap-distance
+invariant for annulus explodes beyond the grid size."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _analyzed_plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def _synth_emb(spark, n: int = 200, dim: int = 16, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": [r.tolist() for r in v]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_lsh_bucket_kernel_matches_expression_form(spark):
+    """sign_lsh_buckets_kernel (broadcast ±1 matrix + mapInPandas) must be
+    bit-identical to the expression form at a non-default dim — the
+    expression form is the DuckDB oracle spec, the kernel is the
+    high-dim scale path."""
+    from langtoolsosm_spark.operators.similarity import (
+        sign_lsh_buckets,
+        sign_lsh_buckets_kernel,
+    )
+
+    emb = _synth_emb(spark, n=150, dim=16)
+    expr = (
+        sign_lsh_buckets(emb, n_tables=3, n_bits=5, dim=16)
+        .select("vec_id", "table", "bucket")
+        .toPandas()
+        .sort_values(["vec_id", "table"])
+        .reset_index(drop=True)
+    )
+    kern = (
+        sign_lsh_buckets_kernel(emb, n_tables=3, n_bits=5, dim=16)
+        .toPandas()
+        .sort_values(["vec_id", "table"])
+        .reset_index(drop=True)
+    )
+    assert len(expr) == len(kern) == 150 * 3
+    assert (expr["bucket"].to_numpy() == kern["bucket"].to_numpy()).all()
+    assert (expr["table"].to_numpy() == kern["table"].to_numpy()).all()
+
+
+def test_lsh_bucket_kernel_plan_constant_in_dim(spark):
+    """The kernel's plan must not grow with the embedding dimension (the
+    expression form carries n_tables*n_bits*dim sign literals — a
+    Catalyst planning bottleneck at real dims). dim=1024 and dim=16
+    plans should be the same handful of nodes."""
+    from langtoolsosm_spark.operators.similarity import sign_lsh_buckets_kernel
+
+    lo = _synth_emb(spark, n=4, dim=16)
+    hi = _synth_emb(spark, n=4, dim=1024)
+    p_lo = _analyzed_plan(sign_lsh_buckets_kernel(lo, dim=16))
+    p_hi = _analyzed_plan(sign_lsh_buckets_kernel(hi, dim=1024))
+    assert len(p_hi) < 4000, f"kernel plan grew with dim: {len(p_hi)} chars"
+    assert len(p_hi) < 2 * len(p_lo) + 500
+
+
+def test_topk_kernel_sharded_matches_single_broadcast(spark):
+    """Forcing the id-sharded multi-broadcast path (tiny shard_rows) with
+    an EXPLICIT query frame must give byte-identical results to the
+    single-broadcast path — shards partition the query set, each shard's
+    answer is exact."""
+    from langtoolsosm_spark.operators.similarity import topk_dot_kernel
+
+    emb = _synth_emb(spark, n=300, dim=8, seed=11)
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    one = (
+        topk_dot_kernel(emb, queries=queries, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        topk_dot_kernel(emb, queries=queries, k=3, shard_rows=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(one) > 0
+    pd.testing.assert_frame_equal(one, sharded)
+
+
+def test_read_range_empty_overlap_returns_typed_empty(spark, tmp_path):
+    """A range between key values is 'no rows', not 'missing table': the
+    read must come back empty WITH the table schema; only a table with
+    no live files raises."""
+    from langtoolsosm_spark.sources.snapshots import SnapshotTable, write_partitioned
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("row_id"), (F.col("id") % 8).alias("tile")
+    )
+    table = SnapshotTable(str(tmp_path / "snap"))
+    write_partitioned(df, table, "tile", stats_col="tile")
+
+    got = table.read_range(spark, "tile", 100, 200)
+    assert got.count() == 0
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+
+    empty = SnapshotTable(str(tmp_path / "never_written"))
+    with pytest.raises(FileNotFoundError):
+        empty.read_range(spark, "tile", 0, 1)
+
+
+def test_dedup_clusters_validates_max_iter(spark):
+    from langtoolsosm_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup_clusters(pairs, max_iter=0)
+
+
+def test_dedup_clusters_no_separate_count_action(spark, monkeypatch):
+    """The convergence count must ride the checkpoint job (Observation),
+    not run as a separate count() action per round (job-count itself is
+    not a stable proxy — AQE splits one action into several jobs — so
+    assert the count() path is gone outright)."""
+    from pyspark.sql import DataFrame
+
+    from langtoolsosm_spark.operators.dedup import dedup_clusters
+
+    calls = []
+    orig = DataFrame.count
+    monkeypatch.setattr(DataFrame, "count", lambda self: (calls.append(1), orig(self))[1])
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = dedup_clusters(pairs, max_iter=5)
+    assert not calls, f"dedup_clusters ran {len(calls)} separate count() actions"
+    got = {(r.doc_id, r.cluster_id) for r in out.collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_annulus_disjoint_when_radius_exceeds_grid(spark):
+    """ADVICE r3: with the true modular wrap distance, an annulus round
+    whose radius exceeds the grid size must stay disjoint from the
+    previous disk (the naive min(|dx|, n-|dx|) goes negative there and
+    re-emits inner cells) and must emit each (feature, cell) once."""
+    from langtoolsosm_spark.operators.knn import _explode_feature_disk
+
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fid": [0, 1, 2],
+                "__flat": [10.0, -40.0, 80.0],
+                "__flon": [0.0, 170.0, -90.0],
+            }
+        )
+    )
+    res = 2  # n = 4: radius 9 wraps the longitude ring twice
+    disk = _explode_feature_disk(feats, res, radius=3, min_radius=-1)
+    ring = _explode_feature_disk(feats, res, radius=9, min_radius=3)
+    d = {(r[0], r[1]) for r in disk.select("fid", "__cell").collect()}
+    rg = [(r[0], r[1]) for r in ring.select("fid", "__cell").collect()]
+    assert len(rg) == len(set(rg)), "duplicate (feature, cell) in annulus"
+    assert not d.intersection(rg), "annulus re-emitted previous-disk cells"
