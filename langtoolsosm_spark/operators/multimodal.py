@@ -234,7 +234,9 @@ def pcm16_features(
                         f"audio codec {fmt!r}: only {sorted(SUPPORTED_AUDIO)} "
                         "decode in this environment"
                     )
-                x = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                # drop a trailing odd byte (truncated final sample) rather
+                # than raising — matches the oracle's octet_length // 2
+                x = np.frombuffer(buf[: len(buf) // 2 * 2], dtype="<i2").astype(np.int64)
                 n = len(x)
                 if n == 0:
                     continue
