@@ -93,6 +93,42 @@ def regex_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def ngram_repetition(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document n-gram repetition ratio — the Gopher-style quality
+    filter that catches boilerplate/looping text: rep_milli =
+    1000 * (n_ngrams - n_distinct) // n_ngrams over space-token n-grams
+    (0 when the doc has fewer than ``n`` tokens). Pure column arithmetic
+    (split -> sequence -> transform -> array_distinct): WholeStageCodegen,
+    no shuffle, and the oracle replays it with list functions."""
+    toks = F.split(F.col(text_col), " ")
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + d) for d in range(n)]
+        ),
+    )
+    # sequence(1, m) flips to a DESCENDING range when m < 1 — guard so
+    # short docs get an empty gram list, not a phantom one
+    distinct = F.when(
+        total > 0, F.size(F.array_distinct(grams)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    base = docs.select(
+        F.col(id_col), total.alias("n_ngrams"), distinct.alias("n_distinct")
+    )
+    return base.withColumn(
+        "rep_milli",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.expr("div(1000 * (n_ngrams - n_distinct), n_ngrams)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content + affix fingerprints (md5)."""
     t = F.col(text_col)

@@ -2727,6 +2727,36 @@ FROM seg
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document 3-gram repetition ratio (the Gopher boilerplate
+    filter) over the documents table — pure codegen expressions, oracle
+    replays split/ngram/distinct with DuckDB list functions."""
+    from ..operators.textstats import ngram_repetition
+
+    return ngram_repetition(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_DOC_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END
+              AS BIGINT) AS n_ngrams,
+         CAST(CASE WHEN len(toks) >= 3
+              THEN len(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              ELSE 0 END AS BIGINT) AS n_distinct
+  FROM d
+)
+SELECT doc_id, n_ngrams, n_distinct,
+       CAST(CASE WHEN n_ngrams > 0
+            THEN (1000 * (n_ngrams - n_distinct)) // n_ngrams
+            ELSE 0 END AS BIGINT) AS rep_milli
+FROM g
+"""
+
+
 def q_embedding_lsh_ann_kernel(spark, sf_dir):
     """Driver gate for the broadcast-matrix LSH bucket kernel
     (operators/similarity.py:sign_lsh_buckets_kernel): same ANN query as
@@ -2761,6 +2791,7 @@ REGISTRY.update(
         "pcm16_features": (q_pcm16_features, O_PCM16_FEATURES),
         "video_scene_cuts": (q_video_scene_cuts, O_VIDEO_SCENE_CUTS),
         "audio_vad_segments": (q_audio_vad_segments, O_AUDIO_VAD),
+        "doc_repetition": (q_doc_repetition, O_DOC_REPETITION),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),

@@ -165,3 +165,30 @@ def test_annulus_disjoint_when_radius_exceeds_grid(spark):
     rg = [(r[0], r[1]) for r in ring.select("fid", "__cell").collect()]
     assert len(rg) == len(set(rg)), "duplicate (feature, cell) in annulus"
     assert not d.intersection(rg), "annulus re-emitted previous-disk cells"
+
+
+def test_ngram_repetition_stays_jvm_and_shuffle_free(spark):
+    """The repetition filter is per-row column arithmetic: zero Python
+    eval nodes, zero exchanges, and exact values on a known doc."""
+    from langtoolsosm_spark.operators.textstats import ngram_repetition
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b a b a b",      # 4 trigrams, 2 distinct -> 500
+                    "x y z w",           # 2 trigrams, 2 distinct -> 0
+                    "only two",          # < 3 tokens -> all zeros
+                ],
+            }
+        )
+    )
+    out = ngram_repetition(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [4, 2, 500]
+    assert out.loc[2].tolist() == [2, 2, 0]
+    assert out.loc[3].tolist() == [0, 0, 0]
+    plan = ngram_repetition(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
