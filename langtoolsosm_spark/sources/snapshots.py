@@ -169,6 +169,164 @@ class SnapshotTable:
             (F.col(col) >= lo) & (F.col(col) <= hi)
         )
 
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the last ``keep_last`` snapshots and delete data
+        files referenced ONLY by expired history — the Iceberg
+        ``expire_snapshots`` maintenance op that actually reclaims space
+        after compaction (the replace commit keeps old files alive for
+        time travel; this drops them).
+
+        The earliest retained snapshot is rewritten SELF-CONTAINED (an
+        overwrite carrying its cumulative live-file state), because an
+        append-chain snapshot is meaningless without its ancestors. Each
+        file keeps its ORIGINAL lineage record (partition id, rows,
+        stats) gathered from the expired chain, so manifest-stats pruning
+        and ``committed_partitions`` resume bookkeeping survive
+        expiration unchanged. Returns counts of removed manifests and
+        deleted files."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"removed_snapshots": 0, "deleted_files": 0}
+        cutoff = snaps[-keep_last]
+        cid = cutoff["snapshot_id"]
+        state = [os.path.basename(p) for p in self.live_files(cid)]
+        # original lineage record per file (each data file is written by
+        # exactly one commit)
+        filerec: dict[str, dict] = {}
+        expired_refs: set[str] = set()
+        for s in snaps:
+            if s["snapshot_id"] <= cid:
+                for rec in s.get("lineage", []):
+                    if rec.get("file"):
+                        filerec[rec["file"]] = rec
+            if s["snapshot_id"] < cid:
+                expired_refs.update(s["files"])
+        retained: set[str] = set(state)
+        for s in snaps[-keep_last:]:
+            if s["snapshot_id"] > cid:
+                retained.update(s["files"])
+        rewritten = {
+            **cutoff,
+            "parent_id": None,
+            "operation": "overwrite",
+            "files": state,
+            "lineage": [
+                filerec.get(
+                    f, {"partition_id": -1, "rows": 0, "duration_ms": 0, "file": f}
+                )
+                for f in state
+            ],
+            "summary": {**cutoff.get("summary", {}), "expired-rewrite": True},
+            "total_rows": sum(filerec.get(f, {}).get("rows", 0) for f in state),
+        }
+        tmp = os.path.join(self.snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(rewritten, f)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{cid:06d}.json"))
+        removed = 0
+        for s in snaps:
+            if s["snapshot_id"] < cid:
+                os.remove(
+                    os.path.join(self.snap_dir, f"{s['snapshot_id']:06d}.json")
+                )
+                removed += 1
+        deleted = 0
+        for fn in expired_refs - retained:
+            p = os.path.join(self.data_dir, fn)
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+        return {"removed_snapshots": removed, "deleted_files": deleted}
+
+
+def compact_table(
+    table: "SnapshotTable",
+    spark,
+    target_files: int = 8,
+    stats_col: str | None = None,
+    summary: dict | None = None,
+) -> dict:
+    """Rewrite the table's live files into ``target_files`` larger ones as
+    one replace commit — the Iceberg ``rewrite_data_files`` maintenance
+    op. At 100 TB streaming/batched commits leave thousands of small
+    files per partition; scan task count and manifest size both degrade
+    until a compaction pass folds them. Content is unchanged (tested
+    order-insensitively); with ``stats_col`` the rewrite range-clusters
+    on that column (``repartitionByRange``) so per-file min/max stats
+    get TIGHTER and ``read_range`` prunes better than before. Old files
+    stay on disk for time travel until ``expire_snapshots``.
+
+    Distributed: one executor-side parquet write per output partition
+    (accumulating the partition's Arrow batches into a single file);
+    only manifest bookkeeping is driver-side."""
+    from pyspark.sql import functions as F
+
+    df = table.read(spark)
+    if stats_col is not None:
+        part = df.repartitionByRange(target_files, F.col(stats_col))
+    else:
+        part = df.repartition(target_files)
+    data_dir = table.data_dir
+
+    def _rewrite(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pqw
+        import time as _t
+        import uuid as _u
+
+        t0 = _t.time()
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        fn = f"compact-{_u.uuid4().hex}.parquet"
+        pqw.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(data_dir, fn),
+            row_group_size=8192,
+        )
+        smin = int(pdf[stats_col].min()) if stats_col else None
+        smax = int(pdf[stats_col].max()) if stats_col else None
+        yield pd.DataFrame(
+            {
+                "file": [fn],
+                "rows": [len(pdf)],
+                "duration_ms": [int((_t.time() - t0) * 1000)],
+                "stat_min": pd.Series([smin], dtype="Int64"),
+                "stat_max": pd.Series([smax], dtype="Int64"),
+            }
+        )
+
+    manifest = part.mapInPandas(
+        _rewrite, schema="file string, rows long, duration_ms long, "
+        "stat_min long, stat_max long"
+    )
+    recs = [r.asDict() for r in manifest.collect()]
+    lineage = []
+    for i, r in enumerate(recs):
+        rec = {
+            "partition_id": i,
+            "rows": r["rows"],
+            "duration_ms": r["duration_ms"],
+            "file": r["file"],
+        }
+        if stats_col is not None and r["stat_min"] is not None:
+            rec["stats"] = {stats_col: [r["stat_min"], r["stat_max"]]}
+        lineage.append(rec)
+    s = dict(summary or {})
+    s.setdefault("comment", "compaction")
+    return table.commit(
+        files=[r["file"] for r in recs],
+        lineage=lineage,
+        summary=s,
+        operation="overwrite",
+    )
+
 
 def write_partitioned(
     df,

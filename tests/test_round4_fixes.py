@@ -192,3 +192,85 @@ def test_ngram_repetition_stays_jvm_and_shuffle_free(spark):
     assert "Exchange" not in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_compact_preserves_content_and_tightens_pruning(spark, tmp_path):
+    """Compaction must fold many small files into target_files larger
+    ones, preserve content exactly, keep old files readable via time
+    travel, and (range-clustered on the stats column) prune at least as
+    well as before."""
+    from langtoolsosm_spark.sources.snapshots import (
+        SnapshotTable,
+        compact_table,
+        write_partitioned,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 16).alias("tile")
+    )
+    table = SnapshotTable(str(tmp_path / "snap"))
+    write_partitioned(df, table, "tile", stats_col="tile")
+    pre_files = table.live_files()
+    pre_sid = table.current()["snapshot_id"]
+    assert len(pre_files) == 16
+
+    snap = compact_table(table, spark, target_files=4, stats_col="tile")
+    assert snap["operation"] == "overwrite"
+    post_files = table.live_files()
+    assert 1 <= len(post_files) <= 4
+
+    want = sorted((r.row_id, r.tile) for r in df.collect())
+    got = sorted((r.row_id, r.tile) for r in table.read(spark).collect())
+    assert got == want
+    # time travel to the pre-compaction snapshot still sees the old state
+    old = sorted((r.row_id, r.tile) for r in table.read(spark, pre_sid).collect())
+    assert old == want
+
+    # range-clustered rewrite: a narrow range opens a strict subset
+    pruned = table.pruned_files("tile", 3, 5)
+    assert len(pruned) < len(post_files) or len(post_files) == 1
+    got_rng = table.read_range(spark, "tile", 3, 5)
+    assert got_rng.count() == df.filter(F.col("tile").between(3, 5)).count()
+
+
+def test_expire_snapshots_reclaims_orphans_keeps_state(spark, tmp_path):
+    """Expiration after compaction must delete the pre-compaction data
+    files and manifests, keep the current content byte-identical, keep
+    manifest-stats pruning working, and preserve committed_partitions
+    resume bookkeeping across the rewrite."""
+    import os
+
+    from langtoolsosm_spark.sources.snapshots import (
+        SnapshotTable,
+        compact_table,
+        write_partitioned,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 8).alias("tile")
+    )
+    table = SnapshotTable(str(tmp_path / "snap"))
+    write_partitioned(df, table, "tile", stats_col="tile", batch_partitions=4)
+    assert len(table.snapshots()) == 2  # two batched commits
+    pre_committed = table.committed_partitions()
+
+    # expire with NO overwrite in between: earliest retained snapshot is
+    # rewritten self-contained, resume set and content must survive
+    res = table.expire_snapshots(keep_last=1)
+    assert res["removed_snapshots"] == 1
+    assert res["deleted_files"] == 0  # append chain: every file still live
+    want = sorted((r.row_id, r.tile) for r in df.collect())
+    assert sorted((r.row_id, r.tile) for r in table.read(spark).collect()) == want
+    assert table.committed_partitions() == pre_committed
+
+    old_files = {os.path.basename(p) for p in table.live_files()}
+    compact_table(table, spark, target_files=2, stats_col="tile")
+    res2 = table.expire_snapshots(keep_last=1)
+    assert res2["deleted_files"] == len(old_files) == 8
+    assert len(table.snapshots()) == 1
+    assert sorted((r.row_id, r.tile) for r in table.read(spark).collect()) == want
+    pruned = table.pruned_files("tile", 0, 2)
+    assert len(pruned) <= len(table.live_files())
+    assert table.read_range(spark, "tile", 0, 2).count() == df.filter(
+        F.col("tile") <= 2
+    ).count()
