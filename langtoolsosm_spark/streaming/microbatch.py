@@ -118,6 +118,58 @@ def run_windowed_counts_once(
     ).parquet(out_dir)
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes its last-seen event time, so state is
+    (keys within the watermark horizon), not (all keys ever) — the
+    difference between a dedup stream that runs forever at 100 TB/day
+    and one that OOMs. Duplicates arriving within the watermark window
+    of the first occurrence are dropped; the first row per key wins
+    (same keep-first contract as the batch ``dedup_exact`` family)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def run_dedup_exact_once(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    out_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drive the streaming dedup over available files into a parquet sink
+    (append mode; checkpoint-recoverable) and return everything emitted
+    so far."""
+    schema = spark.read.parquet(events_dir).schema
+    keys = key_cols or ["user_id", "event_type"]
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        stream_dedup_exact(stream, keys, "ts", watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def stream_tile_distinct(stream: DataFrame, res: int = 6, id_col: str = "image_id") -> DataFrame:
     """Custom stateful streaming operator (SURVEY.md §2.9 /
     applyInPandasWithState): per-tile RUNNING approximate-distinct counter

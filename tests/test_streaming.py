@@ -219,3 +219,59 @@ def test_stream_snapshot_ingest_exactly_once(spark, images_dir, tmp_path):
     )
     assert len(table2.snapshots()) == n_snaps
     assert table2.read(spark).count() == n_total
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: duplicates inside the
+    watermark horizon collapse to the FIRST occurrence (batch keep-first
+    parity); once the watermark passes a key's last-seen time its state
+    is EVICTED, so a far-later duplicate re-emits — the bounded-state
+    contract that keeps an infinite dedup stream finite."""
+    import os
+
+    import pandas as pd
+
+    from langtoolsosm_spark.streaming.microbatch import run_dedup_exact_once
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        p = str(src / name)
+        pdf.to_parquet(p)
+        os.utime(p, (mtime, mtime))
+
+    write_batch(
+        "b1.parquet",
+        [(1, "a", "2024-01-01 10:00:00"), (1, "a", "2024-01-01 10:01:00"),
+         (2, "b", "2024-01-01 10:02:00")],
+        1_000,
+    )
+    write_batch(
+        "b2.parquet",
+        [(1, "a", "2024-01-01 10:03:00"), (3, "c", "2024-01-01 10:04:00"),
+         (2, "b", "2024-01-01 10:04:30")],
+        2_000,
+    )
+    # advances the watermark past (1,a).last_seen + 1h -> state evicted
+    write_batch("b3.parquet", [(4, "d", "2024-01-01 12:04:00")], 3_000)
+    # eviction runs with the PREVIOUS batch's watermark, so one more
+    # batch is needed before the old key's state is actually dropped
+    write_batch("b3b.parquet", [(4, "e", "2024-01-01 12:05:00")], 3_500)
+    # same key again, AFTER eviction: must re-emit
+    write_batch("b4.parquet", [(1, "a", "2024-01-01 12:30:00")], 4_000)
+
+    out = run_dedup_exact_once(
+        spark, str(src), str(tmp_path / "ck"), str(tmp_path / "out"),
+        key_cols=["user_id", "event_type"], watermark="1 hour",
+    ).toPandas()
+
+    assert len(out) == 6  # 3 distinct keys + 2 key-4 rows + one re-emission
+    a_rows = out[(out.user_id == 1) & (out.event_type == "a")].sort_values("ts")
+    assert len(a_rows) == 2
+    # keep-first: the surviving pre-eviction row is the 10:00 one
+    assert str(a_rows.iloc[0].ts) == "2024-01-01 10:00:00"
+    assert str(a_rows.iloc[1].ts) == "2024-01-01 12:30:00"
+    assert len(out[(out.user_id == 2) & (out.event_type == "b")]) == 1
