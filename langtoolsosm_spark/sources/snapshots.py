@@ -243,11 +243,27 @@ class SnapshotTable:
         return {"removed_snapshots": removed, "deleted_files": deleted}
 
 
+def _zorder_expr(a, b, bits: int = 16):
+    """JVM-side Morton interleave of two non-negative integer columns
+    (bit b of each lands at 2b / 2b+1): pure shift/and/add expressions,
+    whole-stage codegen, no UDF. ``bits`` per dimension (values must fit;
+    16 covers tile grids up to res 16)."""
+    from pyspark.sql import functions as F
+
+    a, b_ = a.cast("long"), b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(b_, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
 def compact_table(
     table: "SnapshotTable",
     spark,
     target_files: int = 8,
     stats_col: str | None = None,
+    zorder_cols: tuple[str, str] | None = None,
     summary: dict | None = None,
 ) -> dict:
     """Rewrite the table's live files into ``target_files`` larger ones as
@@ -255,10 +271,17 @@ def compact_table(
     op. At 100 TB streaming/batched commits leave thousands of small
     files per partition; scan task count and manifest size both degrade
     until a compaction pass folds them. Content is unchanged (tested
-    order-insensitively); with ``stats_col`` the rewrite range-clusters
-    on that column (``repartitionByRange``) so per-file min/max stats
-    get TIGHTER and ``read_range`` prunes better than before. Old files
-    stay on disk for time travel until ``expire_snapshots``.
+    order-insensitively); old files stay on disk for time travel until
+    ``expire_snapshots``.
+
+    Clustering: with ``stats_col`` the rewrite range-clusters on that
+    column so its per-file min/max stats get TIGHTER and ``read_range``
+    prunes better than before. With ``zorder_cols`` (two non-negative
+    integer columns) the rewrite sorts by their Morton interleave —
+    Z-ORDER clustering — so pruning improves on BOTH dimensions at once
+    (a single-column range cluster makes the other dimension's stats
+    useless); stats are recorded for both. The interleave is a pure
+    shift/and expression — codegen, no UDF.
 
     Distributed: one executor-side parquet write per output partition
     (accumulating the partition's Arrow batches into a single file);
@@ -266,13 +289,26 @@ def compact_table(
     from pyspark.sql import functions as F
 
     df = table.read(spark)
-    if stats_col is not None:
+    stats_cols: list[str] = [stats_col] if stats_col else []
+    drop_cols: list[str] = []
+    if zorder_cols is not None:
+        za, zb = zorder_cols
+        stats_cols += [c for c in (za, zb) if c not in stats_cols]
+        part = (
+            df.withColumn("__z", _zorder_expr(F.col(za), F.col(zb)))
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+        )
+        drop_cols = ["__z"]
+    elif stats_col is not None:
         part = df.repartitionByRange(target_files, F.col(stats_col))
     else:
         part = df.repartition(target_files)
     data_dir = table.data_dir
 
     def _rewrite(batches):
+        import json as _json
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pqw
@@ -284,27 +320,26 @@ def compact_table(
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if drop_cols:
+            pdf = pdf.drop(columns=drop_cols)
         fn = f"compact-{_u.uuid4().hex}.parquet"
         pqw.write_table(
             pa.Table.from_pandas(pdf, preserve_index=False),
             os.path.join(data_dir, fn),
             row_group_size=8192,
         )
-        smin = int(pdf[stats_col].min()) if stats_col else None
-        smax = int(pdf[stats_col].max()) if stats_col else None
+        stats = {c: [int(pdf[c].min()), int(pdf[c].max())] for c in stats_cols}
         yield pd.DataFrame(
             {
                 "file": [fn],
                 "rows": [len(pdf)],
                 "duration_ms": [int((_t.time() - t0) * 1000)],
-                "stat_min": pd.Series([smin], dtype="Int64"),
-                "stat_max": pd.Series([smax], dtype="Int64"),
+                "stats_json": [_json.dumps(stats)],
             }
         )
 
     manifest = part.mapInPandas(
-        _rewrite, schema="file string, rows long, duration_ms long, "
-        "stat_min long, stat_max long"
+        _rewrite, schema="file string, rows long, duration_ms long, stats_json string"
     )
     recs = [r.asDict() for r in manifest.collect()]
     lineage = []
@@ -315,8 +350,9 @@ def compact_table(
             "duration_ms": r["duration_ms"],
             "file": r["file"],
         }
-        if stats_col is not None and r["stat_min"] is not None:
-            rec["stats"] = {stats_col: [r["stat_min"], r["stat_max"]]}
+        stats = json.loads(r["stats_json"])
+        if stats:
+            rec["stats"] = stats
         lineage.append(rec)
     s = dict(summary or {})
     s.setdefault("comment", "compaction")

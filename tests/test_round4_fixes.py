@@ -274,3 +274,37 @@ def test_expire_snapshots_reclaims_orphans_keeps_state(spark, tmp_path):
     assert table.read_range(spark, "tile", 0, 2).count() == df.filter(
         F.col("tile") <= 2
     ).count()
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """Z-order compaction must leave per-file stats that prune narrow
+    ranges on BOTH interleaved columns (a single-column range cluster
+    can only ever prune one), while preserving content exactly."""
+    from langtoolsosm_spark.sources.snapshots import (
+        SnapshotTable,
+        compact_table,
+        write_partitioned,
+    )
+
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("row_id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    table = SnapshotTable(str(tmp_path / "snap"))
+    # initial layout clustered on NOTHING useful (hash of row_id)
+    write_partitioned(df, table, "row_id", stats_col="x")
+    compact_table(table, spark, target_files=16, zorder_cols=("x", "y"))
+    files = table.live_files()
+    assert len(files) <= 16
+
+    want = sorted((r.row_id, r.x, r.y) for r in df.collect())
+    got = sorted((r.row_id, r.x, r.y) for r in table.read(spark).collect())
+    assert got == want
+
+    px = table.pruned_files("x", 0, 7)
+    py = table.pruned_files("y", 0, 7)
+    assert len(px) < len(files), "x-range pruning ineffective after z-order"
+    assert len(py) < len(files), "y-range pruning ineffective after z-order"
+    assert table.read_range(spark, "x", 0, 7).count() == 4096 // 8
+    assert table.read_range(spark, "y", 0, 7).count() == 64 * 8
