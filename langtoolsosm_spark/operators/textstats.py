@@ -129,6 +129,40 @@ def ngram_repetition(
     )
 
 
+# dialect-portable PII patterns (valid in Java regex AND RE2/DuckDB):
+# plain classes, bounded repeats, \d and \b only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITS = r"\b\d{7,}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub for training corpora: count and replace emails, bare
+    IPv4 addresses, and long digit runs (phone-/account-number shaped)
+    with typed placeholders. Replacement order matters — emails first
+    (they contain digit runs), then IPs (dotted digits), then the digit
+    sweep. Pure JVM regexp expressions; the oracle replays the identical
+    RE2-compatible patterns (DuckDB needs the 'g' flag — Spark's
+    regexp_replace is global by default)."""
+    t = F.col(text_col)
+
+    # column-API pattern args (NOT F.expr): a SQL string literal would
+    # eat the \d / \b escapes
+    def n(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_DIGITS, "<NUM>")
+    return docs.select(
+        F.col(id_col),
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IPV4).alias("n_ips"),
+        n(PII_DIGITS).alias("n_digit_runs"),
+        clean.alias("clean_text"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Content + affix fingerprints (md5)."""
     t = F.col(text_col)

@@ -2757,6 +2757,56 @@ FROM g
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over the documents table. The fixture text is a clean
+    word salad, so both sides append the SAME deterministic PII suffix
+    (email, dotted IPv4, long digit run derived from doc_id) before
+    redacting — the operator then has real matches to count and replace
+    (operators/textstats.py:redact_pii)."""
+    from ..operators.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref "),
+            (F.col("doc_id") * 1000003 + 7654321).cast("string"),
+        ),
+    )
+    return redact_pii(salted)
+
+
+def _o_pii_redact() -> str:
+    from ..operators.textstats import PII_DIGITS, PII_EMAIL, PII_IPV4
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ref ' || CAST(doc_id * 1000003 + 7654321 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PII_DIGITS}')) AS BIGINT) AS n_digit_runs,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_DIGITS}', '<NUM>', 'g') AS clean_text
+FROM s
+"""
+
+
+O_PII_REDACT = _o_pii_redact()
+
+
 def q_embedding_lsh_ann_kernel(spark, sf_dir):
     """Driver gate for the broadcast-matrix LSH bucket kernel
     (operators/similarity.py:sign_lsh_buckets_kernel): same ANN query as
@@ -2792,6 +2842,7 @@ REGISTRY.update(
         "video_scene_cuts": (q_video_scene_cuts, O_VIDEO_SCENE_CUTS),
         "audio_vad_segments": (q_audio_vad_segments, O_AUDIO_VAD),
         "doc_repetition": (q_doc_repetition, O_DOC_REPETITION),
+        "pii_redact": (q_pii_redact, O_PII_REDACT),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),
@@ -2826,17 +2877,18 @@ _DRIVER_WINDOW = [
     "embedding_decontaminate", "images_decontaminate", "wide_report",
     "report_mediawiki_roundtrip", "flatten_distinct", "sessionize",
     "images_tile_assign", "images_phash_pairs",
-    # --- new in round 4 (6) ---
+    # --- new in round 4 (8) ---
     "embedding_lsh_ann_kernel", "embedding_topk_sharded",
     "video_frame_stats", "pcm16_features",
     "video_scene_cuts", "audio_vad_segments",
-    # --- highest-risk already-signed backfill (21) ---
+    "doc_repetition", "pii_redact",
+    # --- highest-risk already-signed backfill (19) ---
     "tile_assign", "pip_join", "pip_unique_owner", "knn_join",
     "knn_join_cogroup", "pip_join_shuffled", "adaptive_split",
     "salted_repartition", "footprint_centroid", "translate_with_wikidata",
     "p31_type_join", "cdc_merge", "cdc_merged_tags", "asof_join",
-    "interval_join", "hll_registers", "hll_estimate", "quantile_buckets",
-    "quantile_estimate", "dedup_clusters", "dedup_apply",
+    "interval_join", "hll_registers", "quantile_buckets",
+    "dedup_clusters", "dedup_apply",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
