@@ -129,6 +129,41 @@ def ngram_repetition(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (the pretraining/RAG sequence
+    splitter): chunk i covers space-tokens [i*stride, i*stride +
+    chunk_tokens), stride = chunk_tokens - overlap; the last chunk may
+    be short and every doc emits at least one chunk. All JVM — split +
+    integer chunk count + posexplode(sequence) + slice + array_join;
+    the only row expansion is the chunk fan-out itself."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    nchunks = F.expr(
+        f"1 + CAST(div(greatest(size(split({text_col}, ' ')) - {chunk_tokens}, 0)"
+        f" + {stride - 1}, {stride}) AS INT)"
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(0), nchunks - 1)).alias("__p", "chunk_idx"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 # dialect-portable PII patterns (valid in Java regex AND RE2/DuckDB):
 # plain classes, bounded repeats, \d and \b only
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

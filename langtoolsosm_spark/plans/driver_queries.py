@@ -2757,6 +2757,37 @@ FROM g
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking of the documents table
+    (64-token chunks, 16 overlap — operators/textstats.py:
+    chunk_documents); the oracle replays it with DuckDB list slicing +
+    scalar generate_series unnest."""
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_DOC_CHUNKS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         1 + CAST((greatest(len(toks) - 64, 0) + 47) // 48 AS INT) AS nch
+  FROM d
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, nch - 1)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+           AS chunk_text
+FROM e
+"""
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub over the documents table. The fixture text is a clean
     word salad, so both sides append the SAME deterministic PII suffix
@@ -2843,6 +2874,7 @@ REGISTRY.update(
         "audio_vad_segments": (q_audio_vad_segments, O_AUDIO_VAD),
         "doc_repetition": (q_doc_repetition, O_DOC_REPETITION),
         "pii_redact": (q_pii_redact, O_PII_REDACT),
+        "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),

@@ -308,3 +308,25 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     assert len(py) < len(files), "y-range pruning ineffective after z-order"
     assert table.read_range(spark, "x", 0, 7).count() == 4096 // 8
     assert table.read_range(spark, "y", 0, 7).count() == 64 * 8
+
+
+def test_chunk_documents_stride_and_tail(spark):
+    """Chunk boundaries: 64-token chunks with stride 48; a 100-token doc
+    yields chunks [0,64) and [48,100) (52 tokens); a short doc yields
+    one full-copy chunk; invalid overlap raises."""
+    from langtoolsosm_spark.operators.textstats import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [long_doc, "a b c"]})
+    )
+    out = chunk_documents(docs).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_idx")
+    assert d1.n_tokens.tolist() == [64, 52]
+    assert d1.iloc[0].chunk_text.split(" ")[0] == "w0"
+    assert d1.iloc[1].chunk_text.split(" ")[0] == "w48"
+    assert d1.iloc[1].chunk_text.split(" ")[-1] == "w99"
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == "a b c"
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
