@@ -38,6 +38,36 @@ def cell_histogram(df: DataFrame, cell_col: str = "tile") -> DataFrame:
     return df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def tile_pyramid(
+    df: DataFrame, max_res: int = 8, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Multi-resolution per-tile counts — the map-tile-serving pyramid —
+    in ONE scan and ONE shuffle: compute (ix, iy) once at ``max_res``,
+    derive every coarser level's key by bit shifts (integer floor-div
+    composes: floor(x * 2^(r-1)) == floor(x * 2^r) >> 1, and the edge
+    clamp commutes with the shift), posexplode the level sequence, then
+    one map-side-combined groupBy over (res, tile). The naive
+    alternative — assign_tiles + groupBy per level — re-scans the fact
+    table (max_res + 1) times. Returns (res, tile, n_rows)."""
+    n = 1 << max_res
+    ix = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    iy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
+    lev = df.select(ix.alias("__ix"), iy.alias("__iy")).select(
+        F.posexplode(F.sequence(F.lit(0), F.lit(max_res))).alias("__p", "res"),
+        "__ix",
+        "__iy",
+    )
+    key = F.expr(
+        f"shiftleft(shiftright(__ix, {max_res} - res), res)"
+        f" + shiftright(__iy, {max_res} - res)"
+    )
+    return lev.groupBy(F.col("res"), key.alias("tile")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def hot_cells(df: DataFrame, cell_col: str = "tile", threshold: int = 10_000) -> DataFrame:
     return cell_histogram(df, cell_col).filter(F.col("n_rows") > threshold)
 

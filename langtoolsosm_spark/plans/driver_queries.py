@@ -2757,6 +2757,27 @@ FROM g
 """
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Tile pyramid rollup: per-tile counts at EVERY resolution 0..8 in
+    one scan + one shuffle (operators/tiling.py:tile_pyramid — coarser
+    keys derived by bit shifts from the finest level). The oracle
+    recomputes each level independently from lat/lon, so the shift
+    composition itself is what's being checked."""
+    from ..operators.tiling import tile_pyramid
+
+    return tile_pyramid(geo_points(spark, sf_dir), max_res=8)
+
+
+O_TILE_PYRAMID = (
+    f"WITH {PTS_CTE} "
+    + " UNION ALL ".join(
+        f"SELECT {r} AS res, {_tile_sql(r)} AS tile, count(*) AS n_rows "
+        f"FROM pts GROUP BY 2"
+        for r in range(9)
+    )
+)
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking of the documents table
     (64-token chunks, 16 overlap — operators/textstats.py:
@@ -2875,6 +2896,7 @@ REGISTRY.update(
         "doc_repetition": (q_doc_repetition, O_DOC_REPETITION),
         "pii_redact": (q_pii_redact, O_PII_REDACT),
         "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
+        "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),

@@ -330,3 +330,24 @@ def test_chunk_documents_stride_and_tail(spark):
     assert len(d2) == 1 and d2.iloc[0].chunk_text == "a b c"
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_tile_pyramid_single_scan_single_shuffle(spark):
+    """The pyramid rollup must read the source once and shuffle once
+    (9 per-level groupBys would re-scan 9 times): one Generate (the
+    level explode), one aggregate Exchange, no Python nodes."""
+    from langtoolsosm_spark.operators.tiling import tile_pyramid
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0, -40.0, 80.0], "lon": [0.0, 170.0, -90.0]})
+    )
+    df = tile_pyramid(pts, max_res=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") == 1
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+    out = df.toPandas()
+    # level 0 has one world tile holding all rows
+    assert out[out.res == 0].n_rows.tolist() == [3]
+    assert (out.groupby("res").n_rows.sum() == 3).all()
