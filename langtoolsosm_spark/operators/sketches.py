@@ -142,6 +142,55 @@ def quantile_estimate(
     )
 
 
+def grouped_quantile_estimate(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    qs_milli: tuple[int, ...] = (500, 900),
+) -> DataFrame:
+    """Per-GROUP quantile estimates from per-group bucket sketches — the
+    OLAP shape the global sketch can't answer (p50/p90 latency per
+    endpoint, token-count percentiles per source). Same integer/bit
+    bucketing and rank walk as the global pair, keyed by ``group_col``
+    everywhere: one (group, bucket) map-side-combined aggregate, windows
+    partitioned by group, so state per group is the bounded sketch, not
+    the raw values. Output (group, q_milli, est_milli, n_total)."""
+    from pyspark.sql import Window
+
+    x = f"CAST(round(CAST({col} AS DOUBLE) * 1000.0) AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {x} <= 15 THEN {x} "
+        f"ELSE length(bin({x})) * 16 + shiftright({x}, length(bin({x})) - 4) END"
+    )
+    b = (
+        df.filter(F.col(col).isNotNull() & (F.col(col) >= 0))
+        .select(F.col(group_col), F.expr(bucket).alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = b.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(group_col))
+    )
+    qdf = df.sparkSession.createDataFrame([(q,) for q in qs_milli], "q_milli int")
+    mid = (
+        "CASE WHEN bucket <= 15 THEN bucket ELSE "
+        "div(shiftleft(bucket % 16, div(bucket, 16) - 4) "
+        "+ shiftleft(bucket % 16 + 1, div(bucket, 16) - 4) - 1, 2) END"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") * 1000 >= F.col("q_milli") * F.col("total"))
+        .groupBy(group_col, "q_milli")
+        .agg(F.min("bucket").alias("bucket"), F.max("total").alias("n_total"))
+    )
+    return hit.select(
+        group_col, "q_milli", F.expr(mid).cast("long").alias("est_milli"), "n_total"
+    )
+
+
 def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     """Single-row HLL estimate: (m, occupied, sum_scaled, est_milli).
 

@@ -2757,6 +2757,54 @@ FROM g
 """
 
 
+def q_grouped_quantiles(spark, sf_dir):
+    """Per-group p50/p90 of events.value by event_type from per-group
+    integer bucket sketches (operators/sketches.py:
+    grouped_quantile_estimate) — the group-keyed OLAP shape the global
+    sketch pair can't answer."""
+    from ..operators.sketches import grouped_quantile_estimate
+
+    return grouped_quantile_estimate(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "value", "event_type"
+    )
+
+
+O_GROUPED_QUANTILES = """
+WITH xs AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND value >= 0
+),
+qb AS (
+  SELECT event_type,
+         CASE WHEN x <= 15 THEN x
+              ELSE length(bin(x)) * 16 + (x >> (length(bin(x)) - 4)) END AS bucket,
+         count(*) AS n
+  FROM xs GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM qb
+),
+qs(q_milli) AS (VALUES (500), (900)),
+hit AS (
+  SELECT event_type, q_milli, min(bucket) AS bucket, max(total) AS n_total
+  FROM qs JOIN c ON c.cum * 1000 >= qs.q_milli * c.total
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(q_milli AS INT) AS q_milli,
+       CAST(CASE WHEN bucket <= 15 THEN bucket
+                 ELSE (((bucket % 16) << (bucket // 16 - 4))
+                       + (((bucket % 16 + 1) << (bucket // 16 - 4)) - 1)) // 2
+            END AS BIGINT) AS est_milli,
+       CAST(n_total AS BIGINT) AS n_total
+FROM hit
+"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Tile pyramid rollup: per-tile counts at EVERY resolution 0..8 in
     one scan + one shuffle (operators/tiling.py:tile_pyramid — coarser
@@ -2897,6 +2945,7 @@ REGISTRY.update(
         "pii_redact": (q_pii_redact, O_PII_REDACT),
         "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
         "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
+        "grouped_quantiles": (q_grouped_quantiles, O_GROUPED_QUANTILES),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),
