@@ -212,6 +212,29 @@ def audio_vad_segments(
     )
 
 
+def pcm16_window_features(x: "np.ndarray", window: int):
+    """Pure window-feature core (property-tested without Spark): given a
+    clip's int64 samples, return (n_windows, n_samples, energy, peak,
+    zero_crossings) arrays. Vectorizes over ALL windows at once — pad
+    with zeros, reshape to (n_windows, window); zero padding contributes
+    nothing to energy or |peak|. Zero crossings count sign flips between
+    consecutive samples WITHIN a window (pairs straddling window
+    boundaries excluded; 0 counts as non-negative via signbit)."""
+    n = len(x)
+    nw = (n + window - 1) // window
+    pad = np.zeros(nw * window, dtype=np.int64)
+    pad[:n] = x
+    m = pad.reshape(nw, window)
+    n_samples = np.minimum(window, n - np.arange(nw, dtype=np.int64) * window)
+    energy = (m * m).sum(axis=1)
+    peak = np.abs(m).max(axis=1)
+    cross = np.signbit(x[1:]) != np.signbit(x[:-1])
+    pair_idx = np.flatnonzero(cross)
+    pair_idx = pair_idx[(pair_idx % window) != window - 1]
+    zc = np.bincount(pair_idx // window, minlength=nw).astype(np.int64)
+    return nw, n_samples, energy, peak, zc
+
+
 def pcm16_features(
     audio: DataFrame,
     window: int = 1024,
@@ -240,27 +263,7 @@ def pcm16_features(
                 n = len(x)
                 if n == 0:
                     continue
-                nw = (n + window - 1) // window
-                # vectorize over ALL windows of the clip at once (an
-                # hour-long clip has millions of windows — a per-window
-                # Python loop would dominate): pad with zeros, reshape to
-                # (n_windows, window); zero padding contributes nothing to
-                # energy or |peak|
-                pad = np.zeros(nw * window, dtype=np.int64)
-                pad[:n] = x
-                m = pad.reshape(nw, window)
-                n_samples = np.minimum(
-                    window, n - np.arange(nw, dtype=np.int64) * window
-                )
-                energy = (m * m).sum(axis=1)
-                peak = np.abs(m).max(axis=1)
-                # zero crossings between consecutive samples WITHIN a
-                # window: drop the pairs that straddle window boundaries,
-                # bin the rest by window index
-                cross = np.signbit(x[1:]) != np.signbit(x[:-1])
-                pair_idx = np.flatnonzero(cross)
-                pair_idx = pair_idx[(pair_idx % window) != window - 1]
-                zc = np.bincount(pair_idx // window, minlength=nw).astype(np.int64)
+                nw, n_samples, energy, peak, zc = pcm16_window_features(x, window)
                 frames.append(
                     pd.DataFrame(
                         {

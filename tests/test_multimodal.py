@@ -129,3 +129,36 @@ def test_audio_vad_segments_islands(spark):
     assert segs.tolist() == [[0, 0, 1, 2], [1, 3, 4, 2]]
     e = int(out.energy_sum.iloc[0])
     assert e == 2 * w * 2000 * 2000
+
+
+def test_pcm16_window_features_property_vs_reference():
+    """Hypothesis: the vectorized window-feature core equals a naive
+    per-window Python reference on arbitrary clips — short tails, all
+    zeros, alternating signs, extreme int16 values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        xs=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300
+        ),
+        window=st.integers(min_value=1, max_value=64),
+    )
+    def run(xs, window):
+        x = np.array(xs, dtype=np.int64)
+        nw, n_samples, energy, peak, zc = mm.pcm16_window_features(x, window)
+        assert nw == (len(x) + window - 1) // window
+        for w in range(nw):
+            seg = x[w * window:(w + 1) * window]
+            assert n_samples[w] == len(seg)
+            assert energy[w] == int((seg * seg).sum())
+            assert peak[w] == int(np.abs(seg).max())
+            ref_zc = sum(
+                1
+                for i in range(len(seg) - 1)
+                if (seg[i] < 0) != (seg[i + 1] < 0)
+            )
+            assert zc[w] == ref_zc
+
+    run()
