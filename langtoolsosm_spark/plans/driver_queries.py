@@ -317,6 +317,40 @@ O_PIP_UNIQUE = (
 )
 
 
+def q_lang_coverage(spark, sf_dir):
+    """The engine's business question end-to-end: which language rules
+    govern how many images — unique PIP ownership, polygon -> lang-rule
+    dim (deterministic id -> lang mapping both engines replay), per-lang
+    point and polygon counts. Composition of oracle-gated parts, gated
+    itself."""
+    from ..operators.pip_join import pip_join
+
+    pts = geo_points(spark, sf_dir)
+    owned = pip_join(
+        pts, geo_polygons_df(spark), res=8, unique=True, id_col="point_id"
+    ).select("point_id", "polygon_id")
+    langs = ["ca", "es", "fr", "oc"]
+    lang = F.element_at(
+        F.array(*[F.lit(lg) for lg in langs]),
+        (F.substring("polygon_id", 2, 10).cast("int") % 4) + 1,
+    )
+    return owned.withColumn("lang", lang).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("polygon_id").alias("n_polygons"),
+    )
+
+
+O_LANG_COVERAGE = f"""
+SELECT CASE CAST(substr(polygon_id, 2) AS INT) % 4
+            WHEN 0 THEN 'ca' WHEN 1 THEN 'es' WHEN 2 THEN 'fr'
+            ELSE 'oc' END AS lang,
+       count(*) AS n_points,
+       CAST(count(DISTINCT polygon_id) AS BIGINT) AS n_polygons
+FROM ({O_PIP_UNIQUE}) owned
+GROUP BY 1
+"""
+
+
 def q_knn_join(spark, sf_dir):
     """Exact kNN via ring expansion (SURVEY.md §2.3 kNN join)."""
     from ..operators.knn import knn_join
@@ -2946,6 +2980,7 @@ REGISTRY.update(
         "doc_chunks": (q_doc_chunks, O_DOC_CHUNKS),
         "tile_pyramid": (q_tile_pyramid, O_TILE_PYRAMID),
         "grouped_quantiles": (q_grouped_quantiles, O_GROUPED_QUANTILES),
+        "lang_coverage": (q_lang_coverage, O_LANG_COVERAGE),
         "images_decontaminate": (q_images_decontaminate, O_IMAGES_DECON),
         "wide_report": (q_wide_report, O_WIDE_REPORT),
         "report_mediawiki_roundtrip": (q_report_mediawiki_roundtrip, O_REPORT_MEDIAWIKI),
