@@ -285,7 +285,12 @@ def compact_table(
 
     Distributed: one executor-side parquet write per output partition
     (accumulating the partition's Arrow batches into a single file);
-    only manifest bookkeeping is driver-side."""
+    only manifest bookkeeping is driver-side.
+
+    Like any overwrite, the replace commit resets ``committed_partitions``
+    to the compaction's own (synthetic) partition ids — resume bookkeeping
+    for a PRIOR interrupted ingest does not survive compaction, so compact
+    only completed tables (the standard maintenance-window contract)."""
     from pyspark.sql import functions as F
 
     df = table.read(spark)
