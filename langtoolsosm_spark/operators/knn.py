@@ -88,7 +88,17 @@ def _explode_feature_disk(
 
     Longitude wraps: distances use min(|dx|, n - |dx|) and cells reached
     twice around the globe are deduplicated, so the annulus never
-    re-emits a cell the previous disk already covered."""
+    re-emits a cell the previous disk already covered.
+
+    Invariant: ``radius`` < 2^res. A disk of Chebyshev radius n-1 already
+    covers the whole grid (y-extent n-1; x wrap distance maxes at n//2),
+    so a larger radius only re-derives the same cell set — callers must
+    clamp to the full-disk radius instead (knn_join does)."""
+    if radius >= (1 << res):
+        raise ValueError(
+            f"radius {radius} >= grid size {1 << res}: a radius-(n-1) disk "
+            "already covers the grid; clamp to the full-disk radius"
+        )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def disk(lat: pd.Series, lon: pd.Series) -> pd.Series:
@@ -588,12 +598,21 @@ def knn_join(
 
     resolved_parts: list[DataFrame] = []
     persisted: list[DataFrame] = [feats]
+    n_grid = 1 << res
     radius = 1
     prev_radius = -1  # no previous disk: round 1 covers [0, 1]
     while radius <= max_ring:
-        bound_deg = radius * cell_lat_deg
+        # a radius-(n-1) disk covers the whole grid (the explode's
+        # invariant): clamp the schedule there; that round scores every
+        # feature, so its bound is +inf and nothing can remain unresolved
+        # except points with < k candidates grid-wide
+        eff_radius = min(radius, n_grid - 1)
+        full_disk = eff_radius >= n_grid - 1
+        bound_deg = eff_radius * cell_lat_deg
         bound = (
-            bound_deg * bound_deg
+            float("inf")
+            if full_disk
+            else bound_deg * bound_deg
             if metric == "euclid_deg"
             else bound_deg * 111_194.9 * hav_factor
         )
@@ -607,7 +626,7 @@ def knn_join(
             .groupBy("__cell")
             .cogroup(
                 _explode_feature_disk(
-                    feats, res, radius, min_radius=prev_radius
+                    feats, res, eff_radius, min_radius=prev_radius
                 ).groupBy("__cell")
             )
             .applyInPandas(kernel, schema=out_schema)
@@ -623,13 +642,18 @@ def knn_join(
         if n_unresolved == 0:
             unresolved = None
             break
+        if full_disk:
+            # every feature is scored: only < k-candidate points remain;
+            # further annulus rounds would be empty — hand them to the
+            # brute-force pass below
+            break
         # stragglers shortcut: once the remaining pairwise volume is small,
         # one group-partitioned brute-force pass (features replicated per
         # group; exact, no bound needed) beats exploding features to ever
         # larger disks — radius-R disks multiply the FULL dim by (2R+1)^2.
         if n_unresolved * n_feats <= brute_max_pairs:
             break
-        prev_radius = radius
+        prev_radius = eff_radius
         radius *= 4
 
     if unresolved is not None:

@@ -42,29 +42,39 @@ def tile_pyramid(
     df: DataFrame, max_res: int = 8, lat: str = "lat", lon: str = "lon"
 ) -> DataFrame:
     """Multi-resolution per-tile counts — the map-tile-serving pyramid —
-    in ONE scan and ONE shuffle: compute (ix, iy) once at ``max_res``,
-    derive every coarser level's key by bit shifts (integer floor-div
-    composes: floor(x * 2^(r-1)) == floor(x * 2^r) >> 1, and the edge
-    clamp commutes with the shift), posexplode the level sequence, then
-    one map-side-combined groupBy over (res, tile). The naive
-    alternative — assign_tiles + groupBy per level — re-scans the fact
-    table (max_res + 1) times. Returns (res, tile, n_rows)."""
+    in ONE scan: aggregate at ``max_res`` first (the scan-side work is a
+    single map-side-combined groupBy whose output is at most 4^max_res
+    cells), then explode only that tiny histogram over the level sequence
+    and roll coarser keys up by bit shifts (integer floor-div composes:
+    floor(x * 2^(r-1)) == floor(x * 2^r) >> 1, and the edge clamp commutes
+    with the shift). The fact table is scanned once with zero fan-out;
+    the (max_res + 1)x explode touches only histogram rows, so the second
+    shuffle carries O(4^max_res) partials. The naive alternatives —
+    assign_tiles + groupBy per level (max_res + 1 scans) or exploding
+    every fact row over the levels (scan-side CPU x (max_res + 1)) — both
+    lose at scale. Returns (res, tile, n_rows)."""
     n = 1 << max_res
     ix = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
     iy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
     ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
     iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
-    lev = df.select(ix.alias("__ix"), iy.alias("__iy")).select(
+    hist = (
+        df.select(ix.alias("__ix"), iy.alias("__iy"))
+        .groupBy("__ix", "__iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    lev = hist.select(
         F.posexplode(F.sequence(F.lit(0), F.lit(max_res))).alias("__p", "res"),
         "__ix",
         "__iy",
+        "__n",
     )
     key = F.expr(
         f"shiftleft(shiftright(__ix, {max_res} - res), res)"
         f" + shiftright(__iy, {max_res} - res)"
     )
     return lev.groupBy(F.col("res"), key.alias("tile")).agg(
-        F.count(F.lit(1)).alias("n_rows")
+        F.sum("__n").alias("n_rows")
     )
 
 

@@ -283,3 +283,21 @@ def test_decontamination_plans_are_jvm_keyed_joins(spark):
     for plan in (p1, p2, p3):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_tile_pyramid_explodes_histogram_not_fact_rows(spark, synth_dir):
+    """The pyramid must aggregate at max_res BEFORE the level explode —
+    the Generate node sits above a HashAggregate, never on the raw scan,
+    so the fact table is never fanned out (max_res + 1)x."""
+    from langtoolsosm_spark.operators.tiling import tile_pyramid
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    df = tile_pyramid(images.select("lat", "lon"), max_res=8)
+    plan = _plan(df)
+    lines = plan.splitlines()
+    gen = [i for i, l in enumerate(lines) if "Generate" in l]
+    assert len(gen) == 1, plan
+    # executedPlan prints root-first: an aggregate AFTER the Generate line
+    # is the max_res pre-aggregation feeding the explode
+    aggs_below = [i for i, l in enumerate(lines) if "HashAggregate" in l and i > gen[0]]
+    assert aggs_below, plan

@@ -142,11 +142,15 @@ def test_dedup_clusters_no_separate_count_action(spark, monkeypatch):
     assert got == {(1, 1), (2, 1)}
 
 
-def test_annulus_disjoint_when_radius_exceeds_grid(spark):
-    """ADVICE r3: with the true modular wrap distance, an annulus round
-    whose radius exceeds the grid size must stay disjoint from the
-    previous disk (the naive min(|dx|, n-|dx|) goes negative there and
-    re-emits inner cells) and must emit each (feature, cell) once."""
+def test_annulus_disjoint_near_grid_edge_and_overflow_rejected(spark):
+    """ADVICE r3 / VERDICT r4: the wrap-aware annulus must stay disjoint
+    from the previous disk and emit each (feature, cell) once up to the
+    full-disk radius n-1; a radius >= n (where the annulus contract is
+    provably vacuous — the radius-(n-1) disk already covers the grid) is
+    now an enforced ValueError instead of an incidental no-op, and
+    knn_join clamps its schedule accordingly."""
+    import pytest
+
     from langtoolsosm_spark.operators.knn import _explode_feature_disk
 
     feats = spark.createDataFrame(
@@ -158,13 +162,21 @@ def test_annulus_disjoint_when_radius_exceeds_grid(spark):
             }
         )
     )
-    res = 2  # n = 4: radius 9 wraps the longitude ring twice
-    disk = _explode_feature_disk(feats, res, radius=3, min_radius=-1)
-    ring = _explode_feature_disk(feats, res, radius=9, min_radius=3)
+    res = 2  # n = 4: radius 3 is the full-disk maximum
+    disk = _explode_feature_disk(feats, res, radius=2, min_radius=-1)
+    ring = _explode_feature_disk(feats, res, radius=3, min_radius=2)
     d = {(r[0], r[1]) for r in disk.select("fid", "__cell").collect()}
     rg = [(r[0], r[1]) for r in ring.select("fid", "__cell").collect()]
     assert len(rg) == len(set(rg)), "duplicate (feature, cell) in annulus"
     assert not d.intersection(rg), "annulus re-emitted previous-disk cells"
+    # full disk covers all occupied-feature cells x the whole grid
+    full = {(r[0], r[1]) for r in
+            _explode_feature_disk(feats, res, radius=3, min_radius=-1)
+            .select("fid", "__cell").collect()}
+    assert full == {(f, c) for f in (0, 1, 2) for c in range(16)}
+    for bad in (4, 9):
+        with pytest.raises(ValueError, match="grid size"):
+            _explode_feature_disk(feats, res, radius=bad)
 
 
 def test_ngram_repetition_stays_jvm_and_shuffle_free(spark):
