@@ -263,5 +263,29 @@ def phash64(px: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def phash64_batch(frames: np.ndarray) -> np.ndarray:
+    """Batched ``phash64`` over a (n, h, w, 3) uint8 tensor: one batched
+    matmul pair for ALL frames' DCTs (same 32x32 GEMM per slice as the
+    scalar path, so results are bit-identical — parity-tested) instead of
+    a per-frame Python call. Returns int64[n]."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3), got {frames.shape}")
+    n, h, w, _ = frames.shape
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    gray = frames.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    g = gray[:, ys[:, None], xs[None, :]]  # (n, 32, 32)
+    d = (_B32 @ g) @ _B32.T  # batched: B32 @ g_i @ B32.T per frame
+    low = d[:, :8, :8].reshape(n, 64).copy()
+    low[:, 0] = 0.0  # drop DC
+    med = np.median(low, axis=1)
+    bits = low > med[:, None]
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    v = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return v.view(np.int64)
+
+
 def phash_hamming(a: int, b: int) -> int:
     return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")

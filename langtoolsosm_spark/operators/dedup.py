@@ -217,6 +217,41 @@ def jaccard_pairs(
     )
 
 
+def _observed_metric(obs, key: str, timeout_s: float = 300.0):
+    """Fetch one observed metric with a bounded wait.
+
+    ``Observation.get`` blocks until the JVM posts metrics at
+    SQLExecutionEnd; this Spark build posts them for
+    ``localCheckpoint(eager=True)`` (verified), but a build that stopped
+    doing so (or Spark Connect) would hang the caller forever. The action
+    has already COMPLETED when this is called, so the metrics are either
+    already posted or arrive within listener-dispatch latency — a timeout
+    here means the assumption broke, and raising beats hanging."""
+    import threading
+
+    box: dict = {}
+
+    def _fetch():
+        try:
+            box["val"] = obs.get
+        except Exception as e:  # surface JVM-side errors too
+            box["err"] = e
+
+    t = threading.Thread(target=_fetch, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f"observed metrics not posted within {timeout_s}s after the "
+            "checkpoint action finished — this Spark build does not emit "
+            "metrics for localCheckpoint(eager=True); replace the "
+            "Observation with a separate count() action"
+        )
+    if "err" in box:
+        raise box["err"]
+    return box["val"][key]
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -297,7 +332,7 @@ def dedup_clusters(
             .select("id", F.col("new_lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        changed = int(obs.get["changed"] or 0)
+        changed = int(_observed_metric(obs, "changed") or 0)
         if changed == 0:
             break
     if changed != 0:

@@ -44,10 +44,28 @@ def encode_video_rawseq(frames: list[np.ndarray]) -> bytes:
 
 
 def _video_header(buf: bytes) -> tuple[int, int, int]:
+    if len(buf) < 16:
+        raise ValueError(
+            f"rawseq buffer too short for its 16-byte header: {len(buf)} bytes"
+        )
     if buf[:4] != VIDEO_MAGIC:
         raise ValueError("not a rawseq video")
     n, h, w = struct.unpack("<III", buf[4:16])
     return n, h, w
+
+
+def _video_frames_avail(buf: bytes) -> tuple[int, int, int]:
+    """Header + truncation clamp: (n_decodable, h, w). The frame count is
+    clamped to the whole frames actually present in the buffer, mirroring
+    ``pcm16_features``' trailing-byte leniency — a truncated clip yields
+    its decodable prefix instead of an opaque reshape ValueError. A buffer
+    too short for even the header still raises (that is corrupt, not
+    truncated payload)."""
+    n, h, w = _video_header(buf)
+    sz = h * w * 3
+    if sz == 0:
+        return 0, h, w
+    return min(n, (len(buf) - 16) // sz), h, w
 
 
 def decode_video_frame(buf: bytes, idx: int) -> np.ndarray:
@@ -56,6 +74,11 @@ def decode_video_frame(buf: bytes, idx: int) -> np.ndarray:
         raise IndexError(f"frame {idx} of {n}")
     sz = h * w * 3
     off = 16 + idx * sz
+    if len(buf) < off + sz:
+        raise ValueError(
+            f"rawseq buffer truncated: frame {idx} needs bytes "
+            f"[{off}, {off + sz}) but buffer holds {len(buf)}"
+        )
     return np.frombuffer(buf[off:off + sz], dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -69,43 +92,48 @@ def sample_video_frames(
     """Sample every ``every_n``-th frame of each video: one output row per
     sampled frame with (media_id, frame_idx, n_frames, w, h, mean_milli,
     phash). Real decode + pHash for the rawseq container; other formats
-    raise NotImplementedError (no codec libs in this environment)."""
+    raise NotImplementedError (no codec libs in this environment).
+    Truncated clips yield their decodable whole-frame prefix (n_frames
+    reports the decodable count). Per clip, ALL sampled frames decode as
+    one (k, h, w, 3) tensor and hash through one batched DCT
+    (``phash64_batch`` — bit-identical to the scalar path); no per-frame
+    Python loop."""
     from ..functions import imagecodec as ic
 
     def kernel(batches):
         for pdf in batches:
-            ids, idxs, nfs, ws, hs, means, phs = [], [], [], [], [], [], []
+            frames = []
             for mid, buf, fmt in zip(pdf[id_col], pdf[bytes_col], pdf[fmt_col]):
                 if fmt not in SUPPORTED_VIDEO:
                     raise NotImplementedError(
                         f"video codec {fmt!r}: only {sorted(SUPPORTED_VIDEO)} "
                         "decode in this environment"
                     )
-                n, h, w = _video_header(buf)
+                n, h, w = _video_frames_avail(buf)
                 sz = h * w * 3
-                for i in range(0, n, every_n):
-                    px = np.frombuffer(
-                        buf[16 + i * sz:16 + (i + 1) * sz], dtype=np.uint8
-                    ).reshape(h, w, 3)
-                    ids.append(mid)
-                    idxs.append(i)
-                    nfs.append(n)
-                    ws.append(w)
-                    hs.append(h)
-                    # exact integer mean in milli (sum is exact int)
-                    means.append(int(px.sum()) * 1000 // px.size)
-                    phs.append(np.int64(ic.phash64(px)))
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids, dtype="object"),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "n_frames": pd.Series(nfs, dtype="int32"),
-                    "w": pd.Series(ws, dtype="int32"),
-                    "h": pd.Series(hs, dtype="int32"),
-                    "mean_milli": pd.Series(means, dtype="int64"),
-                    "phash": pd.Series(phs, dtype="int64"),
-                }
-            )
+                sel = np.arange(0, n, every_n)
+                if len(sel) == 0:
+                    continue
+                px = np.frombuffer(
+                    buf, dtype=np.uint8, offset=16, count=n * sz
+                ).reshape(n, h, w, 3)[sel]
+                # exact integer mean in milli (sum is exact int)
+                means = px.reshape(len(sel), -1).sum(axis=1, dtype=np.int64) * 1000 // sz
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: np.repeat(np.array([mid], dtype=object), len(sel)),
+                            "frame_idx": sel.astype(np.int32),
+                            "n_frames": np.full(len(sel), n, dtype=np.int32),
+                            "w": np.full(len(sel), w, dtype=np.int32),
+                            "h": np.full(len(sel), h, dtype=np.int32),
+                            "mean_milli": means,
+                            "phash": ic.phash64_batch(px),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return videos.select(id_col, bytes_col, fmt_col).mapInPandas(
         kernel,
@@ -138,7 +166,7 @@ def video_scene_cuts(
                         f"video codec {fmt!r}: only {sorted(SUPPORTED_VIDEO)} "
                         "decode in this environment"
                     )
-                n, h, w = _video_header(buf)
+                n, h, w = _video_frames_avail(buf)
                 if n < 2:
                     continue
                 sz = h * w * 3

