@@ -2967,6 +2967,175 @@ def q_embedding_topk_sharded(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# snapshot maintenance + streaming dedup gates (round 5: VERDICT r4 #3/#7)
+# ---------------------------------------------------------------------------
+
+def _snapshot_fixture_write(spark, sf_dir, out):
+    """Shared fixture for the maintenance gates: the res-6 tiled point set
+    written as one small file per hash-partition group with tile stats."""
+    from ..operators.tiling import assign_tiles
+    from ..sources.snapshots import SnapshotTable, write_partitioned
+
+    tiled = assign_tiles(geo_points(spark, sf_dir), res=6).select("point_id", "tile")
+    t = SnapshotTable(os.path.join(out, "t"))
+    write_partitioned(tiled, t, "tile", stats_col="tile")
+    return t
+
+
+# the maintenance ops must not change table CONTENT: the oracle recomputes
+# the per-tile fingerprint (count + exact integer id sum) from raw orders
+# and pins every invariant flag at 1 — any content drift, file-count
+# overflow, resume-set shrink, or pruning miss flips a flag or a value and
+# hash-mismatches. (CAST sum back from DuckDB HUGEINT.)
+def _o_snapshot_maint(flags: str) -> str:
+    return (
+        f"WITH {PTS_CTE} SELECT {_tile_sql(6)} AS tile, count(*) AS n_rows, "
+        f"CAST(sum(point_id) AS BIGINT) AS sum_pid, {flags} FROM pts GROUP BY 1"
+    )
+
+
+O_SNAPSHOT_COMPACT = _o_snapshot_maint("1 AS files_ok, 1 AS prune_ok")
+O_SNAPSHOT_EXPIRE = _o_snapshot_maint(
+    "1 AS expire_ok, 1 AS resume_ok, 1 AS disk_ok, 1 AS prune_ok"
+)
+
+# a real res-6 tile sub-range of the fixture (ix=32 column holds the hot
+# cluster): exercises manifest-stats pruning on range-clustered files
+_MAINT_RANGE = (2048, 2112)
+
+
+def q_snapshot_compact(spark, sf_dir):
+    """Registry gate for ``compact_table`` (sources/snapshots.py): write
+    the tiled point set as many small per-partition files, compact into 4
+    range-clustered files as one replace commit, and emit the per-tile
+    content fingerprint plus invariant flags: live-file count <= target
+    (files_ok) and manifest-stats ``read_range`` returning exactly the
+    directly-filtered rows post-compaction (prune_ok). Reference
+    analogue: changeset lifecycle, /root/reference/src/fill_empty_name.py:66-89."""
+    import shutil
+    import tempfile
+
+    from ..sources.snapshots import compact_table
+
+    out = tempfile.mkdtemp(prefix="snapcompact_")
+    try:
+        t = _snapshot_fixture_write(spark, sf_dir, out)
+        compact_table(t, spark, target_files=4, stats_col="tile")
+        n_live = len(t.live_files())
+        post = t.read(spark)
+        lo, hi = _MAINT_RANGE
+        n_pruned = t.read_range(spark, "tile", lo, hi).count()
+        n_direct = post.filter((F.col("tile") >= lo) & (F.col("tile") <= hi)).count()
+        result = (
+            post.groupBy("tile")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("point_id").alias("sum_pid"),
+            )
+            .select(
+                "tile",
+                "n_rows",
+                "sum_pid",
+                F.lit(int(n_live <= 4)).alias("files_ok"),
+                F.lit(int(n_pruned == n_direct)).alias("prune_ok"),
+            )
+            .localCheckpoint(eager=True)  # outlive the rmtree below
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def q_snapshot_expire(spark, sf_dir):
+    """Registry gate for ``expire_snapshots``: after compaction (replace
+    commit keeps the old small files alive for time travel), expiration
+    must actually reclaim them while preserving content, the
+    committed-partition resume set, and range-scan correctness. Flags:
+    expire_ok (manifests removed AND orphaned data files deleted),
+    resume_ok (committed_partitions identical across expiration), disk_ok
+    (data dir holds exactly the live files afterwards), prune_ok
+    (read_range still exact post-expiration)."""
+    import shutil
+    import tempfile
+
+    from ..sources.snapshots import compact_table
+
+    out = tempfile.mkdtemp(prefix="snapexpire_")
+    try:
+        t = _snapshot_fixture_write(spark, sf_dir, out)
+        compact_table(t, spark, target_files=3, stats_col="tile")
+        parts_before = t.committed_partitions()
+        stats = t.expire_snapshots(keep_last=1)
+        expire_ok = stats["removed_snapshots"] >= 1 and stats["deleted_files"] >= 1
+        resume_ok = t.committed_partitions() == parts_before
+        live = {os.path.basename(p) for p in t.live_files()}
+        on_disk = {f for f in os.listdir(t.data_dir) if f.endswith(".parquet")}
+        disk_ok = live == on_disk
+        post = t.read(spark)
+        lo, hi = _MAINT_RANGE
+        n_pruned = t.read_range(spark, "tile", lo, hi).count()
+        n_direct = post.filter((F.col("tile") >= lo) & (F.col("tile") <= hi)).count()
+        result = (
+            post.groupBy("tile")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("point_id").alias("sum_pid"),
+            )
+            .select(
+                "tile",
+                "n_rows",
+                "sum_pid",
+                F.lit(int(expire_ok)).alias("expire_ok"),
+                F.lit(int(resume_ok)).alias("resume_ok"),
+                F.lit(int(disk_ok)).alias("disk_ok"),
+                F.lit(int(n_pruned == n_direct)).alias("prune_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Batch-parity gate for ``stream_dedup_exact``
+    (streaming/microbatch.py): the events table staged as 3 parquet files
+    feeds 3 micro-batches (maxFilesPerTrigger=1) through
+    ``dropDuplicatesWithinWatermark`` with a horizon wider than the
+    fixture's whole time span, projected to the dedup keys. Every key must
+    be emitted exactly ONCE across all batches — cross-batch re-emission
+    (broken state) or loss changes the row multiset vs the batch DISTINCT
+    and hash-mismatches. Keys-only projection keeps the check
+    deterministic (which duplicate survives within a batch is partition-
+    order dependent; the key set is not)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_dedup_exact_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tempfile.mkdtemp(prefix="streamdedup_")
+    try:
+        src = os.path.join(out, "src")
+        ev.repartition(3).write.parquet(src)
+        emitted = run_dedup_exact_once(
+            spark,
+            src,
+            os.path.join(out, "ckpt"),
+            os.path.join(out, "sink"),
+            key_cols=["user_id", "event_type"],
+            watermark="36500 days",
+        )
+        result = emitted.select("user_id", "event_type").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+O_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 REGISTRY.update(
     {
         "embedding_lsh_ann_kernel": (q_embedding_lsh_ann_kernel, O_EMBEDDING_LSH_ANN),
@@ -2988,6 +3157,9 @@ REGISTRY.update(
         "sessionize": (q_sessionize, O_SESSIONIZE),
         "images_tile_assign": (q_images_tile_assign, O_IMAGES_TILE),
         "images_phash_pairs": (q_images_phash_pairs, O_IMAGES_PHASH),
+        "snapshot_compact": (q_snapshot_compact, O_SNAPSHOT_COMPACT),
+        "snapshot_expire": (q_snapshot_expire, O_SNAPSHOT_EXPIRE),
+        "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
     }
 )
 
@@ -2997,36 +3169,42 @@ REGISTRY.update(
 # ---------------------------------------------------------------------------
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
-# verified). Rounds 1-3 signed the original first 50; the 23 queries added
-# later — the ANN family, the decontamination trio, wide_report, the
-# mediawiki round-trip, sessionize, token_shard_pack, corpus_prep, the
-# image queries — never got a driver-signed row. This block rotates THOSE
-# plus this round's 4 new queries into the window, backfilled with the 23
-# highest-risk already-signed queries (the complex spatial/CDC/sketch
-# operators). The rotated-out 27 stay oracle-checked by the full
-# tools/verify_oracles.py sweep; across rounds 3+4 every registry query
-# then has at least one driver-signed green row.
+# verified). Per-round window policy: every NEW registry query plus any
+# query that has never had a driver-signed green row enters the window
+# first; the rest of the slots backfill with already-signed queries,
+# highest-risk first (queries whose code was touched this round, then the
+# complex spatial/CDC/embedding operators). Rotated-out queries stay
+# oracle-checked by the full tools/verify_oracles.py sweep. Round-5
+# rotation: the 4 queries added after round 4's window froze (doc_chunks,
+# tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
+# plus this round's 3 new maintenance/streaming gates swap in against 7
+# round-4-signed entries (set_ops, flatten_distinct, footprint_centroid,
+# asof_join, interval_join, hll_registers, quantile_buckets); with this
+# window every registry query has at least one driver-signed row across
+# rounds 1-5.
 _DRIVER_WINDOW = [
-    # --- never driver-signed before round 4 (23) ---
-    "embedding_topk", "simhash_neardup", "simhash_pairs", "dedup_canonical",
-    "embedding_lsh_ann", "lsh_candidate_pairs", "embedding_neardup_pairs",
-    "embedding_ivf_ann", "embedding_ivf_lloyd", "lang_id", "set_ops",
-    "token_shard_pack", "corpus_prep", "stratified_sample", "decontaminate",
-    "embedding_decontaminate", "images_decontaminate", "wide_report",
-    "report_mediawiki_roundtrip", "flatten_distinct", "sessionize",
+    # --- never driver-signed before round 5 (4) ---
+    "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
+    # --- new in round 5 (3) ---
+    "snapshot_compact", "snapshot_expire", "stream_dedup",
+    # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
+    #     dedup Observation wait) ---
+    "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
+    "knn_join", "knn_join_cogroup",
+    "video_frame_stats", "video_scene_cuts", "pcm16_features",
+    "audio_vad_segments", "dedup_clusters", "dedup_apply",
+    # --- highest-risk signed backfill (31) ---
+    "adaptive_split", "salted_repartition", "cdc_merge", "cdc_merged_tags",
+    "translate_with_wikidata", "p31_type_join",
+    "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",
+    "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
+    "decontaminate", "embedding_decontaminate", "images_decontaminate",
+    "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
+    "embedding_neardup_pairs", "dedup_canonical", "lang_id",
+    "token_shard_pack", "corpus_prep", "stratified_sample",
+    "wide_report", "report_mediawiki_roundtrip", "sessionize",
     "images_tile_assign", "images_phash_pairs",
-    # --- new in round 4 (8) ---
-    "embedding_lsh_ann_kernel", "embedding_topk_sharded",
-    "video_frame_stats", "pcm16_features",
-    "video_scene_cuts", "audio_vad_segments",
     "doc_repetition", "pii_redact",
-    # --- highest-risk already-signed backfill (19) ---
-    "tile_assign", "pip_join", "pip_unique_owner", "knn_join",
-    "knn_join_cogroup", "pip_join_shuffled", "adaptive_split",
-    "salted_repartition", "footprint_centroid", "translate_with_wikidata",
-    "p31_type_join", "cdc_merge", "cdc_merged_tags", "asof_join",
-    "interval_join", "hll_registers", "quantile_buckets",
-    "dedup_clusters", "dedup_apply",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
