@@ -39,34 +39,54 @@ def _ring_to_np(ring) -> np.ndarray:
     return np.array([[p["lat"], p["lon"]] for p in ring], dtype=np.float64)
 
 
-def polygon_cover(polygons: DataFrame, res: int) -> DataFrame:
-    """(polygon_id, tile, full_inside) cover table at resolution ``res``.
-
-    Distributed: one group per polygon; each group runs the NumPy cover
-    kernel. Output tile uses the flat SQL-parity key (ix * 2^res + iy).
-    """
+def _cover_pdf(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Shared NumPy cover kernel over a pandas frame of polygons."""
     from ..functions.cells import cell_to_tile_key
 
-    def per_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            ring = _ring_to_np(row["ring"])
-            cells, full = geo.polygon_cell_cover(ring, res)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "polygon_id": row["polygon_id"],
-                        "tile": cell_to_tile_key(cells),
-                        "full_inside": full,
-                    }
-                )
+    out = []
+    for _, row in pdf.iterrows():
+        ring = _ring_to_np(row["ring"])
+        cells, full = geo.polygon_cell_cover(ring, res)
+        out.append(
+            pd.DataFrame(
+                {
+                    "polygon_id": row["polygon_id"],
+                    "tile": cell_to_tile_key(cells),
+                    "full_inside": full,
+                }
             )
-        if not out:
-            return pd.DataFrame({"polygon_id": pd.Series(dtype="object"),
-                                 "tile": pd.Series(dtype="int64"),
-                                 "full_inside": pd.Series(dtype="bool")})
-        return pd.concat(out, ignore_index=True)
+        )
+    if not out:
+        return pd.DataFrame({"polygon_id": pd.Series(dtype="object"),
+                             "tile": pd.Series(dtype="int64"),
+                             "full_inside": pd.Series(dtype="bool")})
+    return pd.concat(out, ignore_index=True)
 
+
+def polygon_cover(
+    polygons: DataFrame, res: int, collect_threshold: int = 2000
+) -> DataFrame:
+    """(polygon_id, tile, full_inside) cover table at resolution ``res``.
+    Output tile uses the flat SQL-parity key (ix * 2^res + iy).
+
+    Counted gate: a polygon dim at or under ``collect_threshold`` rows is
+    metadata-scale — it is headed for a broadcast anyway — so its cover is
+    computed driver-side with the same NumPy kernel and shipped via
+    ``createDataFrame``, removing an applyInPandas stage (a shuffle plus a
+    cold Python-worker spin-up) from the plan. Above the threshold (or
+    with ``collect_threshold=0``, the forced scale path): distributed, one
+    ``applyInPandas`` group per polygon."""
+
+    def per_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cover_pdf(pdf, res)
+
+    if collect_threshold and polygons.count() <= collect_threshold:
+        pdf = polygons.select("polygon_id", "ring").toPandas()
+        spark = polygons.sparkSession
+        return spark.createDataFrame(
+            _cover_pdf(pdf, res),
+            schema="polygon_id string, tile long, full_inside boolean",
+        )
     return (
         polygons.select("polygon_id", "ring")
         .groupBy("polygon_id")
@@ -84,12 +104,23 @@ def pip_join(
     id_col: str = "image_id",
     broadcast_cover: bool = True,
     broadcast_rings: bool = True,
+    cover_res: int | None = None,
 ) -> DataFrame:
     """Join each point to every polygon containing it.
 
     Returns ``points`` columns + ``polygon_id``. ``unique=True`` keeps only
     the lexicographically smallest polygon_id per point (tile-ownership
     tie-break; requires unique ``id_col``).
+
+    ``cover_res`` (default ``res + 3``) is the resolution of the internal
+    cover/classification grid, independent of the caller-facing ``res``.
+    Finer cover cells thin the boundary band ~2x per level — the share of
+    candidate rows paying the exact ray-cast refine drops from ~80% at a
+    polygon-scale grid to ~10% three levels down (measured on the synth
+    fixture) — while the cover table grows only ~2x per level along the
+    perimeter and stays broadcast-sized. The refine kernel is the PIP
+    join's dominant cost, so the cover grid should be as fine as the
+    cover-table broadcast budget allows, NOT the output tiling res.
 
     Scale switches: ``broadcast_cover=False`` shuffles the cover equi-join
     (huge polygon sets whose cover exceeds the broadcast threshold);
@@ -99,8 +130,16 @@ def pip_join(
     hash-partition by polygon_id and meet their ring in the same task.
     Both paths feed the identical refine kernel.
     """
-    pts = points.withColumn("__tile", tile_key_col(F.col(lat), F.col(lon), res))
-    cover = polygon_cover(polygons, res).withColumnRenamed("tile", "__cover_tile")
+    if cover_res is None:
+        cover_res = res + 3
+    pts = points.withColumn(
+        "__tile", tile_key_col(F.col(lat), F.col(lon), cover_res)
+    )
+    # broadcast_cover=False is the forced huge-polygon-set scale path:
+    # keep the cover build distributed there too
+    cover = polygon_cover(
+        polygons, cover_res, collect_threshold=2000 if broadcast_cover else 0
+    ).withColumnRenamed("tile", "__cover_tile")
     if broadcast_cover:
         cover = F.broadcast(cover)
     cand = pts.join(cover, pts["__tile"] == cover["__cover_tile"], "inner").drop(
@@ -141,14 +180,17 @@ def pip_join(
 
     result = interior.select(*out_cols).unionByName(refined)
     if unique:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(id_col).orderBy("polygon_id")
-        result = (
-            result.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # min-struct instead of a row_number window: the hash aggregate
+        # gets a map-side partial combine (the window's sort-based
+        # exchange ships every multi-polygon candidate row), and
+        # polygon_id leads the struct so min == lexicographically
+        # smallest owner; the other columns are copies of the same source
+        # point row, so they ride along unchanged
+        others = [c for c in out_cols if c != id_col]
+        result = result.groupBy(id_col).agg(
+            F.min(F.struct(*["polygon_id"] + [c for c in others if c != "polygon_id"])).alias("__m")
+        ).select(id_col, *[F.col(f"__m.{c}").alias(c) for c in others])
+        result = result.select(*out_cols)
     return result
 
 

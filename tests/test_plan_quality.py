@@ -301,3 +301,33 @@ def test_tile_pyramid_explodes_histogram_not_fact_rows(spark, synth_dir):
     # is the max_res pre-aggregation feeding the explode
     aggs_below = [i for i, l in enumerate(lines) if "HashAggregate" in l and i > gen[0]]
     assert aggs_below, plan
+
+
+def test_pip_join_broadcast_path_plan_shape(spark, synth_dir):
+    """Small polygon dims take the driver-side cover fast path (no
+    FlatMapGroupsInPandas stage — the cover is a local relation headed for
+    a broadcast) and unique ownership is a map-side-combinable min-struct
+    aggregate, not a sort-based row_number window."""
+    from langtoolsosm_spark.operators.pip_join import pip_join
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    polygons = spark.read.parquet(f"{synth_dir}/polygons.parquet")
+    df = pip_join(
+        images.select("image_id", "lat", "lon"), polygons, res=8,
+        unique=True, id_col="image_id",
+    )
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan  # cover built driver-side
+    assert "MapInPandas" in plan  # the exact refine kernel stays
+    assert "Window" not in plan  # min-struct agg, not row_number
+    # struct-min plans as SortAggregate, but the partial_min below the
+    # exchange is the map-side combine the window formulation lacks: the
+    # shuffle ships at most one row per (partition, image_id)
+    assert "partial_min" in plan
+    # the forced scale path keeps the distributed cover build
+    df_sh = pip_join(
+        images.select("image_id", "lat", "lon"), polygons, res=8,
+        unique=True, id_col="image_id",
+        broadcast_cover=False, broadcast_rings=False,
+    )
+    assert "FlatMapGroupsInPandas" in _plan(df_sh)
