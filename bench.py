@@ -166,10 +166,17 @@ def main():
         fam_sec[name] = round(time.time() - t1, 3)
         return round(n_hit / n_true, 3) if n_true else 0.0
 
-    ann_recall = recall("lsh", ann_lsh_topk(emb))
-    # the broadcast-matrix bucket kernel (scale path for high dims) must
-    # hold the same recall; its family time tracks the planning win
+    # Only the kernel bucket path is timed: the expression formulation
+    # stays the oracle spec, and tests/test_round4_fixes.py enforces
+    # byte-identical buckets between the two, so its recall is the
+    # kernel's by construction — timing it doubled the LSH wall for no
+    # extra signal. Set BENCH_LSH_EXPR=1 to time it anyway.
     ann_recall_kernel = recall("lsh_kernel", ann_lsh_topk(emb, kernel_buckets=True))
+    ann_recall = (
+        recall("lsh", ann_lsh_topk(emb))
+        if os.environ.get("BENCH_LSH_EXPR")
+        else ann_recall_kernel
+    )
     ivf_recall = recall("ivf", ivf_ann_topk(emb))
     ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb))
     exact.unpersist()

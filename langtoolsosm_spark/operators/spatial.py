@@ -1,0 +1,283 @@
+"""Radius distance join, single-linkage geo clustering, trajectory path
+stats, and vector->raster polygon rasterization.
+
+These extend the engine's spatial family (SURVEY.md §2.3 joins; the
+north-star's "raster<->vector tiling") beyond PIP/kNN/bbox:
+
+* ``distance_join`` — all (point, feature) pairs within a radius, via the
+  same cell-disk fan-out the kNN join uses (operators/knn.py
+  ``_explode_feature_disk``): features explode to the Chebyshev cell disk
+  that covers the radius, points join on their single cell, and an exact
+  JVM-side distance filter refines. The reference resolves proximity
+  server-side (``around`` filters in Overpass QL,
+  /root/reference/lib/osm_utils.py:24-43); the engine internalizes it as
+  an equi-join + refine so Catalyst/AQE own the physical plan.
+* ``geo_clusters`` — single-linkage clustering at a radius (the r-neighbor
+  graph's connected components), reusing the dedup family's pointer-
+  jumping min-label propagation (operators/dedup.py ``dedup_clusters``).
+* ``trajectory_stats`` — per-entity ordered path statistics (segment
+  count, total/max segment length) as one window pass + one aggregation.
+* ``rasterize_polygons`` — burn polygons into the tile grid at a
+  resolution: every tile whose CENTER is inside the polygon, using the
+  cover's interior/boundary split so only the thin boundary band pays the
+  exact ray-cast.
+
+Metric/parity contract: distances are squared-euclidean-degrees
+(functions/geo.py ``sq_euclid_deg``) — plain IEEE-double arithmetic with
+one canonical expression shape, so DuckDB oracles reproduce every
+comparison bit-for-bit. Sums of per-segment doubles are quantized to
+integers (``floor(d * 1e9)``) BEFORE aggregation: bigint addition is
+associative, so the result is independent of partitioning/merge order on
+both engines (double sums are not).
+
+Scale notes: the distance join shuffles on the cell key with a counted
+broadcast gate for small fan-outs (the pip_join idiom); fan-out per
+feature is (2k+1)^2 cells with k chosen so cell size ~= radius (k=1 at
+the auto resolution). Clustering inherits dedup_clusters' log-diameter
+pointer jumping. Rasterization parallelizes per polygon via
+``applyInPandas`` with the same counted driver-side fast path as
+``polygon_cover``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import geo
+from ..functions.cells import MAX_RES, cell_center, tile_key_col
+
+# quantization scale for order-independent integer sums of squared-degree
+# distances (~1e-9 deg^2 resolution; lattice-derived fixtures never land
+# within one ulp of a quantization boundary, and floor() is bit-identical
+# across engines given identical inputs)
+DIST_Q_SCALE = 1e9
+
+
+def radius_res(radius: float) -> int:
+    """Finest grid resolution whose lat cell extent still covers
+    ``radius`` degrees (so the Chebyshev disk radius is 1 cell)."""
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0 degrees, got {radius}")
+    return max(3, min(20, int(math.floor(math.log2(180.0 / radius)))))
+
+
+def distance_join(
+    points: DataFrame,
+    features: DataFrame,
+    radius: float,
+    res: int | None = None,
+    point_id: str = "point_id",
+    feature_id: str = "id",
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    feature_lat: str = "lat",
+    feature_lon: str = "lon",
+    broadcast_threshold: int = 4_000_000,
+) -> DataFrame:
+    """All (point, feature) pairs with squared-euclid-degree distance
+    <= radius^2: (point_id, neighbor_id, dist).
+
+    Plan: features fan out to every cell whose Chebyshev distance from
+    their own covers the radius (distinct cells per feature, so a pair
+    can match in exactly one cell — no output dedup needed), points carry
+    their single cell, and the equi-join + exact distance filter runs
+    entirely JVM-side (whole-stage codegen; the only Python is the
+    vectorized disk fan-out kernel). Below ``broadcast_threshold``
+    estimated exploded rows the feature side broadcasts (counted gate —
+    one cheap count on the un-exploded dim); above, both sides shuffle on
+    the cell key and AQE owns skew.
+
+    The sq-euclid metric treats lon as a plane coordinate (no wrap) —
+    matching the SQL-parity kNN metric; disk cells reached across the
+    antimeridian produce candidates the distance filter then rejects.
+    """
+    from .knn import _explode_feature_disk
+
+    r = radius_res(radius) if res is None else res
+    n = 1 << r
+    k = min(int(math.ceil(radius * n / 180.0)), n - 1)
+
+    feats = features.select(
+        F.col(feature_id).alias("neighbor_id"),
+        F.col(feature_lat).alias("__flat"),
+        F.col(feature_lon).alias("__flon"),
+    )
+    exploded = _explode_feature_disk(feats, r, k)
+    fanout = (2 * k + 1) ** 2
+    if broadcast_threshold and features.count() * fanout <= broadcast_threshold:
+        exploded = F.broadcast(exploded)
+
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col(point_lat).alias("__plat"),
+        F.col(point_lon).alias("__plon"),
+        tile_key_col(F.col(point_lat), F.col(point_lon), r).alias("__cell"),
+    )
+    dlat = F.col("__plat") - F.col("__flat")
+    dlon = F.col("__plon") - F.col("__flon")
+    dist = dlat * dlat + dlon * dlon
+    return (
+        pts.join(exploded, "__cell")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.lit(float(radius) * float(radius)))
+        .select("point_id", "neighbor_id", "dist")
+    )
+
+
+def geo_clusters(
+    points: DataFrame,
+    radius: float,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Single-linkage spatial clustering: (point_id, cluster_id) where
+    cluster_id is the smallest point id reachable through radius-``r``
+    hops (the connected components of the r-neighbor graph; DBSCAN with
+    minPts=2 and every paired point core).
+
+    Composition of two existing scale paths: ``distance_join`` of the
+    point set against itself (upper-triangle pairs) feeds the dedup
+    family's pointer-jumping min-label propagation. Points with no
+    neighbor within the radius are singletons labeled with their own id
+    (the left join keeps them — ``dedup_clusters`` only sees paired
+    nodes).
+    """
+    from .dedup import dedup_clusters
+
+    pairs = distance_join(
+        points, points.select(F.col(id_col).alias("id"),
+                              F.col(lat).alias("lat"),
+                              F.col(lon).alias("lon")),
+        radius, res=res, point_id=id_col, point_lat=lat, point_lon=lon,
+    ).filter(F.col("point_id") < F.col("neighbor_id"))
+    labels = dedup_clusters(pairs, "point_id", "neighbor_id", max_iter=max_iter)
+    return (
+        points.select(F.col(id_col).alias("point_id"))
+        .join(labels.withColumnRenamed("doc_id", "point_id"), "point_id", "left")
+        .select(
+            "point_id",
+            F.coalesce(F.col("cluster_id"), F.col("point_id")).alias("cluster_id"),
+        )
+    )
+
+
+def trajectory_stats(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity path statistics over timestamp-ordered positions:
+    (entity, n_points, n_segments, total_dist_q, max_seg_q).
+
+    One window pass (lag over entity partitions — a single shuffle on the
+    entity key) computes per-segment squared-euclid-degree lengths; each
+    is quantized to ``floor(d * 1e9)`` bigint BEFORE the sum so the
+    aggregate is merge-order-independent (double sums are not
+    associative; bigint sums are). ``order_tiebreak`` (an id column)
+    makes duplicate timestamps deterministic.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    dlat = F.col(lat) - F.lag(lat).over(w)
+    dlon = F.col(lon) - F.lag(lon).over(w)
+    seg = dlat * dlat + dlon * dlon
+    segq = F.floor(seg * F.lit(DIST_Q_SCALE)).cast("long")
+    return (
+        events.withColumn("__segq", segq)
+        .groupBy(F.col(entity_col).alias("entity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("__segq").alias("n_segments"),
+            F.coalesce(F.sum("__segq"), F.lit(0)).alias("total_dist_q"),
+            F.coalesce(F.max("__segq"), F.lit(0)).alias("max_seg_q"),
+        )
+    )
+
+
+def _rasterize_pdf(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """NumPy rasterize kernel over a pandas frame of polygons: tiles at
+    ``res`` whose center lies inside the ring (half-open edge rule)."""
+    from .pip_join import _ring_to_np
+    from ..functions.cells import cell_to_tile_key
+
+    out = []
+    for _, row in pdf.iterrows():
+        ring = _ring_to_np(row["ring"])
+        cells, full = geo.polygon_cell_cover(ring, res)
+        if len(cells) == 0:
+            continue
+        # interior cover cells contain their center by definition; only
+        # the boundary band pays the exact ray-cast
+        clat, clon = cell_center(cells)
+        inside = full.copy()
+        band = ~full
+        if band.any():
+            inside[band] = geo.points_in_polygon(clat[band], clon[band], ring)
+        if inside.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "polygon_id": row["polygon_id"],
+                        "tile": cell_to_tile_key(cells[inside]),
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
+            {"polygon_id": pd.Series(dtype="object"),
+             "tile": pd.Series(dtype="int64")}
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def rasterize_polygons(
+    polygons: DataFrame, res: int, collect_threshold: int = 2000
+) -> DataFrame:
+    """Vector -> raster: (polygon_id, tile) for every tile at resolution
+    ``res`` whose center is inside the polygon (flat SQL-parity tile key
+    ix * 2^res + iy; center-inside is the standard raster burn rule and
+    inherits the ray-cast's half-open tie-break).
+
+    Same counted gate as ``polygon_cover`` (operators/pip_join.py): a
+    metadata-scale polygon dim rasterizes driver-side with the identical
+    NumPy kernel (no applyInPandas stage); above the threshold each
+    polygon rasterizes in its own task. A single continent-scale polygon
+    at a fine resolution should be pre-split (adaptive_split's cell
+    quadtree) before rasterizing — noted, not silently handled.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    spark = polygons.sparkSession
+    n_poly = polygons.count()
+    schema = "polygon_id string, tile long"
+    if n_poly <= collect_threshold:
+        pdf = polygons.select("polygon_id", "ring").toPandas()
+        out = _rasterize_pdf(pdf, res)
+        if len(out) == 0:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(out, schema)
+
+    def per_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _rasterize_pdf(pdf, res)
+
+    # groupBy itself shuffles on polygon_id (one task per polygon) — no
+    # explicit repartition needed, that would just add a second exchange
+    return (
+        polygons.select("polygon_id", "ring")
+        .groupBy("polygon_id")
+        .applyInPandas(lambda _k, pdf: per_polygon(pdf), schema)
+    )

@@ -3136,6 +3136,146 @@ def q_stream_dedup(spark, sf_dir):
 O_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
 
 
+# ---------------------------------------------------------------------------
+# spatial family round 5: radius join / geo clustering / trajectories /
+# rasterization (operators/spatial.py)
+# ---------------------------------------------------------------------------
+
+def q_distance_join(spark, sf_dir):
+    """All (point, feature) pairs within 0.25 deg (squared-euclid-degree
+    metric, SQL parity with the kNN family): cell-disk fan-out + exact
+    refine. The reference's Overpass ``around`` proximity filter
+    (/root/reference/lib/osm_utils.py), internalized as an equi-join."""
+    from ..operators.spatial import distance_join
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 29 == 0)
+    feats = geo_features(spark, sf_dir)
+    return distance_join(pts, feats, radius=0.25, point_id="point_id", feature_id="id")
+
+
+# threshold written as 0.25 * 0.25 so DuckDB performs the same IEEE
+# multiply the engine does (F.lit(radius * radius))
+O_DISTANCE_JOIN = f"""
+WITH {PTS_CTE}, {FEATS_CTE}
+SELECT q.point_id, f.id AS neighbor_id,
+       (q.lat - f.lat) * (q.lat - f.lat) + (q.lon - f.lon) * (q.lon - f.lon) AS dist
+FROM pts q CROSS JOIN feats f
+WHERE q.point_id % 29 = 0
+  AND (q.lat - f.lat) * (q.lat - f.lat) + (q.lon - f.lon) * (q.lon - f.lon)
+      <= 0.25 * 0.25
+"""
+
+
+def q_geo_clusters(spark, sf_dir):
+    """Single-linkage spatial clustering at radius 0.05 deg: the
+    r-neighbor graph's connected components (distance_join feeding the
+    dedup family's pointer-jumping min-label propagation), singletons
+    labeled with their own id."""
+    from ..operators.spatial import geo_clusters
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 13 == 0)
+    return geo_clusters(pts, radius=0.05)
+
+
+O_GEO_CLUSTERS = f"""
+WITH RECURSIVE {PTS_CTE},
+q AS (SELECT point_id, lat, lon FROM pts WHERE point_id % 13 = 0),
+p AS (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM q a JOIN q b
+    ON (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= 0.05 * 0.05
+  WHERE a.point_id < b.point_id
+),
+e AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+),
+lbl AS (SELECT id, min(x) AS cluster_id FROM r GROUP BY id)
+SELECT q.point_id, coalesce(lbl.cluster_id, q.point_id) AS cluster_id
+FROM q LEFT JOIN lbl ON lbl.id = q.point_id
+"""
+
+
+# deterministic per-event coordinates for the trajectory fixture (the
+# events table has no geometry; same lattice-hash idiom as PT_LAT_SQL)
+TRAJ_LAT_SQL = "35.0 + ((event_id * 7919 + 13) % 120011) / CAST(120011.0 AS DOUBLE) * 10.0"
+TRAJ_LON_SQL = "-5.0 + ((event_id * 104729 + 7) % 130021) / CAST(130021.0 AS DOUBLE) * 15.0"
+
+
+def q_trajectory_stats(spark, sf_dir):
+    """Per-user ordered path statistics over the events stream (one
+    window pass + one aggregation; segment lengths quantized to bigint
+    BEFORE the sum so the aggregate is merge-order independent)."""
+    from ..operators.spatial import trajectory_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__traj_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __traj_events"
+    )
+    return trajectory_stats(
+        t, "user_id", "ts", order_tiebreak="event_id"
+    ).withColumnRenamed("entity", "user_id")
+
+
+O_TRAJECTORY_STATS = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sq AS (
+  SELECT user_id,
+         CAST(floor((dlat * dlat + dlon * dlon) * 1000000000.0) AS BIGINT) AS segq
+  FROM s
+)
+SELECT user_id, count(*) AS n_points, count(segq) AS n_segments,
+       CAST(coalesce(sum(segq), 0) AS BIGINT) AS total_dist_q,
+       coalesce(max(segq), 0) AS max_seg_q
+FROM sq GROUP BY user_id
+"""
+
+
+def q_rasterize_polygons(spark, sf_dir):
+    """Vector -> raster burn of the shared polygon fixture at res 10
+    (center-inside rule) on the SCALE path: collect_threshold=0 forces
+    the per-polygon applyInPandas plan (the driver-side fast path is
+    pytest-parity-checked against it)."""
+    from ..operators.spatial import rasterize_polygons
+
+    return rasterize_polygons(
+        geo_polygons_df(spark), res=10, collect_threshold=0
+    ).select("polygon_id", "tile")
+
+
+# oracle: every res-10 tile whose CENTER satisfies the polygon's ray-cast
+# predicate (center expression mirrors functions/cells.py cell_center's
+# op order exactly: (i + 0.5) / n * span - offset)
+_RASTER_CELLS_CTE = """
+g AS (SELECT x.ix, y.iy
+      FROM generate_series(0, 1023) x(ix), generate_series(0, 1023) y(iy)),
+c AS (SELECT ix * 1024 + iy AS tile,
+             (CAST(iy AS DOUBLE) + 0.5) / 1024.0 * 180.0 - 90.0 AS lat,
+             (CAST(ix AS DOUBLE) + 0.5) / 1024.0 * 360.0 - 180.0 AS lon
+      FROM g)
+"""
+
+O_RASTERIZE = "WITH " + _RASTER_CELLS_CTE + " " + " UNION ALL ".join(
+    f"SELECT '{pid}' AS polygon_id, tile FROM c WHERE {pred}"
+    for pid, pred in POLY_PRED_SQL.items()
+)
+
+
 REGISTRY.update(
     {
         "embedding_lsh_ann_kernel": (q_embedding_lsh_ann_kernel, O_EMBEDDING_LSH_ANN),
@@ -3160,6 +3300,10 @@ REGISTRY.update(
         "snapshot_compact": (q_snapshot_compact, O_SNAPSHOT_COMPACT),
         "snapshot_expire": (q_snapshot_expire, O_SNAPSHOT_EXPIRE),
         "stream_dedup": (q_stream_dedup, O_STREAM_DEDUP),
+        "distance_join": (q_distance_join, O_DISTANCE_JOIN),
+        "geo_clusters": (q_geo_clusters, O_GEO_CLUSTERS),
+        "trajectory_stats": (q_trajectory_stats, O_TRAJECTORY_STATS),
+        "rasterize_polygons": (q_rasterize_polygons, O_RASTERIZE),
     }
 )
 
@@ -3177,16 +3321,21 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 3 new maintenance/streaming gates swap in against 7
-# round-4-signed entries (set_ops, flatten_distinct, footprint_centroid,
-# asof_join, interval_join, hll_registers, quantile_buckets); with this
+# plus this round's 7 new gates (maintenance/streaming + the spatial
+# family: distance_join, geo_clusters, trajectory_stats,
+# rasterize_polygons) swap in against 11 round-4-signed entries
+# (set_ops, flatten_distinct, footprint_centroid, asof_join,
+# interval_join, hll_registers, quantile_buckets, lang_id,
+# stratified_sample, dedup_canonical, token_shard_pack); with this
 # window every registry query has at least one driver-signed row across
 # rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
     "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
-    # --- new in round 5 (3) ---
+    # --- new in round 5 (7) ---
     "snapshot_compact", "snapshot_expire", "stream_dedup",
+    "distance_join", "geo_clusters", "trajectory_stats",
+    "rasterize_polygons",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3200,8 +3349,7 @@ _DRIVER_WINDOW = [
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
-    "embedding_neardup_pairs", "dedup_canonical", "lang_id",
-    "token_shard_pack", "corpus_prep", "stratified_sample",
+    "embedding_neardup_pairs", "corpus_prep",
     "wide_report", "report_mediawiki_roundtrip", "sessionize",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",

@@ -1,0 +1,221 @@
+"""Round-5 spatial family: radius distance join, single-linkage geo
+clustering, trajectory path stats, vector->raster burn — each vs a
+brute-force NumPy/pandas oracle (SURVEY.md §5 item 3), plus the
+broadcast/shuffle and driver/distributed path-parity gates the older
+spatial ops already carry."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from langtoolsosm_spark.functions import cells, geo
+from langtoolsosm_spark.operators import spatial
+
+
+RNG = np.random.default_rng(421)
+N_PTS = 400
+N_FEATS = 150
+
+
+@pytest.fixture(scope="module")
+def pts_feats(spark):
+    lat = 35.0 + RNG.random(N_PTS) * 10.0
+    lon = -5.0 + RNG.random(N_PTS) * 15.0
+    # a hot pocket so clustering has structure
+    lat[:60] = 41.35 + RNG.random(60) * 0.08
+    lon[:60] = 2.0 + RNG.random(60) * 0.08
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"point_id": np.arange(N_PTS, dtype=np.int64), "lat": lat, "lon": lon}
+        )
+    )
+    flat = 35.0 + RNG.random(N_FEATS) * 10.0
+    flon = -5.0 + RNG.random(N_FEATS) * 15.0
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.arange(N_FEATS, dtype=np.int64) + 1000, "lat": flat, "lon": flon}
+        )
+    )
+    return (pts, feats, lat, lon, flat, flon)
+
+
+def _brute_pairs(lat, lon, flat, flon, radius):
+    d = (lat[:, None] - flat[None, :]) ** 2 + (lon[:, None] - flon[None, :]) ** 2
+    pi, fi = np.nonzero(d <= radius * radius)
+    return set(zip(pi.tolist(), (fi + 1000).tolist()))
+
+
+def test_distance_join_matches_bruteforce(spark, pts_feats):
+    pts, feats, lat, lon, flat, flon = pts_feats
+    got = spatial.distance_join(pts, feats, radius=0.5).toPandas()
+    exp = _brute_pairs(lat, lon, flat, flon, 0.5)
+    assert set(zip(got["point_id"], got["neighbor_id"])) == exp
+    # exact distances, not approximations
+    for _, r in got.head(20).iterrows():
+        i, j = int(r["point_id"]), int(r["neighbor_id"]) - 1000
+        d = (lat[i] - flat[j]) ** 2 + (lon[i] - flon[j]) ** 2
+        assert r["dist"] == d
+
+
+def test_distance_join_shuffle_path_parity(spark, pts_feats):
+    pts, feats, *_ = pts_feats
+    fast = spatial.distance_join(pts, feats, radius=0.5).toPandas()
+    slow = spatial.distance_join(
+        pts, feats, radius=0.5, broadcast_threshold=0
+    ).toPandas()
+    key = ["point_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        fast.sort_values(key).reset_index(drop=True),
+        slow.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_distance_join_explicit_res_covers(spark, pts_feats):
+    """A finer explicit res (disk radius > 1 cell) finds the same pairs."""
+    pts, feats, lat, lon, flat, flon = pts_feats
+    got = spatial.distance_join(pts, feats, radius=0.5, res=11).toPandas()
+    assert set(zip(got["point_id"], got["neighbor_id"])) == _brute_pairs(
+        lat, lon, flat, flon, 0.5
+    )
+
+
+def test_distance_join_rejects_bad_radius():
+    with pytest.raises(ValueError):
+        spatial.radius_res(0.0)
+    with pytest.raises(ValueError):
+        spatial.radius_res(-1.0)
+
+
+def test_geo_clusters_matches_bruteforce_cc(spark, pts_feats):
+    pts, _, lat, lon, *_ = pts_feats
+    radius = 0.05
+    got = spatial.geo_clusters(pts, radius=radius).toPandas()
+    assert len(got) == N_PTS
+
+    # brute-force union-find
+    parent = list(range(N_PTS))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    d = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    for i, j in zip(*np.nonzero(d <= radius * radius)):
+        if i < j:
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    exp = {i: find(i) for i in range(N_PTS)}
+    assert {
+        int(r["point_id"]): int(r["cluster_id"]) for _, r in got.iterrows()
+    } == exp
+    # the hot pocket collapses into few clusters; background stays sparse
+    assert len({exp[i] for i in range(60)}) < 10
+
+
+def test_trajectory_stats_matches_pandas(spark):
+    n = 500
+    ent = RNG.integers(0, 7, n)
+    ts = RNG.integers(0, 10_000, n)
+    lat = RNG.random(n) * 5
+    lon = RNG.random(n) * 5
+    pdf = pd.DataFrame(
+        {"entity": ent, "ts": ts, "eid": np.arange(n), "lat": lat, "lon": lon}
+    )
+    got = (
+        spatial.trajectory_stats(
+            spark.createDataFrame(pdf), "entity", "ts", order_tiebreak="eid"
+        )
+        .toPandas()
+        .set_index("entity")
+        .sort_index()
+    )
+    for e, g in pdf.sort_values(["ts", "eid"]).groupby("entity"):
+        seg = g["lat"].diff() ** 2 + g["lon"].diff() ** 2
+        segq = np.floor(seg.dropna().to_numpy() * spatial.DIST_Q_SCALE).astype(np.int64)
+        row = got.loc[e]
+        assert row["n_points"] == len(g)
+        assert row["n_segments"] == len(segq)
+        assert row["total_dist_q"] == segq.sum()
+        assert row["max_seg_q"] == (segq.max() if len(segq) else 0)
+
+
+def test_trajectory_stats_single_point_entity(spark):
+    pdf = pd.DataFrame(
+        {"entity": [1], "ts": [5], "lat": [1.0], "lon": [2.0]}
+    )
+    got = spatial.trajectory_stats(
+        spark.createDataFrame(pdf), "entity", "ts"
+    ).toPandas()
+    assert got.iloc[0]["n_points"] == 1
+    assert got.iloc[0]["n_segments"] == 0
+    assert got.iloc[0]["total_dist_q"] == 0
+    assert got.iloc[0]["max_seg_q"] == 0
+
+
+@pytest.fixture(scope="module")
+def polygons(spark):
+    rings = [
+        ("A", [(36.0, -3.0), (36.0, 1.0), (39.0, 1.0), (39.0, -3.0)]),
+        ("B", [(35.5, 4.0), (35.5, 9.0), (40.0, 4.0)]),  # triangle
+    ]
+    rows = [
+        (pid, [{"lat": float(a), "lon": float(b)} for a, b in ring])
+        for pid, ring in rings
+    ]
+    df = spark.createDataFrame(
+        rows, "polygon_id string, ring array<struct<lat:double,lon:double>>"
+    )
+    return df, rings
+
+
+def test_rasterize_center_rule(spark, polygons):
+    df, rings = polygons
+    res = 8
+    got = spatial.rasterize_polygons(df, res).toPandas()
+    n = 1 << res
+    # oracle: every tile center tested against the exact ray-cast
+    for pid, ring in rings:
+        ringa = np.array(ring, dtype=np.float64)
+        ix, iy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        ix, iy = ix.ravel(), iy.ravel()
+        clat = (iy.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+        clon = (ix.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+        inside = geo.points_in_polygon(clat, clon, ringa)
+        exp = set((ix[inside] * n + iy[inside]).tolist())
+        assert set(got[got["polygon_id"] == pid]["tile"]) == exp
+
+
+def test_rasterize_paths_agree(spark, polygons):
+    df, _ = polygons
+    a = spatial.rasterize_polygons(df, 8).toPandas()
+    b = spatial.rasterize_polygons(df, 8, collect_threshold=0).toPandas()
+    key = ["polygon_id", "tile"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_rasterize_rejects_bad_res(spark, polygons):
+    df, _ = polygons
+    with pytest.raises(ValueError):
+        spatial.rasterize_polygons(df, -1)
+    with pytest.raises(ValueError):
+        spatial.rasterize_polygons(df, cells.MAX_RES + 1)
+
+
+def test_radius_res_covers_radius():
+    """Cell lat extent at the chosen res always >= radius (disk radius 1
+    covers), down to the MAX clamp."""
+    for radius in [0.01, 0.05, 0.25, 1.0, 5.0, 30.0, 179.0]:
+        r = spatial.radius_res(radius)
+        n = 1 << r
+        assert 3 <= r <= 20
+        if r < 20:
+            assert 180.0 / n >= radius or r == 3
