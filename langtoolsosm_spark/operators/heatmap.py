@@ -1,0 +1,133 @@
+"""Density heatmap rasterization: point sets -> per-tile pixel
+histograms -> rendered PNG raster tiles.
+
+The raster<->vector bridge in the opposite direction from
+``operators/spatial.py rasterize_polygons``: instead of burning vector
+geometry into tile ids, this burns point DENSITY into tile IMAGES — the
+standard web-map heatmap layer (the reference renders its results as
+MediaWiki tables, src/write_osm_objects_report.py; a tiled image layer is
+the engine's at-scale visualization analogue).
+
+Plan shape: one JVM-side projection derives (tile, px, py) from each
+point with pure floor/shift arithmetic (the pixel grid at resolution
+``res`` with ``tile_px`` pixels per tile edge is just the flat tile grid
+at a finer scale, so ``gx >> log2(tile_px)`` is the tile and
+``gx & (tile_px - 1)`` the pixel — whole-stage codegen, SQL-parity);
+one groupBy (map-side partial) builds the sparse histogram; rendering is
+one ``applyInPandas`` per tile over the (already tiny) histogram rows.
+Nothing driver-side, nothing quadratic: the histogram is bounded by
+min(n_points, tiles * tile_px^2) rows regardless of input size, and only
+NON-EMPTY tiles materialize.
+
+Intensity mapping is ``min(255, count)`` (saturating linear) so the
+rendered byte is a pure per-pixel function of the count — deterministic,
+and the DuckDB oracle can aggregate the exact same expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.cells import MAX_RES
+
+
+def _grid_cols(lat_col, lon_col, res: int, tile_px: int):
+    """(tile, px, py) pure-column expressions on the res-grid with
+    tile_px^2 pixels per tile. ``tile_px`` must be a power of two so the
+    tile/pixel split is exact bit arithmetic (and so the fine grid nests
+    exactly inside the tile grid)."""
+    if tile_px < 1 or tile_px & (tile_px - 1):
+        raise ValueError(f"tile_px must be a power of two, got {tile_px}")
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    shift = tile_px.bit_length() - 1
+    n = 1 << res
+    nn = n * tile_px
+    gx = F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nn)))
+    gy = F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(nn)))
+    gx = F.least(F.greatest(gx, F.lit(0)), F.lit(nn - 1)).cast("long")
+    gy = F.least(F.greatest(gy, F.lit(0)), F.lit(nn - 1)).cast("long")
+    tile = (F.shiftright(gx, shift) * F.lit(n) + F.shiftright(gy, shift)).cast("long")
+    px = gx.bitwiseAND(F.lit(tile_px - 1))
+    py = gy.bitwiseAND(F.lit(tile_px - 1))
+    return tile, px, py
+
+
+def pixel_histogram(
+    points: DataFrame,
+    res: int,
+    tile_px: int = 64,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Sparse per-pixel density: (tile, px, py, n). px runs west->east,
+    py south->north (grid orientation; the PNG renderer flips py to image
+    rows). One projection + one aggregation — the partial aggregate
+    combines map-side, so the shuffle carries at most one row per
+    distinct non-empty pixel."""
+    tile, px, py = _grid_cols(F.col(lat), F.col(lon), res, tile_px)
+    return (
+        points.select(tile.alias("tile"), px.alias("px"), py.alias("py"))
+        .groupBy("tile", "px", "py")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def heatmap_stats(
+    points: DataFrame,
+    res: int,
+    tile_px: int = 64,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-tile rollup of the pixel histogram — the SQL-exact core the
+    driver oracle gates: (tile, n_points, n_px, max_px, intensity_sum)
+    where intensity_sum totals the SAME saturating min(255, n) bytes the
+    PNG renderer writes (render/decode parity is pytest-gated —
+    tests/test_spatial_family.py)."""
+    h = pixel_histogram(points, res, tile_px, lat, lon)
+    return h.groupBy("tile").agg(
+        F.sum("n").alias("n_points"),
+        F.count(F.lit(1)).alias("n_px"),
+        F.max("n").alias("max_px"),
+        F.sum(F.least(F.col("n"), F.lit(255))).alias("intensity_sum"),
+    )
+
+
+def render_heatmap_tiles(
+    points: DataFrame,
+    res: int,
+    tile_px: int = 64,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Render every non-empty tile's density as a grayscale PNG:
+    (tile, n_points, png). Pixel value = min(255, count); image row 0 is
+    the tile's NORTH edge (standard raster orientation), so
+    ``row = tile_px - 1 - py``. The per-tile render kernel is one NumPy
+    scatter over the tile's (sparse) histogram rows — work is proportional
+    to non-empty pixels, not tile area, except the final dense
+    (tile_px, tile_px) buffer itself."""
+    from ..functions.imagecodec import encode_png
+
+    h = pixel_histogram(points, res, tile_px, lat, lon)
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        v = np.minimum(pdf["n"].to_numpy(), 255).astype(np.uint8)
+        rows = tile_px - 1 - pdf["py"].to_numpy()
+        cols = pdf["px"].to_numpy()
+        img[rows, cols, :] = v[:, None]
+        return pd.DataFrame(
+            {
+                "tile": [int(pdf["tile"].iloc[0])],
+                "n_points": [int(pdf["n"].sum())],
+                "png": [encode_png(img)],
+            }
+        )
+
+    return h.groupBy("tile").applyInPandas(
+        lambda _k, pdf: render(pdf), "tile long, n_points long, png binary"
+    )

@@ -3276,6 +3276,36 @@ O_RASTERIZE = "WITH " + _RASTER_CELLS_CTE + " " + " UNION ALL ".join(
 )
 
 
+def q_heatmap_tiles(spark, sf_dir):
+    """Density heatmap core: per-tile rollup of the res-7 pixel histogram
+    (64 px per tile edge) over the point fixture. Gates the histogram +
+    saturating min(255, n) intensity aggregation the PNG tile renderer
+    consumes (render/decode byte parity is pytest-gated)."""
+    from ..operators.heatmap import heatmap_stats
+
+    return heatmap_stats(geo_points(spark, sf_dir), res=7, tile_px=64)
+
+
+# fine grid nn = 128 * 64 = 8192; tile / pixel split is exact integer
+# division because tile_px is a power of two
+O_HEATMAP_TILES = f"""
+WITH {PTS_CTE},
+g AS (
+  SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8192.0), 0), 8191) AS BIGINT) AS gx,
+         CAST(least(greatest(floor((lat + 90.0) / 180.0 * 8192.0), 0), 8191) AS BIGINT) AS gy
+  FROM pts
+),
+h AS (
+  SELECT (gx // 64) * 128 + (gy // 64) AS tile, gx % 64 AS px, gy % 64 AS py,
+         count(*) AS n
+  FROM g GROUP BY 1, 2, 3
+)
+SELECT tile, CAST(sum(n) AS BIGINT) AS n_points, count(*) AS n_px,
+       max(n) AS max_px, CAST(sum(least(n, 255)) AS BIGINT) AS intensity_sum
+FROM h GROUP BY tile
+"""
+
+
 REGISTRY.update(
     {
         "embedding_lsh_ann_kernel": (q_embedding_lsh_ann_kernel, O_EMBEDDING_LSH_ANN),
@@ -3304,6 +3334,7 @@ REGISTRY.update(
         "geo_clusters": (q_geo_clusters, O_GEO_CLUSTERS),
         "trajectory_stats": (q_trajectory_stats, O_TRAJECTORY_STATS),
         "rasterize_polygons": (q_rasterize_polygons, O_RASTERIZE),
+        "heatmap_tiles": (q_heatmap_tiles, O_HEATMAP_TILES),
     }
 )
 
@@ -3321,21 +3352,21 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 7 new gates (maintenance/streaming + the spatial
+# plus this round's 8 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
-# rasterize_polygons) swap in against 11 round-4-signed entries
-# (set_ops, flatten_distinct, footprint_centroid, asof_join,
+# rasterize_polygons, heatmap_tiles) swap in against 12 round-4-signed
+# entries (set_ops, flatten_distinct, footprint_centroid, asof_join,
 # interval_join, hll_registers, quantile_buckets, lang_id,
-# stratified_sample, dedup_canonical, token_shard_pack); with this
-# window every registry query has at least one driver-signed row across
-# rounds 1-5.
+# stratified_sample, dedup_canonical, token_shard_pack,
+# report_mediawiki_roundtrip); with this window every registry query has
+# at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
     "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
     # --- new in round 5 (7) ---
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
-    "rasterize_polygons",
+    "rasterize_polygons", "heatmap_tiles",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3350,7 +3381,7 @@ _DRIVER_WINDOW = [
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
     "embedding_neardup_pairs", "corpus_prep",
-    "wide_report", "report_mediawiki_roundtrip", "sessionize",
+    "wide_report", "sessionize",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",
 ]

@@ -298,14 +298,18 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
         write_partitioned,
     )
 
-    df = spark.range(0, 4096).select(
+    df = spark.range(0, 1024).select(
         F.col("id").alias("row_id"),
-        (F.col("id") % 64).alias("x"),
-        (F.col("id") / 64).cast("long").alias("y"),
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+        # 97 scattered initial partitions: stride-97 row groups hit
+        # near-random (x, y) cells, so the pre-compaction layout is
+        # clustered on NOTHING useful — same setup as hashing every row
+        # to its own file (the original fixture) at 1/40th the file count
+        (F.col("id") % 97).alias("pbucket"),
     )
     table = SnapshotTable(str(tmp_path / "snap"))
-    # initial layout clustered on NOTHING useful (hash of row_id)
-    write_partitioned(df, table, "row_id", stats_col="x")
+    write_partitioned(df, table, "pbucket", stats_col="x")
     compact_table(table, spark, target_files=16, zorder_cols=("x", "y"))
     files = table.live_files()
     assert len(files) <= 16
@@ -318,8 +322,8 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     py = table.pruned_files("y", 0, 7)
     assert len(px) < len(files), "x-range pruning ineffective after z-order"
     assert len(py) < len(files), "y-range pruning ineffective after z-order"
-    assert table.read_range(spark, "x", 0, 7).count() == 4096 // 8
-    assert table.read_range(spark, "y", 0, 7).count() == 64 * 8
+    assert table.read_range(spark, "x", 0, 7).count() == 8 * 32
+    assert table.read_range(spark, "y", 0, 7).count() == 8 * 32
 
 
 def test_chunk_documents_stride_and_tail(spark):

@@ -219,3 +219,57 @@ def test_radius_res_covers_radius():
         assert 3 <= r <= 20
         if r < 20:
             assert 180.0 / n >= radius or r == 3
+
+
+# ---------------------------------------------------------------------------
+# heatmap raster tiles
+# ---------------------------------------------------------------------------
+
+def test_heatmap_render_decodes_back_to_histogram(spark, pts_feats):
+    from langtoolsosm_spark.functions import imagecodec
+    from langtoolsosm_spark.operators import heatmap
+
+    pts, *_ = pts_feats
+    hist = heatmap.pixel_histogram(pts, res=5, tile_px=16).toPandas()
+    tiles = heatmap.render_heatmap_tiles(pts, res=5, tile_px=16).toPandas()
+    assert set(tiles["tile"]) == set(hist["tile"].unique())
+    for _, r in tiles.iterrows():
+        img = imagecodec.decode_png(bytes(r["png"]))
+        sub = hist[hist["tile"] == r["tile"]]
+        exp = np.zeros((16, 16, 3), dtype=np.uint8)
+        v = np.minimum(sub["n"].to_numpy(), 255).astype(np.uint8)
+        exp[15 - sub["py"].to_numpy(), sub["px"].to_numpy(), :] = v[:, None]
+        assert np.array_equal(img, exp)
+        assert r["n_points"] == sub["n"].sum()
+
+
+def test_heatmap_stats_match_pandas_rollup(spark, pts_feats):
+    from langtoolsosm_spark.operators import heatmap
+
+    pts, *_ = pts_feats
+    hist = heatmap.pixel_histogram(pts, res=5, tile_px=16).toPandas()
+    got = (
+        heatmap.heatmap_stats(pts, res=5, tile_px=16)
+        .toPandas()
+        .set_index("tile")
+        .sort_index()
+    )
+    exp = hist.groupby("tile").agg(
+        n_points=("n", "sum"),
+        n_px=("n", "size"),
+        max_px=("n", "max"),
+        intensity_sum=("n", lambda s: np.minimum(s, 255).sum()),
+    )
+    pd.testing.assert_frame_equal(got, exp.sort_index(), check_dtype=False)
+    # total conservation: every input point lands in exactly one pixel
+    assert got["n_points"].sum() == pts.count()
+
+
+def test_heatmap_rejects_bad_params(spark, pts_feats):
+    from langtoolsosm_spark.operators import heatmap
+
+    pts, *_ = pts_feats
+    with pytest.raises(ValueError):
+        heatmap.pixel_histogram(pts, res=5, tile_px=48)
+    with pytest.raises(ValueError):
+        heatmap.pixel_histogram(pts, res=-1, tile_px=16)
