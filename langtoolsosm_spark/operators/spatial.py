@@ -281,3 +281,55 @@ def rasterize_polygons(
         .groupBy("polygon_id")
         .applyInPandas(lambda _k, pdf: per_polygon(pdf), schema)
     )
+
+
+def polygon_area_centroid(polygons: DataFrame) -> DataFrame:
+    """Shoelace signed area + centroid per polygon ring:
+    (polygon_id, n_vertices, area2_q, cx, cy).
+
+    ``area2_q`` = sum over edges of ``floor((x1*y2 - x2*y1) * 1e9)`` —
+    twice the signed area in 1e-9 deg^2 units (positive = counter-
+    clockwise). The per-edge cross terms are quantized to bigint BEFORE
+    the sum (the trajectory_stats trick), so the aggregate is independent
+    of edge evaluation order on any engine. The centroid is the standard
+    cross-weighted vertex mean cx = sum(cross*(x1+x2)) / (3 * 2A),
+    evaluated on the quantized sums with one double division at the end —
+    bit-reproducible given identical rings. A degenerate ring
+    (area2_q = 0) yields non-finite centroids; callers filter.
+
+    All vertices of a ring live in ONE array cell, so this is pure
+    per-row expression work (aggregate over the array lambda — no
+    shuffle, no UDF, whole-stage codegen'd). Rings are open (no repeated
+    last vertex); the wrap edge closes via modular indexing.
+    """
+    n = F.size("ring")
+
+    def vert(i):
+        # i is a 0-based int column; element_at is 1-based
+        v = F.element_at(F.col("ring"), (i + F.lit(1)).cast("int"))
+        return v["lon"], v["lat"]
+
+    def edge_terms(i):
+        x1, y1 = vert(i)
+        x2, y2 = vert((i + F.lit(1)) % n)
+        cross = x1 * y2 - x2 * y1
+        return cross, x1 + x2, y1 + y2
+
+    def qsum(term_fn):
+        idx = F.sequence(F.lit(0), n - F.lit(1))
+        return F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.floor(term_fn(i) * F.lit(DIST_Q_SCALE)).cast("long"),
+        )
+
+    a2q = qsum(lambda i: edge_terms(i)[0])
+    cxq = qsum(lambda i: (lambda c, sx, _sy: c * sx)(*edge_terms(i)))
+    cyq = qsum(lambda i: (lambda c, _sx, sy: c * sy)(*edge_terms(i)))
+    return polygons.select(
+        "polygon_id",
+        n.cast("long").alias("n_vertices"),
+        a2q.alias("area2_q"),
+        (cxq.cast("double") / (F.lit(3.0) * a2q.cast("double"))).alias("cx"),
+        (cyq.cast("double") / (F.lit(3.0) * a2q.cast("double"))).alias("cy"),
+    )

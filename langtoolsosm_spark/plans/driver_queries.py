@@ -3276,6 +3276,48 @@ O_RASTERIZE = "WITH " + _RASTER_CELLS_CTE + " " + " UNION ALL ".join(
 )
 
 
+def q_polygon_area(spark, sf_dir):
+    """Shoelace signed area + cross-weighted centroid over the shared
+    polygon fixture — per-edge cross terms quantized to bigint before the
+    sum (merge-order independent), one double division at the end."""
+    from ..operators.spatial import polygon_area_centroid
+
+    return polygon_area_centroid(geo_polygons_df(spark))
+
+
+_POLY_VERTS_SQL = ",\n    ".join(
+    f"('{pid}', {i}, {lat!r}, {lon!r})"
+    for pid, ring in GEO_POLYGONS
+    for i, (lat, lon) in enumerate(ring)
+)
+
+# the oracle recomputes the shoelace from the SAME vertex literals with
+# the engine's exact expression shapes (((x1*y2 - x2*y1) * (x1+x2)) * 1e9
+# etc.), so every double is bit-identical
+O_POLYGON_AREA = f"""
+WITH v(polygon_id, i, lat, lon) AS (VALUES
+    {_POLY_VERTS_SQL}),
+nv AS (SELECT polygon_id, count(*) AS n FROM v GROUP BY 1),
+e AS (
+  SELECT v.polygon_id, v.lon AS x1, v.lat AS y1, w.lon AS x2, w.lat AS y2
+  FROM v JOIN nv USING (polygon_id)
+  JOIN v w ON w.polygon_id = v.polygon_id AND w.i = (v.i + 1) % nv.n
+),
+t AS (
+  SELECT polygon_id,
+         CAST(floor((x1 * y2 - x2 * y1) * 1000000000.0) AS BIGINT) AS aq,
+         CAST(floor((x1 * y2 - x2 * y1) * (x1 + x2) * 1000000000.0) AS BIGINT) AS cxq,
+         CAST(floor((x1 * y2 - x2 * y1) * (y1 + y2) * 1000000000.0) AS BIGINT) AS cyq
+  FROM e
+)
+SELECT polygon_id, count(*) AS n_vertices,
+       CAST(sum(aq) AS BIGINT) AS area2_q,
+       CAST(sum(cxq) AS DOUBLE) / (3.0 * CAST(sum(aq) AS DOUBLE)) AS cx,
+       CAST(sum(cyq) AS DOUBLE) / (3.0 * CAST(sum(aq) AS DOUBLE)) AS cy
+FROM t GROUP BY polygon_id
+"""
+
+
 def q_heatmap_tiles(spark, sf_dir):
     """Density heatmap core: per-tile rollup of the res-7 pixel histogram
     (64 px per tile edge) over the point fixture. Gates the histogram +
@@ -3335,6 +3377,7 @@ REGISTRY.update(
         "trajectory_stats": (q_trajectory_stats, O_TRAJECTORY_STATS),
         "rasterize_polygons": (q_rasterize_polygons, O_RASTERIZE),
         "heatmap_tiles": (q_heatmap_tiles, O_HEATMAP_TILES),
+        "polygon_area": (q_polygon_area, O_POLYGON_AREA),
     }
 )
 
@@ -3352,13 +3395,14 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 8 new gates (maintenance/streaming + the spatial
+# plus this round's 9 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
-# rasterize_polygons, heatmap_tiles) swap in against 12 round-4-signed
-# entries (set_ops, flatten_distinct, footprint_centroid, asof_join,
-# interval_join, hll_registers, quantile_buckets, lang_id,
+# rasterize_polygons, heatmap_tiles, polygon_area) swap in against 13
+# round-4-signed entries (set_ops, flatten_distinct, footprint_centroid,
+# asof_join, interval_join, hll_registers, quantile_buckets, lang_id,
 # stratified_sample, dedup_canonical, token_shard_pack,
-# report_mediawiki_roundtrip); with this window every registry query has
+# report_mediawiki_roundtrip, sessionize); with this window every
+# registry query has
 # at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
@@ -3366,7 +3410,7 @@ _DRIVER_WINDOW = [
     # --- new in round 5 (7) ---
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
-    "rasterize_polygons", "heatmap_tiles",
+    "rasterize_polygons", "heatmap_tiles", "polygon_area",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3381,7 +3425,7 @@ _DRIVER_WINDOW = [
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
     "embedding_neardup_pairs", "corpus_prep",
-    "wide_report", "sessionize",
+    "wide_report",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",
 ]

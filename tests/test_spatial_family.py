@@ -273,3 +273,36 @@ def test_heatmap_rejects_bad_params(spark, pts_feats):
         heatmap.pixel_histogram(pts, res=5, tile_px=48)
     with pytest.raises(ValueError):
         heatmap.pixel_histogram(pts, res=-1, tile_px=16)
+
+
+def test_polygon_area_centroid_known_shapes(spark):
+    rings = [
+        # CCW unit box at origin: area2 = 2, centroid (0.5, 0.5)
+        ("box", [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]),
+        # same box CLOCKWISE: signed area flips, centroid unchanged
+        ("boxcw", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]),
+        # 3-4-5 right triangle
+        ("tri", [(0.0, 0.0), (0.0, 4.0), (3.0, 0.0)]),
+    ]
+    rows = [
+        (pid, [{"lat": float(a), "lon": float(b)} for a, b in ring])
+        for pid, ring in rings
+    ]
+    df = spark.createDataFrame(
+        rows, "polygon_id string, ring array<struct<lat:double,lon:double>>"
+    )
+    got = (
+        spatial.polygon_area_centroid(df)
+        .toPandas()
+        .set_index("polygon_id")
+    )
+    q = spatial.DIST_Q_SCALE
+    assert got.loc["box", "area2_q"] == 2 * q
+    assert got.loc["box", "cx"] == 0.5 and got.loc["box", "cy"] == 0.5
+    assert got.loc["boxcw", "area2_q"] == -2 * q
+    assert got.loc["boxcw", "cx"] == 0.5 and got.loc["boxcw", "cy"] == 0.5
+    # triangle: area 6 -> area2 12; centroid = vertex mean
+    assert got.loc["tri", "area2_q"] == 12 * q
+    assert got.loc["tri", "cx"] == pytest.approx(4.0 / 3.0)
+    assert got.loc["tri", "cy"] == pytest.approx(1.0)
+    assert (got["n_vertices"] == [4, 4, 3]).all()
