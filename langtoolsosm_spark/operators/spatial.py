@@ -333,3 +333,78 @@ def polygon_area_centroid(polygons: DataFrame) -> DataFrame:
         (cxq.cast("double") / (F.lit(3.0) * a2q.cast("double"))).alias("cx"),
         (cyq.cast("double") / (F.lit(3.0) * a2q.cast("double"))).alias("cy"),
     )
+
+
+def _bbox_cells(df: DataFrame, res: int, prefix: str):
+    """Project a rectangle table (id/south/west/north/east) to its
+    covering cell range [ix0..ix1] x [iy0..iy1] at ``res`` and explode to
+    one row per covered cell — two nested JVM-side sequence explodes,
+    no Python. Columns out: {prefix}id/s/w/n/e/ix0/iy0 plus __cx/__cy."""
+    n = 1 << res
+
+    def gidx(col, offset, span):
+        g = F.floor((col + F.lit(offset)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    p = prefix
+    return (
+        df.select(
+            F.col("id").alias(f"{p}id"),
+            F.col("south").alias(f"{p}s"),
+            F.col("west").alias(f"{p}w"),
+            F.col("north").alias(f"{p}n"),
+            F.col("east").alias(f"{p}e"),
+            gidx(F.col("west"), 180.0, 360.0).alias(f"{p}ix0"),
+            gidx(F.col("east"), 180.0, 360.0).alias(f"{p}ix1"),
+            gidx(F.col("south"), 90.0, 180.0).alias(f"{p}iy0"),
+            gidx(F.col("north"), 90.0, 180.0).alias(f"{p}iy1"),
+        )
+        .withColumn("__cx", F.explode(F.sequence(F.col(f"{p}ix0"), F.col(f"{p}ix1"))))
+        .withColumn("__cy", F.explode(F.sequence(F.col(f"{p}iy0"), F.col(f"{p}iy1"))))
+        .drop(f"{p}ix1", f"{p}iy1")
+    )
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 9,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """All (left_id, right_id) pairs of overlapping rectangles (closed
+    intervals on both axes) — the 2-D analogue of the bucketed interval
+    join (operators/asof.py): both sides explode to covering grid cells
+    at ``res``, pairs meet in an equi-join on the cell, and the exact
+    overlap predicate refines.
+
+    De-dup without a shuffle: a pair sharing k cells would emit k times;
+    instead each pair is emitted ONLY in the intersection's anchor cell
+    (the south-west cell of the two cover ranges' overlap —
+    ``greatest(lix0, rix0) / greatest(liy0, riy0)``, pure arithmetic on
+    columns both sides already carry). Exactly-once per pair, no
+    ``distinct`` exchange. Callers pick ``res`` so cell extent ~= typical
+    rect size (fan-out stays O(1) per rect); a counted gate broadcasts
+    the smaller exploded side below ``broadcast_threshold`` rows.
+    """
+    from ..functions.cells import MAX_RES
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    l = _bbox_cells(left, res, "l")
+    r = _bbox_cells(right, res, "r")
+    if broadcast_threshold and right.count() * 4 <= broadcast_threshold:
+        r = F.broadcast(r)
+    return (
+        l.join(r, ["__cx", "__cy"])
+        .filter(
+            (F.col("__cx") == F.greatest("lix0", "rix0"))
+            & (F.col("__cy") == F.greatest("liy0", "riy0"))
+            & (F.col("lw") <= F.col("re"))
+            & (F.col("rw") <= F.col("le"))
+            & (F.col("ls") <= F.col("rn"))
+            & (F.col("rs") <= F.col("ln"))
+        )
+        .select(
+            F.col("lid").alias("left_id"), F.col("rid").alias("right_id")
+        )
+    )

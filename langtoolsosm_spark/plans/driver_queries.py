@@ -3276,6 +3276,60 @@ O_RASTERIZE = "WITH " + _RASTER_CELLS_CTE + " " + " UNION ALL ".join(
 )
 
 
+# rectangle fixtures for the bbox overlap join: deterministic half-sizes
+# derived from the key so engine and oracle build identical doubles
+_RL_HH = "(0.02 + (point_id % 7) * 0.01)"
+_RL_HW = "(0.02 + (point_id % 5) * 0.01)"
+_RR_HH = "(0.02 + (id % 6) * 0.01)"
+_RR_HW = "(0.02 + (id % 9) * 0.005)"
+
+
+def q_bbox_join(spark, sf_dir):
+    """2-D rectangle overlap join (closed intervals): cell-cover equi-join
+    + anchor-cell exactly-once emission + exact predicate refine — the
+    spatial analogue of the bucketed interval join."""
+    from ..operators.spatial import bbox_join
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 17 == 0)
+    lrects = pts.selectExpr(
+        "point_id AS id",
+        f"lat - {_RL_HH} AS south",
+        f"lon - {_RL_HW} AS west",
+        f"lat + {_RL_HH} AS north",
+        f"lon + {_RL_HW} AS east",
+    )
+    feats = geo_features(spark, sf_dir)
+    rrects = feats.selectExpr(
+        "id",
+        f"lat - {_RR_HH} AS south",
+        f"lon - {_RR_HW} AS west",
+        f"lat + {_RR_HH} AS north",
+        f"lon + {_RR_HW} AS east",
+    )
+    return bbox_join(lrects, rrects, res=9)
+
+
+O_BBOX_JOIN = f"""
+WITH {PTS_CTE}, {FEATS_CTE},
+lr AS (
+  SELECT point_id AS id,
+         lat - {_RL_HH} AS south, lon - {_RL_HW} AS west,
+         lat + {_RL_HH} AS north, lon + {_RL_HW} AS east
+  FROM pts WHERE point_id % 17 = 0
+),
+rr AS (
+  SELECT id,
+         lat - {_RR_HH} AS south, lon - {_RR_HW} AS west,
+         lat + {_RR_HH} AS north, lon + {_RR_HW} AS east
+  FROM feats
+)
+SELECT lr.id AS left_id, rr.id AS right_id
+FROM lr JOIN rr
+  ON lr.west <= rr.east AND rr.west <= lr.east
+ AND lr.south <= rr.north AND rr.south <= lr.north
+"""
+
+
 def q_polygon_area(spark, sf_dir):
     """Shoelace signed area + cross-weighted centroid over the shared
     polygon fixture — per-edge cross terms quantized to bigint before the
@@ -3378,6 +3432,7 @@ REGISTRY.update(
         "rasterize_polygons": (q_rasterize_polygons, O_RASTERIZE),
         "heatmap_tiles": (q_heatmap_tiles, O_HEATMAP_TILES),
         "polygon_area": (q_polygon_area, O_POLYGON_AREA),
+        "bbox_join": (q_bbox_join, O_BBOX_JOIN),
     }
 )
 
@@ -3395,14 +3450,14 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 9 new gates (maintenance/streaming + the spatial
+# plus this round's 10 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
-# rasterize_polygons, heatmap_tiles, polygon_area) swap in against 13
-# round-4-signed entries (set_ops, flatten_distinct, footprint_centroid,
-# asof_join, interval_join, hll_registers, quantile_buckets, lang_id,
-# stratified_sample, dedup_canonical, token_shard_pack,
-# report_mediawiki_roundtrip, sessionize); with this window every
-# registry query has
+# rasterize_polygons, heatmap_tiles, polygon_area, bbox_join) swap in
+# against 14 round-4-signed entries (set_ops, flatten_distinct,
+# footprint_centroid, asof_join, interval_join, hll_registers,
+# quantile_buckets, lang_id, stratified_sample, dedup_canonical,
+# token_shard_pack, report_mediawiki_roundtrip, sessionize,
+# wide_report); with this window every registry query has
 # at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
@@ -3410,7 +3465,7 @@ _DRIVER_WINDOW = [
     # --- new in round 5 (7) ---
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
-    "rasterize_polygons", "heatmap_tiles", "polygon_area",
+    "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3425,7 +3480,6 @@ _DRIVER_WINDOW = [
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
     "embedding_neardup_pairs", "corpus_prep",
-    "wide_report",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",
 ]

@@ -306,3 +306,73 @@ def test_polygon_area_centroid_known_shapes(spark):
     assert got.loc["tri", "cx"] == pytest.approx(4.0 / 3.0)
     assert got.loc["tri", "cy"] == pytest.approx(1.0)
     assert (got["n_vertices"] == [4, 4, 3]).all()
+
+
+# ---------------------------------------------------------------------------
+# bbox overlap join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def rects(spark):
+    def mk(n, base_id, scale):
+        clat = 35.0 + RNG.random(n) * 10.0
+        clon = -5.0 + RNG.random(n) * 15.0
+        hh = 0.02 + RNG.random(n) * scale
+        hw = 0.02 + RNG.random(n) * scale
+        pdf = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64) + base_id,
+                "south": clat - hh,
+                "west": clon - hw,
+                "north": clat + hh,
+                "east": clon + hw,
+            }
+        )
+        return spark.createDataFrame(pdf), pdf
+
+    l_df, l_pdf = mk(300, 0, 0.3)
+    r_df, r_pdf = mk(200, 10_000, 0.5)
+    return l_df, r_df, l_pdf, r_pdf
+
+
+def _brute_overlaps(l_pdf, r_pdf):
+    out = set()
+    for _, a in l_pdf.iterrows():
+        hit = (
+            (a["west"] <= r_pdf["east"])
+            & (r_pdf["west"] <= a["east"])
+            & (a["south"] <= r_pdf["north"])
+            & (r_pdf["south"] <= a["north"])
+        )
+        out.update((int(a["id"]), int(rid)) for rid in r_pdf["id"][hit])
+    return out
+
+
+def test_bbox_join_matches_bruteforce(spark, rects):
+    l_df, r_df, l_pdf, r_pdf = rects
+    got = spatial.bbox_join(l_df, r_df, res=9).toPandas()
+    pairs = list(zip(got["left_id"], got["right_id"]))
+    # exactly-once: the anchor-cell trick must not duplicate pairs
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _brute_overlaps(l_pdf, r_pdf)
+
+
+def test_bbox_join_coarse_res_still_exact(spark, rects):
+    """Coarser cells mean more rects per cell but the anchor + exact
+    predicate keep the output identical."""
+    l_df, r_df, l_pdf, r_pdf = rects
+    got = spatial.bbox_join(l_df, r_df, res=5).toPandas()
+    pairs = list(zip(got["left_id"], got["right_id"]))
+    assert len(pairs) == len(set(pairs))
+    assert set(pairs) == _brute_overlaps(l_pdf, r_pdf)
+
+
+def test_bbox_join_shuffle_path_parity(spark, rects):
+    l_df, r_df, *_ = rects
+    a = spatial.bbox_join(l_df, r_df, res=9).toPandas()
+    b = spatial.bbox_join(l_df, r_df, res=9, broadcast_threshold=0).toPandas()
+    key = ["left_id", "right_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
