@@ -331,3 +331,72 @@ def test_pip_join_broadcast_path_plan_shape(spark, synth_dir):
         broadcast_cover=False, broadcast_rings=False,
     )
     assert "FlatMapGroupsInPandas" in _plan(df_sh)
+
+
+def test_spatial_family_plan_shapes(spark):
+    """Round-5 spatial ops: distance/bbox joins stay hash joins with no
+    cartesian product and no dedup aggregate; polygon shoelace is pure
+    per-row expression work (zero exchanges); the trajectory window +
+    rollup share ONE entity-key exchange."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators import spatial
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": [1, 2], "lat": [40.0, 41.0], "lon": [2.0, 3.0]})
+    )
+    feats = spark.createDataFrame(
+        pd.DataFrame({"id": [7, 8], "lat": [40.1, 41.2], "lon": [2.1, 2.9]})
+    )
+    dj = spatial.distance_join(pts, feats, radius=0.5)
+    plan = _plan(dj)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    rect = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2], "south": [0.0, 1.0], "west": [0.0, 1.0],
+             "north": [2.0, 3.0], "east": [2.0, 3.0]}
+        )
+    )
+    bj = spatial.bbox_join(rect, rect, res=6)
+    plan = _plan(bj)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the anchor-cell trick replaces a distinct: no aggregate anywhere
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    poly = spark.createDataFrame(
+        [("p", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
+                {"lat": 1.0, "lon": 1.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    pa_plan = _plan(spatial.polygon_area_centroid(poly))
+    assert "Exchange" not in pa_plan
+    assert "ArrowEvalPython" not in pa_plan and "BatchEvalPython" not in pa_plan
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"e": [1, 1, 2], "ts": [1, 2, 3],
+                      "lat": [0.0, 1.0, 2.0], "lon": [0.0, 1.0, 2.0]})
+    )
+    tr_plan = _plan(spatial.trajectory_stats(ev, "e", "ts"))
+    assert tr_plan.count("Exchange") == 1, tr_plan
+
+
+def test_heatmap_histogram_partial_aggregates_and_codegen(spark):
+    """The pixel histogram must partially aggregate map-side (two
+    HashAggregate levels around one exchange) with zero Python nodes —
+    at 100 TB the shuffle carries only distinct non-empty pixels."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.heatmap import heatmap_stats
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [40.0, 40.0, 41.0], "lon": [2.0, 2.0, 3.0]})
+    )
+    df = heatmap_stats(pts, res=6, tile_px=16)
+    df.collect()  # finalize the adaptive plan so codegen stages are visible
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
