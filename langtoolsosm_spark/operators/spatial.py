@@ -408,3 +408,71 @@ def bbox_join(
             F.col("lid").alias("left_id"), F.col("rid").alias("right_id")
         )
     )
+
+
+def trajectory_resample(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample each entity's trajectory at fixed intervals:
+    (entity, sample_ts, lat, lon) for every multiple of ``step`` in
+    [min_ts, max_ts) of that entity, positions linearly interpolated
+    between the bracketing observations. ``ts_col`` must be a
+    NON-NEGATIVE integer column (e.g. epoch micros): the lattice indices
+    are then pure long ``div`` arithmetic — no floating floor, exact and
+    engine-independent.
+
+    One lead window (single shuffle on the entity key) pairs consecutive
+    points into segments; each segment emits its own half-open slice of
+    the lattice via sequence+explode — sample counts are
+    span/step per entity regardless of observation density, and no
+    segment is visited twice. The interpolation fraction is the only
+    double arithmetic ((t - t0) / (t1 - t0), one canonical shape), so a
+    SQL oracle reproduces every coordinate bit-for-bit.
+
+    Guard: Spark's ``sequence(a, b)`` generates DESCENDING ranges when
+    b < a (the doc_repetition pitfall) — segments shorter than a step
+    must produce an EMPTY array explicitly.
+    """
+    from pyspark.sql import Window
+
+    if step <= 0:
+        raise ValueError(f"step must be a positive integer, got {step}")
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    seg = events.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("t0"),
+        F.lead(ts_col).over(w).alias("t1"),
+        F.col(lat).alias("lat0"),
+        F.lead(lat).over(w).alias("lat1"),
+        F.col(lon).alias("lon0"),
+        F.lead(lon).over(w).alias("lon1"),
+    ).filter(F.col("t1").isNotNull())
+    # first lattice point >= t0 / last lattice point < t1, as long
+    # integer division (valid because ts >= 0)
+    k0 = F.expr(f"(t0 + {step - 1}) div {step}")
+    k1 = F.expr(f"(t1 - 1) div {step}")
+    ks = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    t = (F.col("k") * F.lit(step)).alias("sample_ts")
+    frac = (F.col("k") * F.lit(step) - F.col("t0")).cast("double") / (
+        F.col("t1") - F.col("t0")
+    ).cast("double")
+    return (
+        seg.withColumn("k", F.explode(ks))
+        .select(
+            "entity",
+            t,
+            (F.col("lat0") + (F.col("lat1") - F.col("lat0")) * frac).alias("lat"),
+            (F.col("lon0") + (F.col("lon1") - F.col("lon0")) * frac).alias("lon"),
+        )
+    )

@@ -3276,6 +3276,55 @@ O_RASTERIZE = "WITH " + _RASTER_CELLS_CTE + " " + " UNION ALL ".join(
 )
 
 
+def q_trajectory_resample(spark, sf_dir):
+    """Fixed-interval (1 h) trajectory resampling with linear
+    interpolation over the per-user event paths — lattice indices are
+    pure long division, interpolation is one canonical double shape."""
+    from ..operators.spatial import trajectory_resample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__resample_events")
+    # ts is TIMESTAMP_NTZ: count micros from a fixed NAIVE anchor so no
+    # session-timezone semantics enter on either engine
+    t = spark.sql(
+        f"SELECT user_id, "
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts) AS ts_us, "
+        f"event_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        f"FROM __resample_events"
+    )
+    return trajectory_resample(
+        t, "user_id", "ts_us", step=3_600_000_000, order_tiebreak="event_id"
+    ).withColumnRenamed("entity", "user_id")
+
+
+O_TRAJECTORY_RESAMPLE = f"""
+WITH t AS (
+  SELECT user_id,
+         datediff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS ts_us,
+         event_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+seg AS (
+  SELECT user_id, ts_us AS t0, lead(ts_us) OVER w AS t1,
+         lat AS lat0, lead(lat) OVER w AS lat1,
+         lon AS lon0, lead(lon) OVER w AS lon1
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, t0, t1, lat0, lat1, lon0, lon1, k
+  FROM seg, unnest(CASE WHEN (t1 - 1) // 3600000000 >= (t0 + 3599999999) // 3600000000
+                        THEN range((t0 + 3599999999) // 3600000000,
+                                   (t1 - 1) // 3600000000 + 1)
+                        ELSE [] END) AS u(k)
+  WHERE t1 IS NOT NULL
+)
+SELECT user_id, k * 3600000000 AS sample_ts,
+       lat0 + (lat1 - lat0) * (CAST(k * 3600000000 - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) AS lat,
+       lon0 + (lon1 - lon0) * (CAST(k * 3600000000 - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) AS lon
+FROM s
+"""
+
+
 # rectangle fixtures for the bbox overlap join: deterministic half-sizes
 # derived from the key so engine and oracle build identical doubles
 _RL_HH = "(0.02 + (point_id % 7) * 0.01)"
@@ -3433,6 +3482,7 @@ REGISTRY.update(
         "heatmap_tiles": (q_heatmap_tiles, O_HEATMAP_TILES),
         "polygon_area": (q_polygon_area, O_POLYGON_AREA),
         "bbox_join": (q_bbox_join, O_BBOX_JOIN),
+        "trajectory_resample": (q_trajectory_resample, O_TRAJECTORY_RESAMPLE),
     }
 )
 
@@ -3450,14 +3500,15 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 10 new gates (maintenance/streaming + the spatial
+# plus this round's 11 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
-# rasterize_polygons, heatmap_tiles, polygon_area, bbox_join) swap in
-# against 14 round-4-signed entries (set_ops, flatten_distinct,
-# footprint_centroid, asof_join, interval_join, hll_registers,
-# quantile_buckets, lang_id, stratified_sample, dedup_canonical,
-# token_shard_pack, report_mediawiki_roundtrip, sessionize,
-# wide_report); with this window every registry query has
+# rasterize_polygons, heatmap_tiles, polygon_area, bbox_join,
+# trajectory_resample) swap in against 15 round-4-signed entries
+# (set_ops, flatten_distinct, footprint_centroid, asof_join,
+# interval_join, hll_registers, quantile_buckets, lang_id,
+# stratified_sample, dedup_canonical, token_shard_pack,
+# report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep);
+# with this window every registry query has
 # at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
@@ -3466,6 +3517,7 @@ _DRIVER_WINDOW = [
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
     "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
+    "trajectory_resample",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3479,7 +3531,7 @@ _DRIVER_WINDOW = [
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
-    "embedding_neardup_pairs", "corpus_prep",
+    "embedding_neardup_pairs",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",
 ]

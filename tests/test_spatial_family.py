@@ -376,3 +376,43 @@ def test_bbox_join_shuffle_path_parity(spark, rects):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_trajectory_resample_linear_interpolation(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity": [1, 1, 1, 2, 2],
+            "ts": [0, 100, 130, 50, 250],
+            "lat": [0.0, 10.0, 40.0, 5.0, 5.0],
+            "lon": [0.0, 20.0, 20.0, 7.0, 9.0],
+        }
+    )
+    got = (
+        spatial.trajectory_resample(spark.createDataFrame(pdf), "entity", "ts", step=50)
+        .toPandas()
+        .sort_values(["entity", "sample_ts"])
+        .reset_index(drop=True)
+    )
+    # entity 1: lattice {0, 50} in [0,100) from seg A; {100} in [100,130)
+    # entity 2: lattice {50, 100, 150, 200} in [50, 250)
+    assert got[got.entity == 1]["sample_ts"].tolist() == [0, 50, 100]
+    assert got[got.entity == 2]["sample_ts"].tolist() == [50, 100, 150, 200]
+    e1 = got[got.entity == 1].set_index("sample_ts")
+    assert e1.loc[0, "lat"] == 0.0 and e1.loc[50, "lat"] == 5.0
+    assert e1.loc[100, "lat"] == 10.0 and e1.loc[100, "lon"] == 20.0
+    e2 = got[got.entity == 2].set_index("sample_ts")
+    assert e2.loc[150, "lon"] == 8.0 and (e2["lat"] == 5.0).all()
+
+
+def test_trajectory_resample_short_segments_and_bad_step(spark):
+    # segment shorter than a step with no lattice point inside -> empty;
+    # duplicate timestamps -> zero-length segment contributes nothing
+    pdf = pd.DataFrame(
+        {"entity": [1, 1, 1], "ts": [101, 149, 149],
+         "lat": [0.0, 1.0, 2.0], "lon": [0.0, 1.0, 2.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = spatial.trajectory_resample(df, "entity", "ts", step=50).toPandas()
+    assert len(got) == 0
+    with pytest.raises(ValueError):
+        spatial.trajectory_resample(df, "entity", "ts", step=0)
