@@ -131,3 +131,72 @@ def render_heatmap_tiles(
     return h.groupBy("tile").applyInPandas(
         lambda _k, pdf: render(pdf), "tile long, n_points long, png binary"
     )
+
+
+def mosaic_parent_tiles(
+    tiles: DataFrame, res: int, tile_px: int = 64
+) -> DataFrame:
+    """One zoom-out step of a raster tile pyramid: compose each parent
+    tile at ``res - 1`` from its (up to) four children at ``res``,
+    2x2-integer-mean downsampled into quadrants:
+    (tile, n_points, png) -> (tile, n_points, png).
+
+    Input rows are (tile, n_points, png) as produced by
+    ``render_heatmap_tiles`` at ``res``. Parent/child/quadrant keys are
+    pure bit arithmetic on the flat tile key (codegen); the compose
+    kernel is one ``applyInPandas`` per parent over at most 4 rows.
+    Downsampling is ``(a+b+c+d) // 4`` on uint16 — deterministic integer
+    math, no float rounding ambiguity. Missing children stay black
+    (zero density). Iterating this op res times yields the full pyramid;
+    each level's row count shrinks 4x, so the total work is a geometric
+    series dominated by the finest level.
+    """
+    from ..functions.imagecodec import decode_png, encode_png
+
+    if res < 1:
+        raise ValueError(f"res must be >= 1 to have a parent level, got {res}")
+    if tile_px < 2 or tile_px & (tile_px - 1):
+        raise ValueError(f"tile_px must be a power of two >= 2, got {tile_px}")
+    n = 1 << res
+    # flat key = ix * 2^res + iy, so the split is exact bit arithmetic
+    ix = F.shiftright(F.col("tile"), res)
+    iy = F.col("tile").bitwiseAND(F.lit(n - 1))
+    parent = (F.shiftright(ix, 1) * F.lit(n >> 1) + F.shiftright(iy, 1)).cast("long")
+    quad_x = ix.bitwiseAND(F.lit(1))
+    quad_y = iy.bitwiseAND(F.lit(1))
+    half = tile_px // 2
+
+    def compose(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            child = decode_png(bytes(row["png"]))
+            small = (
+                child.astype(np.uint16)
+                .reshape(half, 2, half, 2, 3)
+                .sum(axis=(1, 3))
+                // 4
+            ).astype(np.uint8)
+            r0 = 0 if row["qy"] == 1 else half  # north children on top
+            c0 = 0 if row["qx"] == 0 else half  # west children on the left
+            img[r0 : r0 + half, c0 : c0 + half] = small
+        return pd.DataFrame(
+            {
+                "tile": [int(pdf["ptile"].iloc[0])],
+                "n_points": [int(pdf["n_points"].sum())],
+                "png": [encode_png(img)],
+            }
+        )
+
+    return (
+        tiles.select(
+            parent.alias("ptile"),
+            quad_x.alias("qx"),
+            quad_y.alias("qy"),
+            "n_points",
+            "png",
+        )
+        .groupBy("ptile")
+        .applyInPandas(
+            lambda _k, pdf: compose(pdf), "tile long, n_points long, png binary"
+        )
+    )

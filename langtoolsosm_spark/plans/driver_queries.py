@@ -3379,6 +3379,26 @@ FROM lr JOIN rr
 """
 
 
+def q_heatmap_pyramid(spark, sf_dir):
+    """Pyramid zoom-out gate: render res-7 heatmap tiles, compose res-6
+    parents from 2x2-downsampled children, return (tile, n_points). The
+    rows flow through BOTH image kernels (render + mosaic decode/
+    compose); n_points is SQL-checkable because floor(floor(g/64)/2) ==
+    floor(g/128) makes the parent key equal direct res-6 assignment.
+    Pixel math is pytest-gated (tests/test_spatial_family.py)."""
+    from ..operators.heatmap import mosaic_parent_tiles, render_heatmap_tiles
+
+    child = render_heatmap_tiles(geo_points(spark, sf_dir), res=7, tile_px=64)
+    return mosaic_parent_tiles(child, res=7, tile_px=64).select("tile", "n_points")
+
+
+O_HEATMAP_PYRAMID = f"""
+WITH {PTS_CTE}
+SELECT {_tile_sql(6)} AS tile, count(*) AS n_points
+FROM pts GROUP BY 1
+"""
+
+
 def q_polygon_area(spark, sf_dir):
     """Shoelace signed area + cross-weighted centroid over the shared
     polygon fixture — per-edge cross terms quantized to bigint before the
@@ -3483,6 +3503,7 @@ REGISTRY.update(
         "polygon_area": (q_polygon_area, O_POLYGON_AREA),
         "bbox_join": (q_bbox_join, O_BBOX_JOIN),
         "trajectory_resample": (q_trajectory_resample, O_TRAJECTORY_RESAMPLE),
+        "heatmap_pyramid": (q_heatmap_pyramid, O_HEATMAP_PYRAMID),
     }
 )
 
@@ -3500,15 +3521,16 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 11 new gates (maintenance/streaming + the spatial
+# plus this round's 12 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
 # rasterize_polygons, heatmap_tiles, polygon_area, bbox_join,
-# trajectory_resample) swap in against 15 round-4-signed entries
+# trajectory_resample, heatmap_pyramid) swap in against 16
+# round-4-signed entries
 # (set_ops, flatten_distinct, footprint_centroid, asof_join,
 # interval_join, hll_registers, quantile_buckets, lang_id,
 # stratified_sample, dedup_canonical, token_shard_pack,
-# report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep);
-# with this window every registry query has
+# report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep,
+# embedding_neardup_pairs); with this window every registry query has
 # at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
@@ -3517,7 +3539,7 @@ _DRIVER_WINDOW = [
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
     "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
-    "trajectory_resample",
+    "trajectory_resample", "heatmap_pyramid",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3531,7 +3553,6 @@ _DRIVER_WINDOW = [
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
-    "embedding_neardup_pairs",
     "images_tile_assign", "images_phash_pairs",
     "doc_repetition", "pii_redact",
 ]

@@ -416,3 +416,39 @@ def test_trajectory_resample_short_segments_and_bad_step(spark):
     assert len(got) == 0
     with pytest.raises(ValueError):
         spatial.trajectory_resample(df, "entity", "ts", step=0)
+
+
+def test_mosaic_parent_tiles_pyramid_step(spark, pts_feats):
+    from langtoolsosm_spark.functions import imagecodec
+    from langtoolsosm_spark.operators import heatmap
+
+    pts, *_ = pts_feats
+    res, px = 5, 16
+    child = heatmap.render_heatmap_tiles(pts, res, tile_px=px)
+    parents = heatmap.mosaic_parent_tiles(child, res, tile_px=px).toPandas()
+    cpdf = child.toPandas()
+
+    n = 1 << res
+    half = px // 2
+    # n_points conservation per parent
+    ckeys = cpdf["tile"].to_numpy()
+    pkeys = (ckeys // n // 2) * (n // 2) + (ckeys % n) // 2
+    exp_counts = pd.Series(cpdf["n_points"].to_numpy()).groupby(pkeys).sum()
+    got_counts = parents.set_index("tile")["n_points"].sort_index()
+    assert got_counts.to_dict() == exp_counts.sort_index().to_dict()
+
+    # pixel math: each quadrant is the 2x2 integer-mean of its child
+    pmap = {int(r["tile"]): imagecodec.decode_png(bytes(r["png"]))
+            for _, r in parents.iterrows()}
+    for _, r in cpdf.iterrows():
+        cimg = imagecodec.decode_png(bytes(r["png"]))
+        small = (cimg.astype(np.uint16).reshape(half, 2, half, 2, 3)
+                 .sum(axis=(1, 3)) // 4).astype(np.uint8)
+        cix, ciy = int(r["tile"]) // n, int(r["tile"]) % n
+        ptile = (cix // 2) * (n // 2) + ciy // 2
+        r0 = 0 if ciy & 1 else half
+        c0 = 0 if not (cix & 1) else half
+        assert np.array_equal(pmap[ptile][r0:r0 + half, c0:c0 + half], small)
+
+    with pytest.raises(ValueError):
+        heatmap.mosaic_parent_tiles(child, 0, tile_px=px)
