@@ -123,7 +123,17 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump(result, f)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve every section after the scaling table (flagship record
+    # band, A/B evidence, ANN walls) — only the table itself is refreshed
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx + 1 :]
+    with open(baseline_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured engine numbers\n\n"
             "Protocol: the north-star ingest job (decode + integrity-verify every\n"
@@ -143,6 +153,8 @@ def main():
             f"- outputs order-insensitively identical across parallelism: "
             f"**{identical}**\n"
         )
+        if extra:
+            f.write("\n" + extra)
     return 0
 
 
