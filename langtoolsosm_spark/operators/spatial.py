@@ -392,7 +392,10 @@ def bbox_join(
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     l = _bbox_cells(left, res, "l")
     r = _bbox_cells(right, res, "r")
-    if broadcast_threshold and right.count() * 4 <= broadcast_threshold:
+    # exact exploded-row count (a narrow scan+explode job, no shuffle) —
+    # a size-based guess would under-gate when rects span many cells at
+    # a fine res
+    if broadcast_threshold and r.count() <= broadcast_threshold:
         r = F.broadcast(r)
     return (
         l.join(r, ["__cx", "__cy"])
