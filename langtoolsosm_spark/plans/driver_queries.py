@@ -3399,6 +3399,29 @@ FROM pts GROUP BY 1
 """
 
 
+def q_stream_heatmap(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the density raster state: the
+    point fixture staged as 3 parquet files feeds 3 micro-batches
+    through the stateful pixel histogram; the final state's per-tile
+    rollup must equal the batch ``heatmap_stats`` oracle exactly."""
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_heatmap_stream_once
+
+    pts = geo_points(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamheat_")
+    try:
+        src = os.path.join(out, "src")
+        pts.repartition(3).write.parquet(src)
+        result = run_heatmap_stream_once(
+            spark, src, os.path.join(out, "ckpt"), res=7, tile_px=64
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
 def q_polygon_area(spark, sf_dir):
     """Shoelace signed area + cross-weighted centroid over the shared
     polygon fixture — per-edge cross terms quantized to bigint before the
@@ -3504,6 +3527,7 @@ REGISTRY.update(
         "bbox_join": (q_bbox_join, O_BBOX_JOIN),
         "trajectory_resample": (q_trajectory_resample, O_TRAJECTORY_RESAMPLE),
         "heatmap_pyramid": (q_heatmap_pyramid, O_HEATMAP_PYRAMID),
+        "stream_heatmap": (q_stream_heatmap, O_HEATMAP_TILES),
     }
 )
 
@@ -3521,16 +3545,17 @@ REGISTRY.update(
 # oracle-checked by the full tools/verify_oracles.py sweep. Round-5
 # rotation: the 4 queries added after round 4's window froze (doc_chunks,
 # tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 12 new gates (maintenance/streaming + the spatial
+# plus this round's 13 new gates (maintenance/streaming + the spatial
 # family: distance_join, geo_clusters, trajectory_stats,
 # rasterize_polygons, heatmap_tiles, polygon_area, bbox_join,
-# trajectory_resample, heatmap_pyramid) swap in against 16
-# round-4-signed entries
+# trajectory_resample, heatmap_pyramid, stream_heatmap) swap in against
+# 17 round-4-signed entries
 # (set_ops, flatten_distinct, footprint_centroid, asof_join,
 # interval_join, hll_registers, quantile_buckets, lang_id,
 # stratified_sample, dedup_canonical, token_shard_pack,
 # report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep,
-# embedding_neardup_pairs); with this window every registry query has
+# embedding_neardup_pairs, adaptive_split); with this window every
+# registry query has
 # at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
@@ -3539,7 +3564,7 @@ _DRIVER_WINDOW = [
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
     "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
-    "trajectory_resample", "heatmap_pyramid",
+    "trajectory_resample", "heatmap_pyramid", "stream_heatmap",
     # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
     #     dedup Observation wait) ---
     "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
@@ -3547,7 +3572,7 @@ _DRIVER_WINDOW = [
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
     # --- highest-risk signed backfill (31) ---
-    "adaptive_split", "salted_repartition", "cdc_merge", "cdc_merged_tags",
+    "salted_repartition", "cdc_merge", "cdc_merged_tags",
     "translate_with_wikidata", "p31_type_join",
     "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",

@@ -390,3 +390,61 @@ def stream_to_snapshots(
     )
     q.awaitTermination()
     return table
+
+
+def stream_pixel_histogram(
+    stream: DataFrame, res: int, tile_px: int = 64,
+    lat: str = "lat", lon: str = "lon",
+) -> DataFrame:
+    """Streaming density raster state: the heatmap pixel histogram
+    (operators/heatmap.py) as a stateful aggregation — state is bounded
+    by non-empty pixels (<= tiles * tile_px^2), each micro-batch folds
+    its points in via the same map-side partials as the batch plan."""
+    from ..operators.heatmap import _grid_cols
+
+    tile, px, py = _grid_cols(F.col(lat), F.col(lon), res, tile_px)
+    return (
+        stream.select(tile.alias("tile"), px.alias("px"), py.alias("py"))
+        .groupBy("tile", "px", "py")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run_heatmap_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str,
+    res: int, tile_px: int = 64,
+) -> DataFrame:
+    """Drive the streaming pixel histogram over all staged files
+    (availableNow, complete mode) and roll the FINAL state up to the
+    per-tile stats the batch ``heatmap_stats`` produces. Chained
+    streaming aggregations are unsupported in complete mode, so the
+    rollup runs batch-side over the memory sink — the streaming part is
+    exactly the stateful histogram a live deployment would run; batch
+    parity with ``heatmap_stats`` is the oracle contract."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    q = (
+        stream_pixel_histogram(st, res=res, tile_px=tile_px)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("heatmap_stream")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("heatmap_stream")
+        .groupBy("tile")
+        .agg(
+            F.sum("n").alias("n_points"),
+            F.count(F.lit(1)).alias("n_px"),
+            F.max("n").alias("max_px"),
+            F.sum(F.least(F.col("n"), F.lit(255))).alias("intensity_sum"),
+        )
+    )

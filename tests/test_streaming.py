@@ -275,3 +275,32 @@ def test_stream_dedup_exact_bounded_state(spark, tmp_path):
     assert str(a_rows.iloc[0].ts) == "2024-01-01 10:00:00"
     assert str(a_rows.iloc[1].ts) == "2024-01-01 12:30:00"
     assert len(out[(out.user_id == 2) & (out.event_type == "b")]) == 1
+
+
+def test_stream_heatmap_matches_batch(spark, tmp_path):
+    """The stateful pixel histogram folded over 3 micro-batches must
+    produce exactly the batch heatmap_stats rollup."""
+    import numpy as np
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.heatmap import heatmap_stats
+    from langtoolsosm_spark.streaming.microbatch import run_heatmap_stream_once
+
+    rng = np.random.default_rng(77)
+    pts = pd.DataFrame(
+        {"lat": 35.0 + rng.random(3000) * 10.0,
+         "lon": -5.0 + rng.random(3000) * 15.0}
+    )
+    df = spark.createDataFrame(pts)
+    src = str(tmp_path / "pts")
+    df.repartition(3).write.parquet(src)
+
+    got = (
+        run_heatmap_stream_once(spark, src, str(tmp_path / "ckpt"), res=6, tile_px=16)
+        .toPandas().sort_values("tile").reset_index(drop=True)
+    )
+    exp = (
+        heatmap_stats(spark.read.parquet(src), res=6, tile_px=16)
+        .toPandas().sort_values("tile").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
