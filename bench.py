@@ -172,10 +172,9 @@ def main():
     # kernel's by construction — timing it doubled the LSH wall for no
     # extra signal. Set BENCH_LSH_EXPR=1 to time it anyway.
     ann_recall_kernel = recall("lsh_kernel", ann_lsh_topk(emb, kernel_buckets=True))
+    time_expr_lsh = os.environ.get("BENCH_LSH_EXPR", "").lower() not in ("", "0", "false")
     ann_recall = (
-        recall("lsh", ann_lsh_topk(emb))
-        if os.environ.get("BENCH_LSH_EXPR")
-        else ann_recall_kernel
+        recall("lsh", ann_lsh_topk(emb)) if time_expr_lsh else ann_recall_kernel
     )
     ivf_recall = recall("ivf", ivf_ann_topk(emb))
     ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb))

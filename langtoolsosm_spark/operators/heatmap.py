@@ -87,8 +87,15 @@ def heatmap_stats(
     where intensity_sum totals the SAME saturating min(255, n) bytes the
     PNG renderer writes (render/decode parity is pytest-gated —
     tests/test_spatial_family.py)."""
-    h = pixel_histogram(points, res, tile_px, lat, lon)
-    return h.groupBy("tile").agg(
+    return tile_rollup(pixel_histogram(points, res, tile_px, lat, lon))
+
+
+def tile_rollup(hist: DataFrame) -> DataFrame:
+    """Per-tile stats over a (tile, px, py, n) pixel histogram — shared
+    by the batch path above and the streaming parity gate
+    (streaming/microbatch.py run_heatmap_stream_once), so the intensity
+    formula lives in exactly one place."""
+    return hist.groupBy("tile").agg(
         F.sum("n").alias("n_points"),
         F.count(F.lit(1)).alias("n_px"),
         F.max("n").alias("max_px"),

@@ -180,16 +180,19 @@ def pip_join(
 
     result = interior.select(*out_cols).unionByName(refined)
     if unique:
-        # min-struct instead of a row_number window: the hash aggregate
-        # gets a map-side partial combine (the window's sort-based
-        # exchange ships every multi-polygon candidate row), and
-        # polygon_id leads the struct so min == lexicographically
-        # smallest owner; the other columns are copies of the same source
-        # point row, so they ride along unchanged
-        others = [c for c in out_cols if c != id_col]
+        # min over polygon_id instead of a row_number window: the hash
+        # aggregate gets a map-side partial combine (the window's
+        # sort-based exchange ships every multi-polygon candidate row).
+        # Only polygon_id enters the min — the other columns are copies
+        # of the same source point row on every candidate, so first()
+        # carries them deterministically AND keeps non-orderable point
+        # columns (maps, e.g. OSM tags) legal, which a
+        # min(struct(all-columns)) is not
+        others = [c for c in out_cols if c != id_col and c != "polygon_id"]
         result = result.groupBy(id_col).agg(
-            F.min(F.struct(*["polygon_id"] + [c for c in others if c != "polygon_id"])).alias("__m")
-        ).select(id_col, *[F.col(f"__m.{c}").alias(c) for c in others])
+            F.min("polygon_id").alias("polygon_id"),
+            *[F.first(c).alias(c) for c in others],
+        )
         result = result.select(*out_cols)
     return result
 

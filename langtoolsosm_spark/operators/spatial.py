@@ -262,9 +262,10 @@ def rasterize_polygons(
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     spark = polygons.sparkSession
-    n_poly = polygons.count()
     schema = "polygon_id string, tile long"
-    if n_poly <= collect_threshold:
+    # skip the count job entirely when the gate is disabled (forced
+    # scale path) — same short-circuit polygon_cover uses
+    if collect_threshold and polygons.count() <= collect_threshold:
         pdf = polygons.select("polygon_id", "ring").toPandas()
         out = _rasterize_pdf(pdf, res)
         if len(out) == 0:
@@ -316,7 +317,13 @@ def polygon_area_centroid(polygons: DataFrame) -> DataFrame:
         return cross, x1 + x2, y1 + y2
 
     def qsum(term_fn):
-        idx = F.sequence(F.lit(0), n - F.lit(1))
+        # sequence(0, -1) DESCENDS (the repo's known Spark pitfall), so an
+        # empty ring must produce an empty index array explicitly — the
+        # aggregate then returns the 0 init and the centroid divisions
+        # yield NaN, matching the documented degenerate contract
+        idx = F.when(n >= 1, F.sequence(F.lit(0), n - F.lit(1))).otherwise(
+            F.array().cast("array<int>")
+        )
         return F.aggregate(
             idx,
             F.lit(0).cast("long"),
@@ -392,11 +399,17 @@ def bbox_join(
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     l = _bbox_cells(left, res, "l")
     r = _bbox_cells(right, res, "r")
-    # exact exploded-row count (a narrow scan+explode job, no shuffle) —
+    # exact exploded-row counts (narrow scan+explode jobs, no shuffle) —
     # a size-based guess would under-gate when rects span many cells at
-    # a fine res
-    if broadcast_threshold and r.count() <= broadcast_threshold:
-        r = F.broadcast(r)
+    # a fine res; whichever side is smaller broadcasts, as the docstring
+    # promises
+    if broadcast_threshold:
+        nl, nr = l.count(), r.count()
+        if min(nl, nr) <= broadcast_threshold:
+            if nr <= nl:
+                r = F.broadcast(r)
+            else:
+                l = F.broadcast(l)
     return (
         l.join(r, ["__cx", "__cy"])
         .filter(
@@ -461,7 +474,15 @@ def trajectory_resample(
     ).filter(F.col("t1").isNotNull())
     # first lattice point >= t0 / last lattice point < t1, as long
     # integer division (valid because ts >= 0)
-    k0 = F.expr(f"(t0 + {step - 1}) div {step}")
+    # the div-based lattice is only correct for ts >= 0 (div truncates
+    # toward zero); a negative timestamp must fail LOUDLY, not silently
+    # drop samples
+    k0 = F.when(
+        F.col("t0") >= 0, F.expr(f"(t0 + {step - 1}) div {step}")
+    ).otherwise(
+        F.expr("raise_error('trajectory_resample: ts must be non-negative')")
+        .cast("long")
+    )
     k1 = F.expr(f"(t1 - 1) div {step}")
     ks = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
         F.array().cast("array<long>")

@@ -3560,7 +3560,7 @@ REGISTRY.update(
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
     "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
-    # --- new in round 5 (7) ---
+    # --- new in round 5 (13) ---
     "snapshot_compact", "snapshot_expire", "stream_dedup",
     "distance_join", "geo_clusters", "trajectory_stats",
     "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
@@ -3571,7 +3571,7 @@ _DRIVER_WINDOW = [
     "knn_join", "knn_join_cogroup",
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (31) ---
+    # --- highest-risk signed backfill (21) ---
     "salted_repartition", "cdc_merge", "cdc_merged_tags",
     "translate_with_wikidata", "p31_type_join",
     "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",

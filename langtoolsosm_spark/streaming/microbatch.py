@@ -399,15 +399,12 @@ def stream_pixel_histogram(
     """Streaming density raster state: the heatmap pixel histogram
     (operators/heatmap.py) as a stateful aggregation — state is bounded
     by non-empty pixels (<= tiles * tile_px^2), each micro-batch folds
-    its points in via the same map-side partials as the batch plan."""
-    from ..operators.heatmap import _grid_cols
+    its points in via the same map-side partials as the batch plan.
+    The batch operator works unchanged on a streaming DataFrame, so this
+    is the SAME code, not a parallel implementation that could drift."""
+    from ..operators.heatmap import pixel_histogram
 
-    tile, px, py = _grid_cols(F.col(lat), F.col(lon), res, tile_px)
-    return (
-        stream.select(tile.alias("tile"), px.alias("px"), py.alias("py"))
-        .groupBy("tile", "px", "py")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return pixel_histogram(stream, res, tile_px, lat, lon)
 
 
 def run_heatmap_stream_once(
@@ -438,13 +435,6 @@ def run_heatmap_stream_once(
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.table("heatmap_stream")
-        .groupBy("tile")
-        .agg(
-            F.sum("n").alias("n_points"),
-            F.count(F.lit(1)).alias("n_px"),
-            F.max("n").alias("max_px"),
-            F.sum(F.least(F.col("n"), F.lit(255))).alias("intensity_sum"),
-        )
-    )
+    from ..operators.heatmap import tile_rollup
+
+    return tile_rollup(spark.table("heatmap_stream"))

@@ -156,3 +156,33 @@ def test_observed_metric_bounded_wait():
             return {"changed": 4}
 
     assert _observed_metric(GoodObs(), "changed", timeout_s=5) == 4
+
+
+def test_pip_unique_owner_allows_map_columns(spark):
+    """unique=True must work when points carry non-orderable columns
+    (map<string,string> tags — the core OSM shape): min() runs on
+    polygon_id alone; other columns ride along via first()."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from langtoolsosm_spark.operators.pip_join import pip_join
+
+    pts = spark.createDataFrame(
+        [(1, 37.0, -1.0), (2, 37.5, 0.0), (3, 10.0, 10.0)],
+        "image_id long, lat double, lon double",
+    ).withColumn("tags", F.create_map(F.lit("k"), F.lit("v")))
+    polys = spark.createDataFrame(
+        [
+            ("B", [{"lat": 36.0, "lon": -3.0}, {"lat": 36.0, "lon": 1.0},
+                   {"lat": 39.0, "lon": 1.0}, {"lat": 39.0, "lon": -3.0}]),
+            ("A", [{"lat": 36.0, "lon": -3.0}, {"lat": 36.0, "lon": 1.0},
+                   {"lat": 39.0, "lon": 1.0}, {"lat": 39.0, "lon": -3.0}]),
+        ],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    out = pip_join(pts, polys, res=6, unique=True).toPandas()
+    # both points in the overlap resolve to the lexicographically
+    # smallest owner, map column preserved
+    assert sorted(out["image_id"]) == [1, 2]
+    assert set(out["polygon_id"]) == {"A"}
+    assert all(t == {"k": "v"} for t in out["tags"])
