@@ -200,6 +200,23 @@ def polygon_cell_cover(ring: np.ndarray, res: int):
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     cells = (np.int64(res) << 58) | (gx.ravel() << 29) | gy.ravel()
 
+    touching, full_inside = classify_cells(ring, cells)
+    return cells[touching], full_inside[touching]
+
+
+def classify_cells(ring: np.ndarray, cells: np.ndarray):
+    """Classify an arbitrary array of SAME-resolution cell ids against a
+    ring: (touching, full_inside) bool masks. Factored out of
+    :func:`polygon_cell_cover` so hierarchical covers (classify only a
+    boundary band's children at a finer res) reuse the identical corner/
+    edge/vertex tests — cell-local, so a cell classifies the same whether
+    it came from a full bbox mesh or a band subdivision."""
+    from .cells import cell_bounds, cell_encode
+
+    if len(cells) == 0:
+        empty = np.zeros(0, dtype=bool)
+        return empty, empty
+    res = int(np.asarray(cells)[0] >> 58)
     cs, cw, cn, ce = cell_bounds(cells)
     # corner containment (4 tests)
     in_sw = points_in_polygon(cs, cw, ring)
@@ -217,4 +234,4 @@ def polygon_cell_cover(ring: np.ndarray, res: int):
     has_vertex = np.isin(cells, vert_cells)
     touching = (n_in > 0) | edge_hit | has_vertex
     full_inside = (n_in == 4) & ~edge_hit & ~has_vertex
-    return cells[touching], full_inside[touching]
+    return touching, full_inside

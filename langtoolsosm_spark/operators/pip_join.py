@@ -63,6 +63,97 @@ def _cover_pdf(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
     return pd.concat(out, ignore_index=True)
 
 
+def _cover_pdf_hier(pdf: pd.DataFrame, res: int, cover_res: int) -> pd.DataFrame:
+    """Hierarchical cover kernel: interior cells stay at ``res``; only the
+    boundary band subdivides to ``cover_res``. Output rows
+    (polygon_id, tile, fine, full_inside) where ``fine`` marks the
+    resolution the flat tile key is encoded at.
+
+    A full bbox mesh at cover_res costs O(area * 4^levels) cells; the
+    band-only subdivision costs O(area + perimeter * 2^levels) — the
+    difference between a broadcastable cover and a blowup for
+    area-dominated polygons (continent-scale admin areas)."""
+    from ..functions.cells import cell_decode, cell_to_tile_key
+
+    f = 1 << (cover_res - res)
+    out = []
+    for _, row in pdf.iterrows():
+        ring = _ring_to_np(row["ring"])
+        cells, full = geo.polygon_cell_cover(ring, res)
+        interior = cells[full]
+        if len(interior):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "polygon_id": row["polygon_id"],
+                        "tile": cell_to_tile_key(interior),
+                        "fine": False,
+                        "full_inside": True,
+                    }
+                )
+            )
+        band = cells[~full]
+        if len(band):
+            _, bix, biy = cell_decode(band)
+            off = np.arange(f, dtype=np.int64)
+            cix, ciy = np.broadcast_arrays(
+                bix[:, None, None] * f + off[None, :, None],
+                biy[:, None, None] * f + off[None, None, :],
+            )
+            cix, ciy = cix.ravel(), ciy.ravel()
+            children = (np.int64(cover_res) << 58) | (cix << 29) | ciy
+            touching, cfull = geo.classify_cells(ring, children)
+            kept = children[touching]
+            if len(kept):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "polygon_id": row["polygon_id"],
+                            "tile": cell_to_tile_key(kept),
+                            "fine": True,
+                            "full_inside": cfull[touching],
+                        }
+                    )
+                )
+    if not out:
+        return pd.DataFrame(
+            {
+                "polygon_id": pd.Series(dtype="object"),
+                "tile": pd.Series(dtype="int64"),
+                "fine": pd.Series(dtype="bool"),
+                "full_inside": pd.Series(dtype="bool"),
+            }
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+_HIER_SCHEMA = "polygon_id string, tile long, fine boolean, full_inside boolean"
+
+
+def polygon_cover_hier(
+    polygons: DataFrame, res: int, cover_res: int, collect_threshold: int = 2000
+) -> DataFrame:
+    """Hierarchical (polygon_id, tile, fine, full_inside) cover table —
+    same counted driver-side gate as :func:`polygon_cover`."""
+    if cover_res < res:
+        raise ValueError(f"cover_res {cover_res} must be >= res {res}")
+
+    def per_polygon(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cover_pdf_hier(pdf, res, cover_res)
+
+    if collect_threshold and polygons.count() <= collect_threshold:
+        pdf = polygons.select("polygon_id", "ring").toPandas()
+        spark = polygons.sparkSession
+        return spark.createDataFrame(
+            _cover_pdf_hier(pdf, res, cover_res), schema=_HIER_SCHEMA
+        )
+    return (
+        polygons.select("polygon_id", "ring")
+        .groupBy("polygon_id")
+        .applyInPandas(per_polygon, schema=_HIER_SCHEMA)
+    )
+
+
 def polygon_cover(
     polygons: DataFrame, res: int, collect_threshold: int = 2000
 ) -> DataFrame:
@@ -113,14 +204,16 @@ def pip_join(
     tie-break; requires unique ``id_col``).
 
     ``cover_res`` (default ``res + 3``) is the resolution of the internal
-    cover/classification grid, independent of the caller-facing ``res``.
-    Finer cover cells thin the boundary band ~2x per level — the share of
-    candidate rows paying the exact ray-cast refine drops from ~80% at a
-    polygon-scale grid to ~10% three levels down (measured on the synth
-    fixture) — while the cover table grows only ~2x per level along the
-    perimeter and stays broadcast-sized. The refine kernel is the PIP
-    join's dominant cost, so the cover grid should be as fine as the
-    cover-table broadcast budget allows, NOT the output tiling res.
+    boundary-band classification grid, independent of the caller-facing
+    ``res``. The cover is HIERARCHICAL: interior cells stay at ``res``
+    (one row each), and only the boundary band subdivides to
+    ``cover_res`` — so the cover grows O(area@res + perimeter * 2^levels)
+    rather than the O(area * 4^levels) a full fine mesh would cost, and
+    stays broadcast-sized even for area-dominated continent polygons.
+    Finer band cells thin the share of candidate rows paying the exact
+    ray-cast refine from ~80% at a polygon-scale grid to ~10% three
+    levels down (measured on the synth fixture); the refine kernel is
+    the PIP join's dominant cost.
 
     Scale switches: ``broadcast_cover=False`` shuffles the cover equi-join
     (huge polygon sets whose cover exceeds the broadcast threshold);
@@ -132,28 +225,46 @@ def pip_join(
     """
     if cover_res is None:
         cover_res = res + 3
+    # points carry BOTH grid keys (pure codegen); the hierarchical cover
+    # keeps interior cells at the coarse res and subdivides only the
+    # boundary band to cover_res, so the cover is O(area + perimeter*2^L)
+    # instead of O(area*4^L) — a full-bbox fine mesh blows up for
+    # area-dominated polygons
     pts = points.withColumn(
-        "__tile", tile_key_col(F.col(lat), F.col(lon), cover_res)
-    )
+        "__ctile", tile_key_col(F.col(lat), F.col(lon), res)
+    ).withColumn("__ftile", tile_key_col(F.col(lat), F.col(lon), cover_res))
     # broadcast_cover=False is the forced huge-polygon-set scale path:
     # keep the cover build distributed there too
-    cover = polygon_cover(
-        polygons, cover_res, collect_threshold=2000 if broadcast_cover else 0
-    ).withColumnRenamed("tile", "__cover_tile")
+    cover = polygon_cover_hier(
+        polygons, res, cover_res, collect_threshold=2000 if broadcast_cover else 0
+    )
     if broadcast_cover:
         cover = F.broadcast(cover)
-    cand = pts.join(cover, pts["__tile"] == cover["__cover_tile"], "inner").drop(
-        "__cover_tile"
+    coarse = cover.filter(~F.col("fine")).select(
+        "polygon_id", F.col("tile").alias("__cover_tile")
+    )
+    fine = cover.filter(F.col("fine")).select(
+        "polygon_id", F.col("tile").alias("__cover_tile"), "full_inside"
     )
 
-    interior = cand.filter(F.col("full_inside")).drop("full_inside", "__tile")
+    drop_keys = ["__cover_tile", "__ctile", "__ftile"]
+    # coarse interior cells accept their points outright
+    interior_coarse = pts.join(
+        coarse, pts["__ctile"] == coarse["__cover_tile"], "inner"
+    ).drop(*drop_keys)
+    cand_fine = pts.join(
+        fine, pts["__ftile"] == fine["__cover_tile"], "inner"
+    ).drop(*drop_keys)
+    interior = interior_coarse.unionByName(
+        cand_fine.filter(F.col("full_inside")).drop("full_inside")
+    )
 
     rings = polygons.select("polygon_id", "ring")
     if broadcast_rings:
         rings = F.broadcast(rings)
     boundary = (
-        cand.filter(~F.col("full_inside"))
-        .drop("full_inside", "__tile")
+        cand_fine.filter(~F.col("full_inside"))
+        .drop("full_inside")
         .join(rings, "polygon_id", "inner")
     )
 

@@ -186,3 +186,30 @@ def test_pip_unique_owner_allows_map_columns(spark):
     assert sorted(out["image_id"]) == [1, 2]
     assert set(out["polygon_id"]) == {"A"}
     assert all(t == {"k": "v"} for t in out["tags"])
+
+
+def test_hierarchical_cover_bounds_area_blowup(spark):
+    """The hierarchical cover must classify identically to the flat fine
+    mesh (cell-local tests) while staying O(area + perimeter*2^L) in
+    size — the flat mesh is O(area*4^L) and blows up for big polygons."""
+    import numpy as np
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.pip_join import _cover_pdf, _cover_pdf_hier
+
+    ring = [{"lat": 30.0, "lon": -10.0}, {"lat": 30.0, "lon": 10.0},
+            {"lat": 50.0, "lon": 10.0}, {"lat": 50.0, "lon": -10.0}]
+    pdf = pd.DataFrame({"polygon_id": ["BIG"], "ring": [ring]})
+    flat = _cover_pdf(pdf, 11)
+    hier = _cover_pdf_hier(pdf, 8, 11)
+    assert len(hier) < len(flat) / 10
+
+    # semantic equivalence at the fine level: the hier band's fine cells
+    # must classify exactly as the same cells do in the flat mesh
+    fine = hier[hier["fine"]]
+    flat_map = dict(zip(flat["tile"], flat["full_inside"]))
+    for t, fi in zip(fine["tile"], fine["full_inside"]):
+        assert flat_map[t] == fi
+    # and every flat boundary cell is present among the hier fine cells
+    flat_band = set(flat[~flat["full_inside"]]["tile"])
+    assert flat_band <= set(fine["tile"])
