@@ -500,3 +500,68 @@ def trajectory_resample(
             (F.col("lon0") + (F.col("lon1") - F.col("lon0")) * frac).alias("lon"),
         )
     )
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Raster zonal statistics — the classic raster x vector reduction:
+    per polygon zone, aggregate the point density raster at resolution
+    ``res``. Returns (polygon_id, n_tiles, n_occupied, n_points,
+    max_tile_n): zone footprint in tiles, occupied-tile count, total
+    points on the zone's raster, and the hottest tile's count.
+
+    Plan shape (the order matters at scale):
+    1. points reduce to a per-tile histogram FIRST (map-side partial
+       aggregate; the shuffle carries one row per non-empty tile, never
+       per point),
+    2. the polygon zones rasterize to (polygon_id, tile) — bounded by
+       zone area x 4^res, metadata-scale next to the fact table,
+    3. the zone footprint (n_tiles) aggregates from the zone raster
+       ALONE, so the histogram join can stay INNER — an outer join would
+       put zones on the preserved side, where Spark cannot broadcast it
+       (the build side must be the non-preserved side; the hint is
+       silently dropped and both sides shuffle),
+    4. occupied-tile stats come from the inner tile join (zones
+       broadcast below the counted threshold), and the two per-polygon
+       frames merge in a final metadata-scale left join with COALESCE
+       zeros for point-free zones.
+    Semantics are standard raster zonal stats: a point counts toward a
+    zone iff its tile's CENTER is inside the polygon (the rasterize burn
+    rule), so zone membership is exactly ``rasterize_polygons`` and the
+    DuckDB oracle reuses that query's predicate CTE verbatim.
+    """
+    hist = (
+        points.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile")
+        )
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    zones = rasterize_polygons(polygons, res)
+    footprint = zones.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_tiles")
+    )
+    if broadcast_threshold and zones.count() <= broadcast_threshold:
+        zones = F.broadcast(zones)
+    occupied = (
+        zones.join(hist, "tile")
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_occupied"),
+            F.sum("__n").alias("n_points"),
+            F.max("__n").alias("max_tile_n"),
+        )
+    )
+    return footprint.join(occupied, "polygon_id", "left").select(
+        "polygon_id",
+        "n_tiles",
+        F.coalesce(F.col("n_occupied"), F.lit(0)).alias("n_occupied"),
+        F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
+        F.coalesce(F.col("max_tile_n"), F.lit(0)).alias("max_tile_n"),
+    )

@@ -3532,6 +3532,111 @@ REGISTRY.update(
 )
 
 
+def q_geohash_encode(spark, sf_dir):
+    """Base-32 geohash encode over the point fixture — pure-codegen Column
+    expression (functions/geohash.py ``geohash_col``): floor bins, bit
+    interleave via shift/mask, element_at over the constant alphabet. No
+    UDF, no shuffle; the scan is the whole plan. The interchange form for
+    the ecosystem the reference lives in (OSM tooling speaks geohash;
+    reference addresses space via Overpass bbox/qt,
+    /root/reference/lib/osm_utils.py:24-48)."""
+    from ..functions.geohash import geohash_col
+
+    pts = geo_points(spark, sf_dir)
+    return pts.select(
+        "point_id", geohash_col(F.col("lat"), F.col("lon"), 7).alias("geohash")
+    )
+
+
+def _geohash_oracle(select_chars: str) -> str:
+    from ..functions.geohash import geohash_sql_layers
+
+    ix, iy, g, chars = geohash_sql_layers("lat", "lon", 7)
+    return f"""
+WITH {PTS_CTE},
+b AS (SELECT point_id, {ix} AS __ix, {iy} AS __iy FROM pts),
+gg AS (SELECT point_id, {g} AS __g FROM b),
+gh AS (SELECT point_id, {chars} AS geohash FROM gg)
+{select_chars}
+"""
+
+
+O_GEOHASH_ENCODE = _geohash_oracle("SELECT point_id, geohash FROM gh")
+
+
+def q_geohash_rollup(spark, sf_dir):
+    """Proximity-bucket rollup on a geohash PREFIX: the 5-bit-per-char
+    prefix property means ``substring(geohash, 1, 4)`` IS the precision-4
+    geohash of the same point, so coarser rollups need no re-encode —
+    one groupBy on the prefix (partial-aggregated map-side) instead of a
+    second trig/bin pass. Returns per-bucket point count + distinct full
+    hashes."""
+    from ..functions.geohash import geohash_col
+
+    pts = geo_points(spark, sf_dir)
+    return (
+        pts.select(geohash_col(F.col("lat"), F.col("lon"), 7).alias("geohash"))
+        .groupBy(F.substring("geohash", 1, 4).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("geohash").alias("n_cells"),
+        )
+    )
+
+
+O_GEOHASH_ROLLUP = _geohash_oracle(
+    "SELECT substr(geohash, 1, 4) AS bucket, count(*) AS n_points, "
+    "CAST(count(DISTINCT geohash) AS BIGINT) AS n_cells FROM gh GROUP BY 1"
+)
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Raster zonal statistics: per polygon zone, aggregate the res-8
+    point-density raster (points pre-reduced to a tile histogram BEFORE
+    the zone join, so the join carries tiles, not points). Zone
+    membership = rasterize_polygons' center-inside burn rule, so the
+    oracle reuses the same polygon predicates on the same cell centers."""
+    from ..operators.spatial import zonal_stats
+
+    return zonal_stats(geo_points(spark, sf_dir), geo_polygons_df(spark), res=8)
+
+
+def _raster_cells_cte(res: int) -> str:
+    n = 1 << res
+    return f"""
+g AS (SELECT x.ix, y.iy
+      FROM generate_series(0, {n - 1}) x(ix), generate_series(0, {n - 1}) y(iy)),
+c AS (SELECT ix * {n} + iy AS tile,
+             (CAST(iy AS DOUBLE) + 0.5) / {n}.0 * 180.0 - 90.0 AS lat,
+             (CAST(ix AS DOUBLE) + 0.5) / {n}.0 * 360.0 - 180.0 AS lon
+      FROM g)
+"""
+
+
+O_ZONAL_STATS = (
+    f"WITH {PTS_CTE}, {_raster_cells_cte(8)}, "
+    + "z AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, tile FROM c WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + f"), h AS (SELECT {_tile_sql(8)} AS tile, count(*) AS __n FROM pts GROUP BY 1) "
+    + "SELECT polygon_id, count(*) AS n_tiles, count(h.__n) AS n_occupied, "
+    + "CAST(coalesce(sum(h.__n), 0) AS BIGINT) AS n_points, "
+    + "CAST(coalesce(max(h.__n), 0) AS BIGINT) AS max_tile_n "
+    + "FROM z LEFT JOIN h USING (tile) GROUP BY polygon_id"
+)
+
+
+REGISTRY.update(
+    {
+        "geohash_encode": (q_geohash_encode, O_GEOHASH_ENCODE),
+        "geohash_rollup": (q_geohash_rollup, O_GEOHASH_ROLLUP),
+        "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
