@@ -565,3 +565,114 @@ def zonal_stats(
         F.coalesce(F.col("n_points"), F.lit(0)).alias("n_points"),
         F.coalesce(F.col("max_tile_n"), F.lit(0)).alias("max_tile_n"),
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    radius: float,
+    res: int | None = None,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    broadcast_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Map-matching primitive: snap each point to its nearest line
+    segment within ``radius`` (squared-euclid-degree metric, the family's
+    SQL-parity contract). Returns (point_id, seg_id, t, dist) — ``t`` in
+    [0, 1] is the projection parameter along the winning segment, ``dist``
+    the squared distance to it. Points with no segment in range drop out.
+
+    ``segments``: (seg_id, lat1, lon1, lat2, lon2). Candidate generation
+    explodes each segment's radius-expanded bbox to covering cells at a
+    resolution matched to the radius (same recipe as ``distance_join``;
+    fan-out is O(1) when segment extent ~ radius — pre-split longer
+    polylines with ``trajectory_resample`` first), points carry their
+    single cell, and the exact point-to-segment distance refines
+    JVM-side. The cell cover is a superset of the radius disk, so a
+    candidate pair can surface in several cells — harmless, because the
+    per-point arg-min collapses duplicates (same winning struct).
+
+    Arg-min is the family's min-struct tie-break: rank by the BIGINT-
+    quantized distance then seg_id, so the winner is deterministic and
+    engine-independent even when two segments are equidistant (shared
+    endpoints). The final ``t``/``dist`` doubles come from one canonical
+    expression tree, identical in the DuckDB oracle.
+    """
+    r = radius_res(radius) if res is None else res
+    n = 1 << r
+
+    def gidx(col, offset, span):
+        g = F.floor((col + F.lit(offset)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    rad = F.lit(float(radius))
+    segs = (
+        segments.select(
+            F.col(seg_id).alias("__sid"),
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+        )
+        .withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    gidx(F.least("lon1", "lon2") - rad, 180.0, 360.0),
+                    gidx(F.greatest("lon1", "lon2") + rad, 180.0, 360.0),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    gidx(F.least("lat1", "lat2") - rad, 90.0, 180.0),
+                    gidx(F.greatest("lat1", "lat2") + rad, 90.0, 180.0),
+                )
+            ),
+        )
+    )
+    if broadcast_threshold and segs.count() <= broadcast_threshold:
+        segs = F.broadcast(segs)
+
+    pts = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lat").alias("__plat"),
+        F.col("lon").alias("__plon"),
+        gidx(F.col("lon"), 180.0, 360.0).alias("__cx"),
+        gidx(F.col("lat"), 90.0, 180.0).alias("__cy"),
+    )
+
+    ex = F.col("lon2") - F.col("lon1")
+    ey = F.col("lat2") - F.col("lat1")
+    len2 = ex * ex + ey * ey
+    dot = (F.col("__plon") - F.col("lon1")) * ex + (
+        F.col("__plat") - F.col("lat1")
+    ) * ey
+    t_raw = F.when(len2 == F.lit(0.0), F.lit(0.0)).otherwise(dot / len2)
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    dx = F.col("__plon") - (F.col("lon1") + t * ex)
+    dy = F.col("__plat") - (F.col("lat1") + t * ey)
+    d2 = dx * dx + dy * dy
+    qd = F.floor(d2 * F.lit(DIST_Q_SCALE)).cast("long")
+    best = F.min(
+        F.struct(
+            F.col("__qd").alias("qd"),
+            F.col("__sid").alias("sid"),
+            F.col("__t").alias("t"),
+            F.col("__d2").alias("d2"),
+        )
+    ).alias("b")
+    return (
+        pts.join(segs, ["__cx", "__cy"])
+        .withColumn("__t", t)
+        .withColumn("__d2", d2)
+        .filter(F.col("__d2") <= F.lit(float(radius) * float(radius)))
+        .withColumn("__qd", qd)
+        .groupBy("point_id")
+        .agg(best)
+        .select(
+            "point_id",
+            F.col("b.sid").alias("seg_id"),
+            F.col("b.t").alias("t"),
+            F.col("b.d2").alias("dist"),
+        )
+    )

@@ -3628,11 +3628,103 @@ O_ZONAL_STATS = (
 )
 
 
+# short synthetic "road segments" derived from the trajectory lattice:
+# endpoint A at the event's lattice position, endpoint B displaced by a
+# deterministic +-0.02-degree jitter (consecutive-event segments would
+# span the whole region — useless as snap candidates). The two jitter
+# congruences (mod 41) have disjoint zero sets, so no segment ever
+# degenerates to a point; the len2=0 guard stays in both trees anyway.
+SEG_DLAT_SQL = "((((event_id * 31 + 7) % 41) - 20) / CAST(1000.0 AS DOUBLE))"
+SEG_DLON_SQL = "((((event_id * 17 + 3) % 41) - 20) / CAST(1000.0 AS DOUBLE))"
+SNAP_RADIUS = 0.05
+
+
+def q_snap_to_segments(spark, sf_dir):
+    """Nearest-segment snap (map-matching primitive): a spread sample of
+    fixture points (point_id % 7 == 1 — the % 5 == 0 residue would pick
+    exactly the hot-cluster points, which sit far from every segment)
+    snapped to the closest synthetic road segment within 0.05
+    degrees — cell-cover candidate join + exact point-to-segment
+    refine + min-struct arg-min (operators/spatial.py
+    ``snap_to_segments``)."""
+    from ..operators.spatial import snap_to_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__snap_events")
+    segs = spark.sql(
+        f"SELECT event_id AS seg_id, {TRAJ_LAT_SQL} AS lat1, "
+        f"{TRAJ_LON_SQL} AS lon1, {TRAJ_LAT_SQL} + {SEG_DLAT_SQL} AS lat2, "
+        f"{TRAJ_LON_SQL} + {SEG_DLON_SQL} AS lon2 FROM __snap_events"
+    )
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 7 == 1)
+    return snap_to_segments(pts, segs, radius=SNAP_RADIUS)
+
+
+# the oracle's candidate set is the radius-expanded bbox (DuckDB IEJoin);
+# the engine's is the cell cover — both are supersets of the radius disk,
+# and the exact d2 <= r^2 refine + (quantized-distance, seg_id) ranking
+# are the same expression trees, so the winners agree bit-for-bit
+O_SNAP_TO_SEGMENTS = f"""
+WITH {PTS_CTE},
+p AS (SELECT point_id, lat, lon FROM pts WHERE point_id % 7 = 1),
+segs AS (
+  SELECT event_id AS seg_id, {TRAJ_LAT_SQL} AS lat1, {TRAJ_LON_SQL} AS lon1,
+         {TRAJ_LAT_SQL} + {SEG_DLAT_SQL} AS lat2,
+         {TRAJ_LON_SQL} + {SEG_DLON_SQL} AS lon2
+  FROM events
+),
+cand AS (
+  SELECT p.point_id, p.lat AS plat, p.lon AS plon, s.*
+  FROM p JOIN segs s
+    ON p.lon >= LEAST(s.lon1, s.lon2) - {SNAP_RADIUS!r}
+   AND p.lon <= GREATEST(s.lon1, s.lon2) + {SNAP_RADIUS!r}
+   AND p.lat >= LEAST(s.lat1, s.lat2) - {SNAP_RADIUS!r}
+   AND p.lat <= GREATEST(s.lat1, s.lat2) + {SNAP_RADIUS!r}
+),
+e1 AS (
+  SELECT point_id, seg_id, plat, plon, lat1, lon1,
+         lon2 - lon1 AS ex, lat2 - lat1 AS ey
+  FROM cand
+),
+e2 AS (
+  SELECT *, ex * ex + ey * ey AS len2,
+         (plon - lon1) * ex + (plat - lat1) * ey AS dot
+  FROM e1
+),
+e3 AS (
+  SELECT *, LEAST(GREATEST(
+             CASE WHEN len2 = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+                  ELSE dot / len2 END,
+             CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS t
+  FROM e2
+),
+e4 AS (
+  SELECT point_id, seg_id, t,
+         (plon - (lon1 + t * ex)) * (plon - (lon1 + t * ex))
+       + (plat - (lat1 + t * ey)) * (plat - (lat1 + t * ey)) AS d2
+  FROM e3
+),
+f AS (
+  SELECT point_id, seg_id, t, d2,
+         CAST(FLOOR(d2 * 1000000000.0) AS BIGINT) AS qd
+  FROM e4
+  WHERE d2 <= CAST({SNAP_RADIUS * SNAP_RADIUS!r} AS DOUBLE)
+),
+r AS (
+  SELECT point_id, seg_id, t, d2,
+         row_number() OVER (PARTITION BY point_id ORDER BY qd ASC, seg_id ASC) AS rn
+  FROM f
+)
+SELECT point_id, seg_id, t, d2 AS dist FROM r WHERE rn = 1
+"""
+
+
 REGISTRY.update(
     {
         "geohash_encode": (q_geohash_encode, O_GEOHASH_ENCODE),
         "geohash_rollup": (q_geohash_rollup, O_GEOHASH_ROLLUP),
         "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
+        "snap_to_segments": (q_snap_to_segments, O_SNAP_TO_SEGMENTS),
     }
 )
 

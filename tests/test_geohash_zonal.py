@@ -149,3 +149,86 @@ def test_zonal_stats_broadcast_gate(spark, zonal_inputs):
     forced = spatial.zonal_stats(pts, polys, res=RES, broadcast_threshold=0)
     key = lambda df: sorted(tuple(r) for r in df.collect())
     assert key(fast) == key(forced)
+
+
+# --- snap_to_segments -----------------------------------------------------
+
+def _brute_snap(plat, plon, segs, radius):
+    """Exhaustive NumPy point-to-segment arg-min (independent formula:
+    np.clip + einsum rather than the engine's expression tree)."""
+    a = segs[:, [2, 1]]  # (lon1, lat1)
+    b = segs[:, [4, 3]]  # (lon2, lat2)
+    ab = b - a
+    len2 = (ab ** 2).sum(1)
+    out = {}
+    for pid, y, x in zip(range(len(plat)), plat, plon):
+        ap = np.array([x, y]) - a
+        t = np.clip(
+            np.divide((ap * ab).sum(1), len2, out=np.zeros_like(len2),
+                      where=len2 > 0),
+            0.0, 1.0,
+        )
+        d2 = ((ap - t[:, None] * ab) ** 2).sum(1)
+        ok = d2 <= radius * radius
+        if not ok.any():
+            continue
+        qd = np.floor(d2 * 1e9).astype(np.int64)
+        order = np.lexsort((segs[:, 0], np.where(ok, qd, np.iinfo(np.int64).max)))
+        win = order[0]
+        out[pid] = (int(segs[win, 0]), float(t[win]), float(d2[win]))
+    return out
+
+
+def test_snap_to_segments_matches_brute_force(spark):
+    n_pts, n_segs, radius = 300, 200, 0.3
+    plat = RNG.uniform(35, 45, n_pts)
+    plon = RNG.uniform(-5, 10, n_pts)
+    s_lat = RNG.uniform(35, 45, n_segs)
+    s_lon = RNG.uniform(-5, 10, n_segs)
+    segs = np.column_stack(
+        [
+            np.arange(n_segs, dtype=np.float64),
+            s_lat,
+            s_lon,
+            s_lat + RNG.uniform(-0.2, 0.2, n_segs),
+            s_lon + RNG.uniform(-0.2, 0.2, n_segs),
+        ]
+    )
+    pts_df = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(n_pts, dtype=np.int64),
+                      "lat": plat, "lon": plon})
+    )
+    segs_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "seg_id": segs[:, 0].astype(np.int64),
+                "lat1": segs[:, 1], "lon1": segs[:, 2],
+                "lat2": segs[:, 3], "lon2": segs[:, 4],
+            }
+        )
+    )
+    got = {
+        r["point_id"]: (r["seg_id"], r["t"], r["dist"])
+        for r in spatial.snap_to_segments(pts_df, segs_df, radius).collect()
+    }
+    ref = _brute_snap(plat, plon, segs, radius)
+    assert set(got) == set(ref)
+    for pid, (sid, t, d2) in ref.items():
+        gsid, gt, gd2 = got[pid]
+        assert gsid == sid
+        assert gt == pytest.approx(t, abs=1e-12)
+        assert gd2 == pytest.approx(d2, abs=1e-12)
+
+
+def test_snap_plan_is_jvm_side(spark):
+    pts_df = spark.createDataFrame(
+        pd.DataFrame({"point_id": [0], "lat": [40.0], "lon": [1.0]})
+    )
+    segs_df = spark.createDataFrame(
+        pd.DataFrame({"seg_id": [0], "lat1": [40.0], "lon1": [0.9],
+                      "lat2": [40.1], "lon2": [1.1]})
+    )
+    df = spatial.snap_to_segments(pts_df, segs_df, 0.2)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # counted gate fires at this size
