@@ -110,3 +110,51 @@ def thumbnail_gray(images: DataFrame, size: int = 8) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         kernel, schema="image_id string, thumb array<double>"
     )
+
+
+def image_palette(images: DataFrame, bits: int = 2) -> DataFrame:
+    """Posterized color-palette stats per image: quantize each RGB channel
+    to its top ``bits`` bits and histogram the resulting color codes.
+    Returns (image_id, n_px, n_colors, top_color, top_count) where
+    ``top_color = (r >> (8-bits)) << 2*bits | (g >> (8-bits)) << bits |
+    (b >> (8-bits))`` and ties on the max count break toward the SMALLEST
+    code (np.argmax's first-max rule — mirrored by the oracle's
+    (count DESC, code ASC) ranking).
+
+    One mapInPandas Arrow kernel (decode + np.bincount per image, no
+    per-pixel Python), no shuffle: the aggregate is per-image, so it
+    happens inside the kernel and the output is one row per image. The
+    dominant-color output is the building block for palette-based image
+    dedup/clustering and for the mosaic renderer's color pass.
+    """
+    if not 1 <= bits <= 8:
+        raise ValueError(f"bits must be in [1, 8], got {bits}")
+    shift = 8 - bits
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt)
+                q = (px >> shift).astype(np.int64)
+                code = (q[..., 0] << (2 * bits)) | (q[..., 1] << bits) | q[..., 2]
+                counts = np.bincount(code.ravel(), minlength=1 << (3 * bits))
+                top = int(np.argmax(counts))
+                recs.append(
+                    (
+                        img_id,
+                        int(code.size),
+                        int((counts > 0).sum()),
+                        top,
+                        int(counts[top]),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_px", "n_colors", "top_color", "top_count"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_px long, n_colors long, top_color long, top_count long",
+    )

@@ -3719,12 +3719,60 @@ SELECT point_id, seg_id, t, d2 AS dist FROM r WHERE rn = 1
 """
 
 
+def q_image_palette(spark, sf_dir):
+    """Posterized 64-color palette stats per image over the RAW subset of
+    the image fixture (the oracle re-decodes the IMR1 byte layout —
+    4-byte magic + <HHB> header + RGB triples — from hex() in SQL, so
+    only the losslessly hex-decodable format is gated; the kernel itself
+    runs on all four formats and is PSNR/pytest-covered there)."""
+    from ..operators.images import image_palette
+
+    imgs = _synth_images(spark, sf_dir).filter(F.col("fmt") == "raw")
+    return image_palette(imgs, bits=2)
+
+
+O_IMAGE_PALETTE = f"""
+WITH v AS (
+  SELECT image_id, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}') WHERE fmt = 'raw'
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+px AS (
+  SELECT image_id, (i - 9) // 3 AS p,
+         CAST(SUM(CASE (i - 9) % 3 WHEN 0 THEN (bv // 64) * 16
+                                   WHEN 1 THEN (bv // 64) * 4
+                                   ELSE bv // 64 END) AS BIGINT) AS code
+  FROM b WHERE i >= 9 GROUP BY 1, 2
+),
+hist AS (SELECT image_id, code, count(*) AS n FROM px GROUP BY 1, 2),
+tot AS (
+  SELECT image_id, CAST(SUM(n) AS BIGINT) AS n_px,
+         count(*) AS n_colors
+  FROM hist GROUP BY 1
+),
+top AS (
+  SELECT image_id, code AS top_color, CAST(n AS BIGINT) AS top_count,
+         row_number() OVER (PARTITION BY image_id ORDER BY n DESC, code ASC) AS rn
+  FROM hist
+)
+SELECT t.image_id, t.n_px, t.n_colors, p.top_color, p.top_count
+FROM tot t JOIN top p ON p.image_id = t.image_id AND p.rn = 1
+"""
+
+
 REGISTRY.update(
     {
         "geohash_encode": (q_geohash_encode, O_GEOHASH_ENCODE),
         "geohash_rollup": (q_geohash_rollup, O_GEOHASH_ROLLUP),
         "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
         "snap_to_segments": (q_snap_to_segments, O_SNAP_TO_SEGMENTS),
+        "image_palette": (q_image_palette, O_IMAGE_PALETTE),
     }
 )
 

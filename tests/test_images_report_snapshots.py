@@ -130,3 +130,48 @@ def test_snapshot_write_resume(spark, images, tmp_path):
     snaps2 = write_partitioned(df, table, "tile", skip_partitions=done)
     assert sum(s["total_rows"] for s in snaps2) == 0
     assert table.read(spark).count() == df.count()
+
+
+def test_image_palette_matches_numpy(spark, images):
+    """Kernel vs a direct per-image NumPy recount (independent of the
+    kernel's bincount path), across ALL four formats — lossless formats
+    must agree bit-for-bit with their decoded pixels, dctq with its own
+    decode. Tie-break: first max = smallest color code."""
+    import numpy as np
+    from collections import Counter
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    sub = images.limit(120)
+    got = {r["image_id"]: r for r in im.image_palette(sub, bits=2).collect()}
+    for row in sub.select("image_id", "bytes", "fmt").collect():
+        px = ic.decode(bytes(row["bytes"]), row["fmt"])
+        codes = (
+            (px[..., 0].astype(int) >> 6) * 16
+            + (px[..., 1].astype(int) >> 6) * 4
+            + (px[..., 2].astype(int) >> 6)
+        ).ravel()
+        c = Counter(codes.tolist())
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        g = got[row["image_id"]]
+        assert g["n_px"] == codes.size
+        assert g["n_colors"] == len(c)
+        assert (g["top_color"], g["top_count"]) == best
+
+
+def test_image_palette_solid_color(spark):
+    """A solid-color image has exactly one palette entry owning every
+    pixel."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    px = np.full((5, 7, 3), 200, dtype=np.uint8)  # 200 >> 6 == 3 per channel
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["solid"], "bytes": [ic.encode(px, "raw")], "fmt": ["raw"]}
+        )
+    )
+    [r] = im.image_palette(df, bits=2).collect()
+    assert (r["n_px"], r["n_colors"], r["top_color"], r["top_count"]) == (
+        35, 1, 3 * 16 + 3 * 4 + 3, 35,
+    )
