@@ -3799,9 +3799,11 @@ REGISTRY.update(
 # interval_join, hll_registers, quantile_buckets, lang_id,
 # stratified_sample, dedup_canonical, token_shard_pack,
 # report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep,
-# embedding_neardup_pairs, adaptive_split); with this window every
-# registry query has
-# at least one driver-signed row across rounds 1-5.
+# embedding_neardup_pairs, adaptive_split, and — to make room for the 5
+# late-round-5 additions (geohash x2, zonal_stats, snap_to_segments,
+# image_palette) — simhash_neardup, simhash_pairs, lsh_candidate_pairs,
+# doc_repetition, pii_redact, all r4-signed); with this window every
+# registry query has at least one driver-signed row across rounds 1-5.
 _DRIVER_WINDOW = [
     # --- never driver-signed before round 5 (4) ---
     "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
@@ -3822,9 +3824,11 @@ _DRIVER_WINDOW = [
     "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
-    "simhash_neardup", "simhash_pairs", "lsh_candidate_pairs",
     "images_tile_assign", "images_phash_pairs",
-    "doc_repetition", "pii_redact",
+    # --- new late in round 5 (5): geohash codec, zonal stats, snap join,
+    #     image palette ---
+    "geohash_encode", "geohash_rollup", "zonal_stats",
+    "snap_to_segments", "image_palette",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
