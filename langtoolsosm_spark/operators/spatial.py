@@ -676,3 +676,109 @@ def snap_to_segments(
             F.col("b.d2").alias("dist"),
         )
     )
+
+
+def clip_segments_to_tiles(
+    segments: DataFrame,
+    res: int,
+    seg_id: str = "seg_id",
+) -> DataFrame:
+    """Vector-tile cutting: clip each line segment to every grid tile it
+    crosses (Liang-Barsky parametric clip against each covered cell's
+    box). Returns (seg_id, tile, t0, t1, xa, ya, xb, yb) — the param
+    interval of the segment inside the tile and the clipped endpoint
+    coordinates (lon/lat order: x=lon, y=lat). The union of a segment's
+    clips tiles exactly reconstructs it; a tile server materializes each
+    tile's geometry from its clip rows alone.
+
+    Plan: segments explode to their bbox cover cells (two nested JVM
+    sequence explodes — the same ``_bbox_cells`` recipe the bbox join
+    uses), then the clip interval is pure closed-form double arithmetic
+    per (segment, cell): axis slab entry/exit times, ``t0 = max(0,
+    enter)``, ``t1 = min(1, exit)``, keep iff ``t0 <= t1``. Everything
+    after the explode is WholeStageCodegen; no Python, no shuffle at all
+    (the output keeps the segment's own partitioning — group by ``tile``
+    downstream to build per-tile layers).
+
+    Axis-parallel segments (``dx == 0`` or ``dy == 0``) take the CASE
+    branch: inside the slab -> the axis never constrains (+-HUGE
+    sentinels), outside -> empty interval. The sentinel +-1e308 stays
+    finite so downstream LEAST/GREATEST comparisons behave identically
+    in Spark and DuckDB (IEEE infinity literals do not round-trip
+    through SQL text identically). Degenerate touches (segment grazing a
+    tile corner/edge) emit a zero-length clip — deterministic on both
+    engines because every comparison sees bit-identical doubles.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    HUGE = 1e308
+
+    def gidx(col, offset, span):
+        g = F.floor((col + F.lit(offset)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    segs = (
+        segments.select(
+            F.col(seg_id).alias("seg_id"),
+            F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"),
+        )
+        .withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    gidx(F.least("lon1", "lon2"), 180.0, 360.0),
+                    gidx(F.greatest("lon1", "lon2"), 180.0, 360.0),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    gidx(F.least("lat1", "lat2"), 90.0, 180.0),
+                    gidx(F.greatest("lat1", "lat2"), 90.0, 180.0),
+                )
+            ),
+        )
+    )
+    # cell box edges — EXACT doubles (k * span / n + offset over integer k)
+    w = F.col("__cx").cast("double") * F.lit(360.0) / F.lit(float(n)) - F.lit(180.0)
+    e = (F.col("__cx") + F.lit(1)).cast("double") * F.lit(360.0) / F.lit(float(n)) - F.lit(180.0)
+    s_ = F.col("__cy").cast("double") * F.lit(180.0) / F.lit(float(n)) - F.lit(90.0)
+    nn = (F.col("__cy") + F.lit(1)).cast("double") * F.lit(180.0) / F.lit(float(n)) - F.lit(90.0)
+    dx = F.col("lon2") - F.col("lon1")
+    dy = F.col("lat2") - F.col("lat1")
+
+    def slab(lo, hi, p, d):
+        tl = (lo - p) / d
+        th = (hi - p) / d
+        enter = F.when(
+            d == F.lit(0.0),
+            F.when((p >= lo) & (p <= hi), F.lit(-HUGE)).otherwise(F.lit(HUGE)),
+        ).otherwise(F.least(tl, th))
+        exit_ = F.when(
+            d == F.lit(0.0),
+            F.when((p >= lo) & (p <= hi), F.lit(HUGE)).otherwise(F.lit(-HUGE)),
+        ).otherwise(F.greatest(tl, th))
+        return enter, exit_
+
+    ex_enter, ex_exit = slab(w, e, F.col("lon1"), dx)
+    ey_enter, ey_exit = slab(s_, nn, F.col("lat1"), dy)
+    t0 = F.greatest(F.lit(0.0), ex_enter, ey_enter)
+    t1 = F.least(F.lit(1.0), ex_exit, ey_exit)
+    return (
+        segs.withColumn("__t0", t0)
+        .withColumn("__t1", t1)
+        .filter(F.col("__t0") <= F.col("__t1"))
+        .select(
+            "seg_id",
+            (F.col("__cx") * F.lit(n) + F.col("__cy")).alias("tile"),
+            F.col("__t0").alias("t0"),
+            F.col("__t1").alias("t1"),
+            (F.col("lon1") + F.col("__t0") * dx).alias("xa"),
+            (F.col("lat1") + F.col("__t0") * dy).alias("ya"),
+            (F.col("lon1") + F.col("__t1") * dx).alias("xb"),
+            (F.col("lat1") + F.col("__t1") * dy).alias("yb"),
+        )
+    )

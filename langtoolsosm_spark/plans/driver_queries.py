@@ -3766,6 +3766,94 @@ FROM tot t JOIN top p ON p.image_id = t.image_id AND p.rn = 1
 """
 
 
+CLIP_RES = 12  # ~0.04-degree cells: a typical synthetic segment spans 1-2
+
+
+def q_clip_segments(spark, sf_dir):
+    """Vector-tile cutting: Liang-Barsky clip of the synthetic road
+    segments against every res-12 grid tile they cross
+    (operators/spatial.py ``clip_segments_to_tiles``) — param interval +
+    clipped coordinates, exactly-once per (segment, tile)."""
+    from ..operators.spatial import clip_segments_to_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__clip_events")
+    segs = spark.sql(
+        f"SELECT event_id AS seg_id, {TRAJ_LAT_SQL} AS lat1, "
+        f"{TRAJ_LON_SQL} AS lon1, {TRAJ_LAT_SQL} + {SEG_DLAT_SQL} AS lat2, "
+        f"{TRAJ_LON_SQL} + {SEG_DLON_SQL} AS lon2 FROM __clip_events"
+    )
+    return clip_segments_to_tiles(segs, res=CLIP_RES)
+
+
+def _clip_gidx_sql(expr: str, offset: float, span: float, n: int) -> str:
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR(({expr} + {offset}) / CAST({span} AS DOUBLE)"
+        f" * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1})"
+    )
+
+
+def _o_clip_segments(res: int) -> str:
+    n = 1 << res
+    # the slab helper mirrors the engine's expression trees exactly; the
+    # +-1e308 sentinels (not IEEE inf — see the operator docstring) keep
+    # LEAST/GREATEST semantics identical across engines
+    return f"""
+WITH segs AS (
+  SELECT event_id AS seg_id, {TRAJ_LAT_SQL} AS lat1, {TRAJ_LON_SQL} AS lon1,
+         {TRAJ_LAT_SQL} + {SEG_DLAT_SQL} AS lat2,
+         {TRAJ_LON_SQL} + {SEG_DLON_SQL} AS lon2
+  FROM events
+),
+r0 AS (
+  SELECT *, {_clip_gidx_sql("LEAST(lon1, lon2)", 180.0, 360.0, n)} AS ix0,
+            {_clip_gidx_sql("GREATEST(lon1, lon2)", 180.0, 360.0, n)} AS ix1,
+            {_clip_gidx_sql("LEAST(lat1, lat2)", 90.0, 180.0, n)} AS iy0,
+            {_clip_gidx_sql("GREATEST(lat1, lat2)", 90.0, 180.0, n)} AS iy1
+  FROM segs
+),
+cx AS (SELECT *, unnest(range(ix0, ix1 + 1)) AS ccx FROM r0),
+cy AS (SELECT *, unnest(range(iy0, iy1 + 1)) AS ccy FROM cx),
+box AS (
+  SELECT seg_id, lat1, lon1, lat2, lon2, ccx, ccy,
+         CAST(ccx AS DOUBLE) * 360.0 / CAST({n} AS DOUBLE) - 180.0 AS w,
+         CAST(ccx + 1 AS DOUBLE) * 360.0 / CAST({n} AS DOUBLE) - 180.0 AS e,
+         CAST(ccy AS DOUBLE) * 180.0 / CAST({n} AS DOUBLE) - 90.0 AS s,
+         CAST(ccy + 1 AS DOUBLE) * 180.0 / CAST({n} AS DOUBLE) - 90.0 AS nb,
+         lon2 - lon1 AS dx, lat2 - lat1 AS dy
+  FROM cy
+),
+sl AS (
+  SELECT *,
+    CASE WHEN dx = CAST(0.0 AS DOUBLE)
+         THEN CASE WHEN lon1 >= w AND lon1 <= e THEN -1e308 ELSE 1e308 END
+         ELSE LEAST((w - lon1) / dx, (e - lon1) / dx) END AS ex_enter,
+    CASE WHEN dx = CAST(0.0 AS DOUBLE)
+         THEN CASE WHEN lon1 >= w AND lon1 <= e THEN 1e308 ELSE -1e308 END
+         ELSE GREATEST((w - lon1) / dx, (e - lon1) / dx) END AS ex_exit,
+    CASE WHEN dy = CAST(0.0 AS DOUBLE)
+         THEN CASE WHEN lat1 >= s AND lat1 <= nb THEN -1e308 ELSE 1e308 END
+         ELSE LEAST((s - lat1) / dy, (nb - lat1) / dy) END AS ey_enter,
+    CASE WHEN dy = CAST(0.0 AS DOUBLE)
+         THEN CASE WHEN lat1 >= s AND lat1 <= nb THEN 1e308 ELSE -1e308 END
+         ELSE GREATEST((s - lat1) / dy, (nb - lat1) / dy) END AS ey_exit
+  FROM box
+),
+tt AS (
+  SELECT *, GREATEST(CAST(0.0 AS DOUBLE), ex_enter, ey_enter) AS t0,
+            LEAST(CAST(1.0 AS DOUBLE), ex_exit, ey_exit) AS t1
+  FROM sl
+)
+SELECT seg_id, ccx * {n} + ccy AS tile, t0, t1,
+       lon1 + t0 * dx AS xa, lat1 + t0 * dy AS ya,
+       lon1 + t1 * dx AS xb, lat1 + t1 * dy AS yb
+FROM tt WHERE t0 <= t1
+"""
+
+
+O_CLIP_SEGMENTS = _o_clip_segments(CLIP_RES)
+
+
 REGISTRY.update(
     {
         "geohash_encode": (q_geohash_encode, O_GEOHASH_ENCODE),
@@ -3773,6 +3861,7 @@ REGISTRY.update(
         "zonal_stats": (q_zonal_stats, O_ZONAL_STATS),
         "snap_to_segments": (q_snap_to_segments, O_SNAP_TO_SEGMENTS),
         "image_palette": (q_image_palette, O_IMAGE_PALETTE),
+        "clip_segments": (q_clip_segments, O_CLIP_SEGMENTS),
     }
 )
 

@@ -452,3 +452,103 @@ def test_mosaic_parent_tiles_pyramid_step(spark, pts_feats):
 
     with pytest.raises(ValueError):
         heatmap.mosaic_parent_tiles(child, 0, tile_px=px)
+
+
+# ---------------------------------------------------------------- clip
+
+
+def _brute_clip(seg, res):
+    """NumPy Liang-Barsky over every cover cell of one segment."""
+    lat1, lon1, lat2, lon2 = seg
+    n = 1 << res
+    gx = lambda v, off, span: min(max(int(math.floor((v + off) / span * n)), 0), n - 1)
+    out = []
+    dx, dy = lon2 - lon1, lat2 - lat1
+    for cx in range(gx(min(lon1, lon2), 180.0, 360.0), gx(max(lon1, lon2), 180.0, 360.0) + 1):
+        for cy in range(gx(min(lat1, lat2), 90.0, 180.0), gx(max(lat1, lat2), 90.0, 180.0) + 1):
+            w = cx * 360.0 / n - 180.0
+            e = (cx + 1) * 360.0 / n - 180.0
+            s = cy * 180.0 / n - 90.0
+            nb = (cy + 1) * 180.0 / n - 90.0
+            if dx == 0.0:
+                ex_en, ex_ex = (-1e308, 1e308) if w <= lon1 <= e else (1e308, -1e308)
+            else:
+                ex_en, ex_ex = sorted(((w - lon1) / dx, (e - lon1) / dx))
+            if dy == 0.0:
+                ey_en, ey_ex = (-1e308, 1e308) if s <= lat1 <= nb else (1e308, -1e308)
+            else:
+                ey_en, ey_ex = sorted(((s - lat1) / dy, (nb - lat1) / dy))
+            t0 = max(0.0, ex_en, ey_en)
+            t1 = min(1.0, ex_ex, ey_ex)
+            if t0 <= t1:
+                out.append((cx * n + cy, t0, t1))
+    return out
+
+
+def test_clip_segments_matches_bruteforce(spark):
+    rng = np.random.default_rng(77)
+    n_seg, res = 120, 7
+    lat1 = -60.0 + rng.random(n_seg) * 120.0
+    lon1 = -170.0 + rng.random(n_seg) * 340.0
+    # spans of a few cells plus axis-parallel and degenerate cases
+    lat2 = lat1 + (rng.random(n_seg) - 0.5) * 6.0
+    lon2 = lon1 + (rng.random(n_seg) - 0.5) * 6.0
+    lat2[:10] = lat1[:10]            # horizontal
+    lon2[10:20] = lon1[10:20]        # vertical
+    lat2[20:25] = lat1[20:25]        # degenerate points
+    lon2[20:25] = lon1[20:25]
+    segs = spark.createDataFrame(
+        pd.DataFrame({"seg_id": np.arange(n_seg, dtype=np.int64),
+                      "lat1": lat1, "lon1": lon1, "lat2": lat2, "lon2": lon2})
+    )
+    got = spatial.clip_segments_to_tiles(segs, res=res).toPandas()
+    by_seg = {i: [] for i in range(n_seg)}
+    for _, r in got.iterrows():
+        by_seg[int(r["seg_id"])].append(r)
+
+    for i in range(n_seg):
+        exp = _brute_clip((lat1[i], lon1[i], lat2[i], lon2[i]), res)
+        gs = sorted(((int(r["tile"]), r["t0"], r["t1"]) for r in by_seg[i]))
+        assert gs == sorted(exp), f"seg {i}"
+        # reconstruction: sorted intervals tile [0, 1] without gaps
+        iv = sorted((r["t0"], r["t1"]) for r in by_seg[i])
+        assert iv[0][0] == 0.0 and iv[-1][1] == 1.0
+        for (a0, a1), (b0, b1) in zip(iv, iv[1:]):
+            assert b0 <= a1  # touching or corner-overlapping, never a gap
+        # clipped endpoints are exact parametric points on the segment
+        dx, dy = lon2[i] - lon1[i], lat2[i] - lat1[i]
+        for r in by_seg[i]:
+            assert r["xa"] == lon1[i] + r["t0"] * dx
+            assert r["ya"] == lat1[i] + r["t0"] * dy
+            assert r["xb"] == lon1[i] + r["t1"] * dx
+            assert r["yb"] == lat1[i] + r["t1"] * dy
+
+
+def test_clip_segments_endpoints_inside_tiles(spark):
+    rng = np.random.default_rng(78)
+    n_seg, res = 60, 9
+    pdf = pd.DataFrame({
+        "seg_id": np.arange(n_seg, dtype=np.int64),
+        "lat1": -50.0 + rng.random(n_seg) * 100.0,
+        "lon1": -160.0 + rng.random(n_seg) * 320.0,
+    })
+    pdf["lat2"] = pdf["lat1"] + (rng.random(n_seg) - 0.5) * 2.0
+    pdf["lon2"] = pdf["lon1"] + (rng.random(n_seg) - 0.5) * 2.0
+    got = spatial.clip_segments_to_tiles(spark.createDataFrame(pdf), res=res).toPandas()
+    n = 1 << res
+    eps = 1e-9
+    for _, r in got.iterrows():
+        cx, cy = int(r["tile"]) // n, int(r["tile"]) % n
+        w = cx * 360.0 / n - 180.0
+        e = (cx + 1) * 360.0 / n - 180.0
+        s = cy * 180.0 / n - 90.0
+        nb = (cy + 1) * 180.0 / n - 90.0
+        for x, y in ((r["xa"], r["ya"]), (r["xb"], r["yb"])):
+            assert w - eps <= x <= e + eps and s - eps <= y <= nb + eps
+
+
+def test_clip_segments_rejects_bad_res(spark):
+    df = spark.range(1).selectExpr("id seg_id", "0.0 lat1", "0.0 lon1",
+                                   "1.0 lat2", "1.0 lon2")
+    with pytest.raises(ValueError):
+        spatial.clip_segments_to_tiles(df, res=-1)
