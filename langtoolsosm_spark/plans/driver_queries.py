@@ -3907,17 +3907,17 @@ _DRIVER_WINDOW = [
     "knn_join", "knn_join_cogroup",
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (21) ---
+    # --- highest-risk signed backfill (20) ---
     "salted_repartition", "cdc_merge", "cdc_merged_tags",
     "translate_with_wikidata", "p31_type_join",
     "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
-    "images_tile_assign", "images_phash_pairs",
-    # --- new late in round 5 (5): geohash codec, zonal stats, snap join,
-    #     image palette ---
+    "images_tile_assign",
+    # --- new late in round 5 (6): geohash codec, zonal stats, snap join,
+    #     image palette, vector-tile clipping ---
     "geohash_encode", "geohash_rollup", "zonal_stats",
-    "snap_to_segments", "image_palette",
+    "snap_to_segments", "image_palette", "clip_segments",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
