@@ -782,3 +782,177 @@ def clip_segments_to_tiles(
             (F.col("lat1") + F.col("__t1") * dy).alias("yb"),
         )
     )
+
+
+def focal_stats(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Raster map algebra: 3x3 focal (neighborhood) statistics over the
+    point-density raster at ``res``. For every OCCUPIED tile, returns its
+    own count plus the sum / occupied-cell count / max over the 3x3
+    window centered on it (missing neighbors contribute nothing — the
+    classic focal-sum-with-nodata rule). Output: (tile, n_rows,
+    focal_sum, focal_n, focal_max).
+
+    Plan: the fact table reduces to the tile histogram first (one
+    map-side-combined groupBy; output is at most 4^res rows), then each
+    HISTOGRAM row fans out to the <= 9 window centers it contributes to
+    and a second groupBy folds contributions per center — the self row
+    is recovered in the same aggregation (max over the dx=dy=0 case), so
+    there is NO join back to the histogram. Scan-side cost is one pass;
+    the 9x fan-out touches only histogram rows. Grid edges clip (no
+    wrap): out-of-range centers are dropped before the shuffle.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    from .tiling import assign_tiles
+
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    cx = (F.col("tile") / F.lit(n)).cast("long")
+    cy = F.col("tile") % F.lit(n)
+    fan = (
+        hist.select("tile", "n", off)
+        .select(
+            (cx + F.col("o.dx")).alias("mx"),
+            (cy + F.col("o.dy")).alias("my"),
+            "n",
+            ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("is_self"),
+        )
+        .filter(
+            (F.col("mx") >= 0) & (F.col("mx") < n)
+            & (F.col("my") >= 0) & (F.col("my") < n)
+        )
+    )
+    return (
+        fan.groupBy((F.col("mx") * F.lit(n) + F.col("my")).alias("tile"))
+        .agg(
+            F.max(F.when(F.col("is_self"), F.col("n"))).alias("n_rows"),
+            F.sum("n").alias("focal_sum"),
+            F.count(F.lit(1)).alias("focal_n"),
+            F.max("n").alias("focal_max"),
+        )
+        .filter(F.col("n_rows").isNotNull())
+        .select("tile", "n_rows", "focal_sum", "focal_n", "focal_max")
+    )
+
+
+def moran_i(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of the point-density
+    raster at ``res`` — rook (4-neighbor) adjacency over ALL ``N = 4^res``
+    grid cells, empty cells counting as value 0. Returns ONE row
+    (res, n_cells, w_sum, occupied, num, den, moran_i) where
+    ``moran_i = num / den`` and
+
+        num = N * sum_ij w_ij (N*x_i - S)(N*x_j - S)
+        den = W * sum_i (N*x_i - S)^2          (both scaled by N^2)
+
+    with S the total point count and W the total rook edge weight
+    4*n*(n-1) (ordered pairs). Every term is EXACT integer arithmetic in
+    DECIMAL(38,0) — products like N^2 * sum(x^2) overflow int64 at
+    realistic densities — and only the final num/den happens in doubles,
+    so the result is bit-deterministic.
+
+    The empty cells never materialize: expanding the centered products
+    turns the full-grid sums into histogram-only sums —
+
+        sum_ij w_ij (N x_i - S)(N x_j - S)
+            = N^2 * P - 2 N S * D + S^2 * W
+        sum_i (N x_i - S)^2 = N^2 * Q - 2 N S^2 + N S^2
+
+    where P = sum of x_i * x_j over ordered adjacent OCCUPIED pairs,
+    D = sum of deg_i * x_i (deg_i = in-grid rook degree, closed form
+    from the cell coordinates), and Q = sum of x_i^2. So the plan is the
+    histogram groupBy, one 4-offset fan-out self-join of the (tiny)
+    histogram for P, and two single-row aggregates — nothing scales
+    with 4^res except the histogram itself.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    n_cells = n * n
+    w_sum = 4 * n * (n - 1)
+    from .tiling import assign_tiles
+
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    cx = (F.col("tile") / F.lit(n)).cast("long")
+    cy = F.col("tile") % F.lit(n)
+    deg = (
+        (cx > 0).cast("long") + (cx < n - 1).cast("long")
+        + (cy > 0).cast("long") + (cy < n - 1).cast("long")
+    )
+    dec = "decimal(38,0)"
+    base = hist.agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
+        F.sum((deg * F.col("x")).cast(dec)).alias("d"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+            ]
+        )
+    ).alias("o")
+    nbr = (
+        hist.select("tile", "x", off)
+        .select(
+            ((cx + F.col("o.dx")) * F.lit(n) + (cy + F.col("o.dy"))).alias("ntile"),
+            (cx + F.col("o.dx")).alias("nx"),
+            (cy + F.col("o.dy")).alias("ny"),
+            F.col("x").alias("xi"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+    )
+    pairs = nbr.join(hist, nbr["ntile"] == hist["tile"], "inner").agg(
+        F.coalesce(
+            F.sum((F.col("xi") * F.col("x")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("p")
+    )
+    N = F.lit(n_cells).cast(dec)
+    W = F.lit(w_sum).cast(dec)
+    cross = base.crossJoin(pairs)
+    num = N * (N * N * F.col("p") - F.lit(2).cast(dec) * N * F.col("s") * F.col("d")
+               + F.col("s") * F.col("s") * W)
+    den = W * (N * N * F.col("q")
+               - F.lit(2).cast(dec) * N * F.col("s") * F.col("s")
+               + N * F.col("s") * F.col("s"))
+    return cross.select(
+        F.lit(res).alias("res"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.lit(w_sum).cast("long").alias("w_sum"),
+        F.col("occ").alias("occupied"),
+        num.cast("double").alias("num"),
+        den.cast("double").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("moran_i"),
+    )

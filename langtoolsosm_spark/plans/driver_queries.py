@@ -3866,6 +3866,115 @@ REGISTRY.update(
 )
 
 
+FOCAL_RES = 10
+MORAN_RES = 8
+
+
+def q_focal_stats(spark, sf_dir):
+    """Raster map algebra: 3x3 focal sum/count/max over the res-10 point
+    density raster (operators/spatial.py ``focal_stats``) — histogram
+    first, then a 9-offset fan-out of HISTOGRAM rows only; the self row
+    is recovered inside the same aggregation (no join)."""
+    from ..operators.spatial import focal_stats
+
+    return focal_stats(geo_points(spark, sf_dir), res=FOCAL_RES)
+
+
+def _o_focal_stats(res: int) -> str:
+    n = 1 << res
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+WITH {PTS_CTE},
+hist AS (SELECT {_tile_sql(res)} AS tile, count(*) AS n FROM pts GROUP BY 1),
+fan AS (
+  SELECT tile // {n} + dx AS mx, tile % {n} + dy AS my, n,
+         (dx = 0 AND dy = 0) AS is_self
+  FROM hist, (VALUES {offs}) o(dx, dy)
+  WHERE tile // {n} + dx BETWEEN 0 AND {n - 1}
+    AND tile % {n} + dy BETWEEN 0 AND {n - 1}
+)
+SELECT mx * {n} + my AS tile,
+       max(CASE WHEN is_self THEN n END) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS focal_sum,
+       count(*) AS focal_n,
+       max(n) AS focal_max
+FROM fan GROUP BY 1
+HAVING max(CASE WHEN is_self THEN n END) IS NOT NULL
+"""
+
+
+O_FOCAL_STATS = _o_focal_stats(FOCAL_RES)
+
+
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I of the res-8 density raster, rook adjacency over
+    all 4^res cells with empties as 0 (operators/spatial.py ``moran_i``)
+    — exact DECIMAL(38,0) integer algebra, histogram-only plan (the
+    empty cells are folded in closed form, never materialized)."""
+    from ..operators.spatial import moran_i
+
+    return moran_i(geo_points(spark, sf_dir), res=MORAN_RES)
+
+
+def _o_moran_i(res: int) -> str:
+    n = 1 << res
+    n_cells = n * n
+    w_sum = 4 * n * (n - 1)
+    deg = (
+        f"((CASE WHEN tile // {n} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile // {n} < {n - 1} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile % {n} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile % {n} < {n - 1} THEN 1 ELSE 0 END))"
+    )
+    # the engine computes the same expansions in DECIMAL(38,0); HUGEINT
+    # here — both exact, so the final integer->double casts agree bitwise
+    return f"""
+WITH {PTS_CTE},
+hist AS (SELECT {_tile_sql(res)} AS tile, count(*) AS x FROM pts GROUP BY 1),
+base AS (
+  SELECT CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q,
+         CAST(sum({deg} * x) AS HUGEINT) AS d, count(*) AS occ
+  FROM hist
+),
+fan AS (
+  SELECT (tile // {n} + dx) * {n} + (tile % {n} + dy) AS ntile, x AS xi
+  FROM hist, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+  WHERE tile // {n} + dx BETWEEN 0 AND {n - 1}
+    AND tile % {n} + dy BETWEEN 0 AND {n - 1}
+),
+pairs AS (
+  SELECT COALESCE(CAST(sum(f.xi * h.x) AS HUGEINT), CAST(0 AS HUGEINT)) AS p
+  FROM fan f JOIN hist h ON f.ntile = h.tile
+),
+alg AS (
+  SELECT occ,
+    CAST({n_cells} AS HUGEINT) * (CAST({n_cells} AS HUGEINT) * {n_cells} * p
+      - 2 * CAST({n_cells} AS HUGEINT) * s * d
+      + s * s * CAST({w_sum} AS HUGEINT)) AS num_i,
+    CAST({w_sum} AS HUGEINT) * (CAST({n_cells} AS HUGEINT) * {n_cells} * q
+      - 2 * CAST({n_cells} AS HUGEINT) * s * s
+      + CAST({n_cells} AS HUGEINT) * s * s) AS den_i
+  FROM base, pairs
+)
+SELECT {res} AS res, CAST({n_cells} AS BIGINT) AS n_cells,
+       CAST({w_sum} AS BIGINT) AS w_sum, occ AS occupied,
+       CAST(num_i AS DOUBLE) AS num, CAST(den_i AS DOUBLE) AS den,
+       CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE) AS moran_i
+FROM alg
+"""
+
+
+O_MORAN_I = _o_moran_i(MORAN_RES)
+
+
+REGISTRY.update(
+    {
+        "focal_stats": (q_focal_stats, O_FOCAL_STATS),
+        "moran_i": (q_moran_i, O_MORAN_I),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
@@ -3907,17 +4016,18 @@ _DRIVER_WINDOW = [
     "knn_join", "knn_join_cogroup",
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (20) ---
-    "salted_repartition", "cdc_merge", "cdc_merged_tags",
+    # --- highest-risk signed backfill (18) ---
+    "salted_repartition", "cdc_merge",
     "translate_with_wikidata", "p31_type_join",
-    "embedding_topk", "embedding_topk_sharded", "embedding_lsh_ann",
+    "embedding_topk_sharded", "embedding_lsh_ann",
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "images_tile_assign",
-    # --- new late in round 5 (6): geohash codec, zonal stats, snap join,
-    #     image palette, vector-tile clipping ---
+    # --- new late in round 5 (8): geohash codec, zonal stats, snap join,
+    #     image palette, vector-tile clipping, focal stats, Moran's I ---
     "geohash_encode", "geohash_rollup", "zonal_stats",
     "snap_to_segments", "image_palette", "clip_segments",
+    "focal_stats", "moran_i",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

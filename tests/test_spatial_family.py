@@ -552,3 +552,100 @@ def test_clip_segments_rejects_bad_res(spark):
                                    "1.0 lat2", "1.0 lon2")
     with pytest.raises(ValueError):
         spatial.clip_segments_to_tiles(df, res=-1)
+
+
+# ------------------------------------------------------- focal / Moran
+
+
+@pytest.fixture(scope="module")
+def raster_pts(spark):
+    rng = np.random.default_rng(5)
+    n_pts, res = 3000, 4
+    n = 1 << res
+    lat = -80.0 + rng.random(n_pts) * 160.0
+    lon = -170.0 + rng.random(n_pts) * 340.0
+    lat[:800] = 40.0 + rng.random(800) * 3.0  # hot pocket
+    lon[:800] = 1.0 + rng.random(800) * 3.0
+    pts = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(int)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    return pts, grid, res, n
+
+
+def test_focal_stats_matches_bruteforce(spark, raster_pts):
+    pts, grid, res, n = raster_pts
+    got = spatial.focal_stats(pts, res).toPandas().set_index("tile")
+    occ = {int(cx * n + cy) for cx, cy in zip(*np.nonzero(grid))}
+    assert set(got.index) == occ
+    for t, r in got.iterrows():
+        cx, cy = t // n, t % n
+        win = grid[max(0, cx - 1):cx + 2, max(0, cy - 1):cy + 2]
+        vals = win[win > 0]
+        assert r["n_rows"] == grid[cx, cy]
+        assert r["focal_sum"] == vals.sum()
+        assert r["focal_n"] == len(vals)
+        assert r["focal_max"] == vals.max()
+
+
+def test_moran_i_matches_bruteforce_exact(spark, raster_pts):
+    """Full-grid python-int Moran (empties as 0) vs the histogram-only
+    closed-form plan — EXACT doubles, not allclose."""
+    pts, grid, res, n = raster_pts
+    x = [int(v) for v in grid.flatten()]  # index cx * n + cy
+    N = n * n
+    S = sum(x)
+    xb = [v * N - S for v in x]
+    num_inner = 0
+    for cx in range(n):
+        for cy in range(n):
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                mx, my = cx + dx, cy + dy
+                if 0 <= mx < n and 0 <= my < n:
+                    num_inner += xb[cx * n + cy] * xb[mx * n + my]
+    W = 4 * n * (n - 1)
+    num = N * num_inner
+    den = W * sum(v * v for v in xb)
+    got = spatial.moran_i(pts, res).toPandas().iloc[0]
+    assert got["num"] == float(num)
+    assert got["den"] == float(den)
+    assert got["moran_i"] == float(num) / float(den)
+    assert got["w_sum"] == W and got["n_cells"] == N
+    assert got["occupied"] == int((grid > 0).sum())
+
+
+def test_moran_i_checkerboard_sign(spark):
+    """Perfect checkerboard -> strongly negative I; solid block ->
+    positive I (sanity on the statistic's sign, res small enough that
+    every cell is populated deterministically)."""
+    res, n = 2, 4
+    rows = []
+    for cx in range(n):
+        for cy in range(n):
+            lat = (cy + 0.5) / n * 180.0 - 90.0
+            lon = (cx + 0.5) / n * 360.0 - 180.0
+            for _ in range(10 if (cx + cy) % 2 == 0 else 1):
+                rows.append((lat, lon))
+    checker = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    i_checker = spatial.moran_i(checker, res).toPandas().iloc[0]["moran_i"]
+    assert i_checker < -0.5
+
+    rows = []
+    for cx in range(n):
+        for cy in range(n):
+            lat = (cy + 0.5) / n * 180.0 - 90.0
+            lon = (cx + 0.5) / n * 360.0 - 180.0
+            for _ in range(10 if cx < 2 else 1):
+                rows.append((lat, lon))
+    block = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    i_block = spatial.moran_i(block, res).toPandas().iloc[0]["moran_i"]
+    assert i_block > 0.3
+
+
+def test_focal_moran_reject_bad_res(spark):
+    df = spark.range(1).selectExpr("0.0 lat", "0.0 lon")
+    with pytest.raises(ValueError):
+        spatial.focal_stats(df, res=-1)
+    with pytest.raises(ValueError):
+        spatial.moran_i(df, res=99)
