@@ -158,3 +158,79 @@ def image_palette(images: DataFrame, bits: int = 2) -> DataFrame:
         kernel,
         schema="image_id string, n_px long, n_colors long, top_color long, top_count long",
     )
+
+
+def extract_patches(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch grid: decode each image, split it into
+    non-overlapping ``patch x patch`` blocks anchored top-left (partial
+    edge rows/columns are dropped — the largest patch-multiple window),
+    and emit one row per patch with EXACT integer features:
+    (image_id, patch_row, patch_col, sum_r, sum_g, sum_b, chk) where
+    ``chk = sum over patch bytes of value * (3 * in-patch-pos + ch + 1)``
+    — a position-weighted checksum that pins every byte to its exact
+    (row, col, channel) slot, so two patches with equal channel sums but
+    permuted pixels still differ.
+
+    This is the patch-tokenization front of an image-training pipeline:
+    downstream stages key on (image_id, patch_row, patch_col) for
+    patch-level dedup or masking. One mapInPandas Arrow kernel — the
+    block split is a single reshape/transpose and the sums/checksum are
+    one tensordot per image, no per-pixel Python. Per-patch rows carry
+    no pixel payloads, so the fan-out (<= (w//patch)*(h//patch) rows per
+    image) shuffles only small integers.
+    """
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+
+    def kernel(batches):
+        wgt = (
+            3 * (np.arange(patch)[:, None] * patch + np.arange(patch)[None, :])[..., None]
+            + np.arange(3)[None, None, :] + 1
+        ).astype(np.int64)
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt)
+                h, w, _ = px.shape
+                nr, nc = h // patch, w // patch
+                if nr == 0 or nc == 0:
+                    continue
+                blocks = (
+                    px[: nr * patch, : nc * patch]
+                    .reshape(nr, patch, nc, patch, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .astype(np.int64)
+                )
+                sums = blocks.sum(axis=(2, 3))            # (nr, nc, 3)
+                chk = (blocks * wgt).sum(axis=(2, 3, 4))  # (nr, nc)
+                prs, pcs = np.divmod(np.arange(nr * nc, dtype=np.int64), nc)
+                recs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": np.repeat(img_id, nr * nc),
+                            "patch_row": prs,
+                            "patch_col": pcs,
+                            "sum_r": sums[..., 0].ravel(),
+                            "sum_g": sums[..., 1].ravel(),
+                            "sum_b": sums[..., 2].ravel(),
+                            "chk": chk.ravel(),
+                        }
+                    )
+                )
+            cols = [
+                "image_id", "patch_row", "patch_col",
+                "sum_r", "sum_g", "sum_b", "chk",
+            ]
+            yield (
+                pd.concat(recs, ignore_index=True)
+                if recs
+                else pd.DataFrame(columns=cols)
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema=(
+            "image_id string, patch_row long, patch_col long, "
+            "sum_r long, sum_g long, sum_b long, chk long"
+        ),
+    )

@@ -3975,6 +3975,59 @@ REGISTRY.update(
 )
 
 
+PATCH = 8
+
+
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch tokenization over the RAW subset of the image
+    fixture (operators/images.py ``extract_patches``): one row per 8x8
+    patch with exact integer channel sums and a position-weighted byte
+    checksum. The oracle re-decodes the IMR1 layout from hex() in SQL
+    and replays the patch grid (partial edges dropped) byte-for-byte."""
+    from ..operators.images import extract_patches
+
+    imgs = _synth_images(spark, sf_dir).filter(F.col("fmt") == "raw")
+    return extract_patches(imgs, patch=PATCH)
+
+
+def _o_image_patches(patch: int) -> str:
+    return f"""
+WITH v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}') WHERE fmt = 'raw'
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+px AS (
+  SELECT image_id, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         (i - 9) % 3 AS ch, bv, w, h
+  FROM b WHERE i >= 9
+),
+valid AS (
+  SELECT * FROM px
+  WHERE r < (h // {patch}) * {patch} AND c < (w // {patch}) * {patch}
+)
+SELECT image_id, r // {patch} AS patch_row, c // {patch} AS patch_col,
+       CAST(SUM(CASE WHEN ch = 0 THEN bv ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN ch = 1 THEN bv ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN ch = 2 THEN bv ELSE 0 END) AS BIGINT) AS sum_b,
+       CAST(SUM(bv * (3 * ((r % {patch}) * {patch} + (c % {patch})) + ch + 1))
+            AS BIGINT) AS chk
+FROM valid GROUP BY 1, 2, 3
+"""
+
+
+O_IMAGE_PATCHES = _o_image_patches(PATCH)
+
+
+REGISTRY.update({"image_patches": (q_image_patches, O_IMAGE_PATCHES)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
@@ -4016,18 +4069,19 @@ _DRIVER_WINDOW = [
     "knn_join", "knn_join_cogroup",
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (18) ---
+    # --- highest-risk signed backfill (17) ---
     "salted_repartition", "cdc_merge",
-    "translate_with_wikidata", "p31_type_join",
+    "translate_with_wikidata",
     "embedding_topk_sharded", "embedding_lsh_ann",
     "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
     "decontaminate", "embedding_decontaminate", "images_decontaminate",
     "images_tile_assign",
-    # --- new late in round 5 (8): geohash codec, zonal stats, snap join,
-    #     image palette, vector-tile clipping, focal stats, Moran's I ---
+    # --- new late in round 5 (9): geohash codec, zonal stats, snap join,
+    #     image palette, vector-tile clipping, focal stats, Moran's I,
+    #     ViT patch tokenization ---
     "geohash_encode", "geohash_rollup", "zonal_stats",
     "snap_to_segments", "image_palette", "clip_segments",
-    "focal_stats", "moran_i",
+    "focal_stats", "moran_i", "image_patches",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

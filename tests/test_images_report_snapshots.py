@@ -175,3 +175,64 @@ def test_image_palette_solid_color(spark):
     assert (r["n_px"], r["n_colors"], r["top_color"], r["top_count"]) == (
         35, 1, 3 * 16 + 3 * 4 + 3, 35,
     )
+
+
+def test_extract_patches_matches_numpy(spark, images):
+    """Patch kernel vs a direct per-patch NumPy slice (independent of the
+    kernel's reshape/transpose path), across ALL four formats."""
+    import numpy as np
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    P = 8
+    sub = images.limit(80)
+    got = {}
+    for r in im.extract_patches(sub, patch=P).collect():
+        got[(r["image_id"], r["patch_row"], r["patch_col"])] = r
+    n_expected = 0
+    for row in sub.select("image_id", "bytes", "fmt").collect():
+        px = ic.decode(bytes(row["bytes"]), row["fmt"]).astype(np.int64)
+        h, w, _ = px.shape
+        for pr in range(h // P):
+            for pc in range(w // P):
+                n_expected += 1
+                blk = px[pr * P:(pr + 1) * P, pc * P:(pc + 1) * P]
+                g = got[(row["image_id"], pr, pc)]
+                assert g["sum_r"] == blk[..., 0].sum()
+                assert g["sum_g"] == blk[..., 1].sum()
+                assert g["sum_b"] == blk[..., 2].sum()
+                chk = 0
+                for rr in range(P):
+                    for cc in range(P):
+                        for ch in range(3):
+                            chk += int(blk[rr, cc, ch]) * (3 * (rr * P + cc) + ch + 1)
+                assert g["chk"] == chk
+    assert len(got) == n_expected  # sub-patch images contribute nothing
+
+
+def test_extract_patches_checksum_detects_permutation(spark):
+    """Two patches with identical channel sums but swapped pixels must
+    get different checksums."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[0, 0] = (10, 20, 30)
+    b = np.zeros((8, 8, 3), dtype=np.uint8)
+    b[3, 5] = (10, 20, 30)  # same sums, different position
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b"],
+                "bytes": [ic.encode(a, "raw"), ic.encode(b, "raw")],
+                "fmt": ["raw", "raw"],
+            }
+        )
+    )
+    rows = {r["image_id"]: r for r in im.extract_patches(df, patch=8).collect()}
+    ra, rb = rows["a"], rows["b"]
+    assert (ra["sum_r"], ra["sum_g"], ra["sum_b"]) == (rb["sum_r"], rb["sum_g"], rb["sum_b"])
+    assert ra["chk"] != rb["chk"]
+
+    with pytest.raises(ValueError):
+        im.extract_patches(df, patch=0)
