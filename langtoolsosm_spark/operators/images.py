@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import imagecodec as ic
 
@@ -233,4 +234,50 @@ def extract_patches(images: DataFrame, patch: int = 8) -> DataFrame:
             "image_id string, patch_row long, patch_col long, "
             "sum_r long, sum_g long, sum_b long, chk long"
         ),
+    )
+
+
+def duplicate_patch_pairs(
+    images: DataFrame,
+    patch: int = 8,
+    sum_shift: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-image near-duplicate patch detection: image pairs that share
+    >= ``min_shared`` aligned patches with matching quantized channel
+    sums. The patch fingerprint is (patch_row, patch_col,
+    sum_r >> sum_shift, sum_g >> sum_shift, sum_b >> sum_shift) — content
+    quantized to ``2^sum_shift``-wide sum buckets so pixel-level noise
+    does not break the match, position kept so only aligned layout
+    duplicates pair (the patch-level analogue of the pHash banding in
+    dedup.hamming_band_pairs; training pipelines use it to catch
+    watermark/border/template reuse across images).
+
+    Plan: patch tokenization (one Arrow kernel, no pixel payload in the
+    shuffle) -> fingerprint equi-join (shuffle keyed on the 5-part
+    fingerprint; bucket occupancy is bounded by the quantization
+    granularity, so the pair fan-out is LSH-style bucket-bounded, never
+    all-pairs) -> map-side-combined pair count. At 100x the image count
+    the only growing cost is the fingerprint shuffle, which is linear in
+    the patch count.
+    """
+    fp = extract_patches(images, patch=patch).select(
+        "image_id",
+        "patch_row",
+        "patch_col",
+        F.shiftright("sum_r", sum_shift).alias("qr"),
+        F.shiftright("sum_g", sum_shift).alias("qg"),
+        F.shiftright("sum_b", sum_shift).alias("qb"),
+    )
+    keys = ["patch_row", "patch_col", "qr", "qg", "qb"]
+    a = fp.alias("a")
+    b = fp.alias("b")
+    pairs = a.join(b, on=keys).where(F.col("a.image_id") < F.col("b.image_id"))
+    return (
+        pairs.groupBy(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
     )

@@ -4028,6 +4028,61 @@ O_IMAGE_PATCHES = _o_image_patches(PATCH)
 REGISTRY.update({"image_patches": (q_image_patches, O_IMAGE_PATCHES)})
 
 
+def q_patch_dup_pairs(spark, sf_dir):
+    """Cross-image near-duplicate patch detection
+    (operators/images.py ``duplicate_patch_pairs``): image pairs sharing
+    >= 2 aligned 8x8 patches whose per-channel sums agree after >>10
+    quantization — the patch-level analogue of the pHash banding join,
+    over a 1-in-5 sample of the RAW subset. The oracle replays the patch
+    grid from hex() bytes and the fingerprint self-join in SQL."""
+    from ..operators.images import duplicate_patch_pairs
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 5 == 0)
+    )
+    return duplicate_patch_pairs(imgs, patch=PATCH, sum_shift=10, min_shared=2)
+
+
+O_PATCH_DUP_PAIRS = f"""
+WITH v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 5 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+px AS (
+  SELECT image_id, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         (i - 9) % 3 AS ch, bv, w, h
+  FROM b WHERE i >= 9
+),
+fp AS (
+  SELECT image_id, r // {PATCH} AS patch_row, c // {PATCH} AS patch_col,
+         SUM(CASE WHEN ch = 0 THEN bv ELSE 0 END) >> 10 AS qr,
+         SUM(CASE WHEN ch = 1 THEN bv ELSE 0 END) >> 10 AS qg,
+         SUM(CASE WHEN ch = 2 THEN bv ELSE 0 END) >> 10 AS qb
+  FROM px
+  WHERE r < (h // {PATCH}) * {PATCH} AND c < (w // {PATCH}) * {PATCH}
+  GROUP BY 1, 2, 3
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b USING (patch_row, patch_col, qr, qg, qb)
+WHERE a.image_id < b.image_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+REGISTRY.update({"patch_dup_pairs": (q_patch_dup_pairs, O_PATCH_DUP_PAIRS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -236,3 +236,30 @@ def test_extract_patches_checksum_detects_permutation(spark):
 
     with pytest.raises(ValueError):
         im.extract_patches(df, patch=0)
+
+
+def test_duplicate_patch_pairs(spark):
+    """Three 16x8 images: a and b differ only by small noise (same
+    quantized patch sums at both aligned positions), c is far away in
+    content. Expect exactly the (a, b) pair with n_shared = 2; with
+    min_shared = 3 the pair drops out."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    base = np.full((8, 16, 3), 100, dtype=np.uint8)
+    near = base.copy()
+    near[2, 3] += 2  # sum moves by 2 within the same >>10 bucket
+    far = np.full((8, 16, 3), 220, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c"],
+                "bytes": [ic.encode(x, "raw") for x in (base, near, far)],
+                "fmt": ["raw"] * 3,
+            }
+        )
+    )
+    got = im.duplicate_patch_pairs(df, patch=8, sum_shift=10, min_shared=2).collect()
+    assert [(r["img_a"], r["img_b"], r["n_shared"]) for r in got] == [("a", "b", 2)]
+    assert im.duplicate_patch_pairs(df, patch=8, sum_shift=10, min_shared=3).count() == 0
