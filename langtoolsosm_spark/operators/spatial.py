@@ -956,3 +956,80 @@ def moran_i(
         den.cast("double").alias("den"),
         (num.cast("double") / den.cast("double")).alias("moran_i"),
     )
+
+
+def hex_bin(
+    points: DataFrame,
+    a: int = 5000,
+    b: int = 8660,
+    lat_off: float = -35.0,
+    lon_off: float = 5.0,
+    scale: float = 100000.0,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Hexagonal binning without any sqrt(3) floating math: the H3-style
+    hex rollup re-expressed as the Voronoi diagram of a centered-
+    rectangular integer lattice, so every comparison after one shared
+    float->int quantization is exact int64 and engine-independent.
+
+    Coordinates quantize to non-negative integer units
+    ``X = floor((lon + lon_off) * scale)`` (same for Y/lat); the lattice
+    has grid-A centers at (2a*i, 2b*j) and grid-B centers at
+    (a*(2i+1), b*(2j+1)). Each point goes to the nearer of its nearest A
+    and nearest B center by squared euclidean distance (tie -> A). With
+    b/a != 1 the Voronoi cells of this lattice are hexagons (regular at
+    b = a*sqrt(3); 8660/5000 approximates that within 2e-5), so the
+    assignment IS a hexagonal tessellation — but the decision needs only
+    integer multiply/compare, which DuckDB reproduces exactly.
+
+    Adds ``hex_x``/``hex_y`` (the owning center, integer units) to the
+    input. Pure column expressions: whole-stage codegen, no shuffle; a
+    downstream rollup is one map-side-combined groupBy. Requires
+    coordinates >= the offsets (X, Y >= 0) so truncating integer
+    division equals floor division on both engines.
+    """
+    if a < 1 or b < 1:
+        raise ValueError(f"hex pitch must be positive, got a={a} b={b}")
+    x = F.floor((F.col(lon) + F.lit(lon_off)) * F.lit(scale)).cast("long")
+    y = F.floor((F.col(lat) + F.lit(lat_off)) * F.lit(scale)).cast("long")
+    df = points.withColumn("__hx", x).withColumn("__hy", y)
+    cxa = F.expr(f"((__hx + {a}) div {2 * a}) * {2 * a}")
+    cya = F.expr(f"((__hy + {b}) div {2 * b}) * {2 * b}")
+    cxb = F.expr(f"(__hx div {2 * a}) * {2 * a} + {a}")
+    cyb = F.expr(f"(__hy div {2 * b}) * {2 * b} + {b}")
+    df = (
+        df.withColumn("__cxa", cxa).withColumn("__cya", cya)
+        .withColumn("__cxb", cxb).withColumn("__cyb", cyb)
+    )
+    da = F.expr(
+        "(__hx - __cxa) * (__hx - __cxa) + (__hy - __cya) * (__hy - __cya)"
+    )
+    db = F.expr(
+        "(__hx - __cxb) * (__hx - __cxb) + (__hy - __cyb) * (__hy - __cyb)"
+    )
+    pick_a = da <= db
+    return (
+        df.withColumn("hex_x", F.when(pick_a, F.col("__cxa")).otherwise(F.col("__cxb")))
+        .withColumn("hex_y", F.when(pick_a, F.col("__cya")).otherwise(F.col("__cyb")))
+        .drop("__cxa", "__cya", "__cxb", "__cyb")
+    )
+
+
+def hex_rollup(
+    points: DataFrame,
+    a: int = 5000,
+    b: int = 8660,
+    **kw,
+) -> DataFrame:
+    """Per-hex rollup over ``hex_bin``: point count plus exact integer
+    sums of the in-cell offsets (sum_dx, sum_dy — the numerators of the
+    intra-cell mean displacement, kept as int64 so the aggregation is
+    order-independent). One map-side-combined groupBy whose key space is
+    bounded by the occupied-hex count, not the point count."""
+    binned = hex_bin(points, a=a, b=b, **kw)
+    return binned.groupBy("hex_x", "hex_y").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(F.col("__hx") - F.col("hex_x")).alias("sum_dx"),
+        F.sum(F.col("__hy") - F.col("hex_y")).alias("sum_dy"),
+    )

@@ -4083,6 +4083,54 @@ HAVING count(*) >= 2
 REGISTRY.update({"patch_dup_pairs": (q_patch_dup_pairs, O_PATCH_DUP_PAIRS)})
 
 
+def q_hex_rollup(spark, sf_dir):
+    """H3-flavored hexagonal binning rollup (operators/spatial.py
+    ``hex_rollup``): points quantized to micro-degree ints and assigned
+    to the nearer center of a centered-rectangular lattice (whose Voronoi
+    cells are hexagons), then one map-side-combined groupBy for count +
+    exact integer offset sums. The oracle replays the same integer
+    nearest-center decision in SQL."""
+    from ..operators.spatial import hex_rollup
+
+    return hex_rollup(geo_points(spark, sf_dir), a=5000, b=8660)
+
+
+O_HEX_ROLLUP = f"""
+WITH {PTS_CTE},
+q AS (
+  SELECT point_id,
+         CAST(floor((lon + 5.0) * 100000.0) AS BIGINT) AS x,
+         CAST(floor((lat + -35.0) * 100000.0) AS BIGINT) AS y
+  FROM pts
+),
+c AS (
+  SELECT x, y,
+         ((x + 5000) // 10000) * 10000 AS cxa,
+         ((y + 8660) // 17320) * 17320 AS cya,
+         (x // 10000) * 10000 + 5000 AS cxb,
+         (y // 17320) * 17320 + 8660 AS cyb
+  FROM q
+),
+asg AS (
+  SELECT x, y,
+         CASE WHEN (x - cxa) * (x - cxa) + (y - cya) * (y - cya)
+                <= (x - cxb) * (x - cxb) + (y - cyb) * (y - cyb)
+              THEN cxa ELSE cxb END AS hex_x,
+         CASE WHEN (x - cxa) * (x - cxa) + (y - cya) * (y - cya)
+                <= (x - cxb) * (x - cxb) + (y - cyb) * (y - cyb)
+              THEN cya ELSE cyb END AS hex_y
+  FROM c
+)
+SELECT hex_x, hex_y, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(SUM(x - hex_x) AS BIGINT) AS sum_dx,
+       CAST(SUM(y - hex_y) AS BIGINT) AS sum_dy
+FROM asg GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"hex_rollup": (q_hex_rollup, O_HEX_ROLLUP)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

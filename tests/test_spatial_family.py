@@ -649,3 +649,44 @@ def test_focal_moran_reject_bad_res(spark):
         spatial.focal_stats(df, res=-1)
     with pytest.raises(ValueError):
         spatial.moran_i(df, res=99)
+
+
+def test_hex_bin_matches_brute_force_voronoi(spark):
+    """hex_bin's two-candidate decision must equal brute-force nearest
+    center over the full combined lattice (ties -> grid A), i.e. it IS
+    the Voronoi assignment of the centered-rectangular lattice."""
+    rng = np.random.default_rng(7)
+    lat = 35.0 + rng.uniform(0, 10, 300)
+    lon = -5.0 + rng.uniform(0, 15, 300)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    a, b = 5000, 8660
+    got = spatial.hex_bin(df, a=a, b=b).select("__hx", "__hy", "hex_x", "hex_y").toPandas()
+
+    x = got["__hx"].to_numpy()
+    y = got["__hy"].to_numpy()
+    # all centers within 2 pitches: A at (2a i, 2b j), B at odd multiples
+    for xi, yi, hx, hy in zip(x, y, got["hex_x"], got["hex_y"]):
+        best = None
+        for gi in range(xi // (2 * a) - 2, xi // (2 * a) + 3):
+            for gj in range(yi // (2 * b) - 2, yi // (2 * b) + 3):
+                for cx, cy, pri in (
+                    (2 * a * gi, 2 * b * gj, 0),
+                    (a * (2 * gi + 1), b * (2 * gj + 1), 1),
+                ):
+                    d = (xi - cx) ** 2 + (yi - cy) ** 2
+                    key = (d, pri, cx, cy)
+                    if best is None or key < best:
+                        best = key
+        assert (hx, hy) == (best[2], best[3]), (xi, yi)
+
+
+def test_hex_bin_tie_and_validation(spark):
+    # a point exactly midway between an A and a B center goes to A
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [35.0], "lon": [-5.0 + 0.05]})  # X=5000=B center x
+    )
+    r = spatial.hex_bin(df, a=5000, b=8660).collect()[0]
+    # X=5000, Y=0: dA = 5000^2 to (0,0) or (10000,0); dB = 8660^2 to (5000,8660)
+    assert (r["hex_x"], r["hex_y"]) in [(0, 0), (10000, 0)]
+    with pytest.raises(ValueError):
+        spatial.hex_bin(df, a=0)
