@@ -281,3 +281,68 @@ def duplicate_patch_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def hist_equalize_stats(images: DataFrame) -> DataFrame:
+    """Per-image histogram equalization mapping over integer luminance
+    (lum = (2126*r + 7152*g + 722*b) // 10000, the Rec.709 weights scaled
+    to exact int64): one row per OCCUPIED level with
+    (image_id, level, n_px, cdf, eq_level) where ``cdf`` is the running
+    pixel count through that level and ``eq_level`` the classic remap
+    ``(cdf - cdf_min) * 255 // (n_total - cdf_min)`` (0 when the image
+    has a single occupied level). The preprocessing half of contrast
+    normalization in an image-training pipeline, with the lookup table
+    emitted as data.
+
+    Plan: one Arrow decode kernel emits bounded per-image histograms
+    (<= 256 rows/image, no pixel payload), then the CDF and remap are
+    pure window/column expressions partitioned by image_id — bounded
+    partitions, so the window never spills regardless of image size or
+    table scale.
+    """
+    from pyspark.sql import Window
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                counts = np.bincount(lum.ravel(), minlength=256)
+                lv = np.nonzero(counts)[0]
+                recs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": np.repeat(img_id, lv.size),
+                            "level": lv.astype(np.int64),
+                            "n_px": counts[lv].astype(np.int64),
+                        }
+                    )
+                )
+            cols = ["image_id", "level", "n_px"]
+            yield (
+                pd.concat(recs, ignore_index=True)
+                if recs
+                else pd.DataFrame(columns=cols)
+            )
+
+    hist = images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema="image_id string, level long, n_px long"
+    )
+    w = Window.partitionBy("image_id").orderBy("level")
+    wall = Window.partitionBy("image_id")
+    return (
+        hist.withColumn("cdf", F.sum("n_px").over(w))
+        .withColumn("__tot", F.sum("n_px").over(wall))
+        .withColumn("__cmin", F.min(F.when(F.col("cdf") == F.col("n_px"), F.col("n_px"))).over(wall))
+        .withColumn(
+            "eq_level",
+            F.when(
+                F.col("__tot") > F.col("__cmin"),
+                F.expr("((cdf - __cmin) * 255) div (__tot - __cmin)"),
+            ).otherwise(F.lit(0)),
+        )
+        .select("image_id", "level", "n_px", "cdf", "eq_level")
+    )

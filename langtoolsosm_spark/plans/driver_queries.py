@@ -3734,7 +3734,8 @@ def q_image_palette(spark, sf_dir):
 O_IMAGE_PALETTE = f"""
 WITH v AS (
   SELECT image_id, hex(bytes) AS hx, octet_length(bytes) AS len
-  FROM read_parquet('{SYNTH_SF001_IMAGES}') WHERE fmt = 'raw'
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
 ),
 series AS (SELECT i FROM generate_series(0, 3100) s(i)),
 b AS (
@@ -4129,6 +4130,70 @@ FROM asg GROUP BY 1, 2
 
 
 REGISTRY.update({"hex_rollup": (q_hex_rollup, O_HEX_ROLLUP)})
+
+
+def q_hist_eq(spark, sf_dir):
+    """Per-image histogram-equalization mapping (operators/images.py
+    ``hist_equalize_stats``) over the RAW subset: integer Rec.709
+    luminance histogram -> running CDF -> classic (cdf - cdf_min) * 255
+    // (n - cdf_min) remap, one row per occupied level, over a 1-in-8
+    sample of the RAW subset (the per-level fan-out is ~136 rows/image).
+    The oracle re-decodes every byte from hex(), rebuilds the luminance
+    histogram and replays the window arithmetic in SQL."""
+    from ..operators.images import hist_equalize_stats
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return hist_equalize_stats(imgs)
+
+
+O_HIST_EQ = f"""
+WITH v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+lum AS (
+  SELECT image_id, (i - 9) // 3 AS p,
+         CAST((2126 * SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+             + 7152 * SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+             +  722 * SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END))
+              // 10000 AS BIGINT) AS level
+  FROM b WHERE i >= 9 GROUP BY 1, 2
+),
+hist AS (
+  SELECT image_id, level, CAST(count(*) AS BIGINT) AS n_px
+  FROM lum GROUP BY 1, 2
+),
+cum AS (
+  SELECT image_id, level, n_px,
+         SUM(n_px) OVER (PARTITION BY image_id ORDER BY level) AS cdf,
+         SUM(n_px) OVER (PARTITION BY image_id) AS tot
+  FROM hist
+),
+cm AS (
+  SELECT *,
+         MIN(CASE WHEN cdf = n_px THEN n_px END)
+           OVER (PARTITION BY image_id) AS cmin
+  FROM cum
+)
+SELECT image_id, level, n_px, CAST(cdf AS BIGINT) AS cdf,
+       CAST(CASE WHEN tot > cmin THEN ((cdf - cmin) * 255) // (tot - cmin)
+                 ELSE 0 END AS BIGINT) AS eq_level
+FROM cm
+"""
+
+
+REGISTRY.update({"hist_eq": (q_hist_eq, O_HIST_EQ)})
 
 
 # ---------------------------------------------------------------------------

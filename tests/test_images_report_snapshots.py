@@ -263,3 +263,34 @@ def test_duplicate_patch_pairs(spark):
     got = im.duplicate_patch_pairs(df, patch=8, sum_shift=10, min_shared=2).collect()
     assert [(r["img_a"], r["img_b"], r["n_shared"]) for r in got] == [("a", "b", 2)]
     assert im.duplicate_patch_pairs(df, patch=8, sum_shift=10, min_shared=3).count() == 0
+
+
+def test_hist_equalize_stats(spark):
+    """Two-level image: eq maps the low level to 0 and the top level to
+    255 regardless of counts; single-level image maps to 0 (guarded
+    divide)."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    two = np.zeros((4, 8, 3), dtype=np.uint8)
+    two[:, 4:] = 200  # lum 0 (16 px) and lum 200 (16 px)
+    flat = np.full((4, 4, 3), 50, dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["two", "flat"],
+                "bytes": [ic.encode(two, "raw"), ic.encode(flat, "raw")],
+                "fmt": ["raw", "raw"],
+            }
+        )
+    )
+    rows = {
+        (r["image_id"], r["level"]): r
+        for r in im.hist_equalize_stats(df).collect()
+    }
+    assert rows[("two", 0)]["cdf"] == 16 and rows[("two", 0)]["eq_level"] == 0
+    assert rows[("two", 200)]["cdf"] == 32
+    # (32-16)*255 // (32-16) = 255
+    assert rows[("two", 200)]["eq_level"] == 255
+    assert rows[("flat", 50)]["eq_level"] == 0 and rows[("flat", 50)]["n_px"] == 16
