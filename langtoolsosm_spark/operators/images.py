@@ -346,3 +346,63 @@ def hist_equalize_stats(images: DataFrame) -> DataFrame:
         )
         .select("image_id", "level", "n_px", "cdf", "eq_level")
     )
+
+
+def edge_stats(images: DataFrame, threshold: int = 160) -> DataFrame:
+    """Per-image Sobel gradient statistics over integer Rec.709 luminance
+    (same exact-int scaling as ``hist_equalize_stats``): for the interior
+    pixels (a valid 3x3 neighborhood) emit
+    (image_id, n_interior, sum_gx, sum_gy, edge_px) where sum_gx/sum_gy
+    are the exact int64 sums of |Sobel_x| / |Sobel_y| responses and
+    ``edge_px`` counts pixels with |gx| + |gy| >= threshold — the
+    sharpness/edge-density signal an image-quality filter keys on (blurry
+    or flat training images score near zero).
+
+    One Arrow decode kernel; the two convolutions are NumPy slice sums
+    (no per-pixel Python) and the output is one row per image, so nothing
+    pixel-sized ever shuffles. Images smaller than 3x3 have no interior
+    and yield n_interior = 0 rows.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                h, w = lum.shape
+                if h < 3 or w < 3:
+                    recs.append((img_id, 0, 0, 0, 0))
+                    continue
+                gx = (
+                    (lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:])
+                    - (lum[:-2, :-2] + 2 * lum[1:-1, :-2] + lum[2:, :-2])
+                )
+                gy = (
+                    (lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:])
+                    - (lum[:-2, :-2] + 2 * lum[:-2, 1:-1] + lum[:-2, 2:])
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                recs.append(
+                    (
+                        img_id,
+                        int(gx.size),
+                        int(np.abs(gx).sum()),
+                        int(np.abs(gy).sum()),
+                        int((mag >= threshold).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_interior", "sum_gx", "sum_gy", "edge_px"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema=(
+            "image_id string, n_interior long, sum_gx long, "
+            "sum_gy long, edge_px long"
+        ),
+    )

@@ -4196,6 +4196,74 @@ FROM cm
 REGISTRY.update({"hist_eq": (q_hist_eq, O_HIST_EQ)})
 
 
+def q_edge_stats(spark, sf_dir):
+    """Per-image Sobel gradient stats (operators/images.py
+    ``edge_stats``) over a 1-in-32 sample of the RAW subset: exact int64
+    sums of |Sobel_x| / |Sobel_y| over interior luminance pixels plus an
+    edge-pixel count at |gx|+|gy| >= 160. The oracle re-decodes bytes in
+    SQL and computes both convolutions in separable form (vertical
+    smooth/diff then horizontal diff/smooth) as two window passes — a
+    genuinely different formulation from the kernel's slice sums."""
+    from ..operators.images import edge_stats
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return edge_stats(imgs, threshold=160)
+
+
+O_EDGE_STATS = f"""
+WITH v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+lum AS (
+  SELECT image_id, w, h, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         CAST((2126 * SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+             + 7152 * SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+             +  722 * SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END))
+              // 10000 AS BIGINT) AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4, 5
+),
+sm AS (
+  SELECT image_id, w, h, r, c,
+         lag(l) OVER win_c + 2 * l + lead(l) OVER win_c AS vs,
+         lead(l) OVER win_c - lag(l) OVER win_c AS vd
+  FROM lum
+  WINDOW win_c AS (PARTITION BY image_id, c ORDER BY r)
+),
+g AS (
+  SELECT image_id, r, c, w, h,
+         lead(vs) OVER win_r - lag(vs) OVER win_r AS gx,
+         lag(vd) OVER win_r + 2 * vd + lead(vd) OVER win_r AS gy
+  FROM sm
+  WINDOW win_r AS (PARTITION BY image_id, r ORDER BY c)
+),
+gi AS (
+  SELECT * FROM g
+  WHERE r >= 1 AND r < h - 1 AND c >= 1 AND c < w - 1
+)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_interior,
+       CAST(SUM(abs(gx)) AS BIGINT) AS sum_gx,
+       CAST(SUM(abs(gy)) AS BIGINT) AS sum_gy,
+       CAST(SUM(CASE WHEN abs(gx) + abs(gy) >= 160 THEN 1 ELSE 0 END)
+            AS BIGINT) AS edge_px
+FROM gi GROUP BY 1
+"""
+
+
+REGISTRY.update({"edge_stats": (q_edge_stats, O_EDGE_STATS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

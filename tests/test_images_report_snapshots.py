@@ -294,3 +294,47 @@ def test_hist_equalize_stats(spark):
     # (32-16)*255 // (32-16) = 255
     assert rows[("two", 200)]["eq_level"] == 255
     assert rows[("flat", 50)]["eq_level"] == 0 and rows[("flat", 50)]["n_px"] == 16
+
+
+def test_edge_stats_step_edge_and_random(spark):
+    """Vertical step edge: gy = 0 everywhere, gx = 4*255 on the two
+    columns straddling the step; random image matches a direct per-pixel
+    stencil evaluation."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    step = np.zeros((6, 8, 3), dtype=np.uint8)
+    step[:, 4:] = 255
+    rng = np.random.default_rng(11)
+    rand = rng.integers(0, 256, (7, 9, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["step", "rand"],
+                "bytes": [ic.encode(step, "raw"), ic.encode(rand, "raw")],
+                "fmt": ["raw", "raw"],
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in im.edge_stats(df, threshold=160).collect()}
+    s = got["step"]
+    assert s["sum_gy"] == 0
+    # interior cols 1..6; step between c=3 and c=4: gx = 4*255 at c in {3,4}
+    assert s["sum_gx"] == 4 * 255 * 4 * 2  # 4 rows x 2 cols x 1020
+    assert s["edge_px"] == 8 and s["n_interior"] == 4 * 6
+
+    lum = (2126 * rand[..., 0].astype(np.int64)
+           + 7152 * rand[..., 1].astype(np.int64)
+           + 722 * rand[..., 2].astype(np.int64)) // 10000
+    sx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    sgx = sgy = nedge = 0
+    for r in range(1, 6):
+        for c in range(1, 8):
+            win = lum[r - 1:r + 2, c - 1:c + 2]
+            gx = int((win * sx).sum())
+            gy = int((win * sx.T).sum())
+            sgx += abs(gx); sgy += abs(gy)
+            nedge += abs(gx) + abs(gy) >= 160
+    g = got["rand"]
+    assert (g["sum_gx"], g["sum_gy"], g["edge_px"]) == (sgx, sgy, nedge)
