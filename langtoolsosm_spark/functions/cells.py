@@ -242,3 +242,55 @@ def tile_key_col(lat_col, lon_col, res: int):
     ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1))
     iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1))
     return (ix * F.lit(n) + iy).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (locality-preserving alternative to Morton for range
+# clustering: no Z-order "seam jumps", so 1-D key ranges map to more
+# compact 2-D regions). Classic xy2d bit-fold (public domain, e.g. the
+# Wikipedia "Hilbert curve" reference implementation), expressed two ways
+# that must agree bit-for-bit: a NumPy kernel and per-level SQL CASE
+# arithmetic shared verbatim by the Spark plan and the DuckDB oracle
+# (only %, *, +, - and CASE — no div/xor, whose dialects differ).
+# ---------------------------------------------------------------------------
+
+def hilbert_key_np(ix: np.ndarray, iy: np.ndarray, res: int) -> np.ndarray:
+    """(ix, iy) grid indices in [0, 2^res) -> distance along the order-
+    ``res`` Hilbert curve (int64). Vectorized transcription of the
+    classic xy2d loop."""
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    n = np.int64(1 << res)
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: flip when ry==0 & rx==1, then swap x/y
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, n - 1 - x, x)
+        y2 = np.where(flip, n - 1 - y, y)
+        x, y = np.where(ry == 1, x, y2), np.where(ry == 1, y, x2)
+        s >>= 1
+    return d
+
+
+def hilbert_level_exprs(s: int, n: int, x: str, y: str) -> tuple[str, str, str]:
+    """One xy2d level as dialect-shared SQL: returns (d_increment,
+    x_next, y_next) expression strings over column names ``x``/``y``.
+    The bit tests are spelled ``v % 2s >= s`` and the quadrant value
+    ``(3*rx)^ry`` as ``CASE rx WHEN 1 THEN 3-ry ELSE ry`` so the same
+    text parses and evaluates identically in Spark SQL and DuckDB."""
+    rx = f"(CASE WHEN {x} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN {y} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+    dinc = f"{s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    xn = (
+        f"(CASE WHEN {ry} = 1 THEN {x} "
+        f"WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END)"
+    )
+    yn = (
+        f"(CASE WHEN {ry} = 1 THEN {y} "
+        f"WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END)"
+    )
+    return dinc, xn, yn

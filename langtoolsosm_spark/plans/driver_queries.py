@@ -4264,6 +4264,65 @@ FROM gi GROUP BY 1
 REGISTRY.update({"edge_stats": (q_edge_stats, O_EDGE_STATS)})
 
 
+HILBERT_RES = 8
+
+
+def q_hilbert_encode(spark, sf_dir):
+    """Hilbert-curve linearization of the point grid at res 8
+    (operators/spatial.py ``with_hilbert``): the classic xy2d bit-fold
+    unrolled into 8 levels of dialect-shared CASE/modulo arithmetic —
+    the locality key that beats Morton for range-clustered snapshot
+    pruning. The oracle chains one CTE per level running the IDENTICAL
+    expression text."""
+    from ..operators.spatial import with_hilbert
+
+    n = 1 << HILBERT_RES
+
+    def gidx(col, off, span):
+        g = F.floor((F.col(col) + F.lit(off)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    pts = geo_points(spark, sf_dir).select(
+        "point_id",
+        gidx("lon", 180.0, 360.0).alias("ix"),
+        gidx("lat", 90.0, 180.0).alias("iy"),
+    )
+    return with_hilbert(pts, HILBERT_RES).select("point_id", "ix", "iy", "hkey")
+
+
+def _o_hilbert(res: int) -> str:
+    from ..functions.cells import hilbert_level_exprs
+
+    n = 1 << res
+    ctes = [
+        f"base AS (SELECT point_id,\n"
+        f"  CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS ix,\n"
+        f"  CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS iy\n"
+        f"  FROM pts)",
+        "h0 AS (SELECT point_id, ix, iy, ix AS x, iy AS y, 0 AS d FROM base)",
+    ]
+    lvl = 0
+    s = n >> 1
+    while s > 0:
+        dinc, xn, yn = hilbert_level_exprs(s, n, "x", "y")
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT point_id, ix, iy, {xn} AS x, {yn} AS y, "
+            f"d + {dinc} AS d FROM h{lvl})"
+        )
+        lvl += 1
+        s >>= 1
+    return (
+        f"WITH {PTS_CTE},\n" + ",\n".join(ctes)
+        + f"\nSELECT point_id, ix, iy, CAST(d AS BIGINT) AS hkey FROM h{lvl}"
+    )
+
+
+O_HILBERT_ENCODE = _o_hilbert(HILBERT_RES)
+
+
+REGISTRY.update({"hilbert_encode": (q_hilbert_encode, O_HILBERT_ENCODE)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

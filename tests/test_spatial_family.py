@@ -690,3 +690,29 @@ def test_hex_bin_tie_and_validation(spark):
     assert (r["hex_x"], r["hex_y"]) in [(0, 0), (10000, 0)]
     with pytest.raises(ValueError):
         spatial.hex_bin(df, a=0)
+
+
+def test_hilbert_key_bijection_adjacency_and_spark_parity(spark):
+    """Order-4 curve: keys are a bijection onto [0, 256) and consecutive
+    keys are Manhattan-distance-1 neighbors (THE Hilbert property Morton
+    lacks); the Spark unrolled transform matches the NumPy kernel."""
+    res, n = 4, 16
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ks = cells.hilbert_key_np(gx.ravel(), gy.ravel(), res)
+    assert sorted(ks.tolist()) == list(range(n * n))
+    byk = np.empty((n * n, 2), dtype=np.int64)
+    byk[ks] = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    steps = np.abs(np.diff(byk, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+    rng = np.random.default_rng(5)
+    ix = rng.integers(0, 256, 200)
+    iy = rng.integers(0, 256, 200)
+    df = spark.createDataFrame(pd.DataFrame({"ix": ix, "iy": iy}))
+    got = spatial.with_hilbert(df, 8).toPandas().sort_values(["ix", "iy"])
+    exp = cells.hilbert_key_np(
+        got["ix"].to_numpy(), got["iy"].to_numpy(), 8
+    )
+    assert (got["hkey"].to_numpy() == exp).all()
+    with pytest.raises(ValueError):
+        spatial.with_hilbert(df, 0)
