@@ -1080,3 +1080,45 @@ def with_hilbert(
         )
         s >>= 1
     return df.drop("__hbx", "__hby")
+
+
+def od_flows(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Origin-destination flow matrix: consecutive positions of each
+    entity (timestamp-ordered, ``order_tiebreak`` id column for duplicate
+    timestamps) become (from_tile, to_tile) transitions at resolution
+    ``res``, aggregated to (from_tile, to_tile, n_trips, n_entities).
+    Intra-tile transitions (from = to) are kept — they are the dwell
+    signal; filter downstream if only movement matters.
+
+    Plan: one window pass (single shuffle on the entity key — shared
+    with ``trajectory_stats`` when composed, since the partitioning is
+    identical) then one groupBy on the tile pair with a partial-agg
+    count; the exact distinct-entity count is Spark's standard two-phase
+    expand. Output is bounded by occupied-tile-pairs, not event count.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    tile = tile_key_col(F.col(lat), F.col(lon), res)
+    df = (
+        events.withColumn("__tile", tile)
+        .withColumn("__prev", F.lag("__tile").over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    return df.groupBy(
+        F.col("__prev").alias("from_tile"), F.col("__tile").alias("to_tile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct(entity_col).alias("n_entities"),
+    )

@@ -4323,6 +4323,47 @@ O_HILBERT_ENCODE = _o_hilbert(HILBERT_RES)
 REGISTRY.update({"hilbert_encode": (q_hilbert_encode, O_HILBERT_ENCODE)})
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin-destination tile flow matrix at res 8 over the events
+    stream (operators/spatial.py ``od_flows``): consecutive per-user
+    positions become tile transitions, aggregated to trip + distinct-user
+    counts per (from, to) pair. The oracle replays the lag window and the
+    distinct count in SQL."""
+    from ..operators.spatial import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__od_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __od_events"
+    )
+    return od_flows(t, "user_id", "ts", res=8, order_tiebreak="event_id")
+
+
+O_OD_FLOWS = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+g AS (
+  SELECT user_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM t
+)
+SELECT prev AS from_tile, tile AS to_tile,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM g WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"od_flows": (q_od_flows, O_OD_FLOWS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -716,3 +716,30 @@ def test_hilbert_key_bijection_adjacency_and_spark_parity(spark):
     assert (got["hkey"].to_numpy() == exp).all()
     with pytest.raises(ValueError):
         spatial.with_hilbert(df, 0)
+
+
+def test_od_flows_counts_and_dwell(spark):
+    """u1 moves A->B->B (one cross flow + one dwell), u2 moves A->B: the
+    A->B flow has 2 trips from 2 entities; the B->B dwell 1 trip."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": ["u1", "u1", "u1", "u2", "u2"],
+                "ts": [1, 2, 3, 1, 2],
+                "eid": [1, 2, 3, 4, 5],
+                "lat": [10.0, 10.0, 10.0, 10.0, 10.0],
+                "lon": [10.0, 50.0, 50.0, 10.0, 50.0],
+            }
+        )
+    )
+    got = {
+        (r["from_tile"], r["to_tile"]): (r["n_trips"], r["n_entities"])
+        for r in spatial.od_flows(
+            df, "uid", "ts", res=4, order_tiebreak="eid"
+        ).collect()
+    }
+    ta = cells.tile_key(np.array([10.0]), np.array([10.0]), 4)[0]
+    tb = cells.tile_key(np.array([10.0]), np.array([50.0]), 4)[0]
+    assert got[(ta, tb)] == (2, 2)
+    assert got[(tb, tb)] == (1, 1)
+    assert len(got) == 2
