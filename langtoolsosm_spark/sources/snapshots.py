@@ -295,6 +295,7 @@ def compact_table(
     stats_col: str | None = None,
     zorder_cols: tuple[str, str] | None = None,
     summary: dict | None = None,
+    curve: str = "zorder",
 ) -> dict:
     """Rewrite the table's live files into ``target_files`` larger ones as
     one replace commit — the Iceberg ``rewrite_data_files`` maintenance
@@ -311,7 +312,12 @@ def compact_table(
     Z-ORDER clustering — so pruning improves on BOTH dimensions at once
     (a single-column range cluster makes the other dimension's stats
     useless); stats are recorded for both. The interleave is a pure
-    shift/and expression — codegen, no UDF.
+    shift/and expression — codegen, no UDF. ``curve="hilbert"`` sorts by
+    the Hilbert key instead (operators/spatial.py ``with_hilbert``):
+    every range-partitioned file then holds a CONTIGUOUS curve interval,
+    and Hilbert intervals are always edge-connected 2-D regions — no
+    Z-seam jumps — so per-file min/max boxes are tighter and bbox scans
+    prune strictly more files (asserted in tests).
 
     Distributed: one executor-side parquet write per output partition
     (accumulating the partition's Arrow batches into a single file);
@@ -330,12 +336,18 @@ def compact_table(
         za, zb = zorder_cols
         stats_cols += [c for c in (za, zb) if c not in stats_cols]
     _require_integral_cols(df, stats_cols, "compact_table")
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"curve must be 'zorder' or 'hilbert', got {curve!r}")
     if zorder_cols is not None:
         za, zb = zorder_cols
-        part = (
-            df.withColumn("__z", _zorder_expr(F.col(za), F.col(zb)))
-            .repartitionByRange(target_files, F.col("__z"))
-            .sortWithinPartitions("__z")
+        if curve == "hilbert":
+            from ..operators.spatial import with_hilbert
+
+            keyed = with_hilbert(df, res=16, x_col=za, y_col=zb, out="__z")
+        else:
+            keyed = df.withColumn("__z", _zorder_expr(F.col(za), F.col(zb)))
+        part = keyed.repartitionByRange(target_files, F.col("__z")).sortWithinPartitions(
+            "__z"
         )
         drop_cols = ["__z"]
     elif stats_col is not None:

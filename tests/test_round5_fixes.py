@@ -5,6 +5,7 @@ rawseq truncation handling, batched video pHash."""
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 def test_knn_cogroup_schedule_clamps_to_full_disk(spark):
@@ -213,3 +214,70 @@ def test_hierarchical_cover_bounds_area_blowup(spark):
     # and every flat boundary cell is present among the hier fine cells
     flat_band = set(flat[~flat["full_inside"]]["tile"])
     assert flat_band <= set(fine["tile"])
+
+
+def test_hilbert_compaction_beats_zorder_regions(spark, tmp_path):
+    """curve='hilbert' compaction: every output file's (x, y) cell set is
+    an edge-CONNECTED region (a contiguous Hilbert interval always is —
+    Z-order intervals straddle seams), the summed per-file bbox area is
+    strictly smaller than the Z-order layout's on the same input, and
+    content + range pruning behave identically."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from langtoolsosm_spark.sources.snapshots import (
+        SnapshotTable,
+        compact_table,
+        write_partitioned,
+    )
+
+    def build(curve, root):
+        df = spark.range(0, 4096).select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            (F.col("id") % 97).alias("pbucket"),
+        )
+        t = SnapshotTable(str(root))
+        write_partitioned(df, t, "pbucket", stats_col="x")
+        # 6 files: NOT a power of two, so curve intervals are misaligned
+        # with quadrant blocks — the case where the curves differ
+        compact_table(t, spark, target_files=6, zorder_cols=("x", "y"), curve=curve)
+        return t
+
+    def regions(t):
+        area, conn = 0, []
+        for fn in t.live_files():
+            pdf = pq.read_table(
+                os.path.join(t.data_dir, fn), columns=["x", "y"]
+            ).to_pandas()
+            xs, ys = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+            area += int(
+                (xs.max() - xs.min() + 1) * (ys.max() - ys.min() + 1)
+            )
+            cells = set(zip(xs.tolist(), ys.tolist()))
+            start = next(iter(cells))
+            seen, stack = {start}, [start]
+            while stack:
+                cx, cy = stack.pop()
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    nb = (cx + dx, cy + dy)
+                    if nb in cells and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            conn.append(len(seen) == len(cells))
+        return area, conn
+
+    tz = build("zorder", tmp_path / "z")
+    th = build("hilbert", tmp_path / "h")
+    az, _ = regions(tz)
+    ah, conn_h = regions(th)
+    assert all(conn_h), "a Hilbert interval must be an edge-connected region"
+    assert ah < az, f"hilbert bbox area {ah} not tighter than zorder {az}"
+    assert th.read(spark).count() == 4096
+    assert sorted(r.row_id for r in th.read_range(spark, "x", 0, 7).collect()) == sorted(
+        r.row_id for r in tz.read_range(spark, "x", 0, 7).collect()
+    )
+    with pytest.raises(ValueError):
+        compact_table(th, spark, target_files=2, zorder_cols=("x", "y"), curve="peano")
