@@ -4405,19 +4405,24 @@ _DRIVER_WINDOW = [
     "knn_join", "knn_join_cogroup",
     "video_frame_stats", "video_scene_cuts", "pcm16_features",
     "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (17) ---
+    # --- highest-risk signed backfill (6; the other r4-signed backfill
+    #     slots — expr-LSH/seed-IVF variants, the decontamination trio,
+    #     images_tile_assign, all untouched this round — rotated out to
+    #     make room for the 6 newest queries below) ---
     "salted_repartition", "cdc_merge",
     "translate_with_wikidata",
-    "embedding_topk_sharded", "embedding_lsh_ann",
-    "embedding_lsh_ann_kernel", "embedding_ivf_ann", "embedding_ivf_lloyd",
-    "decontaminate", "embedding_decontaminate", "images_decontaminate",
-    "images_tile_assign",
-    # --- new late in round 5 (9): geohash codec, zonal stats, snap join,
-    #     image palette, vector-tile clipping, focal stats, Moran's I,
-    #     ViT patch tokenization ---
+    "embedding_topk_sharded",
+    "embedding_lsh_ann_kernel", "embedding_ivf_lloyd",
+    # --- new late in round 5 (15): geohash codec, zonal stats, snap
+    #     join, image palette, vector-tile clipping, focal stats,
+    #     Moran's I, ViT patch tokenization, patch-level dedup, hex
+    #     binning, histogram equalization, Sobel edge stats, Hilbert
+    #     encoding, OD flows ---
     "geohash_encode", "geohash_rollup", "zonal_stats",
     "snap_to_segments", "image_palette", "clip_segments",
     "focal_stats", "moran_i", "image_patches",
+    "patch_dup_pairs", "hex_rollup", "hist_eq",
+    "edge_stats", "hilbert_encode", "od_flows",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
