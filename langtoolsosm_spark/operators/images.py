@@ -406,3 +406,80 @@ def edge_stats(images: DataFrame, threshold: int = 160) -> DataFrame:
             "sum_gy long, edge_px long"
         ),
     )
+
+
+def block_sums(images: DataFrame, queries_per_image: int = 4) -> DataFrame:
+    """Integral-image rectangle sums: per image, build the summed-area
+    table (SAT) of integer Rec.709 luminance once, then answer
+    ``queries_per_image`` deterministic rectangle queries in O(1) each
+    via the classic 4-corner identity
+    ``S(y1,x1) - S(y0-1,x1) - S(y1,x0-1) + S(y0-1,x0-1)``.
+
+    The rectangles derive from (image index, query index) with fixed
+    multiplicative hashing, so engine and oracle agree on them without
+    shipping a query table: for query q of image with numeric id v,
+    ``x0 = (v * 40503 + q * 2654435761) % w`` etc., normalized so
+    x0 <= x1, y0 <= y1. Emits (image_id, q, x0, y0, x1, y1, px_sum).
+
+    This is the windowed-pooling primitive (mean filters, box blur,
+    Haar-like features) — the SAT costs one cumsum pass per image in the
+    Arrow kernel, after which any number of box queries are constant
+    time, while a naive per-query sum (what the DuckDB oracle does —
+    deliberately a different algorithm) re-reads every pixel.
+    """
+    if queries_per_image < 1:
+        raise ValueError(f"queries_per_image must be >= 1, got {queries_per_image}")
+    Q = queries_per_image
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                h, w = lum.shape
+                sat = lum.cumsum(axis=0).cumsum(axis=1)
+                v = int(img_id[3:])  # imgNNNNNNNNN
+                qs = np.arange(Q, dtype=np.int64)
+                xa = (v * 40503 + qs * 2654435761) % w
+                xb = (v * 69069 + qs * 1013904223) % w
+                ya = (v * 40503 + qs * 2654435761) % h
+                yb = (v * 69069 + qs * 1013904223) % h
+                x0, x1 = np.minimum(xa, xb), np.maximum(xa, xb)
+                y0, y1 = np.minimum(ya, yb), np.maximum(ya, yb)
+
+                def s(yy, xx):
+                    out = np.zeros(Q, dtype=np.int64)
+                    ok = (yy >= 0) & (xx >= 0)
+                    out[ok] = sat[yy[ok], xx[ok]]
+                    return out
+
+                tot = (
+                    s(y1, x1) - s(y0 - 1, x1) - s(y1, x0 - 1) + s(y0 - 1, x0 - 1)
+                )
+                recs.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": np.repeat(img_id, Q),
+                            "q": qs,
+                            "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                            "px_sum": tot,
+                        }
+                    )
+                )
+            cols = ["image_id", "q", "x0", "y0", "x1", "y1", "px_sum"]
+            yield (
+                pd.concat(recs, ignore_index=True)
+                if recs
+                else pd.DataFrame(columns=cols)
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema=(
+            "image_id string, q long, x0 long, y0 long, x1 long, y1 long, "
+            "px_sum long"
+        ),
+    )

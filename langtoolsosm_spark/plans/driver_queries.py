@@ -4364,6 +4364,72 @@ GROUP BY 1, 2
 REGISTRY.update({"od_flows": (q_od_flows, O_OD_FLOWS)})
 
 
+def q_block_sums(spark, sf_dir):
+    """Integral-image rectangle sums (operators/images.py
+    ``block_sums``) over a 1-in-32 sample of the RAW subset: the engine
+    builds one SAT per image and answers 4 hash-derived rectangles in
+    O(1) each; the oracle re-decodes the bytes and sums every pixel of
+    every rectangle naively — two different algorithms that must land on
+    identical int64 sums."""
+    from ..operators.images import block_sums
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return block_sums(imgs, queries_per_image=4)
+
+
+O_BLOCK_SUMS = f"""
+WITH v AS (
+  SELECT image_id, CAST(substr(image_id, 4, 9) AS BIGINT) AS vid,
+         w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+lum AS (
+  SELECT image_id, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         CAST((2126 * SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+             + 7152 * SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+             +  722 * SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END))
+              // 10000 AS BIGINT) AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3
+),
+qs AS (
+  SELECT image_id, vid, w, h, q
+  FROM v, generate_series(0, 3) g(q)
+),
+rect AS (
+  SELECT image_id, q,
+         least((vid * 40503 + q * 2654435761) % w,
+               (vid * 69069 + q * 1013904223) % w) AS x0,
+         least((vid * 40503 + q * 2654435761) % h,
+               (vid * 69069 + q * 1013904223) % h) AS y0,
+         greatest((vid * 40503 + q * 2654435761) % w,
+                  (vid * 69069 + q * 1013904223) % w) AS x1,
+         greatest((vid * 40503 + q * 2654435761) % h,
+                  (vid * 69069 + q * 1013904223) % h) AS y1
+  FROM qs
+)
+SELECT r0.image_id, r0.q, r0.x0, r0.y0, r0.x1, r0.y1,
+       CAST(SUM(p.l) AS BIGINT) AS px_sum
+FROM rect r0
+JOIN lum p ON p.image_id = r0.image_id
+  AND p.r >= r0.y0 AND p.r <= r0.y1 AND p.c >= r0.x0 AND p.c <= r0.x1
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+REGISTRY.update({"block_sums": (q_block_sums, O_BLOCK_SUMS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

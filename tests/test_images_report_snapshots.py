@@ -338,3 +338,29 @@ def test_edge_stats_step_edge_and_random(spark):
             nedge += abs(gx) + abs(gy) >= 160
     g = got["rand"]
     assert (g["sum_gx"], g["sum_gy"], g["edge_px"]) == (sgx, sgy, nedge)
+
+
+def test_block_sums_matches_naive(spark):
+    """SAT 4-corner answers equal naive rectangle sums for every derived
+    query on a random image."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (11, 13, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img000000042"], "bytes": [ic.encode(px, "raw")], "fmt": ["raw"]}
+        )
+    )
+    lum = (2126 * px[..., 0].astype(np.int64)
+           + 7152 * px[..., 1].astype(np.int64)
+           + 722 * px[..., 2].astype(np.int64)) // 10000
+    rows = im.block_sums(df, queries_per_image=6).collect()
+    assert len(rows) == 6
+    for r in rows:
+        naive = int(lum[r["y0"]:r["y1"] + 1, r["x0"]:r["x1"] + 1].sum())
+        assert r["px_sum"] == naive
+    with pytest.raises(ValueError):
+        im.block_sums(df, queries_per_image=0)
