@@ -1122,3 +1122,58 @@ def od_flows(
         F.count(F.lit(1)).alias("n_trips"),
         F.countDistinct(entity_col).alias("n_entities"),
     )
+
+
+def geofence_transitions(
+    events: DataFrame,
+    polygons: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Geofence enter/exit detection: each position gets its owning zone
+    via the PIP join (unique = lexicographically smallest polygon_id;
+    LEFT join keeps outside-all positions with a NULL zone), then one
+    lag window per entity emits only the rows where the zone CHANGES:
+    (entity, ts, id, from_zone, to_zone). An entity's first position is
+    a transition only if it starts INSIDE a zone (from nowhere); NULL
+    zones participate in transitions (exit-to-outside is an event).
+
+    Plan: the PIP join is the existing cell-cover + refine machinery
+    (one broadcast cover join; only boundary-band points pay the exact
+    ray-cast), re-joined to the stream by the event id; the window is
+    one shuffle on the entity key. At 100x the stream, both shuffles are
+    key-partitioned and the transition output is bounded by actual zone
+    changes, not positions.
+    """
+    from pyspark.sql import Window
+
+    from .pip_join import pip_join
+
+    zones = pip_join(
+        events, polygons, res=res, lat=lat, lon=lon, unique=True, id_col=id_col
+    ).select(F.col(id_col).alias("__zid"), "polygon_id")
+    df = events.join(
+        zones, events[id_col] == zones["__zid"], "left"
+    ).drop("__zid")
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    df = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag("polygon_id").over(w))
+    )
+    first_enter = (F.col("__rn") == 1) & F.col("polygon_id").isNotNull()
+    changed = (F.col("__rn") > 1) & ~F.col("polygon_id").eqNullSafe(F.col("__prev"))
+    return df.filter(first_enter | changed).select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col("__prev").alias("from_zone"),
+        F.col("polygon_id").alias("to_zone"),
+    )

@@ -4430,6 +4430,53 @@ GROUP BY 1, 2, 3, 4, 5, 6
 REGISTRY.update({"block_sums": (q_block_sums, O_BLOCK_SUMS)})
 
 
+def q_geofence(spark, sf_dir):
+    """Geofence enter/exit transitions over the events trajectory stream
+    (operators/spatial.py ``geofence_transitions``): PIP zone assignment
+    (unique min-polygon_id ownership, NULL outside) + per-user lag
+    window, emitting only zone CHANGES. The oracle assigns zones with
+    the half-open box/hypotenuse predicates and replays the window."""
+    from ..operators.spatial import geofence_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__gf_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __gf_events"
+    )
+    return geofence_transitions(
+        t, geo_polygons_df(spark), "user_id", "ts", res=8,
+        order_tiebreak="event_id",
+    ).withColumnRenamed("entity", "user_id").withColumnRenamed("id", "event_id")
+
+
+O_GEOFENCE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+z AS (
+  SELECT user_id, ts, event_id,
+         CASE {' '.join(f"WHEN {pred} THEN '{pid}'" for pid, pred in sorted(POLY_PRED_SQL.items()))}
+         END AS zone
+  FROM t
+),
+wnd AS (
+  SELECT user_id, ts, event_id, zone,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM z
+)
+SELECT user_id, ts, event_id, prev AS from_zone, zone AS to_zone
+FROM wnd
+WHERE (rn = 1 AND zone IS NOT NULL) OR (rn > 1 AND zone IS DISTINCT FROM prev)
+"""
+
+
+REGISTRY.update({"geofence": (q_geofence, O_GEOFENCE)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -743,3 +743,39 @@ def test_od_flows_counts_and_dwell(spark):
     assert got[(ta, tb)] == (2, 2)
     assert got[(tb, tb)] == (1, 1)
     assert len(got) == 2
+
+
+def test_geofence_transitions_path(spark):
+    """Path out->in->in->out->in of a square zone: transitions are
+    enter@2, exit@4, enter@5; a user starting inside emits a first-row
+    enter from NULL; a user never inside emits nothing."""
+    poly = spark.createDataFrame(
+        [("Z1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                 {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}])],
+        schema="polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": ["a"] * 5 + ["b", "c"],
+                "ts": [1, 2, 3, 4, 5, 1, 1],
+                "eid": [1, 2, 3, 4, 5, 6, 7],
+                "lat": [20.0, 5.0, 6.0, 20.0, 5.0, 5.0, 20.0],
+                "lon": [20.0, 5.0, 6.0, 20.0, 5.0, 5.0, 20.0],
+            }
+        )
+    )
+    from langtoolsosm_spark.operators.spatial import geofence_transitions
+
+    got = sorted(
+        (r["entity"], r["ts"], r["from_zone"], r["to_zone"])
+        for r in geofence_transitions(
+            ev, poly, "uid", "ts", res=6, id_col="eid", order_tiebreak="eid"
+        ).collect()
+    )
+    assert got == [
+        ("a", 2, None, "Z1"),
+        ("a", 4, "Z1", None),
+        ("a", 5, None, "Z1"),
+        ("b", 1, None, "Z1"),
+    ]
