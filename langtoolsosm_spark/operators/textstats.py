@@ -206,3 +206,50 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.md5(t).alias("fp_full"),
         F.md5(F.concat(F.substring(t, 1, 16), F.substring(t, -16, 16))).alias("fp_affix"),
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 3,
+    idf_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` distinctive terms per document by integer tf-idf:
+    ``score = tf * idf_scale // df`` (term frequency in the doc times a
+    scaled inverse document frequency — integer division only, so the
+    ranking is exact and engine-independent; the classic log-idf is a
+    monotone transform of 1/df and changes the top-k only via float
+    rounding, which is exactly what this formulation removes). Ties
+    break by term ascending. Terms are lowercase ASCII-alpha runs.
+
+    Plan: explode to (doc, term) counts (one shuffle), document
+    frequency via a term groupBy (second shuffle, vocabulary-bounded
+    output), then the df dimension joins BACK by term — broadcastable
+    at any corpus size since vocabulary grows sublinearly — and a
+    bounded per-doc window takes the top k. Emits
+    (doc_id, rnk, term, tf, df, score).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_dim = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_dim), "term").withColumn(
+        "score", F.expr(f"tf * {idf_scale} div df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "rnk", "term", "tf", "df", "score")
+    )

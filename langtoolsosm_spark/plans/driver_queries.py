@@ -4477,6 +4477,49 @@ WHERE (rn = 1 AND zone IS NOT NULL) OR (rn > 1 AND zone IS DISTINCT FROM prev)
 REGISTRY.update({"geofence": (q_geofence, O_GEOFENCE)})
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Top-3 distinctive terms per document by integer tf-idf
+    (operators/textstats.py ``distinctive_terms``): score =
+    tf * 1e6 // df, ties by term — exact integer ranking, no float
+    idf. The oracle unnests the same regex tokens and replays the
+    ranking in SQL."""
+    from ..operators.textstats import distinctive_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs, k=3)
+
+
+O_DISTINCTIVE_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf * 1000000 // dfreq.df DESC,
+           tf.term ASC
+         ) AS rnk
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, score
+FROM scored WHERE rnk <= 3
+"""
+
+
+REGISTRY.update(
+    {"distinctive_terms": (q_distinctive_terms, O_DISTINCTIVE_TERMS)}
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

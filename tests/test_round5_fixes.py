@@ -281,3 +281,33 @@ def test_hilbert_compaction_beats_zorder_regions(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         compact_table(th, spark, target_files=2, zorder_cols=("x", "y"), curve="peano")
+
+
+def test_distinctive_terms_integer_ranking(spark):
+    """'zebra' (df=1) must outrank common terms; ties break by term; k
+    bounds output."""
+    from langtoolsosm_spark.operators.textstats import distinctive_terms
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog saw a zebra",
+                    "the cat and the dog",
+                    "the dog barks",
+                ],
+            }
+        )
+    )
+    got = distinctive_terms(docs, k=2).toPandas()
+    d1 = got[got.doc_id == 1].sort_values("rnk")
+    # 'a', 'saw', 'zebra' all tf=1 df=1 -> 1e6 (beating the: tf=2 df=3
+    # -> 666666); the tie breaks term-ascending so k=2 keeps a, saw
+    assert list(d1["term"]) == ["a", "saw"]
+    assert (d1["score"] == 1_000_000).all()
+    d3 = got[got.doc_id == 3].sort_values("rnk")
+    assert d3.iloc[0]["term"] == "barks"  # df=1 beats dog/the
+    assert (got.groupby("doc_id").size() <= 2).all()
+    with pytest.raises(ValueError):
+        distinctive_terms(docs, k=0)
