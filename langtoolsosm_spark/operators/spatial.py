@@ -1177,3 +1177,56 @@ def geofence_transitions(
         F.col("__prev").alias("from_zone"),
         F.col("polygon_id").alias("to_zone"),
     )
+
+
+def idw_interpolate(
+    sources: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    value_col: str,
+    source_id: str = "point_id",
+    target_id: str = "id",
+    weight_scale: int = 10**12,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation at each target from the
+    sources inside ``radius``: per target,
+    ``est = sum(w_i * v_i) / sum(w_i)`` with the INTEGER weight
+    ``w = weight_scale // (1 + dq)``, ``dq = floor(dist * 1e9)`` — the
+    1/d^2 kernel made exact: both sums are int64, so the aggregation is
+    merge-order independent and the single final division is the only
+    float op (identical on both engines). Targets with no source in
+    range stay in the output with n_src = 0 and NULL estimate.
+
+    Plan: the neighbor pairs come from ``distance_join`` (cell-disk
+    fan-out + exact refine, broadcast-gated), source values arrive by an
+    equi-join on the source id, and the rollup is one map-side-combined
+    groupBy on the target id. Everything between scan and division is
+    integer arithmetic in whole-stage codegen.
+    """
+    pairs = distance_join(
+        sources, targets, radius, point_id=source_id, feature_id=target_id
+    )
+    vals = sources.select(
+        F.col(source_id).alias("__sid"), F.col(value_col).alias("__v")
+    )
+    dq = F.floor(F.col("dist") * F.lit(DIST_Q_SCALE)).cast("long")
+    w = F.expr(f"{weight_scale} div (1 + __dq)")
+    agg = (
+        pairs.join(vals, pairs["point_id"] == vals["__sid"])
+        .withColumn("__dq", dq)
+        .withColumn("__w", w)
+        .groupBy(F.col("neighbor_id").alias("target_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum(F.col("__w") * F.col("__v")).alias("num"),
+            F.sum("__w").alias("den"),
+        )
+    )
+    base = targets.select(F.col(target_id).alias("target_id"))
+    return base.join(agg, "target_id", "left").select(
+        "target_id",
+        F.coalesce("n_src", F.lit(0)).alias("n_src"),
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias("est"),
+    )

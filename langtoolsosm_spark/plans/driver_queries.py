@@ -3734,8 +3734,7 @@ def q_image_palette(spark, sf_dir):
 O_IMAGE_PALETTE = f"""
 WITH v AS (
   SELECT image_id, hex(bytes) AS hx, octet_length(bytes) AS len
-  FROM read_parquet('{SYNTH_SF001_IMAGES}')
-  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+  FROM read_parquet('{SYNTH_SF001_IMAGES}') WHERE fmt = 'raw'
 ),
 series AS (SELECT i FROM generate_series(0, 3100) s(i)),
 b AS (
@@ -4518,6 +4517,48 @@ FROM scored WHERE rnk <= 3
 REGISTRY.update(
     {"distinctive_terms": (q_distinctive_terms, O_DISTINCTIVE_TERMS)}
 )
+
+
+def q_idw(spark, sf_dir):
+    """IDW interpolation (operators/spatial.py ``idw_interpolate``) at a
+    1-in-3 sample of feature locations from point values (point_id %
+    1000) within 0.3 deg: integer 1/d^2-surrogate weights, int64
+    numerator/denominator sums, one final float division. The oracle
+    replays the cross join + integer weight arithmetic."""
+    from ..operators.spatial import idw_interpolate
+
+    pts = geo_points(spark, sf_dir).withColumn(
+        "val", F.expr("point_id % 1000")
+    )
+    tgt = geo_features(spark, sf_dir).filter(F.col("id") % 3 == 0)
+    return idw_interpolate(pts, tgt, radius=0.3, value_col="val")
+
+
+O_IDW = f"""
+WITH {PTS_CTE}, {FEATS_CTE},
+tgt AS (SELECT id, lat, lon FROM feats WHERE id % 3 = 0),
+pairs AS (
+  SELECT t.id AS target_id, q.point_id % 1000 AS v,
+         CAST({10**12} AS BIGINT)
+           // (1 + CAST(floor(((q.lat - t.lat) * (q.lat - t.lat)
+                + (q.lon - t.lon) * (q.lon - t.lon)) * 1000000000.0)
+               AS BIGINT)) AS w
+  FROM pts q JOIN tgt t
+    ON (q.lat - t.lat) * (q.lat - t.lat) + (q.lon - t.lon) * (q.lon - t.lon)
+       <= 0.3 * 0.3
+),
+agg AS (
+  SELECT target_id, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(SUM(w * v) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM pairs GROUP BY 1
+)
+SELECT t.id AS target_id, COALESCE(a.n_src, 0) AS n_src, a.num, a.den,
+       CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS est
+FROM tgt t LEFT JOIN agg a ON a.target_id = t.id
+"""
+
+
+REGISTRY.update({"idw": (q_idw, O_IDW)})
 
 
 # ---------------------------------------------------------------------------

@@ -779,3 +779,34 @@ def test_geofence_transitions_path(spark):
         ("a", 5, None, "Z1"),
         ("b", 1, None, "Z1"),
     ]
+
+
+def test_idw_interpolate_weights_and_empty_target(spark):
+    """One target between two sources: nearer source dominates with the
+    exact integer weights; an isolated target stays with n_src=0/NULL."""
+    src = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": [1, 2],
+                "lat": [0.0, 0.0],
+                "lon": [0.0, 0.2],
+                "val": [100, 900],
+            }
+        )
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"id": [10, 20], "lat": [0.0, 50.0], "lon": [0.05, 50.0]})
+    )
+    from langtoolsosm_spark.operators.spatial import idw_interpolate
+
+    got = {r["target_id"]: r for r in idw_interpolate(
+        src, tgt, radius=0.3, value_col="val"
+    ).collect()}
+    r10 = got[10]
+    w1 = 10**12 // (1 + int(0.05 * 0.05 * 1e9))       # d^2 = 0.0025
+    w2 = 10**12 // (1 + int(np.floor(0.15000000000000002**2 * 1e9)))
+    assert r10["n_src"] == 2
+    assert r10["num"] == w1 * 100 + w2 * 900 and r10["den"] == w1 + w2
+    assert abs(r10["est"] - (w1 * 100 + w2 * 900) / (w1 + w2)) < 1e-12
+    assert r10["est"] < 200  # nearer source dominates
+    assert got[20]["n_src"] == 0 and got[20]["est"] is None
