@@ -253,3 +253,79 @@ def distinctive_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "rnk", "term", "tf", "df", "score")
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    steps: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law diagnostic a corpus
+    builder watches while scaling data): for each of ``steps`` prefixes
+    of the corpus in ``id_col`` order, emit
+    (step, n_docs, boundary_id, total_tokens, vocab) where ``vocab`` is
+    the number of DISTINCT lowercase alpha terms seen in the prefix and
+    ``total_tokens`` the prefix token count. Prefix k covers the first
+    ``N * k // steps`` documents.
+
+    Plan: each term maps to its FIRST containing doc (one groupBy —
+    min over the term's postings), so vocabulary-at-step becomes a
+    count of first-appearances <= boundary: the corpus is scanned ONCE
+    regardless of step count, where the naive formulation (the DuckDB
+    oracle, deliberately) re-scans the prefix per step. Both the
+    boundary ranks and the counts are exact integers. The per-doc
+    ranking window is a single global sort of doc IDS ONLY (two narrow
+    columns), not of the text.
+    """
+    from pyspark.sql import Window
+
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    terms = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    per_doc = terms.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    # docs with no alpha tokens still advance the prefix: left join back
+    ids = docs.select(F.col(id_col).alias("doc")).join(per_doc, "doc", "left").select(
+        "doc", F.coalesce("n_tok", F.lit(0)).alias("n_tok")
+    )
+    w = Window.orderBy("doc")
+    ranked = ids.withColumn("rn", F.row_number().over(w))
+    n_total = ranked.count()
+    bounds = [
+        (k, n_total * k // steps) for k in range(1, steps + 1) if n_total * k // steps > 0
+    ]
+    bdf = ranked.sparkSession.createDataFrame(
+        bounds, schema="step int, n_docs long"
+    )
+    bounds_ids = F.broadcast(
+        bdf.join(ranked, bdf["n_docs"] == ranked["rn"]).select(
+            "step", "n_docs", F.col("doc").alias("boundary_id")
+        )
+    )
+    first_doc = terms.groupBy("term").agg(F.min("doc").alias("first_doc"))
+    vocab = (
+        first_doc.join(
+            bounds_ids, F.col("first_doc") <= F.col("boundary_id"), "inner"
+        )
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    toks = (
+        ranked.join(bounds_ids, ranked["rn"] <= bounds_ids["n_docs"], "inner")
+        .groupBy("step")
+        .agg(F.sum("n_tok").alias("total_tokens"))
+    )
+    return (
+        bounds_ids.join(vocab, "step", "left")
+        .join(toks, "step", "left")
+        .select(
+            "step", "n_docs", "boundary_id",
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        )
+    )

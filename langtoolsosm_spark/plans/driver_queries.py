@@ -4561,6 +4561,48 @@ FROM tgt t LEFT JOIN agg a ON a.target_id = t.id
 REGISTRY.update({"idw": (q_idw, O_IDW)})
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth over 10 corpus prefixes
+    (operators/textstats.py ``vocab_growth``): the engine maps each term
+    to its FIRST containing doc (one scan for all steps); the oracle
+    naively re-counts distinct terms per prefix — different algorithms,
+    identical integers."""
+    from ..operators.textstats import vocab_growth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs, steps=10)
+
+
+O_VOCAB_GROWTH = """
+WITH ids AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+),
+n AS (SELECT count(*) AS nt FROM documents),
+bounds AS (
+  SELECT CAST(k AS INT) AS step, (nt * k) // 10 AS n_docs
+  FROM n, generate_series(1, 10) g(k)
+  WHERE (nt * k) // 10 > 0
+),
+bids AS (
+  SELECT b.step, b.n_docs, i.doc_id AS boundary_id
+  FROM bounds b JOIN ids i ON i.rn = b.n_docs
+),
+terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+)
+SELECT b.step, CAST(b.n_docs AS BIGINT) AS n_docs, b.boundary_id,
+       CAST((SELECT count(*) FROM terms t WHERE t.doc_id <= b.boundary_id)
+            AS BIGINT) AS total_tokens,
+       CAST((SELECT count(DISTINCT t.term) FROM terms t
+             WHERE t.doc_id <= b.boundary_id) AS BIGINT) AS vocab
+FROM bids b
+"""
+
+
+REGISTRY.update({"vocab_growth": (q_vocab_growth, O_VOCAB_GROWTH)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -311,3 +311,25 @@ def test_distinctive_terms_integer_ranking(spark):
     assert (got.groupby("doc_id").size() <= 2).all()
     with pytest.raises(ValueError):
         distinctive_terms(docs, k=0)
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    """4 docs, 2 steps: prefix vocab/token counts match hand counts and
+    the curve is monotone; empty-token docs still advance the prefix."""
+    from langtoolsosm_spark.operators.textstats import vocab_growth
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b a", "b c", "123 !!", "d"],
+            }
+        )
+    )
+    got = {r["step"]: r for r in vocab_growth(docs, steps=2).collect()}
+    # step 1: docs 1-2 -> tokens 5, vocab {a,b,c}=3; step 2: all -> 6, 4
+    assert (got[1]["n_docs"], got[1]["total_tokens"], got[1]["vocab"]) == (2, 5, 3)
+    assert (got[2]["n_docs"], got[2]["total_tokens"], got[2]["vocab"]) == (4, 6, 4)
+    assert got[2]["boundary_id"] == 4
+    with pytest.raises(ValueError):
+        vocab_growth(docs, steps=0)
