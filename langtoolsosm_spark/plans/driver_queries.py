@@ -4603,6 +4603,57 @@ FROM bids b
 REGISTRY.update({"vocab_growth": (q_vocab_growth, O_VOCAB_GROWTH)})
 
 
+def q_images_dedup(spark, sf_dir):
+    """End-to-end visual dedup: tile-blocked pHash banding (Hamming <=
+    6) -> connected components (distributed min-label propagation with
+    pointer jumping) -> canonical representative = min image id; emits
+    (image_id, cluster_id, keep) for every image in a near-dup cluster.
+    The oracle recomputes pairs quadratically and closes them with a
+    recursive CTE."""
+    from ..operators.dedup import dedup_clusters, hamming_band_pairs
+    from ..operators.tiling import assign_tiles
+
+    img = assign_tiles(
+        _synth_images(spark, sf_dir).select("image_id", "phash", "lat", "lon"),
+        res=5,
+    ).select("image_id", "phash", "tile")
+    pairs = hamming_band_pairs(
+        img, id_col="image_id", hash_col="phash", max_hamming=6,
+        block_cols=("tile",),
+    )
+    cl = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    return cl.select(
+        F.col("doc_id").alias("image_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("keep"),
+    )
+
+
+O_IMAGES_DEDUP = f"""
+WITH RECURSIVE img AS (
+  SELECT image_id, phash, {_tile_sql(5)} AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+p AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM img a JOIN img b USING (tile)
+  WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 6
+),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+)
+SELECT id AS image_id, min(x) AS cluster_id,
+       CAST(id = min(x) AS INT) AS keep
+FROM r GROUP BY id
+"""
+
+
+REGISTRY.update({"images_dedup": (q_images_dedup, O_IMAGES_DEDUP)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
