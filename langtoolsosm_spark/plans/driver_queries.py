@@ -4654,6 +4654,48 @@ FROM r GROUP BY id
 REGISTRY.update({"images_dedup": (q_images_dedup, O_IMAGES_DEDUP)})
 
 
+def q_stream_od(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful OD extractor
+    (streaming/microbatch.py ``stream_od_transitions``): the trajectory
+    fixture is staged as 3 TIME-ORDERED files (the ordered-ingestion
+    contract; mtime fixes trigger order), fed one file per micro-batch;
+    the rolled-up flows must equal the batch ``od_flows`` oracle
+    exactly."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_od_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__sod_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __sod_events"
+    )
+    out = tempfile.mkdtemp(prefix="streamod_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        # Spark cannot read pandas' default TIMESTAMP(NANOS) parquet
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_od_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_od": (q_stream_od, O_OD_FLOWS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

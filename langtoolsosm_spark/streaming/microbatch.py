@@ -438,3 +438,119 @@ def run_heatmap_stream_once(
     from ..operators.heatmap import tile_rollup
 
     return tile_rollup(spark.table("heatmap_stream"))
+
+
+def stream_od_transitions(
+    stream: DataFrame,
+    res: int = 8,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful streaming OD transition extraction (the streaming half of
+    operators/spatial.py ``od_flows``): per entity, state carries the
+    last seen (ts, id, tile); each micro-batch's positions — sorted by
+    (ts, id) and appended after the carried position — emit one
+    (entity, from_tile, to_tile) row per consecutive pair.
+
+    Ingestion contract: event-time order ACROSS micro-batches per entity
+    (time-split staged files / log-compacted Kafka partitions keyed by
+    entity). An out-of-order batch RAISES rather than silently emitting
+    transitions the batch job would not produce. State is one row per
+    entity (no timeout here; a live deployment would add an event-time
+    timeout to drop idle entities — eviction semantics identical to the
+    sessionize kernel's).
+
+    Tile assignment runs inside the Arrow kernel via the NumPy twin of
+    ``tile_key_col`` (bit-identical, property-tested), so the streaming
+    and batch paths share the cell math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.cells import tile_key
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                columns=[entity_col, "from_tile", "to_tile"]
+            ).astype({entity_col: "int64", "from_tile": "int64", "to_tile": "int64"})
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        eids = pdf[id_col].astype("int64").to_numpy()
+        tiles = tile_key(pdf[lat].to_numpy(), pdf[lon].to_numpy(), res)
+        if state.exists:
+            lts, leid, ltile = state.get
+            if (ts_ns[0], eids[0]) <= (int(lts), int(leid)):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {key[0]}: "
+                    f"batch starts at ({ts_ns[0]}, {eids[0]}) but state is "
+                    f"at ({lts}, {leid}) — the ordered-ingestion contract "
+                    "is broken and streaming OD would diverge from batch"
+                )
+            from_tiles = np.concatenate(([np.int64(ltile)], tiles[:-1]))
+        else:
+            from_tiles = tiles[:-1]
+            tiles_out = tiles[1:]
+        if state.exists:
+            tiles_out = tiles
+        state.update((int(ts_ns[-1]), int(eids[-1]), int(tiles[-1])))
+        yield pd.DataFrame(
+            {
+                entity_col: np.repeat(np.int64(key[0]), len(tiles_out)),
+                "from_tile": from_tiles.astype(np.int64),
+                "to_tile": tiles_out.astype(np.int64),
+            }
+        )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        kernel,
+        outputStructType=f"{entity_col} long, from_tile long, to_tile long",
+        stateStructType="lts long, leid long, ltile long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_od_stream_once(
+    spark: SparkSession, events_dir: str, checkpoint: str, res: int = 8
+) -> DataFrame:
+    """Drive the streaming OD extractor over all staged files
+    (availableNow) and roll the emitted transitions up to the batch
+    ``od_flows`` shape (from_tile, to_tile, n_trips, n_entities). The
+    rollup runs batch-side over the memory sink — chaining a streaming
+    aggregation after a stateful append source would need its own
+    output-mode gymnastics and is not what a deployment does (transitions
+    land in a log; flows are a downstream rollup)."""
+    schema = spark.read.parquet(events_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    name = f"od_stream_{abs(hash(events_dir)) % 10**8}"
+    q = (
+        stream_od_transitions(st, res=res)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("from_tile", "to_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct("user_id").alias("n_entities"),
+        )
+    )

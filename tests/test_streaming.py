@@ -304,3 +304,51 @@ def test_stream_heatmap_matches_batch(spark, tmp_path):
         .toPandas().sort_values("tile").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_od_transitions_parity_and_order_contract(spark, tmp_path):
+    """Cross-batch state carry: u1's transition between batch 1 and 2 is
+    emitted exactly once; flows equal the batch od_flows; staging the
+    files in REVERSE time order trips the ordered-ingestion guard."""
+    import os
+
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.spatial import od_flows
+    from langtoolsosm_spark.streaming.microbatch import run_od_stream_once
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:06",
+                 "2024-01-01 10:10", "2024-01-01 10:12"]
+            ).astype("datetime64[us]"),
+            "event_id": [1, 2, 3, 4, 5],
+            "lat": [10.0, 10.0, 20.0, 10.0, 20.0],
+            "lon": [10.0, 50.0, 10.0, 80.0, 10.0],
+        }
+    )
+
+    def stage(root, order):
+        src = root / "src"
+        src.mkdir(parents=True)
+        for i, (mt, sl) in enumerate(order):
+            p = str(src / f"b{i}.parquet")
+            rows.iloc[sl].to_parquet(p, index=False)
+            os.utime(p, (mt, mt))
+        return str(src)
+
+    src = stage(tmp_path / "ok", [(1000, slice(0, 3)), (2000, slice(3, 5))])
+    got = run_od_stream_once(
+        spark, src, str(tmp_path / "ok" / "ckpt"), res=4
+    )
+    ev = spark.createDataFrame(rows)
+    want = od_flows(ev, "user_id", "ts", res=4, order_tiebreak="event_id")
+    gp = sorted(map(tuple, got.collect()))
+    wp = sorted(map(tuple, want.collect()))
+    assert gp == wp and len(gp) > 0
+
+    src2 = stage(tmp_path / "bad", [(1000, slice(3, 5)), (2000, slice(0, 3))])
+    with pytest.raises(Exception, match="out-of-order|ordered-ingestion|StreamingQuery"):
+        run_od_stream_once(spark, src2, str(tmp_path / "bad" / "ckpt"), res=4)
