@@ -1230,3 +1230,47 @@ def idw_interpolate(
         "den",
         (F.col("num").cast("double") / F.col("den").cast("double")).alias("est"),
     )
+
+
+def direction_rose(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Movement-direction histogram per entity: each consecutive
+    displacement (dlat, dlon) lands in one of 8 octants coded by three
+    EXACT comparisons — ``4*(dlat >= 0) + 2*(dlon >= 0) +
+    (|dlat| > |dlon|)`` — so no atan2/bearing float ever enters the
+    plan and DuckDB reproduces every boundary decision bit-for-bit
+    (sector boundaries are the axes and diagonals; a zero displacement
+    codes as octant 6 by the same rule). Emits (entity, octant, n_moves).
+
+    One lag window (entity-key shuffle) + one map-side-combined groupBy
+    whose key space is entities x 8.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    df = events.withColumn(
+        "__dlat", F.col(lat) - F.lag(lat).over(w)
+    ).withColumn("__dlon", F.col(lon) - F.lag(lon).over(w)).filter(
+        # first row per entity has no displacement (NULL lag, which a
+        # bare when() would silently code as octant 0)
+        F.col("__dlat").isNotNull()
+    )
+    octant = (
+        F.when(F.col("__dlat") >= 0, 4).otherwise(0)
+        + F.when(F.col("__dlon") >= 0, 2).otherwise(0)
+        + F.when(F.abs("__dlat") > F.abs("__dlon"), 1).otherwise(0)
+    )
+    return (
+        df.withColumn("__oct", octant)
+        .groupBy(F.col(entity_col).alias("entity"), F.col("__oct").alias("octant"))
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+    )

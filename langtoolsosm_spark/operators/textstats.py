@@ -329,3 +329,35 @@ def vocab_growth(
             F.coalesce("vocab", F.lit(0)).alias("vocab"),
         )
     )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram counts — the n-gram language-model table (the
+    KenLM-style count collection pass): lowercase alpha tokens, adjacent
+    pairs joined with one space, aggregated corpus-wide and thresholded
+    at ``min_count`` (the standard LM count-pruning knob). Emits
+    (bigram, n).
+
+    Plan: tokens stay an ARRAY inside the row (no per-token shuffle);
+    the adjacent-pair construction is one ``transform`` over a slice —
+    pure codegen — and only the exploded bigrams hit the single
+    map-side-combined groupBy. At 100x the corpus the shuffle carries
+    (bigram, partial count), bounded by vocabulary^2 crossed with the
+    Zipf tail the threshold then cuts.
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(t, i) -> concat(t, ' ', __toks[i + 1]))"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

@@ -4696,6 +4696,79 @@ def q_stream_od(spark, sf_dir):
 REGISTRY.update({"stream_od": (q_stream_od, O_OD_FLOWS)})
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus bigram LM counts (operators/textstats.py ``ngram_counts``):
+    adjacent lowercase-alpha token pairs, corpus-wide counts, pruned at
+    n >= 3. Engine builds pairs with an in-row array transform (codegen);
+    the oracle unrolls them with a 1-based list_extract series join."""
+    from ..operators.textstats import ngram_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_counts(docs, min_count=3)
+
+
+O_NGRAM_COUNTS = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+),
+b AS (
+  SELECT list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bigram
+  FROM t JOIN generate_series(1, 100000) g(i) ON i <= len(toks) - 1
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 HAVING count(*) >= 3
+"""
+
+
+REGISTRY.update({"ngram_counts": (q_ngram_counts, O_NGRAM_COUNTS)})
+
+
+def q_direction_rose(spark, sf_dir):
+    """Per-user movement-direction octant histogram
+    (operators/spatial.py ``direction_rose``): consecutive displacements
+    coded by three exact sign/magnitude comparisons — no atan2. The
+    oracle replays the lag window and the CASE coding."""
+    from ..operators.spatial import direction_rose
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__rose_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __rose_events"
+    )
+    return direction_rose(
+        t, "user_id", "ts", order_tiebreak="event_id"
+    ).withColumnRenamed("entity", "user_id")
+
+
+O_DIRECTION_ROSE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         lat - lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dlat,
+         lon - lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dlon
+  FROM t
+)
+SELECT user_id,
+       CAST((CASE WHEN dlat >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN dlon >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN abs(dlat) > abs(dlon) THEN 1 ELSE 0 END) AS INT)
+         AS octant,
+       CAST(count(*) AS BIGINT) AS n_moves
+FROM d WHERE dlat IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"direction_rose": (q_direction_rose, O_DIRECTION_ROSE)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -810,3 +810,30 @@ def test_idw_interpolate_weights_and_empty_target(spark):
     assert abs(r10["est"] - (w1 * 100 + w2 * 900) / (w1 + w2)) < 1e-12
     assert r10["est"] < 200  # nearer source dominates
     assert got[20]["n_src"] == 0 and got[20]["est"] is None
+
+
+def test_direction_rose_octants(spark):
+    """Known path: N, E, SW moves land in the documented octants; the
+    first row contributes nothing."""
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": [1, 1, 1, 1],
+                "ts": [1, 2, 3, 4],
+                "eid": [1, 2, 3, 4],
+                "lat": [0.0, 1.0, 1.0, 0.0],
+                "lon": [0.0, 0.0, 2.0, 1.0],
+            }
+        )
+    )
+    got = {
+        r["octant"]: r["n_moves"]
+        for r in spatial.direction_rose(
+            ev, "uid", "ts", order_tiebreak="eid"
+        ).collect()
+    }
+    # N move (dlat=1>0, dlon=0>=0, |dlat|>|dlon|): 4+2+1=7
+    # E move (dlat=0>=0, dlon=2>0, |0|>|2| false): 4+2+0=6
+    # SW move (dlat=-1, dlon=-1, |a|>|o| false): 0+0+0=0
+    assert got == {7: 1, 6: 1, 0: 1}
+    assert sum(got.values()) == 3
