@@ -483,3 +483,69 @@ def block_sums(images: DataFrame, queries_per_image: int = 4) -> DataFrame:
             "px_sum long"
         ),
     )
+
+
+def blob_stats(images: DataFrame, threshold: int = 195) -> DataFrame:
+    """Connected-component blob statistics per image (the region-
+    labeling primitive behind object counting / mask extraction):
+    threshold integer Rec.709 luminance at ``threshold``, 4-connect the
+    foreground, and emit (image_id, n_fg, n_blobs, max_blob) for images
+    with at least one foreground pixel.
+
+    Kernel: per image, iterative min-label propagation over the pixel
+    grid — labels start as the flat pixel index and each sweep takes the
+    minimum across the four masked neighbor shifts until fixpoint
+    (iterations are bounded by the largest blob's graph diameter; every
+    sweep is whole-array NumPy, no per-pixel Python). The DuckDB oracle
+    computes the same components with a recursive transitive-closure CTE
+    — a genuinely different algorithm shape.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                mask = lum >= threshold
+                n_fg = int(mask.sum())
+                if n_fg == 0:
+                    continue
+                h, w = mask.shape
+                big = h * w  # sentinel above any real label
+                lbl = np.where(
+                    mask, np.arange(big, dtype=np.int64).reshape(h, w), big
+                )
+                while True:
+                    # Jacobi sweep: every neighbor view is a shift of the
+                    # CURRENT labels with the sentinel padded in, so the
+                    # background (= sentinel) can never relay a label
+                    # between two blobs it separates
+                    up = np.full_like(lbl, big)
+                    up[1:, :] = lbl[:-1, :]
+                    dn = np.full_like(lbl, big)
+                    dn[:-1, :] = lbl[1:, :]
+                    lf = np.full_like(lbl, big)
+                    lf[:, 1:] = lbl[:, :-1]
+                    rt = np.full_like(lbl, big)
+                    rt[:, :-1] = lbl[:, 1:]
+                    nxt = np.where(
+                        mask, np.minimum.reduce([lbl, up, dn, lf, rt]), big
+                    )
+                    if (nxt == lbl).all():
+                        break
+                    lbl = nxt
+                _, counts = np.unique(lbl[mask], return_counts=True)
+                recs.append(
+                    (img_id, n_fg, int(counts.size), int(counts.max()))
+                )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "n_fg", "n_blobs", "max_blob"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_fg long, n_blobs long, max_blob long",
+    )

@@ -4769,6 +4769,69 @@ GROUP BY 1, 2
 REGISTRY.update({"direction_rose": (q_direction_rose, O_DIRECTION_ROSE)})
 
 
+def q_blob_stats(spark, sf_dir):
+    """Connected-component blob stats (operators/images.py
+    ``blob_stats``) over a 1-in-32 sample of the RAW subset: luminance
+    threshold 195, 4-connected components via masked min-label sweeps;
+    the oracle re-decodes the bytes and closes the same components with
+    a recursive transitive-closure CTE."""
+    from ..operators.images import blob_stats
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return blob_stats(imgs, threshold=195)
+
+
+O_BLOB_STATS = f"""
+WITH RECURSIVE v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+lum AS (
+  SELECT image_id, w, h, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         CAST((2126 * SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+             + 7152 * SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+             +  722 * SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END))
+              // 10000 AS BIGINT) AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4, 5
+),
+fg AS (
+  SELECT image_id, r * w + c AS pid, r, c FROM lum WHERE l >= 195
+),
+e AS (
+  SELECT a.image_id, a.pid AS pa, b.pid AS pb
+  FROM fg a JOIN fg b ON a.image_id = b.image_id
+   AND ((a.r = b.r AND abs(a.c - b.c) = 1)
+     OR (a.c = b.c AND abs(a.r - b.r) = 1))
+),
+r(image_id, id, x) AS (
+  SELECT image_id, pid, pid FROM fg
+  UNION
+  SELECT r.image_id, r.id, e.pb
+  FROM r JOIN e ON e.image_id = r.image_id AND e.pa = r.x
+),
+lbl AS (SELECT image_id, id, min(x) AS cl FROM r GROUP BY 1, 2),
+blobs AS (SELECT image_id, cl, count(*) AS sz FROM lbl GROUP BY 1, 2)
+SELECT image_id, CAST(SUM(sz) AS BIGINT) AS n_fg,
+       CAST(count(*) AS BIGINT) AS n_blobs,
+       CAST(max(sz) AS BIGINT) AS max_blob
+FROM blobs GROUP BY 1
+"""
+
+
+REGISTRY.update({"blob_stats": (q_blob_stats, O_BLOB_STATS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -364,3 +364,36 @@ def test_block_sums_matches_naive(spark):
         assert r["px_sum"] == naive
     with pytest.raises(ValueError):
         im.block_sums(df, queries_per_image=0)
+
+
+def test_blob_stats_connectivity(spark):
+    """4-connectivity: a U-shaped blob is ONE component; two blobs
+    touching only diagonally stay separate; all-background images are
+    dropped."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    def img(mask):
+        px = np.zeros((*mask.shape, 3), dtype=np.uint8)
+        px[mask] = 255
+        return ic.encode(px, "raw")
+
+    u = np.zeros((5, 5), dtype=bool)
+    u[1:4, 1] = True; u[3, 1:4] = True; u[1:4, 3] = True  # U shape
+    diag = np.zeros((4, 4), dtype=bool)
+    diag[0, 0] = diag[1, 1] = True  # diagonal touch only
+    bg = np.zeros((3, 3), dtype=bool)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["u", "diag", "bg"],
+                "bytes": [img(u), img(diag), img(bg)],
+                "fmt": ["raw"] * 3,
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in im.blob_stats(df, threshold=200).collect()}
+    assert "bg" not in got and len(got) == 2
+    assert (got["u"]["n_blobs"], got["u"]["n_fg"], got["u"]["max_blob"]) == (1, 7, 7)
+    assert (got["diag"]["n_blobs"], got["diag"]["max_blob"]) == (2, 1)
