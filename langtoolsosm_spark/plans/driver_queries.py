@@ -4867,30 +4867,33 @@ _DRIVER_WINDOW = [
     "distance_join", "geo_clusters", "trajectory_stats",
     "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
     "trajectory_resample", "heatmap_pyramid", "stream_heatmap",
-    # --- touched this round (kNN clamp, PIP prefilter, multimodal batch,
-    #     dedup Observation wait) ---
-    "tile_assign", "pip_join", "pip_unique_owner", "pip_join_shuffled",
-    "knn_join", "knn_join_cogroup",
-    "video_frame_stats", "video_scene_cuts", "pcm16_features",
-    "audio_vad_segments", "dedup_clusters", "dedup_apply",
-    # --- highest-risk signed backfill (6; the other r4-signed backfill
-    #     slots — expr-LSH/seed-IVF variants, the decontamination trio,
-    #     images_tile_assign, all untouched this round — rotated out to
-    #     make room for the 6 newest queries below) ---
-    "salted_repartition", "cdc_merge",
-    "translate_with_wikidata",
-    "embedding_topk_sharded",
-    "embedding_lsh_ann_kernel", "embedding_ivf_lloyd",
-    # --- new late in round 5 (15): geohash codec, zonal stats, snap
-    #     join, image palette, vector-tile clipping, focal stats,
-    #     Moran's I, ViT patch tokenization, patch-level dedup, hex
-    #     binning, histogram equalization, Sobel edge stats, Hilbert
-    #     encoding, OD flows ---
+    # --- touched this round, kept for risk coverage (kNN clamp, PIP
+    #     hierarchical cover, multimodal batched DCT): one gate per
+    #     touched path; the siblings (pip_unique_owner, knn_join_cogroup,
+    #     scene cuts / pcm16 / VAD, dedup_clusters+apply — the last two
+    #     re-exercised by the NEW images_dedup below, same propagation
+    #     code) rotate out, all r4-signed ---
+    "pip_join", "pip_join_shuffled", "knn_join", "video_frame_stats",
+    # --- highest-risk signed backfill (4) ---
+    "cdc_merge", "translate_with_wikidata",
+    "embedding_topk_sharded", "embedding_lsh_ann_kernel",
+    # --- new mid round 5 (15): geohash codec, zonal stats, snap join,
+    #     image palette, vector-tile clipping, focal stats, Moran's I,
+    #     ViT patch tokenization, patch-level dedup, hex binning,
+    #     histogram equalization, Sobel edge stats, Hilbert encoding,
+    #     OD flows ---
     "geohash_encode", "geohash_rollup", "zonal_stats",
     "snap_to_segments", "image_palette", "clip_segments",
     "focal_stats", "moran_i", "image_patches",
     "patch_dup_pairs", "hex_rollup", "hist_eq",
     "edge_stats", "hilbert_encode", "od_flows",
+    # --- new late round 5 (10): integral-image sums, geofence
+    #     transitions, integer tf-idf, IDW, vocab growth, visual dedup
+    #     clusters, streaming OD parity, bigram LM counts, direction
+    #     rose, CCL blob stats ---
+    "block_sums", "geofence", "distinctive_terms", "idw",
+    "vocab_growth", "images_dedup", "stream_od", "ngram_counts",
+    "direction_rose", "blob_stats",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
