@@ -549,3 +549,62 @@ def blob_stats(images: DataFrame, threshold: int = 195) -> DataFrame:
         kernel,
         schema="image_id string, n_fg long, n_blobs long, max_blob long",
     )
+
+
+def augment_checksums(images: DataFrame) -> DataFrame:
+    """Deterministic augmentation pass (the geometry half of an image
+    training pipeline's aug stage, with the pixel payload summarized to
+    an exact checksum so an independent engine can audit it): per image
+    emit one row per augmentation op in {identity, hflip, vflip,
+    rot180, crop} with ``chk = sum(px * (3 * (r' * W + c') + ch + 1))``
+    — the position-weighted checksum over the TRANSFORMED coordinate
+    frame (W = the transformed width). The crop rectangle derives from
+    the numeric image id with the same multiplicative hashing as
+    ``block_sums`` (half-open, clamped to at least 1x1).
+
+    Flips/rotation are NumPy views (no copy); the checksum is one
+    tensordot per op. Output carries no pixels, so 5x rows of 4 ints
+    shuffle, not 5x image bytes — at 100x scale the augmented TENSORS
+    would go straight into the training shard writer on the same
+    executor, never through a shuffle.
+    """
+
+    OPS = ("identity", "hflip", "vflip", "rot180", "crop")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                v = int(img_id[3:])
+                x0, x1 = sorted(((v * 40503) % w, (v * 69069) % w))
+                y0, y1 = sorted(((v * 40503) % h, (v * 69069) % h))
+                variants = {
+                    "identity": px,
+                    "hflip": px[:, ::-1],
+                    "vflip": px[::-1, :],
+                    "rot180": px[::-1, ::-1],
+                    "crop": px[y0 : y1 + 1, x0 : x1 + 1],
+                }
+                for op in OPS:
+                    a = variants[op]
+                    hh, ww = a.shape[:2]
+                    wgt = (
+                        3
+                        * (
+                            np.arange(hh)[:, None] * ww + np.arange(ww)[None, :]
+                        )[..., None]
+                        + np.arange(3)[None, None, :]
+                        + 1
+                    )
+                    recs.append(
+                        (img_id, op, hh * ww, int((a * wgt).sum()))
+                    )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "op", "n_px", "chk"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, schema="image_id string, op string, n_px long, chk long"
+    )

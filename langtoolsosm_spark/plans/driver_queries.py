@@ -4832,6 +4832,78 @@ FROM blobs GROUP BY 1
 REGISTRY.update({"blob_stats": (q_blob_stats, O_BLOB_STATS)})
 
 
+def q_augment(spark, sf_dir):
+    """Deterministic augmentation checksums (operators/images.py
+    ``augment_checksums``) over a 1-in-32 sample of the RAW subset: 5
+    ops per image (identity / hflip / vflip / rot180 / hash-derived
+    crop), each summarized by the position-weighted checksum in the
+    TRANSFORMED frame. The oracle replays every op as a coordinate
+    transform over the byte CTE."""
+    from ..operators.images import augment_checksums
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return augment_checksums(imgs)
+
+
+O_AUGMENT = f"""
+WITH v AS (
+  SELECT image_id, CAST(substr(image_id, 4, 9) AS BIGINT) AS vid,
+         w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, vid, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+px AS (
+  SELECT image_id, vid, w, h, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         (i - 9) % 3 AS ch, bv
+  FROM b WHERE i >= 9
+),
+crop AS (
+  SELECT image_id,
+         least((vid * 40503) % w, (vid * 69069) % w) AS x0,
+         greatest((vid * 40503) % w, (vid * 69069) % w) AS x1,
+         least((vid * 40503) % h, (vid * 69069) % h) AS y0,
+         greatest((vid * 40503) % h, (vid * 69069) % h) AS y1
+  FROM v
+)
+SELECT image_id, 'identity' AS op, CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(bv * (3 * (r * w + c) + ch + 1)) AS BIGINT) AS chk
+FROM px GROUP BY 1, 2, 3
+UNION ALL
+SELECT image_id, 'hflip', CAST(w * h AS BIGINT),
+       CAST(SUM(bv * (3 * (r * w + (w - 1 - c)) + ch + 1)) AS BIGINT)
+FROM px GROUP BY 1, 2, 3
+UNION ALL
+SELECT image_id, 'vflip', CAST(w * h AS BIGINT),
+       CAST(SUM(bv * (3 * ((h - 1 - r) * w + c) + ch + 1)) AS BIGINT)
+FROM px GROUP BY 1, 2, 3
+UNION ALL
+SELECT image_id, 'rot180', CAST(w * h AS BIGINT),
+       CAST(SUM(bv * (3 * ((h - 1 - r) * w + (w - 1 - c)) + ch + 1)) AS BIGINT)
+FROM px GROUP BY 1, 2, 3
+UNION ALL
+SELECT p.image_id, 'crop',
+       CAST((cr.x1 - cr.x0 + 1) * (cr.y1 - cr.y0 + 1) AS BIGINT),
+       CAST(SUM(bv * (3 * ((r - cr.y0) * (cr.x1 - cr.x0 + 1) + (c - cr.x0))
+                      + ch + 1)) AS BIGINT)
+FROM px p JOIN crop cr ON cr.image_id = p.image_id
+WHERE r >= cr.y0 AND r <= cr.y1 AND c >= cr.x0 AND c <= cr.x1
+GROUP BY 1, 2, 3
+"""
+
+
+REGISTRY.update({"augment": (q_augment, O_AUGMENT)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

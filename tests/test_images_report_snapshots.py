@@ -397,3 +397,38 @@ def test_blob_stats_connectivity(spark):
     assert "bg" not in got and len(got) == 2
     assert (got["u"]["n_blobs"], got["u"]["n_fg"], got["u"]["max_blob"]) == (1, 7, 7)
     assert (got["diag"]["n_blobs"], got["diag"]["max_blob"]) == (2, 1)
+
+
+def test_augment_checksums_transform_frames(spark):
+    """Each op's checksum equals the identity checksum of the
+    numpy-transformed array; crop shape follows the id-derived rect."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (5, 7, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["img000000011"], "bytes": [ic.encode(px, "raw")], "fmt": ["raw"]}
+        )
+    )
+    got = {r["op"]: r for r in im.augment_checksums(df).collect()}
+
+    def chk(a):
+        a = a.astype(np.int64)
+        hh, ww = a.shape[:2]
+        wgt = (3 * (np.arange(hh)[:, None] * ww + np.arange(ww)[None, :])[..., None]
+               + np.arange(3)[None, None, :] + 1)
+        return int((a * wgt).sum())
+
+    v = 11
+    x0, x1 = sorted(((v * 40503) % 7, (v * 69069) % 7))
+    y0, y1 = sorted(((v * 40503) % 5, (v * 69069) % 5))
+    assert got["identity"]["chk"] == chk(px)
+    assert got["hflip"]["chk"] == chk(px[:, ::-1])
+    assert got["vflip"]["chk"] == chk(px[::-1, :])
+    assert got["rot180"]["chk"] == chk(px[::-1, ::-1])
+    assert got["crop"]["chk"] == chk(px[y0:y1 + 1, x0:x1 + 1])
+    assert got["crop"]["n_px"] == (x1 - x0 + 1) * (y1 - y0 + 1)
+    assert got["identity"]["n_px"] == 35
