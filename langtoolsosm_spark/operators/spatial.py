@@ -1274,3 +1274,33 @@ def direction_rose(
         .groupBy(F.col(entity_col).alias("entity"), F.col("__oct").alias("octant"))
         .agg(F.count(F.lit(1)).alias("n_moves"))
     )
+
+
+def tile_activity(
+    events: DataFrame,
+    res: int = 6,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Space-time activity profile: event counts and distinct entities
+    per (tile, hour-of-day) — the temporal signature layer of a
+    heatmap (commute tiles vs nightlife tiles separate on this output
+    even when their totals match). Pure column expressions into one
+    groupBy whose key space is tiles x 24; the distinct count is
+    Spark's standard two-phase expand. Emits
+    (tile, hour, n_events, n_entities).
+    """
+    tile = tile_key_col(F.col(lat), F.col(lon), res)
+    return (
+        events.withColumn("__tile", tile)
+        .withColumn("__hour", F.hour(ts_col))
+        .groupBy(
+            F.col("__tile").alias("tile"), F.col("__hour").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(entity_col).alias("n_entities"),
+        )
+    )

@@ -361,3 +361,35 @@ def ngram_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def charset_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Charset hygiene metrics — the mojibake/binary-junk filter signals
+    of a web-corpus cleaner: per doc, exact counts of printable-ASCII /
+    alpha / digit / space characters, the non-ASCII remainder, and
+    ``ascii_milli = 1000 * n_ascii // n_chars`` (0 for empty text).
+    Pure column expressions (length of class-stripped regexp_replace —
+    no explode, no UDF), one narrow projection per row.
+    """
+    t = F.col(text_col)
+
+    def n_of(cls: str) -> F.Column:
+        return F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+
+    n_chars = F.length(t)
+    n_ascii = n_of("[ -~]")
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_ascii.alias("n_ascii"),
+        n_of("[A-Za-z]").alias("n_alpha"),
+        n_of("[0-9]").alias("n_digit"),
+        n_of("[ ]").alias("n_space"),
+        (n_chars - n_ascii).alias("n_nonascii"),
+        F.when(n_chars > 0, F.expr(
+            f"1000 * (length({text_col}) - length(regexp_replace({text_col}, '[ -~]', ''))) "
+            f"div length({text_col})"
+        )).otherwise(F.lit(0)).alias("ascii_milli"),
+    )

@@ -4904,6 +4904,70 @@ GROUP BY 1, 2, 3
 REGISTRY.update({"augment": (q_augment, O_AUGMENT)})
 
 
+def q_tile_activity(spark, sf_dir):
+    """Space-time activity profile (operators/spatial.py
+    ``tile_activity``): event + distinct-user counts per (res-6 tile,
+    hour-of-day). One groupBy; the oracle replays the tile key and
+    hour extraction."""
+    from ..operators.spatial import tile_activity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__act_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __act_events"
+    )
+    return tile_activity(t, res=6)
+
+
+O_TILE_ACTIVITY = f"""
+WITH t AS (
+  SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+)
+SELECT {_tile_sql(6)} AS tile, CAST(hour(ts) AS INT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM t GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"tile_activity": (q_tile_activity, O_TILE_ACTIVITY)})
+
+
+def q_charset_stats(spark, sf_dir):
+    """Charset hygiene metrics (operators/textstats.py
+    ``charset_stats``): exact printable-ASCII / alpha / digit / space
+    counts and the integer ascii_milli ratio per document."""
+    from ..operators.textstats import charset_stats
+
+    return charset_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_CHARSET_STATS = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+            AS INT) AS n_ascii,
+       CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS INT) AS n_alpha,
+       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+            AS INT) AS n_digit,
+       CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+            AS INT) AS n_space,
+       CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS INT)
+         AS n_nonascii,
+       CAST(CASE WHEN length(text) > 0 THEN
+         1000 * (length(text) - length(regexp_replace(text, '[ -~]', '', 'g')))
+           // length(text)
+       ELSE 0 END AS INT) AS ascii_milli
+FROM documents
+"""
+
+
+REGISTRY.update({"charset_stats": (q_charset_stats, O_CHARSET_STATS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
