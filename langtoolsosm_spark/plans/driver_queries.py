@@ -4968,6 +4968,49 @@ FROM documents
 REGISTRY.update({"charset_stats": (q_charset_stats, O_CHARSET_STATS)})
 
 
+def q_stream_geofence(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful geofence detector
+    (streaming/microbatch.py ``stream_geofence_transitions``): 3
+    time-ordered staged files, per-entity zone state across batches, the
+    same ray-cast kernel as the batch PIP join; the emitted transition
+    log must equal the batch geofence oracle exactly."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import numpy as _np
+
+    from ..streaming.microbatch import run_geofence_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__sgf_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __sgf_events"
+    )
+    rings = {pid: _np.asarray(ring, dtype=float) for pid, ring in GEO_POLYGONS}
+    out = tempfile.mkdtemp(prefix="streamgf_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_geofence_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), rings
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_geofence": (q_stream_geofence, O_GEOFENCE)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -554,3 +554,127 @@ def run_od_stream_once(
             F.countDistinct("user_id").alias("n_entities"),
         )
     )
+
+
+def stream_geofence_transitions(
+    stream: DataFrame,
+    rings: dict[str, "object"],
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming geofence enter/exit detection (the live counterpart of
+    operators/spatial.py ``geofence_transitions``): ``rings`` is the
+    broadcastable polygon dimension {polygon_id: (n, 2) lat/lon ring
+    array}; each micro-batch's positions get their zone from the SAME
+    ray-cast kernel the batch PIP join refines with
+    (functions/geo.points_in_polygon — identical half-open tie-breaks),
+    unique ownership = lexicographically smallest containing polygon,
+    NULL when outside all. Per-entity state carries (ts, id, zone);
+    transitions (zone change, or first position inside a zone) emit as
+    (entity, ts, id, from_zone, to_zone). Ordered-ingestion contract +
+    loud raise, exactly as ``stream_od_transitions``.
+
+    Scale: the ring dim rides the closure (a few KB per polygon — the
+    admin-boundary case that outgrows this would pre-join a cover tile
+    dimension stream-static instead); state is one row per entity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import geo
+
+    pids = sorted(rings)
+    ring_arrays = [np.asarray(rings[p], dtype=np.float64) for p in pids]
+
+    def zone_of(lats: "np.ndarray", lons: "np.ndarray") -> "np.ndarray":
+        out = np.full(len(lats), None, dtype=object)
+        # reversed: earlier (smaller) ids overwrite later ones -> min id
+        for pid, ring in zip(reversed(pids), reversed(ring_arrays)):
+            inside = geo.points_in_polygon(lats, lons, ring)
+            out[inside] = pid
+        return out
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(
+                columns=[entity_col, ts_col, id_col, "from_zone", "to_zone"]
+            )
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        eids = pdf[id_col].astype("int64").to_numpy()
+        zones = zone_of(pdf[lat].to_numpy(), pdf[lon].to_numpy())
+        if state.exists:
+            lts, leid, lzone = state.get
+            if (ts_ns[0], eids[0]) <= (int(lts), int(leid)):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {key[0]}: the "
+                    "ordered-ingestion contract is broken"
+                )
+            prev = np.concatenate(([lzone if lzone != "" else None], zones[:-1]))
+            emit = prev != zones
+        else:
+            prev = np.concatenate(([None], zones[:-1]))
+            emit = prev != zones
+            emit[0] = zones[0] is not None
+        state.update(
+            (int(ts_ns[-1]), int(eids[-1]),
+             zones[-1] if zones[-1] is not None else "")
+        )
+        out = pd.DataFrame(
+            {
+                entity_col: pdf[entity_col].to_numpy()[emit],
+                ts_col: pdf[ts_col].to_numpy()[emit],
+                id_col: eids[emit],
+                "from_zone": prev[emit],
+                "to_zone": zones[emit],
+            }
+        )
+        yield out
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        kernel,
+        outputStructType=(
+            f"{entity_col} long, {ts_col} timestamp, {id_col} long, "
+            "from_zone string, to_zone string"
+        ),
+        stateStructType="lts long, leid long, lzone string",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_geofence_stream_once(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    rings: dict[str, "object"],
+) -> DataFrame:
+    """Drive the streaming geofence detector over all staged files
+    (availableNow, one file per trigger) and return the emitted
+    transition log from the memory sink."""
+    schema = spark.read.parquet(events_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    name = f"gf_stream_{abs(hash(events_dir)) % 10**8}"
+    q = (
+        stream_geofence_transitions(st, rings)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
