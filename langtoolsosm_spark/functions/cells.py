@@ -284,7 +284,13 @@ def hilbert_level_exprs(s: int, n: int, x: str, y: str) -> tuple[str, str, str]:
     text parses and evaluates identically in Spark SQL and DuckDB."""
     rx = f"(CASE WHEN {x} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
     ry = f"(CASE WHEN {y} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
-    dinc = f"{s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    # s*s must be BIGINT before the x3: at res >= 16, s*s = 2^30 and the
+    # int32 product overflows (Spark ANSI raises; found via the CLI
+    # compact job clustering a res-8 tile key on the res-16 curve)
+    dinc = (
+        f"CAST({s * s} AS BIGINT) * "
+        f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    )
     xn = (
         f"(CASE WHEN {ry} = 1 THEN {x} "
         f"WHEN {rx} = 1 THEN {n - 1} - {y} ELSE {y} END)"
