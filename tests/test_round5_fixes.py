@@ -333,3 +333,19 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert got[2]["boundary_id"] == 4
     with pytest.raises(ValueError):
         vocab_growth(docs, steps=0)
+
+
+def test_cli_entry_point_query_job(spark, tmp_path):
+    """python -m langtoolsosm_spark --job query runs a registry query
+    in-process and writes parquet (the spark-submit surface)."""
+    from langtoolsosm_spark.__main__ import main
+
+    out = str(tmp_path / "q")
+    rc = main([
+        "--job", "query", "--name", "tile_assign",
+        "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out).count() > 0
+    assert main(["--job", "query", "--name", "nope",
+                 "--sf-dir", "x", "--out", out]) == 2
