@@ -5052,10 +5052,11 @@ _DRIVER_WINDOW = [
     #     scene cuts / pcm16 / VAD, dedup_clusters+apply — the last two
     #     re-exercised by the NEW images_dedup below, same propagation
     #     code) rotate out, all r4-signed ---
-    "pip_join", "pip_join_shuffled", "knn_join", "video_frame_stats",
-    # --- highest-risk signed backfill (4) ---
-    "cdc_merge", "translate_with_wikidata",
-    "embedding_topk_sharded", "embedding_lsh_ann_kernel",
+    "pip_join", "pip_join_shuffled", "knn_join",
+    # --- highest-risk signed backfill (1; video_frame_stats, cdc_merge
+    #     and the embedding pair rotated out — r4-signed, untouched — to
+    #     admit the 4 late additions at the end) ---
+    "translate_with_wikidata",
     # --- new mid round 5 (15): geohash codec, zonal stats, snap join,
     #     image palette, vector-tile clipping, focal stats, Moran's I,
     #     ViT patch tokenization, patch-level dedup, hex binning,
@@ -5073,6 +5074,9 @@ _DRIVER_WINDOW = [
     "block_sums", "geofence", "distinctive_terms", "idw",
     "vocab_growth", "images_dedup", "stream_od", "ngram_counts",
     "direction_rose", "blob_stats",
+    # --- newest 4: augmentation checksums, space-time activity,
+    #     charset hygiene, streaming geofence parity ---
+    "augment", "tile_activity", "charset_stats", "stream_geofence",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
