@@ -300,3 +300,27 @@ def hilbert_level_exprs(s: int, n: int, x: str, y: str) -> tuple[str, str, str]:
         f"WHEN {rx} = 1 THEN {n - 1} - {x} ELSE {x} END)"
     )
     return dinc, xn, yn
+
+
+def quadkey_col(lat_col, lon_col, res: int):
+    """Bing-maps quadkey STRING of the tile at ``res`` (digit k =
+    x-bit + 2*y-bit at level k, most significant first) — the
+    string-keyed tile id interop format (joins against XYZ/Bing tile
+    services, prefix-match = ancestor containment, lexicographic sort =
+    Z-order locality). Pure concat/bit expressions, codegen'd; the
+    DuckDB oracle spells the identical digit arithmetic."""
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    ix = F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    iy = F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
+    digits = [
+        (
+            F.shiftright(ix, res - 1 - k).bitwiseAND(F.lit(1))
+            + F.shiftleft(F.shiftright(iy, res - 1 - k).bitwiseAND(F.lit(1)), 1)
+        ).cast("string")
+        for k in range(res)
+    ]
+    return F.concat(*digits)

@@ -5011,6 +5011,78 @@ def q_stream_geofence(spark, sf_dir):
 REGISTRY.update({"stream_geofence": (q_stream_geofence, O_GEOFENCE)})
 
 
+QK_RES = 8
+
+
+def q_quadkey(spark, sf_dir):
+    """Bing quadkey string encode at res 8 (functions/cells.py
+    ``quadkey_col``): prefix-match containment + lexicographic Z-order,
+    pure concat/bit codegen; the oracle spells identical digit math."""
+    from ..functions.cells import quadkey_col
+
+    pts = geo_points(spark, sf_dir)
+    return pts.select(
+        "point_id", quadkey_col(F.col("lat"), F.col("lon"), QK_RES).alias("quadkey")
+    )
+
+
+def _o_quadkey(res: int) -> str:
+    n = 1 << res
+    digits = " || ".join(
+        f"CAST(((ix >> {res - 1 - k}) & 1) + 2 * ((iy >> {res - 1 - k}) & 1) "
+        f"AS VARCHAR)"
+        for k in range(res)
+    )
+    return f"""
+WITH {PTS_CTE},
+g AS (
+  SELECT point_id,
+         CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS ix,
+         CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS iy
+  FROM pts
+)
+SELECT point_id, {digits} AS quadkey FROM g
+"""
+
+
+O_QUADKEY = _o_quadkey(QK_RES)
+
+
+def q_source_dup_profile(spark, sf_dir):
+    """Per-source duplication profile over documents: doc count, distinct
+    text count (md5 canonical), and the integer dup-rate
+    ``1000 * (n - distinct) // n`` — the per-provenance quality summary a
+    corpus report leads with."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.encode("text", "UTF-8"))).alias("n_distinct"),
+    ).select(
+        "source", "n_docs", "n_distinct",
+        F.expr("1000 * (n_docs - n_distinct) div n_docs").alias("dup_milli"),
+    )
+
+
+O_SOURCE_DUP = """
+WITH a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, n_distinct,
+       CAST(1000 * (n_docs - n_distinct) // n_docs AS BIGINT) AS dup_milli
+FROM a
+"""
+
+
+REGISTRY.update(
+    {
+        "quadkey": (q_quadkey, O_QUADKEY),
+        "source_dup_profile": (q_source_dup_profile, O_SOURCE_DUP),
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -83,3 +83,25 @@ def test_morton_locality():
     # roundtrip-free sanity: distinct inputs -> distinct keys
     z3 = cells.morton_key(LAT, LON, 26)
     assert len(np.unique(z3)) > 4900
+
+
+def test_quadkey_prefix_and_digits(spark):
+    """A res-8 quadkey starts with the res-4 quadkey of the same point
+    (ancestor containment = prefix match), digits are base-4, and the
+    key length equals res."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from langtoolsosm_spark.functions.cells import quadkey_col
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [40.4, -33.9, 0.0], "lon": [2.2, 151.2, 0.0]})
+    )
+    out = df.select(
+        quadkey_col(F.col("lat"), F.col("lon"), 8).alias("q8"),
+        quadkey_col(F.col("lat"), F.col("lon"), 4).alias("q4"),
+    ).collect()
+    for r in out:
+        assert len(r["q8"]) == 8 and len(r["q4"]) == 4
+        assert r["q8"].startswith(r["q4"])
+        assert set(r["q8"]) <= set("0123")
