@@ -1304,3 +1304,60 @@ def tile_activity(
             F.countDistinct(entity_col).alias("n_entities"),
         )
     )
+
+
+def raster_polygonize(
+    points: DataFrame,
+    res: int = 10,
+    min_count: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Raster -> vector: polygonize the occupancy raster into labeled
+    connected regions (the inverse of ``rasterize_polygons``, closing
+    the north-star's raster<->vector loop). Tiles with >= ``min_count``
+    points are foreground; 4-adjacent foreground tiles merge; emits one
+    row per region: (region_id = smallest member tile, n_tiles, n_pts).
+
+    Plan: occupancy is one map-side-combined histogram; adjacency is
+    TWO equi-joins (right neighbor = tile + 2^res, upper neighbor =
+    tile + 1 guarded against the iy-wrap alias ``tile % n = n - 1`` —
+    an OR-join would degrade to a nested loop); components reuse the
+    pointer-jumping min-label propagation; singleton tiles come back
+    via a left join. Everything shuffles on tile/region keys — the
+    region count, not the point count, bounds the final rollup.
+    """
+    from .dedup import dedup_clusters
+    from .tiling import assign_tiles, cell_histogram
+
+    n = 1 << res
+    occ = cell_histogram(
+        assign_tiles(points, res=res, lat=lat, lon=lon), "tile"
+    ).filter(F.col("n_rows") >= min_count)
+
+    a = occ.select(F.col("tile").alias("ta"), F.col("n_rows"))
+    b = occ.select(F.col("tile").alias("tb"))
+    up = (
+        a.filter(F.col("ta") % n < n - 1)
+        .withColumn("__nb", F.col("ta") + 1)
+        .join(b, F.col("__nb") == F.col("tb"))
+        .select("ta", "tb")
+    )
+    right = (
+        a.withColumn("__nb", F.col("ta") + n)
+        .join(b, F.col("__nb") == F.col("tb"))
+        .select("ta", "tb")
+    )
+    pairs = up.unionByName(right)
+    labels = dedup_clusters(pairs, "ta", "tb", max_iter=max_iter).select(
+        F.col("doc_id").alias("tile"), F.col("cluster_id").alias("region_id")
+    )
+    labeled = occ.join(labels, "tile", "left").select(
+        "tile", "n_rows",
+        F.coalesce("region_id", F.col("tile")).alias("region_id"),
+    )
+    return labeled.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("n_rows").alias("n_pts"),
+    )

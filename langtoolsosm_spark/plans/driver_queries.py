@@ -5083,6 +5083,47 @@ REGISTRY.update(
 )
 
 
+def q_raster_polygonize(spark, sf_dir):
+    """Raster -> vector polygonization (operators/spatial.py
+    ``raster_polygonize``): connected regions of occupied res-10 tiles
+    (>= 3 points), labeled by smallest member tile. The oracle closes
+    the same adjacency with a recursive CTE."""
+    from ..operators.spatial import raster_polygonize
+
+    return raster_polygonize(geo_points(spark, sf_dir), res=10, min_count=3)
+
+
+_PN = 1 << 10
+O_RASTER_POLYGONIZE = f"""
+WITH RECURSIVE {PTS_CTE},
+occ AS (
+  SELECT {_tile_sql(10)} AS tile, CAST(count(*) AS BIGINT) AS n_pts
+  FROM pts GROUP BY 1 HAVING count(*) >= 3
+),
+e0 AS (
+  SELECT a.tile AS a, b.tile AS b FROM occ a JOIN occ b
+    ON (b.tile = a.tile + 1 AND a.tile % {_PN} < {_PN - 1})
+    OR b.tile = a.tile + {_PN}
+),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+r(id, x) AS (
+  SELECT tile, tile FROM occ
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+),
+lbl AS (SELECT id, min(x) AS region_id FROM r GROUP BY id)
+SELECT lbl.region_id, CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(occ.n_pts) AS BIGINT) AS n_pts
+FROM occ JOIN lbl ON lbl.id = occ.tile
+GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {"raster_polygonize": (q_raster_polygonize, O_RASTER_POLYGONIZE)}
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -837,3 +837,25 @@ def test_direction_rose_octants(spark):
     # SW move (dlat=-1, dlon=-1, |a|>|o| false): 0+0+0=0
     assert got == {7: 1, 6: 1, 0: 1}
     assert sum(got.values()) == 3
+
+
+def test_raster_polygonize_regions(spark):
+    """Two point clusters separated by empty tiles form two regions;
+    iy-wrap aliasing (tile+1 across a column boundary) must NOT merge
+    them; sub-threshold tiles drop."""
+    rows = []
+    # cluster A: dense points in two horizontally adjacent res-4 tiles
+    for k in range(5):
+        rows += [(10.0 + k * 0.01, 10.0), (10.0 + k * 0.01, 35.0)]
+    # cluster B: far away
+    for k in range(4):
+        rows.append((-60.0, -120.0 + k * 0.01))
+    # noise: a single isolated point (below min_count)
+    rows.append((30.0, -170.0))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    got = spatial.raster_polygonize(df, res=4, min_count=2).collect()
+    sizes = sorted((r["n_tiles"], r["n_pts"]) for r in got)
+    # A spans tiles (10,10) and (10,35): lon 10->tile ix 8, lon 35-> ix 9
+    # at res 4 (22.5 deg tiles) -> two horizontally adjacent tiles = ONE
+    # region of 10 pts; B = one tile of 4 pts
+    assert sizes == [(1, 4), (2, 10)]
