@@ -270,14 +270,28 @@ def duplicate_patch_pairs(
         F.shiftright("sum_b", sum_shift).alias("qb"),
     )
     keys = ["patch_row", "patch_col", "qr", "qg", "qb"]
-    a = fp.alias("a")
-    b = fp.alias("b")
-    pairs = a.join(b, on=keys).where(F.col("a.image_id") < F.col("b.image_id"))
+    # ONE pass, no self-join: a fingerprint self-join would re-run the
+    # decode kernel for the second scan (mapInPandas output has no
+    # parquet to re-read). Instead each fingerprint bucket collects its
+    # (unique, sorted) image ids — bucket occupancy is quantization-
+    # bounded — and the intra-bucket pairs unroll JVM-side with in-row
+    # array transforms.
+    buckets = (
+        fp.groupBy(*keys)
+        .agg(F.sort_array(F.collect_set("image_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> "
+                "struct(a AS img_a, b AS img_b))))"
+            )
+        ).alias("p")
+    ).select("p.img_a", "p.img_b")
     return (
-        pairs.groupBy(
-            F.col("a.image_id").alias("img_a"),
-            F.col("b.image_id").alias("img_b"),
-        )
+        pairs.groupBy("img_a", "img_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )
