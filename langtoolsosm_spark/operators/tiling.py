@@ -187,3 +187,40 @@ def adaptive_split(
         )
     )
     return pts.join(dim, "__mcell", "inner").drop("__mcell")
+
+
+def merge_tile_histogram(
+    base_hist: DataFrame,
+    delta_points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    sign_col: str = "sign",
+    cell_col: str = "tile",
+) -> DataFrame:
+    """Incremental maintenance of a materialized tile rollup: merge a
+    signed delta stream (+1 insert, -1 delete per point) into an
+    existing (tile, n_rows) histogram without touching the base fact
+    table — the CDC path that keeps a 100-TB rollup current from a
+    day's deltas instead of a full recompute. Tiles whose count reaches
+    zero drop out; a NEGATIVE final count raises nothing here but
+    cannot arise from a consistent delta (deletes of rows that exist) —
+    the invariant the oracle cross-checks by full recompute.
+
+    Plan: the delta aggregates map-side to (tile, signed partial), then
+    ONE union + groupBy sum against the (already tiny) base histogram —
+    cost scales with |delta| + |occupied tiles|, never with the base
+    fact table.
+    """
+    delta_hist = (
+        assign_tiles(delta_points, res=res, lat=lat, lon=lon, out=cell_col)
+        .groupBy(cell_col)
+        .agg(F.sum(sign_col).alias("n_rows"))
+    )
+    return (
+        base_hist.select(cell_col, "n_rows")
+        .unionByName(delta_hist)
+        .groupBy(cell_col)
+        .agg(F.sum("n_rows").alias("n_rows"))
+        .filter(F.col("n_rows") > 0)
+    )

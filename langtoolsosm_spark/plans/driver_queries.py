@@ -5133,6 +5133,52 @@ REGISTRY.update(
 )
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-rollup maintenance (operators/tiling.py
+    ``merge_tile_histogram``): base histogram over 3/4 of the trajectory
+    points, then a signed delta (inserts = the remaining quarter,
+    deletes = the event_id % 8 == 0 subset of the base) merged WITHOUT
+    re-scanning the base facts. The oracle recomputes the final
+    histogram from scratch over the equivalent point set — incremental
+    merge must equal full recompute exactly."""
+    from ..operators.tiling import assign_tiles, cell_histogram, merge_tile_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__inc_events")
+    t = spark.sql(
+        f"SELECT event_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __inc_events"
+    )
+    base_pts = t.filter(F.col("event_id") % 4 != 3)
+    base = cell_histogram(assign_tiles(base_pts, res=8), "tile")
+    inserts = t.filter(F.col("event_id") % 4 == 3).withColumn("sign", F.lit(1))
+    deletes = base_pts.filter(F.col("event_id") % 8 == 0).withColumn(
+        "sign", F.lit(-1)
+    )
+    return merge_tile_histogram(
+        base, inserts.unionByName(deletes), res=8
+    )
+
+
+O_INCREMENTAL_ROLLUP = f"""
+WITH t AS (
+  SELECT event_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+final_set AS (
+  SELECT * FROM t
+  WHERE event_id % 4 = 3 OR (event_id % 4 != 3 AND event_id % 8 != 0)
+)
+SELECT {_tile_sql(8)} AS tile, CAST(count(*) AS BIGINT) AS n_rows
+FROM final_set GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {"incremental_rollup": (q_incremental_rollup, O_INCREMENTAL_ROLLUP)}
+)
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -349,3 +349,35 @@ def test_cli_entry_point_query_job(spark, tmp_path):
     assert spark.read.parquet(out).count() > 0
     assert main(["--job", "query", "--name", "nope",
                  "--sf-dir", "x", "--out", out]) == 2
+
+
+def test_merge_tile_histogram_incremental_equals_recompute(spark):
+    """Signed-delta merge equals full recompute; a fully-deleted tile
+    drops out of the rollup."""
+    from langtoolsosm_spark.operators.tiling import (
+        assign_tiles,
+        cell_histogram,
+        merge_tile_histogram,
+    )
+
+    base_pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0, 10.0, -40.0], "lon": [10.0, 10.01, 100.0]})
+    )
+    base = cell_histogram(assign_tiles(base_pts, res=4), "tile")
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat": [50.0, -40.0],
+                "lon": [50.0, 100.0],
+                "sign": [1, -1],  # insert a new tile; delete the singleton
+            }
+        )
+    )
+    got = {r["tile"]: r["n_rows"] for r in
+           merge_tile_histogram(base, delta, res=4).collect()}
+    want_pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0, 10.0, 50.0], "lon": [10.0, 10.01, 50.0]})
+    )
+    want = {r["tile"]: r["n_rows"] for r in
+            cell_histogram(assign_tiles(want_pts, res=4), "tile").collect()}
+    assert got == want and len(got) == 2
