@@ -1361,3 +1361,33 @@ def raster_polygonize(
         F.count(F.lit(1)).alias("n_tiles"),
         F.sum("n_rows").alias("n_pts"),
     )
+
+
+def zone_visits(
+    events: DataFrame,
+    polygons: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    **kw,
+) -> DataFrame:
+    """Zone visit intervals with dwell: consecutive geofence transitions
+    of an entity bracket a visit — (entity, zone, enter_ts, exit_ts)
+    with exit NULL for the visit still open at stream end; outside-all
+    gaps (NULL zone) are dropped. One lead() window on top of
+    ``geofence_transitions`` (same entity-key partitioning, so Catalyst
+    reuses the exchange).
+    """
+    from pyspark.sql import Window
+
+    tr = geofence_transitions(events, polygons, entity_col, ts_col, **kw)
+    w = Window.partitionBy("entity").orderBy(F.col("ts").asc(), F.col("id").asc())
+    return (
+        tr.withColumn("__exit", F.lead("ts").over(w))
+        .filter(F.col("to_zone").isNotNull())
+        .select(
+            "entity",
+            F.col("to_zone").alias("zone"),
+            F.col("ts").alias("enter_ts"),
+            F.col("__exit").alias("exit_ts"),
+        )
+    )

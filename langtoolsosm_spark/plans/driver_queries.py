@@ -5179,6 +5179,60 @@ REGISTRY.update(
 )
 
 
+def q_zone_visits(spark, sf_dir):
+    """Zone visit intervals (operators/spatial.py ``zone_visits``):
+    consecutive geofence transitions bracket each in-zone dwell; open
+    visits keep a NULL exit. Oracle = the geofence window CTE plus one
+    lead()."""
+    from ..operators.spatial import zone_visits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__zv_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __zv_events"
+    )
+    return zone_visits(
+        t, geo_polygons_df(spark), "user_id", "ts", res=8,
+        order_tiebreak="event_id",
+    ).withColumnRenamed("entity", "user_id")
+
+
+O_ZONE_VISITS = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+z AS (
+  SELECT user_id, ts, event_id,
+         CASE {' '.join(f"WHEN {pred} THEN '{pid}'" for pid, pred in sorted(POLY_PRED_SQL.items()))}
+         END AS zone
+  FROM t
+),
+wnd AS (
+  SELECT user_id, ts, event_id, zone,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(zone) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM z
+),
+tr AS (
+  SELECT user_id, ts, event_id, zone
+  FROM wnd
+  WHERE (rn = 1 AND zone IS NOT NULL) OR (rn > 1 AND zone IS DISTINCT FROM prev)
+),
+vis AS (
+  SELECT user_id, zone, ts AS enter_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS exit_ts
+  FROM tr
+)
+SELECT user_id, zone, enter_ts, exit_ts FROM vis WHERE zone IS NOT NULL
+"""
+
+
+REGISTRY.update({"zone_visits": (q_zone_visits, O_ZONE_VISITS)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
