@@ -254,12 +254,17 @@ def duplicate_patch_pairs(
     watermark/border/template reuse across images).
 
     Plan: patch tokenization (one Arrow kernel, no pixel payload in the
-    shuffle) -> fingerprint equi-join (shuffle keyed on the 5-part
-    fingerprint; bucket occupancy is bounded by the quantization
-    granularity, so the pair fan-out is LSH-style bucket-bounded, never
-    all-pairs) -> map-side-combined pair count. At 100x the image count
-    the only growing cost is the fingerprint shuffle, which is linear in
-    the patch count.
+    shuffle) -> fingerprint bucket grouping (shuffle keyed on the 5-part
+    fingerprint) -> intra-bucket pair unrolling JVM-side -> map-side-
+    combined pair count. At 100x the image count the only growing cost
+    is the fingerprint shuffle, which is linear in the patch count.
+
+    Bucket-size caveat: each bucket's image-id list lives in one row, so
+    occupancy must stay row-scale — true whenever the quantized sums
+    spread (natural images). A degenerate corpus (millions of identical
+    solid-color patches) concentrates one bucket; there, fall back to
+    the equi-JOIN formulation the DuckDB oracle spells (same output,
+    quadratic pair shuffle instead of one fat row).
     """
     fp = extract_patches(images, patch=patch).select(
         "image_id",
