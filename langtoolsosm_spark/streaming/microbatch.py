@@ -494,12 +494,12 @@ def stream_od_transitions(
                     f"at ({lts}, {leid}) — the ordered-ingestion contract "
                     "is broken and streaming OD would diverge from batch"
                 )
+            # carried position -> first new position is also a transition
             from_tiles = np.concatenate(([np.int64(ltile)], tiles[:-1]))
+            tiles_out = tiles
         else:
             from_tiles = tiles[:-1]
             tiles_out = tiles[1:]
-        if state.exists:
-            tiles_out = tiles
         state.update((int(ts_ns[-1]), int(eids[-1]), int(tiles[-1])))
         yield pd.DataFrame(
             {
