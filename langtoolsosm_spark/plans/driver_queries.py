@@ -5274,13 +5274,6 @@ _DRIVER_WINDOW = [
     #     scene cuts / pcm16 / VAD, dedup_clusters+apply — the last two
     #     re-exercised by the NEW images_dedup below, same propagation
     #     code) rotate out, all r4-signed ---
-    # --- touched-code risk cover (1; the r4-signed siblings
-    #     pip_join_shuffled / knn_join / translate_with_wikidata /
-    #     video_frame_stats / cdc_merge / embedding pair all rotated out
-    #     to admit the 7 late additions — every window slot besides this
-    #     one and translate's flagship semantics now carries a query
-    #     that has NEVER had a driver-signed row) ---
-    "pip_join",
     # --- new mid round 5 (15): geohash codec, zonal stats, snap join,
     #     image palette, vector-tile clipping, focal stats, Moran's I,
     #     ViT patch tokenization, patch-level dedup, hex binning,
@@ -5298,11 +5291,16 @@ _DRIVER_WINDOW = [
     "block_sums", "geofence", "distinctive_terms", "idw",
     "vocab_growth", "images_dedup", "stream_od", "ngram_counts",
     "direction_rose", "blob_stats",
-    # --- newest 7: augmentation checksums, space-time activity,
+    # --- newest 8: augmentation checksums, space-time activity,
     #     charset hygiene, streaming geofence parity, quadkey codec,
-    #     per-source dup profile, raster polygonize ---
+    #     per-source dup profile, raster polygonize, incremental rollup
+    #     (pip_join, the last signed slot, rotated out — every slot now
+    #     carries a query that has NEVER had a driver-signed row;
+    #     zone_visits, a thin composition of the in-window geofence,
+    #     waits for round 6 and stays sweep-covered) ---
     "augment", "tile_activity", "charset_stats", "stream_geofence",
     "quadkey", "source_dup_profile", "raster_polygonize",
+    "incremental_rollup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
