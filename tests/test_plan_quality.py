@@ -447,3 +447,30 @@ def test_round5b_plan_shapes(spark):
     # window partitions on uid; the pair rollup re-keys on (from, to):
     # exactly two exchanges total, nothing redundant
     assert _plan(od).count("Exchange") <= 3
+
+
+def test_round5c_plan_shapes(spark):
+    """raster_polygonize's adjacency must be hash equi-joins (an OR-join
+    would degrade to BroadcastNestedLoop); merge_tile_histogram is one
+    union + one partial-aggregated exchange; quadkey is pure codegen."""
+    import pandas as pd
+
+    from langtoolsosm_spark.functions.cells import quadkey_col
+    from langtoolsosm_spark.operators import spatial, tiling
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0, 10.0, 10.0], "lon": [10.0, 10.0, 40.0]})
+    )
+    rp = spatial.raster_polygonize(pts, res=4, min_count=1)
+    p = _plan(rp)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    base = tiling.cell_histogram(tiling.assign_tiles(pts, res=4), "tile")
+    delta = pts.withColumn("sign", F.lit(1))
+    mh = tiling.merge_tile_histogram(base, delta, res=4)
+    p = _plan(mh)
+    assert "Union" in p and "Join" not in p
+
+    qk = pts.select(quadkey_col(F.col("lat"), F.col("lon"), 8).alias("q"))
+    p = _plan(qk)
+    assert "Exchange" not in p and "Python" not in p
