@@ -627,3 +627,86 @@ def augment_checksums(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         kernel, schema="image_id string, op string, n_px long, chk long"
     )
+
+
+def image_quality(
+    images: DataFrame,
+    edge_threshold: int = 160,
+    min_edge_milli: int = 5,
+    min_var: int = 100,
+    min_color_milli: int = 10,
+) -> DataFrame:
+    """Composite image-quality signals — the visual analogue of the text
+    pipeline's ``quality_metrics`` filter (blurry / flat / monochrome
+    training images score low and drop): per image, ALL exact int64 —
+
+    * ``edge_milli``: Sobel edge-pixel density x1000 over interior
+      pixels (sharpness; same stencil as ``edge_stats``),
+    * ``lum_var``: population variance of integer luminance scaled by
+      n^2 — ``n * sum(l^2) - sum(l)^2`` (contrast; no division, so no
+      float),
+    * ``color_milli``: mean absolute channel spread x1000,
+      ``1000 * sum(|R-G| + |G-B|) // (2 * n)`` (colorfulness),
+    * ``keep``: 1 iff all three clear their thresholds (``lum_var``
+      compared against ``min_var * n^2`` to stay scale-free).
+
+    One decode per image in one Arrow kernel (no kernel is run twice),
+    one row out per image; the thresholds are the tunable knobs of the
+    corpus filter stage.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                h, w = lum.shape
+                n = h * w
+                s1 = int(lum.sum())
+                s2 = int((lum * lum).sum())
+                lum_var = n * s2 - s1 * s1
+                spread = int(
+                    (np.abs(px[..., 0] - px[..., 1])
+                     + np.abs(px[..., 1] - px[..., 2])).sum()
+                )
+                color_milli = 1000 * spread // (2 * n)
+                if h >= 3 and w >= 3:
+                    gx = (
+                        (lum[:-2, 2:] + 2 * lum[1:-1, 2:] + lum[2:, 2:])
+                        - (lum[:-2, :-2] + 2 * lum[1:-1, :-2] + lum[2:, :-2])
+                    )
+                    gy = (
+                        (lum[2:, :-2] + 2 * lum[2:, 1:-1] + lum[2:, 2:])
+                        - (lum[:-2, :-2] + 2 * lum[:-2, 1:-1] + lum[:-2, 2:])
+                    )
+                    n_int = gx.size
+                    edges = int((np.abs(gx) + np.abs(gy) >= edge_threshold).sum())
+                    edge_milli = 1000 * edges // n_int
+                else:
+                    edge_milli = 0
+                keep = int(
+                    edge_milli >= min_edge_milli
+                    and lum_var >= min_var * n * n
+                    and color_milli >= min_color_milli
+                )
+                recs.append(
+                    (img_id, n, edge_milli, lum_var, color_milli, keep)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "image_id", "n_px", "edge_milli", "lum_var",
+                    "color_milli", "keep",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema=(
+            "image_id string, n_px long, edge_milli long, lum_var long, "
+            "color_milli long, keep int"
+        ),
+    )

@@ -5233,6 +5233,93 @@ SELECT user_id, zone, enter_ts, exit_ts FROM vis WHERE zone IS NOT NULL
 REGISTRY.update({"zone_visits": (q_zone_visits, O_ZONE_VISITS)})
 
 
+def q_image_quality(spark, sf_dir):
+    """Composite image-quality filter (operators/images.py
+    ``image_quality``) over a 1-in-32 sample of the RAW subset: Sobel
+    edge density, scale-free luminance variance (n*sum(l^2) - sum(l)^2),
+    channel spread, and the keep decision — all exact int64. The oracle
+    re-derives every signal from hex() bytes in SQL."""
+    from ..operators.images import image_quality
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return image_quality(imgs)
+
+
+O_IMAGE_QUALITY = f"""
+WITH v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+ch AS (
+  SELECT image_id, w, h, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END) AS BIGINT) AS rv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END) AS BIGINT) AS gv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END) AS BIGINT) AS bvv
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4, 5
+),
+lum AS (
+  SELECT image_id, w, h, r, c,
+         (2126 * rv + 7152 * gv + 722 * bvv) // 10000 AS l,
+         abs(rv - gv) + abs(gv - bvv) AS spread
+  FROM ch
+),
+tot AS (
+  SELECT image_id, CAST(w * h AS BIGINT) AS n,
+         CAST(SUM(l) AS BIGINT) AS s1, CAST(SUM(l * l) AS BIGINT) AS s2,
+         CAST(SUM(spread) AS BIGINT) AS spr
+  FROM lum GROUP BY 1, 2
+),
+sm AS (
+  SELECT image_id, w, h, r, c,
+         lag(l) OVER win_c + 2 * l + lead(l) OVER win_c AS vs,
+         lead(l) OVER win_c - lag(l) OVER win_c AS vd
+  FROM lum
+  WINDOW win_c AS (PARTITION BY image_id, c ORDER BY r)
+),
+g AS (
+  SELECT image_id, r, c, w, h,
+         lead(vs) OVER win_r - lag(vs) OVER win_r AS gx,
+         lag(vd) OVER win_r + 2 * vd + lead(vd) OVER win_r AS gy
+  FROM sm
+  WINDOW win_r AS (PARTITION BY image_id, r ORDER BY c)
+),
+edges AS (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n_int,
+         CAST(SUM(CASE WHEN abs(gx) + abs(gy) >= 160 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_edge
+  FROM g WHERE r >= 1 AND r < h - 1 AND c >= 1 AND c < w - 1
+  GROUP BY 1
+),
+m AS (
+  SELECT gl.image_id, gl.n,
+         COALESCE(1000 * e.n_edge // e.n_int, 0) AS edge_milli,
+         gl.n * gl.s2 - gl.s1 * gl.s1 AS lum_var,
+         1000 * gl.spr // (2 * gl.n) AS color_milli
+  FROM tot gl LEFT JOIN edges e ON e.image_id = gl.image_id
+)
+SELECT image_id, n AS n_px, CAST(edge_milli AS BIGINT) AS edge_milli,
+       CAST(lum_var AS BIGINT) AS lum_var,
+       CAST(color_milli AS BIGINT) AS color_milli,
+       CAST(CASE WHEN edge_milli >= 5 AND lum_var >= 100 * n * n
+                  AND color_milli >= 10 THEN 1 ELSE 0 END AS INT) AS keep
+FROM m
+"""
+
+
+REGISTRY.update({"image_quality": (q_image_quality, O_IMAGE_QUALITY)})
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

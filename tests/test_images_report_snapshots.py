@@ -432,3 +432,39 @@ def test_augment_checksums_transform_frames(spark):
     assert got["crop"]["chk"] == chk(px[y0:y1 + 1, x0:x1 + 1])
     assert got["crop"]["n_px"] == (x1 - x0 + 1) * (y1 - y0 + 1)
     assert got["identity"]["n_px"] == 35
+
+
+def test_image_quality_filters(spark):
+    """A flat gray image drops (no edges, no variance, no color); a
+    sharp colorful checkerboard keeps; signals match hand computation."""
+    import numpy as np
+    import pandas as pd
+    from langtoolsosm_spark.functions import imagecodec as ic
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)
+    # 4-px color stripes: strong Sobel response at the boundary (a
+    # 1-px checkerboard would sit at Nyquist where the symmetric
+    # stencil cancels to zero — deliberately avoided)
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)
+    checker[:, :4] = (255, 0, 0)
+    checker[:, 4:] = (0, 255, 0)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["flat", "chk"],
+                "bytes": [ic.encode(flat, "raw"), ic.encode(checker, "raw")],
+                "fmt": ["raw", "raw"],
+            }
+        )
+    )
+    got = {r["image_id"]: r for r in im.image_quality(df).collect()}
+    f = got["flat"]
+    assert (f["edge_milli"], f["lum_var"], f["color_milli"], f["keep"]) == (0, 0, 0, 0)
+    c = got["chk"]
+    # 12 of 36 interior pixels straddle the stripe boundary -> 333
+    assert c["keep"] == 1 and c["edge_milli"] == 333 and c["color_milli"] > 100
+    lum = (2126 * checker[..., 0].astype(np.int64)
+           + 7152 * checker[..., 1].astype(np.int64)
+           + 722 * checker[..., 2].astype(np.int64)) // 10000
+    n, s1, s2 = 64, int(lum.sum()), int((lum.astype(np.int64) ** 2).sum())
+    assert c["lum_var"] == n * s2 - s1 * s1
