@@ -149,6 +149,11 @@ def synth_images(n: int, seed: int = SEED) -> pd.DataFrame:
     lat, lon = lat[perm], lon[perm]
 
     wh = rng.integers(8, 33, size=(n, 2)).astype(np.int32)
+    # the image oracles in plans/driver_queries.py unroll bytes with
+    # generate_series(0, 3100); every raw payload must fit under that
+    # ceiling (raw = 9-byte header + 3*w*h), or oracle pixels would be
+    # silently truncated and gates would fail confusingly
+    assert 9 + 3 * int(wh.max()) ** 2 <= 3100, "raw image exceeds oracle byte ceiling"
     fmts = np.array(FMTS := ["raw", "bmp", "png", "dctq"])[np.arange(n) % 4]
 
     recs = []

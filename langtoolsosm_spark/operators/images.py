@@ -25,12 +25,15 @@ from ..functions import imagecodec as ic
 
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image, emit per-image pixel stats + integrity checks:
-    (image_id, w, h, fmt, mean_px, psnr_ok, phash_match, phash_rec).
+    (image_id, w_dec, h_dec, fmt, mean_px, shape_ok, phash_dist).
 
-    ``psnr_ok``: lossless formats decode exactly (PSNR inf) and lossy meets
-    the >=40 dB contract against the re-encoded lossless reference — here
-    expressed as phash distance + recomputed-hash consistency since the
-    original pixels aren't stored alongside."""
+    ``shape_ok``: the decoded geometry matches the metadata (w, h).
+    ``phash_dist``: Hamming distance between the stored pHash and the one
+    recomputed from decoded pixels — the decoded-pixel fidelity check
+    (lossless formats decode exactly, PSNR inf, distance 0; lossy formats
+    meet the >=40 dB contract, checked directly in the codec tests, and
+    stay within a small pHash distance here since the original pixels
+    aren't stored alongside)."""
 
     def kernel(batches):
         for pdf in batches:
@@ -579,7 +582,9 @@ def augment_checksums(images: DataFrame) -> DataFrame:
     — the position-weighted checksum over the TRANSFORMED coordinate
     frame (W = the transformed width). The crop rectangle derives from
     the numeric image id with the same multiplicative hashing as
-    ``block_sums`` (half-open, clamped to at least 1x1).
+    ``block_sums``; unlike block_sums' half-open rectangles, the crop is
+    INCLUSIVE of both corners — px[y0:y1+1, x0:x1+1] — matching the
+    oracle, and is always at least 1x1.
 
     Flips/rotation are NumPy views (no copy); the checksum is one
     tensordot per op. Output carries no pixels, so 5x rows of 4 ints

@@ -471,7 +471,10 @@ def trajectory_resample(
         F.lead(lat).over(w).alias("lat1"),
         F.col(lon).alias("lon0"),
         F.lead(lon).over(w).alias("lon1"),
-    ).filter(F.col("t1").isNotNull())
+    ).filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    # zero-length segments (duplicate timestamps) are dropped above: the
+    # half-open [t0, t1) span is empty, and keeping them would let
+    # t0 = t1 = 0 emit a k=0 sample with frac = 0/0 -> NaN coordinates
     # first lattice point >= t0 / last lattice point < t1, as long
     # integer division (valid because ts >= 0)
     # the div-based lattice is only correct for ts >= 0 (div truncates
@@ -991,9 +994,23 @@ def hex_bin(
     """
     if a < 1 or b < 1:
         raise ValueError(f"hex pitch must be positive, got a={a} b={b}")
-    x = F.floor((F.col(lon) + F.lit(lon_off)) * F.lit(scale)).cast("long")
-    y = F.floor((F.col(lat) + F.lit(lat_off)) * F.lit(scale)).cast("long")
-    df = points.withColumn("__hx", x).withColumn("__hy", y)
+
+    # the lattice math below uses truncating integer division, which only
+    # equals floor division for X, Y >= 0 — an out-of-range coordinate
+    # must fail LOUDLY (same pattern as trajectory_resample), not silently
+    # snap to a wrong center
+    def _quant(col, off):
+        q = F.floor((F.col(col) + F.lit(off)) * F.lit(scale)).cast("long")
+        return F.when(q >= 0, q).otherwise(
+            F.expr(
+                "raise_error('hex_bin: quantized coordinate is negative; "
+                "adjust lat_off/lon_off to cover the data extent')"
+            ).cast("long")
+        )
+
+    df = points.withColumn("__hx", _quant(lon, lon_off)).withColumn(
+        "__hy", _quant(lat, lat_off)
+    )
     cxa = F.expr(f"((__hx + {a}) div {2 * a}) * {2 * a}")
     cya = F.expr(f"((__hy + {b}) div {2 * b}) * {2 * b}")
     cxb = F.expr(f"(__hx div {2 * a}) * {2 * a} + {a}")
@@ -1061,10 +1078,24 @@ def with_hilbert(
     if not 1 <= res <= 26:
         raise ValueError(f"res must be in [1, 26], got {res}")
     n = 1 << res
+
+    # an out-of-range input (negative, or >= 2^res — e.g. a tile key at a
+    # finer res than the curve order) would silently produce a garbage
+    # Hilbert key and degrade clustering/pruning with no error; fail
+    # LOUDLY instead (same pattern as trajectory_resample/hex_bin)
+    def _bounded(col):
+        c = F.col(col).cast("long")
+        return F.when((c >= 0) & (c < n), c).otherwise(
+            F.expr(
+                f"raise_error(concat('with_hilbert: {col} value out of "
+                f"[0, 2^{res}): ', CAST(`{col}` AS STRING)))"
+            ).cast("long")
+        )
+
     df = df.withColumns(
         {
-            "__hbx": F.col(x_col).cast("long"),
-            "__hby": F.col(y_col).cast("long"),
+            "__hbx": _bounded(x_col),
+            "__hby": _bounded(y_col),
             out: F.lit(0).cast("long"),
         }
     )
