@@ -5325,75 +5325,164 @@ REGISTRY.update({"image_quality": (q_image_quality, O_IMAGE_QUALITY)})
 # ---------------------------------------------------------------------------
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
-# verified). Per-round window policy: every NEW registry query plus any
-# query that has never had a driver-signed green row enters the window
-# first; the rest of the slots backfill with already-signed queries,
-# highest-risk first (queries whose code was touched this round, then the
-# complex spatial/CDC/embedding operators). Rotated-out queries stay
-# oracle-checked by the full tools/verify_oracles.py sweep. Round-5
-# rotation: the 4 queries added after round 4's window froze (doc_chunks,
-# tile_pyramid, grouped_quantiles, lang_coverage — sweep-only until now)
-# plus this round's 13 new gates (maintenance/streaming + the spatial
-# family: distance_join, geo_clusters, trajectory_stats,
-# rasterize_polygons, heatmap_tiles, polygon_area, bbox_join,
-# trajectory_resample, heatmap_pyramid, stream_heatmap) swap in against
-# 17 round-4-signed entries
-# (set_ops, flatten_distinct, footprint_centroid, asof_join,
-# interval_join, hll_registers, quantile_buckets, lang_id,
-# stratified_sample, dedup_canonical, token_shard_pack,
-# report_mediawiki_roundtrip, sessionize, wide_report, corpus_prep,
-# embedding_neardup_pairs, adaptive_split, and — to make room for the 5
-# late-round-5 additions (geohash x2, zonal_stats, snap_to_segments,
-# image_palette) — simhash_neardup, simhash_pairs, lsh_candidate_pairs,
-# doc_repetition, pii_redact, all r4-signed); with this window every
-# registry query has at least one driver-signed row across rounds 1-5.
-_DRIVER_WINDOW = [
-    # --- never driver-signed before round 5 (4) ---
-    "doc_chunks", "tile_pyramid", "grouped_quantiles", "lang_coverage",
-    # --- new in round 5 (13) ---
-    "snapshot_compact", "snapshot_expire", "stream_dedup",
-    "distance_join", "geo_clusters", "trajectory_stats",
-    "rasterize_polygons", "heatmap_tiles", "polygon_area", "bbox_join",
-    "trajectory_resample", "heatmap_pyramid", "stream_heatmap",
-    # --- touched this round, kept for risk coverage (kNN clamp, PIP
-    #     hierarchical cover, multimodal batched DCT): one gate per
-    #     touched path; the siblings (pip_unique_owner, knn_join_cogroup,
-    #     scene cuts / pcm16 / VAD, dedup_clusters+apply — the last two
-    #     re-exercised by the NEW images_dedup below, same propagation
-    #     code) rotate out, all r4-signed ---
-    # --- new mid round 5 (15): geohash codec, zonal stats, snap join,
-    #     image palette, vector-tile clipping, focal stats, Moran's I,
-    #     ViT patch tokenization, patch-level dedup, hex binning,
-    #     histogram equalization, Sobel edge stats, Hilbert encoding,
-    #     OD flows ---
-    "geohash_encode", "geohash_rollup", "zonal_stats",
-    "snap_to_segments", "image_palette", "clip_segments",
-    "focal_stats", "moran_i", "image_patches",
-    "patch_dup_pairs", "hex_rollup", "hist_eq",
-    "edge_stats", "hilbert_encode", "od_flows",
-    # --- new late round 5 (10): integral-image sums, geofence
-    #     transitions, integer tf-idf, IDW, vocab growth, visual dedup
-    #     clusters, streaming OD parity, bigram LM counts, direction
-    #     rose, CCL blob stats ---
-    "block_sums", "geofence", "distinctive_terms", "idw",
-    "vocab_growth", "images_dedup", "stream_od", "ngram_counts",
-    "direction_rose", "blob_stats",
-    # --- newest 8: augmentation checksums, space-time activity,
-    #     charset hygiene, streaming geofence parity, quadkey codec,
-    #     per-source dup profile, raster polygonize, incremental rollup
-    #     (pip_join, the last signed slot, rotated out — every slot now
-    #     carries a query that has NEVER had a driver-signed row;
-    #     zone_visits, a thin composition of the in-window geofence,
-    #     waits for round 6 and stays sweep-covered) ---
-    "augment", "tile_activity", "charset_stats", "stream_geofence",
-    "quadkey", "source_dup_profile", "raster_polygonize",
-    "incremental_rollup",
-]
+# verified). The rotation policy is CODE, not prose:
+#
+#     window = every query never driver-signed in a prior round
+#              (new this round, or added after a window froze),
+#              then backfill by least-recently-signed round ascending;
+#              ties break in registry (insertion) order.
+#
+# _LAST_SIGNED maps query -> last round with a driver-signed green row
+# (rows_match AND schema_match AND no err in CORRECTNESS_r*.json).
+# Regenerate after each round with:  python tools/update_window.py
+# Queries absent from the map have NEVER been signed and sort first.
+# Rotated-out queries stay oracle-checked by the full
+# tools/verify_oracles.py sweep at three tiers.
+_LAST_SIGNED = {
+    "agg_pushdown": 3,
+    "bbox_filter": 3,
+    "cell_histogram": 3,
+    "conflict_keys": 3,
+    "count_by_type": 3,
+    "coverage_stats": 3,
+    "dedup_exact": 3,
+    "doc_fingerprint": 3,
+    "fill_empty_name": 3,
+    "fill_empty_name_lang": 3,
+    "fill_wikidata_from_wikipedia": 3,
+    "fill_wikipedia_from_wikidata": 3,
+    "group_collect": 3,
+    "hash_sample": 3,
+    "hash_split": 3,
+    "hll_estimate": 3,
+    "key_frequency": 3,
+    "lsh_band_buckets": 3,
+    "minhash_signatures": 3,
+    "ngram_jaccard_pairs": 3,
+    "pivot_counts": 3,
+    "quantile_estimate": 3,
+    "regex_name_lang": 3,
+    "regex_tokens": 3,
+    "rolling_window": 3,
+    "rollup_counts": 3,
+    "salted_join": 3,
+    "semi_anti_join": 3,
+    "text_quality": 3,
+    "topk_window": 3,
+    "windowed_event_counts": 3,
+    "adaptive_split": 4,
+    "asof_join": 4,
+    "audio_vad_segments": 4,
+    "cdc_merge": 4,
+    "cdc_merged_tags": 4,
+    "corpus_prep": 4,
+    "decontaminate": 4,
+    "dedup_apply": 4,
+    "dedup_canonical": 4,
+    "dedup_clusters": 4,
+    "doc_repetition": 4,
+    "embedding_decontaminate": 4,
+    "embedding_ivf_ann": 4,
+    "embedding_ivf_lloyd": 4,
+    "embedding_lsh_ann": 4,
+    "embedding_lsh_ann_kernel": 4,
+    "embedding_neardup_pairs": 4,
+    "embedding_topk": 4,
+    "embedding_topk_sharded": 4,
+    "flatten_distinct": 4,
+    "footprint_centroid": 4,
+    "hll_registers": 4,
+    "images_decontaminate": 4,
+    "images_phash_pairs": 4,
+    "images_tile_assign": 4,
+    "interval_join": 4,
+    "knn_join": 4,
+    "knn_join_cogroup": 4,
+    "lang_id": 4,
+    "lsh_candidate_pairs": 4,
+    "p31_type_join": 4,
+    "pcm16_features": 4,
+    "pii_redact": 4,
+    "pip_join": 4,
+    "pip_join_shuffled": 4,
+    "pip_unique_owner": 4,
+    "quantile_buckets": 4,
+    "report_mediawiki_roundtrip": 4,
+    "salted_repartition": 4,
+    "sessionize": 4,
+    "set_ops": 4,
+    "simhash_neardup": 4,
+    "simhash_pairs": 4,
+    "stratified_sample": 4,
+    "tile_assign": 4,
+    "token_shard_pack": 4,
+    "translate_with_wikidata": 4,
+    "video_frame_stats": 4,
+    "video_scene_cuts": 4,
+    "wide_report": 4,
+    "augment": 5,
+    "bbox_join": 5,
+    "blob_stats": 5,
+    "block_sums": 5,
+    "charset_stats": 5,
+    "clip_segments": 5,
+    "direction_rose": 5,
+    "distance_join": 5,
+    "distinctive_terms": 5,
+    "doc_chunks": 5,
+    "edge_stats": 5,
+    "focal_stats": 5,
+    "geo_clusters": 5,
+    "geofence": 5,
+    "geohash_encode": 5,
+    "geohash_rollup": 5,
+    "grouped_quantiles": 5,
+    "heatmap_pyramid": 5,
+    "heatmap_tiles": 5,
+    "hex_rollup": 5,
+    "hilbert_encode": 5,
+    "hist_eq": 5,
+    "idw": 5,
+    "image_palette": 5,
+    "image_patches": 5,
+    "images_dedup": 5,
+    "incremental_rollup": 5,
+    "lang_coverage": 5,
+    "moran_i": 5,
+    "ngram_counts": 5,
+    "od_flows": 5,
+    "patch_dup_pairs": 5,
+    "polygon_area": 5,
+    "quadkey": 5,
+    "raster_polygonize": 5,
+    "rasterize_polygons": 5,
+    "snap_to_segments": 5,
+    "snapshot_compact": 5,
+    "snapshot_expire": 5,
+    "source_dup_profile": 5,
+    "stream_dedup": 5,
+    "stream_geofence": 5,
+    "stream_heatmap": 5,
+    "stream_od": 5,
+    "tile_activity": 5,
+    "tile_pyramid": 5,
+    "trajectory_resample": 5,
+    "trajectory_stats": 5,
+    "vocab_growth": 5,
+    "zonal_stats": 5,
+}
+
+_REGISTRY_ORDER = list(REGISTRY)
+_DRIVER_WINDOW = sorted(
+    _REGISTRY_ORDER,
+    key=lambda k: (_LAST_SIGNED.get(k, 0), _REGISTRY_ORDER.index(k)),
+)[:50]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-assert len(set(_DRIVER_WINDOW)) == 50
-_missing = [k for k in _DRIVER_WINDOW if k not in REGISTRY]
-assert not _missing, f"window names absent from registry: {_missing}"
+_unsigned = [k for k in _REGISTRY_ORDER if k not in _LAST_SIGNED]
+assert all(k in _DRIVER_WINDOW for k in _unsigned) or len(_unsigned) > 50, (
+    "never-signed queries must lead the window"
+)
 
 REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_WINDOW},
