@@ -231,6 +231,72 @@ def synth_media(n_video: int = 60, n_audio: int = 40, seed: int = SEED) -> pd.Da
 
 
 # ---------------------------------------------------------------------------
+# adversarial image-quality fixtures
+# ---------------------------------------------------------------------------
+
+def synth_quality_images() -> pd.DataFrame:
+    """Adversarial fixtures for operators/images.py ``image_quality`` —
+    textures chosen to pin the Nyquist/Sobel-cancellation lesson
+    (NOTES.md, round 5): the symmetric 3x3 Sobel stencil cancels a
+    1-px-period checkerboard EXACTLY (every +c/-c tap pair sees equal
+    values), so edge detectors must be judged on near-Nyquist (2-px
+    period) structure, which does survive the stencil.
+
+    * qlt000000000 nyquist2_color — 2-px-period colored checkerboard:
+      must be KEPT (edge_milli well above threshold, high variance,
+      high channel spread).
+    * qlt000000001 checker1_gray — 1-px checkerboard: edge_milli == 0
+      by exact cancellation despite maximal contrast (documented drop).
+    * qlt000000002 flat_gray — all signals zero.
+    * qlt000000003 ramp_soft — smooth gradient: sub-threshold edges,
+      no color (the "blurry" drop case).
+
+    All raw-encoded at 16x16 (3*256 + 9 = 777 bytes, far under the
+    oracles' 3100-byte generate_series ceiling asserted in
+    ``synth_images``)."""
+    recs = []
+
+    def add(i, name, px):
+        px = np.ascontiguousarray(px.astype(np.uint8))
+        h, w = px.shape[:2]
+        recs.append(
+            dict(
+                image_id=f"qlt{i:09d}",
+                bytes=ic.encode(px, "raw"),
+                w=np.int32(w),
+                h=np.int32(h),
+                fmt="raw",
+                caption=f"fixture de qualitat — {name}",
+                phash=np.int64(ic.phash64(px)),
+                lat=41.4,
+                lon=2.1,
+            )
+        )
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    blocks = ((yy // 2) + (xx // 2)) % 2 == 0
+    add(0, "nyquist2_color",
+        np.where(blocks[..., None], np.array([200, 40, 40]), np.array([40, 200, 40])))
+    cb = ((yy + xx) % 2 == 0)[..., None]
+    add(1, "checker1_gray", np.where(cb, 220, 30) * np.ones((1, 1, 3)))
+    add(2, "flat_gray", np.full((16, 16, 3), 128))
+    add(3, "ramp_soft", np.repeat((xx * 4)[:, :, None], 3, axis=2))
+    return pd.DataFrame(recs)
+
+
+def ensure_quality_images(tier: str = "sf0.01", root: str | None = None) -> str:
+    """Generate (once) and return the quality_images.parquet path for a
+    tier (additive next to the core tables, like ``ensure_media``)."""
+    out = ensure_dataset(tier, root)
+    path = os.path.join(out, "quality_images.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        _write(synth_quality_images(), _IMG_SCHEMA, tmp)
+        os.rename(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
 # features (OSM-style) + wikidata dimension
 # ---------------------------------------------------------------------------
 

@@ -5235,24 +5235,37 @@ REGISTRY.update({"zone_visits": (q_zone_visits, O_ZONE_VISITS)})
 
 def q_image_quality(spark, sf_dir):
     """Composite image-quality filter (operators/images.py
-    ``image_quality``) over a 1-in-32 sample of the RAW subset: Sobel
-    edge density, scale-free luminance variance (n*sum(l^2) - sum(l)^2),
-    channel spread, and the keep decision — all exact int64. The oracle
-    re-derives every signal from hex() bytes in SQL."""
+    ``image_quality``) over a 1-in-32 sample of the RAW subset, PLUS the
+    adversarial quality fixtures (datagen ``synth_quality_images``):
+    Sobel edge density, scale-free luminance variance
+    (n*sum(l^2) - sum(l)^2), channel spread, and the keep decision — all
+    exact int64. The oracle re-derives every signal from hex() bytes in
+    SQL. The fixture union pins the Nyquist lesson inside the driver
+    gate itself: the near-Nyquist 2-px texture (qlt000000000) must come
+    back keep=1, the 1-px checkerboard (qlt000000001) edge_milli=0."""
+    from ..datagen import ensure_quality_images
     from ..operators.images import image_quality
 
     imgs = _synth_images(spark, sf_dir).filter(
         (F.col("fmt") == "raw")
         & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
     )
-    return image_quality(imgs)
+    qimg = spark.read.parquet(ensure_quality_images("sf0.01"))
+    return image_quality(imgs.unionByName(qimg))
 
+
+SYNTH_SF001_QUALITY = os.path.join(
+    _DATA_ROOT, "synth_sf0.01", "quality_images.parquet"
+)
 
 O_IMAGE_QUALITY = f"""
 WITH v AS (
   SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
   FROM read_parquet('{SYNTH_SF001_IMAGES}')
   WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+  UNION ALL
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_QUALITY}')
 ),
 series AS (SELECT i FROM generate_series(0, 3100) s(i)),
 b AS (
