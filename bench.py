@@ -49,24 +49,89 @@ finally:
 """
 
 
-def run_flagship_trial(cpus: int, tier: str) -> dict:
+def run_flagship_trial(cpus: int, tier: str, repo: str = REPO) -> dict:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(FLAGSHIP_WORKER)
         worker = f.name
+    # one load-average sample per trial: tenant noise on this box swings
+    # identical runs up to 3x, and a recorded load1 turns every future
+    # "is this a regression or a noisy neighbor?" dispute into data
+    load1 = round(os.getloadavg()[0], 2)
     try:
         res = subprocess.run(
             [sys.executable, worker, str(cpus), tier],
-            capture_output=True, text=True, env=dict(os.environ, REPO=REPO),
+            capture_output=True, text=True,
+            # LTOSM_DATA_ROOT pins the synth-fixture cache to THIS repo's
+            # data dir even when `repo` is an A/B worktree of an older ref
+            env=dict(os.environ, REPO=repo,
+                     LTOSM_DATA_ROOT=os.path.join(REPO, "data")),
             timeout=1800,
         )
         for line in res.stdout.splitlines():
             if line.startswith("{"):
-                return json.loads(line)
+                out = json.loads(line)
+                out["load1"] = load1
+                return out
         raise RuntimeError(
             f"no flagship result:\n{res.stdout[-1500:]}\n{res.stderr[-2000:]}"
         )
     finally:
         os.unlink(worker)
+
+
+def _ab_ref() -> str | None:
+    """Optional A/B baseline ref: --ab <ref> argv, $BENCH_AB_REF, or a
+    BENCH/ab_ref.txt file (one line; updated each round to the previous
+    round's tip so the driver's plain `python bench.py` run records the
+    pairwise ratio automatically)."""
+    if "--ab" in sys.argv:
+        return sys.argv[sys.argv.index("--ab") + 1]
+    if os.environ.get("BENCH_AB_REF"):
+        return os.environ["BENCH_AB_REF"]
+    p = os.path.join(REPO, "BENCH", "ab_ref.txt")
+    if os.path.exists(p):
+        ref = open(p).read().strip()
+        return ref or None
+    return None
+
+
+def run_ab(cpus: int, tier: str, ref: str, trials: int = 2) -> dict | None:
+    """Paired A/B flagship trials: alternate fresh-JVM runs of HEAD vs
+    `ref` (a git worktree of the older code) in the same minutes, so
+    tenant noise hits both arms and the RATIO is trustworthy even when
+    the absolute walls are not (the round-5 artifact looked like a 29%
+    regression that paired trials disproved)."""
+    wt = tempfile.mkdtemp(prefix="bench_ab_")
+    try:
+        res = subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", "--detach", wt, ref],
+            capture_output=True, text=True, timeout=300,
+        )
+        if res.returncode != 0:
+            print(f"ab: worktree add failed: {res.stderr[-500:]}", file=sys.stderr)
+            return None
+        head_walls, ref_walls, loads = [], [], []
+        for _ in range(trials):
+            h = run_flagship_trial(cpus, tier)
+            r = run_flagship_trial(cpus, tier, repo=wt)
+            head_walls.append(h["wall"])
+            ref_walls.append(r["wall"])
+            loads += [h["load1"], r["load1"]]
+        return {
+            "ref": ref,
+            "head_walls": head_walls,
+            "ref_walls": ref_walls,
+            "ab_ratio": round(min(head_walls) / min(ref_walls), 3),
+            "load1": loads,
+        }
+    except Exception as e:  # A/B is evidence, never a bench blocker
+        print(f"ab: skipped ({e})", file=sys.stderr)
+        return None
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=120,
+        )
 
 
 HEADLINE = [
@@ -104,6 +169,7 @@ def main():
 
     tier = tier_for_sf_dir(sf_dir)
     synth = ensure_dataset(tier)
+    load1_start = round(os.getloadavg()[0], 2)
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
@@ -113,10 +179,12 @@ def main():
     # best-of-N fresh-JVM trials, matching the recorded baseline protocol
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     walls = []
+    trial_loads = []
     n_images = 0
     for _ in range(trials):
         r = run_flagship_trial(cpus, tier)
         walls.append(r["wall"])
+        trial_loads.append(r["load1"])
         n_images = r["rows"]
     best_wall = min(walls)
     timings["flagship_pipeline"] = best_wall
@@ -203,7 +271,15 @@ def main():
         # trees — it amortizes at scale)
         "ann_family_sec": fam_sec,
         "cpus": cpus,
+        "load1_start": load1_start,
+        "flagship_load1": trial_loads,
     }
+    ref = _ab_ref()
+    if ref:
+        ab = run_ab(cpus, tier, ref, trials=int(os.environ.get("BENCH_AB_TRIALS", "2")))
+        if ab:
+            out["ab"] = ab
+            out["ab_ratio"] = ab["ab_ratio"]
     # attach the latest N-vs-4N scaling evidence (bench_scaling.py writes
     # BENCH/BASELINE.md; the JSON sidecar carries the machine numbers)
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
