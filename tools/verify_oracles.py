@@ -3,6 +3,14 @@ entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count + schema-width + order-insensitive value hash.
 
 Usage: python tools/verify_oracles.py [sf_dir] [query ...]
+       python tools/verify_oracles.py [sf_dir] --changed[=git-ref]
+
+--changed (default ref HEAD) selects only queries plausibly affected by
+files changed since the ref: queries whose registry block in
+driver_queries.py has changed lines, plus queries whose function source
+imports a changed engine module. DIRECT imports only (a changed module's
+own imports are not chased) — the inner-loop shortcut; the full sweep at
+round close remains the real gate.
 """
 
 from __future__ import annotations
@@ -43,9 +51,97 @@ def normalize(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
+def changed_queries(ref: str) -> set[str]:
+    """Queries affected by the diff since `ref`: registry blocks with
+    changed lines + queries directly importing a changed module."""
+    import inspect
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    diff = subprocess.run(
+        ["git", "-C", repo, "diff", "--name-only", ref, "--", "*.py"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    changed_mods = set()
+    dq_changed = False
+    for f in diff:
+        if f.endswith("plans/driver_queries.py"):
+            dq_changed = True
+        m = re.match(r"langtoolsosm_spark/(\w+)/(\w+)\.py$", f)
+        if m:
+            changed_mods.add(f"{m.group(1)}.{m.group(2)}")
+        m = re.match(r"langtoolsosm_spark/(\w+)\.py$", f)
+        if m:
+            changed_mods.add(m.group(1))
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    hit: set[str] = set()
+
+    if dq_changed:
+        # map changed driver_queries.py lines -> enclosing top-level block
+        # -> the next REGISTRY.update after it (conservative: a changed
+        # helper/oracle selects the query registered right below it)
+        dq_path = os.path.join(repo, "langtoolsosm_spark", "plans", "driver_queries.py")
+        hunks = subprocess.run(
+            ["git", "-C", repo, "diff", "-U0", ref, "--",
+             "langtoolsosm_spark/plans/driver_queries.py"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        changed_lines = set()
+        for m in re.finditer(r"^@@ .* \+(\d+)(?:,(\d+))? @@", hunks, re.M):
+            start = int(m.group(1))
+            n = int(m.group(2)) if m.group(2) is not None else 1
+            changed_lines.update(range(start, start + max(n, 1)))
+        lines = open(dq_path).read().splitlines()
+        reg_at = []  # (line_no, {names}) for each REGISTRY.update / assignment
+        for i, ln in enumerate(lines, 1):
+            names = set(re.findall(r'"(\w+)":', ln)) if "REGISTRY" in ln else set()
+            for m in re.finditer(r'REGISTRY\.update\(\{"(\w+)"', ln):
+                names.add(m.group(1))
+            if names and ("REGISTRY.update" in ln or re.match(r"\s*REGISTRY\s*=", ln)):
+                reg_at.append((i, names))
+            elif names and "REGISTRY[" in ln:
+                reg_at.append((i, names))
+        for cl in changed_lines:
+            nxt = [entry for entry in reg_at if entry[0] >= cl]
+            if nxt:
+                hit.update(n for n in nxt[0][1] if n in qs)
+
+    if changed_mods:
+        pat = re.compile(
+            r"from \.\.(\w+(?:\.\w+)?) import|from langtoolsosm_spark\.(\w+(?:\.\w+)?) import"
+        )
+        for name, fn in qs.items():
+            try:
+                src = inspect.getsource(fn)
+            except OSError:
+                hit.add(name)
+                continue
+            mods = {a or b for a, b in pat.findall(src)}
+            if mods & changed_mods:
+                hit.add(name)
+    return hit
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    ref = None
+    for a in list(argv):
+        if a == "--changed" or a.startswith("--changed="):
+            ref = a.partition("=")[2] or "HEAD"
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if ref is not None:
+        sel = changed_queries(ref)
+        print(f"--changed {ref}: {len(sel)} affected queries: {sorted(sel)}")
+        if not sel:
+            print("nothing to verify")
+            return 0
+        only |= sel
 
     import __spark_entry__ as entry_mod
     from langtoolsosm_spark.session import get_spark
