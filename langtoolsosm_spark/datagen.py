@@ -281,14 +281,28 @@ def synth_quality_images() -> pd.DataFrame:
     add(1, "checker1_gray", np.where(cb, 220, 30) * np.ones((1, 1, 3)))
     add(2, "flat_gray", np.full((16, 16, 3), 128))
     add(3, "ramp_soft", np.repeat((xx * 4)[:, :, None], 3, axis=2))
+    # letterbox / pillarbox frames for border detection: uniform bands
+    # around a textured center (the classic video-to-image-corpus artifact)
+    letter = np.zeros((16, 16, 3), dtype=np.int64)
+    letter[3:13] = np.where(blocks[3:13, :, None],
+                            np.array([180, 60, 20]), np.array([20, 60, 180]))
+    add(4, "letterbox3", letter)
+    pillar = np.full((16, 16, 3), 20, dtype=np.int64)
+    pillar[:, 2:14] = np.repeat((yy[:, 2:14] * 15)[:, :, None], 3, axis=2)
+    add(5, "pillarbox2", pillar)
     return pd.DataFrame(recs)
 
 
+# bump when synth_quality_images changes: the filename carries the version
+# so stale per-machine caches can never be read against newer oracles
+_QUALITY_VERSION = 2
+
+
 def ensure_quality_images(tier: str = "sf0.01", root: str | None = None) -> str:
-    """Generate (once) and return the quality_images.parquet path for a
-    tier (additive next to the core tables, like ``ensure_media``)."""
+    """Generate (once) and return the quality-images fixture parquet path
+    for a tier (additive next to the core tables, like ``ensure_media``)."""
     out = ensure_dataset(tier, root)
-    path = os.path.join(out, "quality_images.parquet")
+    path = os.path.join(out, f"quality_images_v{_QUALITY_VERSION}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         _write(synth_quality_images(), _IMG_SCHEMA, tmp)

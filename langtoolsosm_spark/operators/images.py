@@ -715,3 +715,133 @@ def image_quality(
             "color_milli long, keep int"
         ),
     )
+
+
+def resize_nn(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Nearest-neighbor resize to a fixed (out_w, out_h) — the standard
+    normalization step in front of a vision encoder, with the resized
+    tensor summarized to exact integers so the shuffle carries 4 ints per
+    image, never pixels: (image_id, out_w, out_h, chk, mean_milli).
+
+    Source index map is pure integer floor math — src_r = (r * h) // out_h
+    (the "scale then truncate" convention both engines replay exactly);
+    ``chk = sum(px' * (3 * (r * out_w + c) + ch + 1))`` is the same
+    position-weighted checksum contract as ``augment_checksums``;
+    ``mean_milli = 1000 * sum(px') // (3 * out_w * out_h)``.
+
+    One decode + two fancy-index gathers per image inside one Arrow
+    kernel; at 100x scale the resized tensors feed the training shard
+    writer on the same executor — only the audit ints ever shuffle.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"output dims must be positive, got {out_w}x{out_h}")
+
+    def kernel(batches):
+        wts = (
+            3 * (np.arange(out_h)[:, None] * out_w + np.arange(out_w))[..., None]
+            + np.arange(3) + 1
+        ).astype(np.int64)
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                idx_r = (np.arange(out_h) * h) // out_h
+                idx_c = (np.arange(out_w) * w) // out_w
+                rs = px[idx_r][:, idx_c]
+                chk = int((rs * wts).sum())
+                mean_milli = 1000 * int(rs.sum()) // (3 * out_w * out_h)
+                recs.append((img_id, out_w, out_h, chk, mean_milli))
+            yield pd.DataFrame(
+                recs, columns=["image_id", "out_w", "out_h", "chk", "mean_milli"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, out_w int, out_h int, chk long, mean_milli long",
+    )
+
+
+def image_exposure(
+    images: DataFrame, lo: int = 16, hi: int = 239, max_clip_milli: int = 200
+) -> DataFrame:
+    """Exposure-clipping filter: per image the fraction of pixels whose
+    integer luminance is crushed (< lo) or blown (> hi), as exact
+    per-mille ints, plus the keep decision — (image_id, n_px,
+    under_milli, over_milli, well_exposed). The luminance is the same
+    integer BT.709 ``(2126 R + 7152 G + 722 B) // 10000`` every other
+    image op uses. well_exposed = 1 iff both clip fractions are at most
+    ``max_clip_milli``. One decode per image; 4 ints out per image."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                n = lum.size
+                under = int((lum < lo).sum())
+                over = int((lum > hi).sum())
+                um = 1000 * under // n
+                om = 1000 * over // n
+                recs.append(
+                    (img_id, n, um, om,
+                     int(um <= max_clip_milli and om <= max_clip_milli))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_px", "under_milli", "over_milli",
+                         "well_exposed"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_px long, under_milli long, over_milli long, "
+               "well_exposed int",
+    )
+
+
+def letterbox_detect(images: DataFrame) -> DataFrame:
+    """Uniform-border (letterbox / pillarbox) detection — the video-crop
+    artifact scrub of an image-corpus pipeline: per image count the
+    leading/trailing rows and columns that are completely uniform (every
+    pixel in the line identical in all three channels), and flag frames
+    where bands exist on BOTH opposite sides without swallowing the whole
+    image: (image_id, top_rows, bottom_rows, left_cols, right_cols,
+    boxed). A fully-flat frame counts h/h/w/w but is NOT boxed (it is the
+    flat-image drop case, image_quality's job)."""
+
+    def kernel(batches):
+        def leading(uni):
+            nz = np.flatnonzero(~uni)
+            return int(nz[0]) if nz.size else int(uni.size), (
+                int(uni.size - 1 - nz[-1]) if nz.size else int(uni.size)
+            )
+
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                h, w = px.shape[:2]
+                uni_r = (px == px[:, :1, :]).all(axis=(1, 2))
+                uni_c = (px == px[:1, :, :]).all(axis=(0, 2))
+                top, bottom = leading(uni_r)
+                left, right = leading(uni_c)
+                boxed = int(
+                    (0 < top and 0 < bottom and top + bottom < h)
+                    or (0 < left and 0 < right and left + right < w)
+                )
+                recs.append((img_id, top, bottom, left, right, boxed))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "top_rows", "bottom_rows", "left_cols",
+                         "right_cols", "boxed"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, top_rows long, bottom_rows long, "
+               "left_cols long, right_cols long, boxed int",
+    )

@@ -317,3 +317,21 @@ def bbox_filter(
     return df.filter(
         (F.col(lat) >= south) & (F.col(lat) <= north) & (F.col(lon) >= west) & (F.col(lon) <= east)
     )
+
+
+def pip_anti_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 8,
+    id_col: str = "image_id",
+    **kw,
+) -> DataFrame:
+    """Points contained in NO polygon — the orphan scrub of a geo-curation
+    pipeline (images with no admin/language region get no name:LANG rule
+    and route to a fallback). Composition of the existing scale path: the
+    hierarchical-cover ``pip_join`` produces the hit set; one left_anti
+    on the point id removes it. The anti join shuffles only (id) pairs —
+    the hit set is ids-only, and Spark's left_anti needs no dedup of the
+    build side. Returns the surviving ``points`` rows unchanged."""
+    hits = pip_join(points, polygons, res=res, id_col=id_col, **kw).select(id_col)
+    return points.join(hits, id_col, "left_anti")

@@ -224,3 +224,60 @@ def merge_tile_histogram(
         .agg(F.sum("n_rows").alias("n_rows"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+def coverage_gaps(
+    df: DataFrame,
+    res: int,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Acquisition-planning anti-join: every grid cell at ``res`` whose
+    index window intersects [lat0, lat1] x [lon0, lon1] and contains ZERO
+    input rows — (ix, iy, tile), the "where do we have no imagery" query.
+
+    The lattice is GENERATED (one ``spark.range`` over the bbox'd index
+    window — never 4^res cells globally), and the occupied side is the
+    map-side-combined cell histogram, bounded by min(n_rows, bbox cells).
+    The left_anti join therefore touches two histogram-sized inputs no
+    matter how large the fact table is; the fact scan itself reads only
+    the two coordinate columns (column pruning) and combines map-side.
+    Same global equirectangular index math as ``tile_pyramid`` (floor of
+    double products — replayed bit-identically by the DuckDB oracle);
+    ``tile = ix << res | iy``.
+    """
+    import math
+
+    n = 1 << res
+
+    def cell(v: float, off: float, span: float) -> int:
+        return max(0, min(n - 1, math.floor((v + off) / span * n)))
+
+    ix0, ix1 = cell(lon0, 180.0, 360.0), cell(lon1, 180.0, 360.0)
+    iy0, iy1 = cell(lat0, 90.0, 180.0), cell(lat1, 90.0, 180.0)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+
+    spark = df.sparkSession
+    lattice = spark.range(nx * ny).select(
+        (F.lit(ix0) + F.col("id") % nx).alias("ix"),
+        (F.lit(iy0) + (F.col("id") / nx).cast("long")).alias("iy"),
+    )
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    occupied = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("ix", "iy")
+    )
+    return lattice.join(occupied, ["ix", "iy"], "left_anti").select(
+        "ix", "iy",
+        (F.shiftleft(F.col("ix"), res) + F.col("iy")).alias("tile"),
+    )

@@ -5254,8 +5254,10 @@ def q_image_quality(spark, sf_dir):
     return image_quality(imgs.unionByName(qimg))
 
 
+from ..datagen import _QUALITY_VERSION as _QV
+
 SYNTH_SF001_QUALITY = os.path.join(
-    _DATA_ROOT, "synth_sf0.01", "quality_images.parquet"
+    _DATA_ROOT, "synth_sf0.01", f"quality_images_v{_QV}.parquet"
 )
 
 O_IMAGE_QUALITY = f"""
@@ -5331,6 +5333,252 @@ FROM m
 
 
 REGISTRY.update({"image_quality": (q_image_quality, O_IMAGE_QUALITY)})
+
+
+
+def q_resize_nn(spark, sf_dir):
+    """Nearest-neighbor resize to 16x16 (operators/images.py
+    ``resize_nn``) over a 1-in-16 sample of the RAW subset plus the
+    quality fixtures: per image the position-weighted checksum and mean
+    of the RESIZED tensor, all exact int64. The oracle replays the
+    src_r = (r * h) // 16 index map over hex()-unrolled bytes."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import resize_nn
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return resize_nn(imgs, out_w=16, out_h=16)
+
+
+_QUALITY_RAW_V = f"""v AS (
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 16 = 0
+  UNION ALL
+  SELECT image_id, w, h, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_QUALITY}')
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, h, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+)"""
+
+
+O_RESIZE_NN = f"""
+WITH {_QUALITY_RAW_V},
+ch AS (
+  SELECT image_id, (i - 9) // 3 AS p, (i - 9) % 3 AS chn,
+         CAST(bv AS BIGINT) AS val
+  FROM b WHERE i >= 9
+),
+grid AS (SELECT r.i AS r, c.i AS c
+         FROM generate_series(0, 15) r(i) CROSS JOIN generate_series(0, 15) c(i)),
+map AS (
+  SELECT v.image_id, g.r, g.c,
+         ((g.r * v.h) // 16) * v.w + ((g.c * v.w) // 16) AS p
+  FROM v CROSS JOIN grid g
+)
+SELECT m.image_id, 16 AS out_w, 16 AS out_h,
+       CAST(SUM(ch.val * (3 * (m.r * 16 + m.c) + ch.chn + 1)) AS BIGINT) AS chk,
+       CAST((1000 * SUM(ch.val)) // 768 AS BIGINT) AS mean_milli
+FROM map m JOIN ch ON ch.image_id = m.image_id AND ch.p = m.p
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"resize_nn": (q_resize_nn, O_RESIZE_NN)})
+
+
+def q_image_exposure(spark, sf_dir):
+    """Exposure-clipping filter (operators/images.py ``image_exposure``):
+    per-mille crushed/blown luminance fractions + keep decision, exact
+    int64, over the same raw-sample + quality-fixture input as
+    resize_nn."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import image_exposure
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return image_exposure(imgs)
+
+
+O_IMAGE_EXPOSURE = f"""
+WITH {_QUALITY_RAW_V},
+ch AS (
+  SELECT image_id, w, h, (i - 9) // 3 AS p,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END) AS BIGINT) AS rv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END) AS BIGINT) AS gv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END) AS BIGINT) AS bvv
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4
+),
+lum AS (
+  SELECT image_id,
+         (2126 * rv + 7152 * gv + 722 * bvv) // 10000 AS l
+  FROM ch
+),
+agg AS (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n_px,
+         CAST((1000 * SUM(CASE WHEN l < 16 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS under_milli,
+         CAST((1000 * SUM(CASE WHEN l > 239 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS over_milli
+  FROM lum GROUP BY 1
+)
+SELECT image_id, n_px, under_milli, over_milli,
+       CAST(CASE WHEN under_milli <= 200 AND over_milli <= 200
+                 THEN 1 ELSE 0 END AS INT) AS well_exposed
+FROM agg
+"""
+
+
+REGISTRY.update({"image_exposure": (q_image_exposure, O_IMAGE_EXPOSURE)})
+
+
+def q_letterbox(spark, sf_dir):
+    """Uniform-border letterbox/pillarbox detection (operators/images.py
+    ``letterbox_detect``) over the raw sample + quality fixtures (which
+    stage real letterboxed and pillarboxed frames). Leading/trailing
+    uniform line counts per side + the boxed flag; the oracle re-derives
+    line uniformity from per-(line, channel) min/max over hex() bytes."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import letterbox_detect
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return letterbox_detect(imgs)
+
+
+O_LETTERBOX = f"""
+WITH {_QUALITY_RAW_V},
+ch AS (
+  SELECT image_id, w, h, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         (i - 9) % 3 AS chn, CAST(bv AS BIGINT) AS val
+  FROM b WHERE i >= 9
+),
+rowu AS (
+  SELECT image_id, h, r,
+         max(CASE WHEN mn <> mx THEN 1 ELSE 0 END) = 0 AS uni
+  FROM (SELECT image_id, h, r, chn, min(val) AS mn, max(val) AS mx
+        FROM ch GROUP BY 1, 2, 3, 4) q
+  GROUP BY 1, 2, 3
+),
+colu AS (
+  SELECT image_id, w, c,
+         max(CASE WHEN mn <> mx THEN 1 ELSE 0 END) = 0 AS uni
+  FROM (SELECT image_id, w, c, chn, min(val) AS mn, max(val) AS mx
+        FROM ch GROUP BY 1, 2, 3, 4) q
+  GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT image_id, h,
+         COALESCE(CAST(min(r) FILTER (WHERE NOT uni) AS BIGINT), h) AS top_rows,
+         COALESCE(CAST(h - 1 - max(r) FILTER (WHERE NOT uni) AS BIGINT), h) AS bottom_rows
+  FROM rowu GROUP BY 1, 2
+),
+cs AS (
+  SELECT image_id, w,
+         COALESCE(CAST(min(c) FILTER (WHERE NOT uni) AS BIGINT), w) AS left_cols,
+         COALESCE(CAST(w - 1 - max(c) FILTER (WHERE NOT uni) AS BIGINT), w) AS right_cols
+  FROM colu GROUP BY 1, 2
+)
+SELECT rs.image_id, top_rows, bottom_rows, left_cols, right_cols,
+       CAST(CASE WHEN (top_rows > 0 AND bottom_rows > 0
+                       AND top_rows + bottom_rows < rs.h)
+                  OR (left_cols > 0 AND right_cols > 0
+                      AND left_cols + right_cols < cs.w)
+                 THEN 1 ELSE 0 END AS INT) AS boxed
+FROM rs JOIN cs ON cs.image_id = rs.image_id
+"""
+
+
+REGISTRY.update({"letterbox": (q_letterbox, O_LETTERBOX)})
+
+
+GAPS_RES = 12  # 171 x 229 lattice cells over the region bbox
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Acquisition-gap anti-join (operators/tiling.py ``coverage_gaps``):
+    res-12 grid cells over the region bbox with zero points. The lattice
+    is generated from the index window (never 4^res global); the
+    occupied side is the map-side-combined histogram."""
+    from ..operators.tiling import coverage_gaps
+
+    return coverage_gaps(
+        geo_points(spark, sf_dir), res=GAPS_RES,
+        lat0=35.0, lat1=45.0, lon0=-5.0, lon1=10.0,
+    )
+
+
+def _gaps_bounds():
+    import math
+
+    n = 1 << GAPS_RES
+    cell = lambda v, off, span: max(0, min(n - 1, math.floor((v + off) / span * n)))
+    return cell(-5.0, 180.0, 360.0), cell(10.0, 180.0, 360.0), \
+        cell(35.0, 90.0, 180.0), cell(45.0, 90.0, 180.0), n
+
+
+_GIX0, _GIX1, _GIY0, _GIY1, _GN = _gaps_bounds()
+
+O_COVERAGE_GAPS = f"""
+WITH {PTS_CTE},
+occ AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_GN}.0)
+                   AS BIGINT), 0), {_GN - 1}) AS ix,
+    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_GN}.0)
+                   AS BIGINT), 0), {_GN - 1}) AS iy
+  FROM pts
+),
+grid AS (
+  SELECT x.i AS ix, y.i AS iy
+  FROM generate_series({_GIX0}, {_GIX1}) x(i)
+  CROSS JOIN generate_series({_GIY0}, {_GIY1}) y(i)
+)
+SELECT CAST(g.ix AS BIGINT) AS ix, CAST(g.iy AS BIGINT) AS iy,
+       CAST(g.ix * {_GN} + g.iy AS BIGINT) AS tile
+FROM grid g
+WHERE NOT EXISTS (SELECT 1 FROM occ o WHERE o.ix = g.ix AND o.iy = g.iy)
+"""
+
+
+REGISTRY.update({"coverage_gaps": (q_coverage_gaps, O_COVERAGE_GAPS)})
+
+
+def q_pip_antijoin(spark, sf_dir):
+    """Orphan scrub (operators/pip_join.py ``pip_anti_join``): points in
+    NO polygon — the complement of pip_join over the same hierarchical-
+    cover scale path. Oracle: NOT IN over the union of the per-polygon
+    half-open ray-cast predicates."""
+    from ..operators.pip_join import pip_anti_join
+
+    pts = geo_points(spark, sf_dir)
+    return pip_anti_join(
+        pts, geo_polygons_df(spark), res=8, id_col="point_id"
+    ).select("point_id")
+
+
+O_PIP_ANTIJOIN = (
+    f"WITH {PTS_CTE}, hits AS ("
+    + " UNION ALL ".join(
+        f"SELECT point_id FROM pts WHERE {pred}"
+        for pred in POLY_PRED_SQL.values()
+    )
+    + ") SELECT point_id FROM pts "
+    + "WHERE point_id NOT IN (SELECT point_id FROM hits)"
+)
+
+
+REGISTRY.update({"pip_antijoin": (q_pip_antijoin, O_PIP_ANTIJOIN)})
+
 
 
 # ---------------------------------------------------------------------------

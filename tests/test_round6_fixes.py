@@ -63,7 +63,7 @@ def test_quality_fixture_nyquist(spark):
 
     df = spark.read.parquet(ensure_quality_images("sf0.001"))
     got = {r["image_id"]: r for r in image_quality(df).collect()}
-    assert len(got) == 4
+    assert len(got) == 6
 
     nyq = got["qlt000000000"]
     assert nyq["edge_milli"] >= 5, "near-Nyquist texture must clear the edge gate"
@@ -150,3 +150,101 @@ def test_geo_clusters_hot_band_scale_path(spark):
         labels.groupBy("cluster_id").count().agg(F.max("count")).collect()[0][0]
     )
     assert biggest >= 2000, f"hot component missing (max component {biggest})"
+
+
+def test_resize_nn_hand_check(spark):
+    """Resize a known 4x2 image to 2x2 and check the checksum/mean against
+    the direct NumPy computation of the same index map."""
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import resize_nn
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (2, 4, 3)).astype(np.uint8)  # h=2, w=4
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "bytes": [ic.encode(px, "raw")],
+                      "fmt": ["raw"]})
+    )
+    out = resize_nn(df, out_w=2, out_h=2).collect()[0]
+    idx_r = (np.arange(2) * 2) // 2
+    idx_c = (np.arange(2) * 4) // 2
+    rs = px.astype(np.int64)[idx_r][:, idx_c]
+    wts = (3 * (np.arange(2)[:, None] * 2 + np.arange(2))[..., None]
+           + np.arange(3) + 1)
+    assert out["chk"] == int((rs * wts).sum())
+    assert out["mean_milli"] == 1000 * int(rs.sum()) // 12
+    with pytest.raises(ValueError):
+        resize_nn(df, out_w=0)
+
+
+def test_exposure_and_letterbox_fixtures(spark):
+    """Quality fixtures drive both new curation filters end to end."""
+    from langtoolsosm_spark.datagen import ensure_quality_images
+    from langtoolsosm_spark.operators.images import (
+        image_exposure,
+        letterbox_detect,
+    )
+
+    df = spark.read.parquet(ensure_quality_images("sf0.001"))
+    exp = {r["image_id"]: r for r in image_exposure(df).collect()}
+    # flat 128 never clips; the letterbox frame's black bands crush 6/16
+    # rows plus the dark half of the center texture
+    assert exp["qlt000000002"]["under_milli"] == 0
+    assert exp["qlt000000002"]["over_milli"] == 0
+    assert exp["qlt000000002"]["well_exposed"] == 1
+    assert exp["qlt000000004"]["under_milli"] > 200
+    assert exp["qlt000000004"]["well_exposed"] == 0
+
+    box = {r["image_id"]: r for r in letterbox_detect(df).collect()}
+    lb = box["qlt000000004"]
+    assert (lb["top_rows"], lb["bottom_rows"], lb["boxed"]) == (3, 3, 1)
+    pb = box["qlt000000005"]
+    assert (pb["left_cols"], pb["right_cols"], pb["boxed"]) == (2, 2, 1)
+    flat = box["qlt000000002"]
+    assert flat["top_rows"] == 16 and flat["boxed"] == 0
+    nyq = box["qlt000000000"]
+    assert nyq["boxed"] == 0 and nyq["top_rows"] == 0
+
+
+def test_coverage_gaps_invariants(spark):
+    """Lattice anti-join: gaps + occupied-in-window partitions the
+    window; a point's own cell is never a gap."""
+    from langtoolsosm_spark.operators.tiling import coverage_gaps
+
+    pdf = pd.DataFrame({"lat": [35.1, 44.9, 40.0], "lon": [-4.9, 9.9, 2.0]})
+    df = spark.createDataFrame(pdf)
+    res = 8
+    gaps = coverage_gaps(df, res=res, lat0=35.0, lat1=45.0, lon0=-5.0, lon1=10.0)
+    g = gaps.collect()
+    n = 1 << res
+    import math
+
+    cell = lambda v, off, span: max(0, min(n - 1, math.floor((v + off) / span * n)))
+    ix0, ix1 = cell(-5.0, 180.0, 360.0), cell(10.0, 180.0, 360.0)
+    iy0, iy1 = cell(35.0, 90.0, 180.0), cell(45.0, 90.0, 180.0)
+    window_cells = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    occ = {(cell(lo, 180.0, 360.0), cell(la, 90.0, 180.0))
+           for la, lo in zip(pdf["lat"], pdf["lon"])}
+    assert len(g) == window_cells - len(occ)
+    gap_set = {(r["ix"], r["iy"]) for r in g}
+    assert not (gap_set & occ)
+    for r in g:
+        assert r["tile"] == (r["ix"] << res) + r["iy"]
+
+
+def test_pip_anti_join_complement(spark, synth_dir):
+    """pip_anti_join is the exact complement of pip_join on point ids."""
+    from langtoolsosm_spark.operators.pip_join import pip_anti_join, pip_join
+    from langtoolsosm_spark.plans.driver_queries import (
+        geo_points,
+        geo_polygons_df,
+    )
+
+    pts = geo_points(spark, "/root/testdata/sf0.001")
+    polys = geo_polygons_df(spark)
+    total = pts.count()
+    inside = (
+        pip_join(pts, polys, res=8, id_col="point_id")
+        .select("point_id").distinct().count()
+    )
+    outside = pip_anti_join(pts, polys, res=8, id_col="point_id").count()
+    assert inside + outside == total and outside > 0
