@@ -213,6 +213,8 @@ def main():
         ann_lsh_topk,
         ivf_ann_topk,
         ivf_lloyd_ann_topk,
+        pq_ann_rescored,
+        pq_ann_topk,
         topk_dot_kernel,
     )
 
@@ -246,6 +248,11 @@ def main():
     )
     ivf_recall = recall("ivf", ivf_ann_topk(emb))
     ivf_lloyd_recall = recall("ivf_lloyd", ivf_lloyd_ann_topk(emb))
+    # PQ: pure ADC at 32 bits/vector is deliberately lossy on the
+    # uniform-sphere fixture (the information-theoretic worst case);
+    # the rescored two-stage number is the deployment-shaped one
+    pq_recall = recall("pq_adc", pq_ann_topk(emb))
+    pq_rescored_recall = recall("pq_rescored", pq_ann_rescored(emb))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -263,6 +270,8 @@ def main():
         "ann_recall_at_5_kernel": ann_recall_kernel,
         "ivf_recall_at_5": ivf_recall,
         "ivf_lloyd_recall_at_5": ivf_lloyd_recall,
+        "pq_adc_recall_at_5": pq_recall,
+        "pq_rescored_recall_at_5": pq_rescored_recall,
         "corpus_pipeline_sec": round(
             timings["corpus_prep"] + timings["decontaminate"], 3
         ),

@@ -721,3 +721,193 @@ def embedding_contamination(
             (F.coalesce("n_train_neardups", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def _subvectors(
+    emb: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, __sv array<long>): the vector scalar-quantized and split
+    into ``m`` contiguous subspaces (one row per subspace). The dimension
+    is read from one row (metadata-scale driver action, same counted
+    pattern as the kNN stats); slicing happens JVM-side."""
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq: empty embedding table")
+    dim = len(first[0])
+    if m < 1 or dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sd = dim // m
+    q = _quantized_vecs(emb, id_col, vec_col, "__xq")
+    return q.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice("__xq", s * sd + 1, sd) for s in range(m)])
+        ).alias("s", "__sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, code): per-subspace argmin quantized L2 against the
+    broadcast codebook (ties to the smaller code — struct-min order)."""
+    l2 = F.aggregate(
+        F.zip_with("__sv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        sub.join(F.broadcast(cents), "s")
+        .withColumn("__d", l2)
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("__d"), F.col("code"))).alias("__m"))
+        .select(id_col, "s", F.col("__m.code").alias("code"))
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace ``s``, ``k_codes``
+    centroids refined by ``iters`` integer Lloyd rounds from the
+    deterministic smallest-id seeds — the PQ analogue of
+    ``ivf_train_lloyd`` and deterministic end to end for the same reason
+    (truncated integer means, ties to the smaller code; the oracle
+    unrolls identical rounds in SQL). Returns (s, code, __cv array<long>).
+
+    Scale shape: codebooks are m x k_codes x (dim/m) ints — always
+    broadcast-sized; each round is one broadcast assignment pass plus one
+    (s, code, ds)-keyed aggregate, linear in |emb| x k_codes."""
+    sub = _subvectors(emb, m, id_col, vec_col)
+    cents = sub.filter(F.col(id_col) < k_codes).select(
+        "s", F.col(id_col).alias("code"), F.col("__sv").alias("__cv")
+    )
+    for _ in range(iters):
+        a = _pq_assign(sub, cents, id_col)
+        comp = (
+            a.join(sub, [id_col, "s"])
+            .select("s", "code", F.posexplode("__sv").alias("ds", "xq"))
+            .groupBy("s", "code", "ds")
+            .agg(F.sum("xq").alias("__t"), F.count(F.lit(1)).alias("__c"))
+            .withColumn("cq", F.expr("CAST(div(__t, __c) AS BIGINT)"))
+        )
+        cents = comp.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ds", "cq"))), lambda x: x["cq"]
+            ).alias("__cv")
+        )
+    return cents
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ compression: every vector reduced to ``m`` codebook codes —
+    (vec_id, s, code), m rows per vector. With m=8, k=16 a 64-float
+    embedding becomes 8 nibbles: the 64x memory cut that makes
+    billion-scale ANN fit executor memory. Codes are what downstream ADC
+    scans shuffle — never the vectors."""
+    sub = _subvectors(emb, m, id_col, vec_col)
+    return _pq_assign(sub, pq_train(emb, m, k_codes, iters, id_col, vec_col), id_col)
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: queries (the % 50 == 0 fixture
+    sample) precompute one exact L2 table against every codebook entry
+    (nq x m x k_codes ints — broadcast), then every database vector's
+    distance is m TABLE LOOKUPS summed over its codes, never a
+    dim-length dot. Returns (query_id, neighbor_id, rank, adc) ranked by
+    ADC distance ascending, neighbor id ascending.
+
+    This is the classic IVF-PQ leaf scan shape (Jégou et al., TPAMI
+    2011): at 100 TB the codes table is the only thing scanned, the
+    lookup tables ride the broadcast, and the aggregate is map-side
+    partial — no full-dimension vectors move after encoding."""
+    cents = pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    sub = _subvectors(emb, m, id_col, vec_col)
+    codes = _pq_assign(sub, cents, id_col)
+
+    l2 = F.aggregate(
+        F.zip_with("__sv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qd = (
+        sub.filter(F.col(id_col) % 50 == 0)
+        .select(F.col(id_col).alias("query_id"), "s", "__sv")
+        .join(F.broadcast(cents), "s")
+        .select("query_id", "s", "code", l2.alias("qd"))
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["s", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.sum("qd").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def pq_ann_rescored(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieval — the shape PQ is actually deployed in: the
+    ADC scan produces a ``shortlist`` per query (cheap, codes-only), then
+    ONLY the shortlist is rescored with the exact quantized dot product
+    (full vectors touched for shortlist x queries rows, not the corpus).
+    Returns (query_id, neighbor_id, rank, dot) — top-``k`` by exact dot.
+
+    At 32 bits/vector pure ADC is deliberately lossy; rescoring restores
+    recall while the corpus-sized pass still never moves a vector
+    (measured in bench.py's ann family)."""
+    short = pq_ann_topk(
+        emb, k=shortlist, m=m, k_codes=k_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qe"))
+    nv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ne"))
+    dot = F.aggregate(
+        F.zip_with("__qe", "__ne", lambda a, b: _quantize(a) * _quantize(b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("dot", dot)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )

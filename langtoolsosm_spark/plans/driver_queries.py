@@ -5581,6 +5581,174 @@ REGISTRY.update({"pip_antijoin": (q_pip_antijoin, O_PIP_ANTIJOIN)})
 
 
 
+
+def q_embedding_pq_codes(spark, sf_dir):
+    """Product-quantization compression (operators/similarity.py
+    ``pq_encode``): every 64-float vector reduced to 8 subspace codes
+    from integer-Lloyd codebooks (deterministic smallest-id seeds, 2
+    rounds) — (vec_id, s, code). The oracle unrolls the identical
+    training rounds in SQL, the same determinism contract as
+    embedding_ivf_lloyd."""
+    from ..operators.similarity import pq_encode
+
+    return pq_encode(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _o_pq(m: int = 8, k_codes: int = 16, iters: int = 2) -> str:
+    """Shared unrolled-PQ training CTE chain ending in ``af`` (the final
+    per-subspace code assignment) and ``c{iters}`` (final codebooks).
+    Subspace width is len(embedding)/m resolved per row (all fixture
+    vectors are 64-wide; sub = 8)."""
+    parts = [
+        f"""flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+sub AS (
+  -- len1 // {m} keeps the divisor INTEGER: DuckDB's // degrades to plain
+  -- division the moment either operand is DOUBLE (9 // 8.0 = 1.125)
+  SELECT vec_id, CAST(d // (len1 // {m}) AS BIGINT) AS s,
+         CAST(d % (len1 // {m}) AS BIGINT) AS ds, xq
+  FROM (SELECT f.*, (SELECT max(d) + 1 FROM flat g WHERE g.vec_id = f.vec_id) AS len1
+        FROM flat f)
+),
+c0 AS (SELECT s, vec_id AS code, ds, xq AS cq FROM sub WHERE vec_id < {k_codes})"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""l{it} AS (
+  SELECT f.vec_id, f.s, c.code, sum((f.xq - c.cq) * (f.xq - c.cq)) AS l2
+  FROM sub f JOIN c{it} c ON c.s = f.s AND c.ds = f.ds GROUP BY 1, 2, 3
+),
+a{it} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY l2 ASC, code ASC) AS rn
+    FROM l{it}) t WHERE rn = 1
+),
+c{it + 1} AS (
+  SELECT a.s, a.code, f.ds, CAST(sum(f.xq) // count(*) AS BIGINT) AS cq
+  FROM a{it} a JOIN sub f ON f.vec_id = a.vec_id AND f.s = a.s GROUP BY 1, 2, 3
+)"""
+        )
+    fin = iters
+    parts.append(
+        f"""lf AS (
+  SELECT f.vec_id, f.s, c.code, sum((f.xq - c.cq) * (f.xq - c.cq)) AS l2
+  FROM sub f JOIN c{fin} c ON c.s = f.s AND c.ds = f.ds GROUP BY 1, 2, 3
+),
+af AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY l2 ASC, code ASC) AS rn
+    FROM lf) t WHERE rn = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+O_PQ_CODES = f"""
+WITH {_o_pq()}
+SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS BIGINT) AS code FROM af
+"""
+
+
+REGISTRY.update({"embedding_pq_codes": (q_embedding_pq_codes, O_PQ_CODES)})
+
+
+def q_embedding_pq_ann(spark, sf_dir):
+    """Asymmetric-distance PQ ANN (operators/similarity.py
+    ``pq_ann_topk``, Jegou et al. TPAMI 2011): per query an exact L2
+    table against every codebook entry (broadcast), every database
+    vector scored by m table lookups over its codes — top-5 by ADC
+    distance. Oracle replays training + tables + lookup join in SQL."""
+    from ..operators.similarity import pq_ann_topk
+
+    return pq_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_PQ_ANN = f"""
+WITH {_o_pq()},
+qd AS (
+  SELECT f.vec_id AS query_id, f.s, c.code,
+         sum((f.xq - c.cq) * (f.xq - c.cq)) AS qd
+  FROM sub f JOIN c2 c ON c.s = f.s AND c.ds = f.ds
+  WHERE f.vec_id % 50 = 0 GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, CAST(sum(q.qd) AS BIGINT) AS adc
+  FROM af a JOIN qd q ON q.s = a.s AND q.code = a.code
+  WHERE a.vec_id <> q.query_id GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
+REGISTRY.update({"embedding_pq_ann": (q_embedding_pq_ann, O_PQ_ANN)})
+
+
+
+
+def q_embedding_pq_rescored(spark, sf_dir):
+    """Two-stage PQ retrieval (operators/similarity.py
+    ``pq_ann_rescored``): ADC shortlist of 50 per query, exact quantized-
+    dot rescore of the shortlist only, top-5. The oracle extends the PQ
+    chain with the same rescore join."""
+    from ..operators.similarity import pq_ann_rescored
+
+    return pq_ann_rescored(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_PQ_RESCORED = f"""
+WITH {_o_pq()},
+qd AS (
+  SELECT f.vec_id AS query_id, f.s, c.code,
+         sum((f.xq - c.cq) * (f.xq - c.cq)) AS qd
+  FROM sub f JOIN c2 c ON c.s = f.s AND c.ds = f.ds
+  WHERE f.vec_id % 50 = 0 GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, CAST(sum(q.qd) AS BIGINT) AS adc
+  FROM af a JOIN qd q ON q.s = a.s AND q.code = a.code
+  WHERE a.vec_id <> q.query_id GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, neighbor_id ASC) AS rn
+    FROM adc) t WHERE rn <= 50
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, CAST(sum(qf.xq * nf.xq) AS BIGINT) AS dot
+  FROM short s
+  JOIN flat qf ON qf.vec_id = s.query_id
+  JOIN flat nf ON nf.vec_id = s.neighbor_id AND nf.d = qf.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+REGISTRY.update({"embedding_pq_rescored": (q_embedding_pq_rescored, O_PQ_RESCORED)})
+
+
+
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------

@@ -248,3 +248,55 @@ def test_pip_anti_join_complement(spark, synth_dir):
     )
     outside = pip_anti_join(pts, polys, res=8, id_col="point_id").count()
     assert inside + outside == total and outside > 0
+
+
+def test_pq_family(spark):
+    """PQ compression + ADC retrieval invariants on the sf0.001
+    embeddings: m codes per vector in [0, k_codes); ADC ranks ascending
+    and contiguous; two-stage rescoring recovers most of the recall the
+    32-bit codes lose (everything integer-exact, so the recall numbers
+    are deterministic)."""
+    from langtoolsosm_spark.operators.similarity import (
+        pq_ann_rescored,
+        pq_ann_topk,
+        pq_encode,
+        topk_dot_kernel,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    codes = pq_encode(emb).collect()
+    assert len(codes) == n * 8
+    assert all(0 <= r["code"] < 16 for r in codes)
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["s"])
+    assert all(v == set(range(8)) for v in per_vec.values())
+
+    ann = pq_ann_topk(emb, k=3).collect()
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r["adc"] for r in rows]
+        assert adcs == sorted(adcs) and adcs[0] >= 0
+        assert all(r["neighbor_id"] != q for r in rows)
+
+    exact = topk_dot_kernel(emb).select("query_id", "neighbor_id")
+    n_true = exact.count()
+
+    def recall(approx):
+        return (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"], "left_semi",
+            ).count() / n_true
+        )
+
+    r_adc = recall(pq_ann_topk(emb))
+    r_res = recall(pq_ann_rescored(emb))
+    assert r_res >= 0.6, f"rescored recall {r_res}"
+    assert r_res > r_adc, "rescoring must beat pure ADC"
