@@ -135,3 +135,105 @@ def stratified_sample(
         rate = F.when(cond, r) if rate is None else rate.when(cond, r)
     rate = rate.otherwise(default_milli) if rate is not None else F.lit(default_milli)
     return df.filter(h * 1000 < rate.cast("long") * _SCALE)
+
+
+def geo_split(
+    df: DataFrame,
+    res: int,
+    splits: dict[str, int] | None = None,
+    salt: str = "geo0",
+    lat: str = "lat",
+    lon: str = "lon",
+    out_col: str = "split",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Spatially DISJOINT train/val/test assignment: the md5 hash is
+    taken of the TILE key at ``res``, not of the row id, so every row in
+    one grid cell lands in the same split. Hashing row ids (plain
+    ``hash_split``) leaks near-duplicate imagery of the same place into
+    both train and test; hashing the cell makes the splits spatially
+    disjoint at the chosen resolution — the standard remedy for spatial
+    autocorrelation leakage in geo ML evaluation.
+
+    Pure column expressions end to end (tile assignment + md5 CASE):
+    no shuffle, no UDF; assignment is sticky per cell under table growth
+    and identical at any parallelism. Coarser ``res`` = stronger leakage
+    guarantee but lumpier split proportions (the hot urban cell carries
+    20% of rows into whichever split its hash picks — report actual
+    proportions from the tile histogram if they matter).
+    """
+    from .tiling import assign_tiles
+
+    tiled = assign_tiles(df, res, lat=lat, lon=lon, out=tile_col)
+    return hash_split(tiled, tile_col, splits, salt=salt, out_col=out_col)
+
+
+def tile_cap_sample(
+    df: DataFrame,
+    res: int,
+    cap: int,
+    id_col: str,
+    salt: str = "cap0",
+    lat: str = "lat",
+    lon: str = "lon",
+    margin: int = 8,
+) -> DataFrame:
+    """Per-cell cap balancing: keep at most ``cap`` rows per tile, chosen
+    as the ``cap`` smallest ``(md5-hash, id)`` pairs in the cell — the
+    dataset-balancing step that stops one dense urban cell from
+    dominating a training epoch. Deterministic (sticky per id), engine-
+    portable, identical at any parallelism.
+
+    Scale path: a bare ``row_number() OVER (PARTITION BY tile ...)``
+    sorts the WHOLE hot cell on one task. Instead the (tiny, map-side
+    combined) cell histogram bounds a hash PREFILTER: for cells with
+    count > margin*cap, only rows with h32 below ``margin*cap/count`` of
+    the hash space enter the window — the top-``cap`` set under h32
+    order is invariant under any filter that keeps >= cap rows, so the
+    prefilter is semantically invisible. Cells where the prefilter
+    undershoots (binomial tail, ~never at margin=8) are detected by a
+    counted survivor re-aggregation — not assumed away — and fall back
+    to the unfiltered path, so the result is EXACT regardless. The
+    window then sorts O(margin*cap) rows per cell instead of the raw
+    cell population.
+
+    Returns the kept rows as (id, tile, rk) with rk in [1, cap].
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    from .tiling import assign_tiles
+
+    tiled = assign_tiles(df, res, lat=lat, lon=lon, out="tile").select(
+        F.col(id_col).alias("id"), "tile"
+    )
+    h = _hash32(F.col("id"), salt)
+    rows = tiled.withColumn("__h", h)
+    hist = rows.groupBy("tile").agg(F.count(F.lit(1)).alias("__cnt"))
+    thr = F.when(
+        F.col("__cnt") > margin * cap,
+        (F.lit(margin * cap) * F.lit(_SCALE).cast("long")) / F.col("__cnt"),
+    ).otherwise(F.lit(_SCALE)).cast("long")
+    bounded = rows.join(F.broadcast(hist.select("tile", thr.alias("__thr"))), "tile")
+    surv = bounded.filter(F.col("__h") < F.col("__thr"))
+    # counted safety net: a cell is OK iff the prefilter kept >= min(cap, cnt)
+    ok = (
+        surv.groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("__kept"))
+        .join(F.broadcast(hist), "tile")
+        .select(
+            "tile",
+            (F.col("__kept") >= F.least(F.lit(cap).cast("long"), F.col("__cnt"))).alias("__ok"),
+        )
+    )
+    pool = bounded.join(F.broadcast(ok), "tile", "left").filter(
+        (F.coalesce(F.col("__ok"), F.lit(False)) & (F.col("__h") < F.col("__thr")))
+        | ~F.coalesce(F.col("__ok"), F.lit(False))
+    )
+    w = Window.partitionBy("tile").orderBy("__h", "id")
+    return (
+        pool.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= cap)
+        .select("id", "tile", "rk")
+    )

@@ -1422,3 +1422,102 @@ def zone_visits(
             F.col("__exit").alias("exit_ts"),
         )
     )
+
+
+def gearys_c(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Global Geary's C spatial autocorrelation of the point-density
+    raster at ``res`` — the local-contrast complement to ``moran_i``
+    (C < 1 clustered, C = 1 random, C > 1 dispersed), same rook
+    (4-neighbor) adjacency over ALL ``N = 4^res`` grid cells with empty
+    cells as value 0. Returns ONE row
+    (res, n_cells, w_sum, occupied, num, den, geary_c) where
+
+        C = (N-1) * sum_ij w_ij (x_i - x_j)^2 / (2 W sum_i (x_i - xbar)^2)
+
+    Like ``moran_i``, the empty cells fold away in closed form:
+    expanding (x_i - x_j)^2 over the ordered adjacent pairs gives
+    ``2 * (Dq - P)`` with Dq = sum_i deg_i * x_i^2 (deg_i the in-grid
+    rook degree, closed form from cell coordinates) and P the ordered
+    occupied-adjacent product sum — both histogram-only; pairs touching
+    an empty cell contribute through Dq alone, empty-empty pairs vanish.
+    With sum_i (x_i - xbar)^2 = (N*Q - S^2)/N this yields the all-integer
+
+        num = (N-1) * N * (Dq - P)        den = W * (N*Q - S^2)
+
+    computed in DECIMAL(38,0) (N^2-scale products overflow int64); only
+    the final num/den division happens in doubles, so the statistic is
+    bit-deterministic and oracle-exact. Plan shape is identical to
+    ``moran_i``: the map-side-combined histogram, one 4-offset fan-out
+    self-join of the (tiny) histogram for P, two single-row aggregates —
+    nothing scales with 4^res except the histogram.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    n_cells = n * n
+    w_sum = 4 * n * (n - 1)
+    from .tiling import assign_tiles
+
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    cx = (F.col("tile") / F.lit(n)).cast("long")
+    cy = F.col("tile") % F.lit(n)
+    deg = (
+        (cx > 0).cast("long") + (cx < n - 1).cast("long")
+        + (cy > 0).cast("long") + (cy < n - 1).cast("long")
+    )
+    dec = "decimal(38,0)"
+    base = hist.agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
+        F.sum((deg * F.col("x") * F.col("x")).cast(dec)).alias("dq"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+            ]
+        )
+    ).alias("o")
+    nbr = (
+        hist.select("tile", "x", off)
+        .select(
+            ((cx + F.col("o.dx")) * F.lit(n) + (cy + F.col("o.dy"))).alias("ntile"),
+            (cx + F.col("o.dx")).alias("nx"),
+            (cy + F.col("o.dy")).alias("ny"),
+            F.col("x").alias("xi"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+    )
+    pairs = nbr.join(hist, nbr["ntile"] == hist["tile"], "inner").agg(
+        F.coalesce(
+            F.sum((F.col("xi") * F.col("x")).cast(dec)), F.lit(0).cast(dec)
+        ).alias("p")
+    )
+    N = F.lit(n_cells).cast(dec)
+    W = F.lit(w_sum).cast(dec)
+    cross = base.crossJoin(pairs)
+    num = F.lit(n_cells - 1).cast(dec) * N * (F.col("dq") - F.col("p"))
+    den = W * (N * F.col("q") - F.col("s") * F.col("s"))
+    return cross.select(
+        F.lit(res).alias("res"),
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.lit(w_sum).cast("long").alias("w_sum"),
+        F.col("occ").alias("occupied"),
+        num.cast("double").alias("num"),
+        den.cast("double").alias("den"),
+        (num.cast("double") / den.cast("double")).alias("geary_c"),
+    )

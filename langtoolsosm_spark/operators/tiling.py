@@ -281,3 +281,61 @@ def coverage_gaps(
         "ix", "iy",
         (F.shiftleft(F.col("ix"), res) + F.col("iy")).alias("tile"),
     )
+
+
+def kring_smooth(
+    df: DataFrame,
+    res: int,
+    k: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """k-ring neighborhood density smoothing — the H3 ``kRing`` analogue
+    on the quad grid: each tile's smoothed value is the sum of point
+    counts over all tiles within Chebyshev distance ``k`` (the full
+    (2k+1)^2 box, clipped at the grid edge). Used to de-noise per-cell
+    coverage before hotspot thresholds and to feed border-aware rollups
+    where a cell's neighbors matter as much as the cell.
+
+    Plan: ONE map-side-combined histogram over the fact table, then a
+    (2k+1)^2 offset fan-out of ONLY the histogram rows (never the facts)
+    and a second histogram-sized groupBy. The fact scan reads two
+    columns; everything after it is bounded by occupied-cells x (2k+1)^2.
+    Returns (tile, ring_sum) for every tile with >= 1 point in its
+    k-ring — i.e. the k-dilated occupancy raster.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    fan = (
+        hist.select(
+            "ix", "iy", "__n",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("dx"),
+        )
+        .select(
+            "ix", "iy", "__n", "dx",
+            F.explode(F.sequence(F.lit(-k), F.lit(k))).alias("dy"),
+        )
+        .select(
+            (F.col("ix") + F.col("dx")).alias("tx"),
+            (F.col("iy") + F.col("dy")).alias("ty"),
+            "__n",
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < n)
+            & (F.col("ty") >= 0) & (F.col("ty") < n)
+        )
+    )
+    return fan.groupBy(
+        (F.col("tx") * F.lit(n) + F.col("ty")).alias("tile")
+    ).agg(F.sum("__n").alias("ring_sum"))

@@ -5752,6 +5752,173 @@ REGISTRY.update({"embedding_pq_rescored": (q_embedding_pq_rescored, O_PQ_RESCORE
 # ---------------------------------------------------------------------------
 # driver window ordering
 # ---------------------------------------------------------------------------
+
+GEO_SPLIT_RES = 7
+
+
+def q_geo_split(spark, sf_dir):
+    """Spatially disjoint train/val/test split (operators/sampling.py
+    ``geo_split``): the md5 split hash is taken of the res-7 TILE, not
+    the row id, so all imagery of one cell lands in one split — the
+    anti-leakage counterpart of hash_split for spatially autocorrelated
+    data. Pure column expressions; sticky per cell."""
+    from ..operators.sampling import geo_split
+
+    return geo_split(geo_points(spark, sf_dir), res=GEO_SPLIT_RES).select(
+        "point_id", "tile", "split"
+    )
+
+
+O_GEO_SPLIT = f"""
+WITH {PTS_CTE},
+t AS (SELECT point_id, {_tile_sql(GEO_SPLIT_RES)} AS tile FROM pts),
+h AS (
+  SELECT point_id, tile,
+         {_o_hex8("md5('geo0' || CAST(tile AS VARCHAR))", 1)} AS h32
+  FROM t
+)
+SELECT point_id, tile,
+       CASE WHEN h32 * 1000 < 800 * 4294967296 THEN 'train'
+            WHEN h32 * 1000 < 900 * 4294967296 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_tile_cap_sample(spark, sf_dir):
+    """Per-cell cap balancing (operators/sampling.py ``tile_cap_sample``):
+    keep the 3 smallest (md5-hash, id) rows per res-8 tile. The engine
+    runs the histogram-bounded hash-prefilter scale path (the window
+    sorts O(margin*cap) rows per cell, never the raw hot cell) with the
+    counted fallback; the oracle is the plain window spec the prefilter
+    must be invisible against."""
+    from ..operators.sampling import tile_cap_sample
+
+    return tile_cap_sample(
+        geo_points(spark, sf_dir), res=8, cap=3, id_col="point_id"
+    ).select(F.col("id").alias("point_id"), "tile", "rk")
+
+
+O_TILE_CAP = f"""
+WITH {PTS_CTE},
+t AS (SELECT point_id, {_tile_sql(8)} AS tile FROM pts),
+h AS (
+  SELECT point_id, tile,
+         {_o_hex8("md5('cap0' || CAST(point_id AS VARCHAR))", 1)} AS h32
+  FROM t
+),
+r AS (
+  SELECT point_id, tile,
+         row_number() OVER (PARTITION BY tile ORDER BY h32, point_id) AS rk
+  FROM h
+)
+SELECT point_id, tile, CAST(rk AS INT) AS rk FROM r WHERE rk <= 3
+"""
+
+
+KRING_RES, KRING_K = 8, 2
+
+
+def q_kring_smooth(spark, sf_dir):
+    """k-ring density smoothing (operators/tiling.py ``kring_smooth``):
+    each res-8 tile's value becomes the point count over its Chebyshev-2
+    neighborhood (the 5x5 box, edge-clipped) — H3 kRing semantics on the
+    quad grid. Histogram-only fan-out: the 25x explode touches occupied
+    cells, never fact rows."""
+    from ..operators.tiling import kring_smooth
+
+    return kring_smooth(geo_points(spark, sf_dir), res=KRING_RES, k=KRING_K)
+
+
+_KRN = 1 << KRING_RES
+
+O_KRING_SMOOTH = f"""
+WITH {PTS_CTE},
+occ AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KRN}.0)
+                 AS BIGINT), 0), {_KRN - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KRN}.0)
+                 AS BIGINT), 0), {_KRN - 1}) AS iy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+fan AS (
+  SELECT ix + dx.i AS tx, iy + dy.i AS ty, cnt
+  FROM occ
+  CROSS JOIN generate_series(-{KRING_K}, {KRING_K}) dx(i)
+  CROSS JOIN generate_series(-{KRING_K}, {KRING_K}) dy(i)
+  WHERE ix + dx.i BETWEEN 0 AND {_KRN - 1}
+    AND iy + dy.i BETWEEN 0 AND {_KRN - 1}
+)
+SELECT CAST(tx * {_KRN} + ty AS BIGINT) AS tile,
+       CAST(SUM(cnt) AS BIGINT) AS ring_sum
+FROM fan GROUP BY 1
+"""
+
+
+def q_gearys_c(spark, sf_dir):
+    """Global Geary's C of the res-8 density raster (operators/spatial.py
+    ``gearys_c``) — the local-contrast complement of moran_i, same rook
+    adjacency over all 4^res cells with empties folded in closed form;
+    exact DECIMAL(38,0) algebra, histogram-only plan."""
+    from ..operators.spatial import gearys_c
+
+    return gearys_c(geo_points(spark, sf_dir), res=MORAN_RES)
+
+
+def _o_gearys_c(res: int) -> str:
+    n = 1 << res
+    n_cells = n * n
+    w_sum = 4 * n * (n - 1)
+    deg = (
+        f"((CASE WHEN tile // {n} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile // {n} < {n - 1} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile % {n} > 0 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN tile % {n} < {n - 1} THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH {PTS_CTE},
+hist AS (SELECT {_tile_sql(res)} AS tile, count(*) AS x FROM pts GROUP BY 1),
+base AS (
+  SELECT CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q,
+         CAST(sum({deg} * x * x) AS HUGEINT) AS dq, count(*) AS occ
+  FROM hist
+),
+fan AS (
+  SELECT (tile // {n} + dx) * {n} + (tile % {n} + dy) AS ntile, x AS xi
+  FROM hist, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+  WHERE tile // {n} + dx BETWEEN 0 AND {n - 1}
+    AND tile % {n} + dy BETWEEN 0 AND {n - 1}
+),
+pairs AS (
+  SELECT COALESCE(CAST(sum(f.xi * h.x) AS HUGEINT), CAST(0 AS HUGEINT)) AS p
+  FROM fan f JOIN hist h ON f.ntile = h.tile
+),
+alg AS (
+  SELECT occ,
+    CAST({n_cells - 1} AS HUGEINT) * {n_cells} * (dq - p) AS num_i,
+    CAST({w_sum} AS HUGEINT) * (CAST({n_cells} AS HUGEINT) * q - s * s) AS den_i
+  FROM base, pairs
+)
+SELECT {res} AS res, CAST({n_cells} AS BIGINT) AS n_cells,
+       CAST({w_sum} AS BIGINT) AS w_sum, occ AS occupied,
+       CAST(num_i AS DOUBLE) AS num, CAST(den_i AS DOUBLE) AS den,
+       CAST(num_i AS DOUBLE) / CAST(den_i AS DOUBLE) AS geary_c
+FROM alg
+"""
+
+
+O_GEARYS_C = _o_gearys_c(MORAN_RES)
+
+
+REGISTRY.update({
+    "geo_split": (q_geo_split, O_GEO_SPLIT),
+    "tile_cap_sample": (q_tile_cap_sample, O_TILE_CAP),
+    "kring_smooth": (q_kring_smooth, O_KRING_SMOOTH),
+    "gearys_c": (q_gearys_c, O_GEARYS_C),
+})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

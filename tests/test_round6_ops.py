@@ -1,0 +1,182 @@
+"""Round-6 operators: spatially disjoint splits, per-cell cap balancing,
+k-ring smoothing, Geary's C."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pts(spark, n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n, dtype=np.int64),
+                "lat": rng.uniform(35.0, 45.0, n),
+                "lon": rng.uniform(-5.0, 10.0, n),
+            }
+        )
+    )
+
+
+def test_geo_split_is_spatially_disjoint(spark):
+    """All rows sharing a tile must share a split — the whole point of
+    hashing the cell instead of the row id."""
+    from langtoolsosm_spark.operators.sampling import geo_split
+
+    out = geo_split(_pts(spark), res=6).select("tile", "split").distinct()
+    per_tile = out.groupBy("tile").count().filter(F.col("count") > 1).count()
+    assert per_tile == 0
+
+
+def test_geo_split_sticky_and_parallelism_invariant(spark):
+    from langtoolsosm_spark.operators.sampling import geo_split
+
+    base = _pts(spark)
+    a = geo_split(base, res=6).orderBy("point_id").collect()
+    b = geo_split(base.repartition(13), res=6).orderBy("point_id").collect()
+    assert a == b
+    # growing the table never moves an old row's split
+    grown = geo_split(base.unionByName(_pts(spark, n=100, seed=99).withColumn(
+        "point_id", F.col("point_id") + 10_000)), res=6)
+    old = {r["point_id"]: r["split"] for r in grown.filter(F.col("point_id") < 10_000).collect()}
+    assert old == {r["point_id"]: r["split"] for r in a}
+
+
+def test_tile_cap_sample_matches_plain_window_spec(spark):
+    """The histogram prefilter + counted fallback must be semantically
+    invisible: result == the cap smallest (h32, id) per tile."""
+    from pyspark.sql import Window
+
+    from langtoolsosm_spark.operators.sampling import _hash32, tile_cap_sample
+    from langtoolsosm_spark.operators.tiling import assign_tiles
+
+    pts = _pts(spark, n=600)
+    got = (
+        tile_cap_sample(pts, res=5, cap=3, id_col="point_id")
+        .orderBy("tile", "rk")
+        .collect()
+    )
+    w = Window.partitionBy("tile").orderBy("__h", "id")
+    want = (
+        assign_tiles(pts, 5)
+        .select(F.col("point_id").alias("id"), "tile")
+        .withColumn("__h", _hash32(F.col("id"), "cap0"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("id", "tile", "rk")
+        .orderBy("tile", "rk")
+        .collect()
+    )
+    assert got == want
+    assert all(r["rk"] <= 3 for r in got)
+
+
+def test_tile_cap_sample_fallback_path_is_exact(spark):
+    """margin=0 makes the prefilter drop EVERY row, forcing the counted
+    fallback for every tile — the result must still be exact."""
+    from langtoolsosm_spark.operators.sampling import tile_cap_sample
+
+    pts = _pts(spark, n=300)
+    fast = tile_cap_sample(pts, res=5, cap=2, id_col="point_id")
+    slow = tile_cap_sample(pts, res=5, cap=2, id_col="point_id", margin=0)
+    assert fast.orderBy("tile", "rk").collect() == slow.orderBy("tile", "rk").collect()
+
+
+def test_tile_cap_sample_rejects_bad_cap(spark):
+    from langtoolsosm_spark.operators.sampling import tile_cap_sample
+
+    with pytest.raises(ValueError):
+        tile_cap_sample(_pts(spark), res=5, cap=0, id_col="point_id")
+
+
+def test_kring_smooth_matches_bruteforce(spark):
+    from langtoolsosm_spark.operators.tiling import kring_smooth
+
+    res, k = 4, 1
+    n = 1 << res
+    pts = _pts(spark, n=200)
+    got = {r["tile"]: r["ring_sum"] for r in kring_smooth(pts, res=res, k=k).collect()}
+
+    pdf = pts.toPandas()
+    ix = np.clip(np.floor((pdf.lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((pdf.lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    want = {}
+    for tx in range(n):
+        for ty in range(n):
+            s = grid[max(0, tx - k):tx + k + 1, max(0, ty - k):ty + k + 1].sum()
+            if s > 0:
+                want[tx * n + ty] = s
+    assert got == want
+
+
+def test_kring_smooth_rejects_bad_k(spark):
+    from langtoolsosm_spark.operators.tiling import kring_smooth
+
+    with pytest.raises(ValueError):
+        kring_smooth(_pts(spark), res=4, k=0)
+
+
+def test_gearys_c_matches_dense_formula(spark):
+    """Histogram-only closed form == the textbook dense computation over
+    the full n x n grid (empties as 0) at a res small enough to
+    materialize."""
+    from langtoolsosm_spark.operators.spatial import gearys_c
+
+    res = 3
+    n = 1 << res
+    pts = _pts(spark, n=150)
+    row = gearys_c(pts, res=res).collect()[0]
+
+    pdf = pts.toPandas()
+    ix = np.clip(np.floor((pdf.lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((pdf.lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.float64)
+    np.add.at(grid, (ix, iy), 1.0)
+    N = n * n
+    W = 4 * n * (n - 1)
+    num = 0.0
+    for x in range(n):
+        for y in range(n):
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                if 0 <= x + dx < n and 0 <= y + dy < n:
+                    num += (grid[x, y] - grid[x + dx, y + dy]) ** 2
+    xbar = grid.sum() / N
+    den = ((grid - xbar) ** 2).sum()
+    want = (N - 1) * num / (2 * W * den)
+    assert row["res"] == res and row["n_cells"] == N and row["w_sum"] == W
+    assert row["geary_c"] == pytest.approx(want, rel=1e-12)
+    assert row["occupied"] == int((grid > 0).sum())
+
+
+def test_gearys_c_uniform_vs_checkerboard_ordering(spark):
+    """Sanity on the statistic's direction: a single tight cluster
+    (clustered density) must score below a maximally alternating
+    pattern (dispersed)."""
+    from langtoolsosm_spark.operators.spatial import gearys_c
+
+    res = 3
+    n = 1 << res
+    # clustered: everything in one cell
+    clustered = spark.createDataFrame(
+        pd.DataFrame({"point_id": range(64), "lat": [36.1] * 64, "lon": [1.1] * 64})
+    )
+    # dispersed: checkerboard of the index grid (one point per black cell)
+    rows = []
+    for x in range(n):
+        for y in range(n):
+            if (x + y) % 2 == 0:
+                rows.append(
+                    (
+                        len(rows),
+                        -90.0 + (y + 0.5) * 180.0 / n,
+                        -180.0 + (x + 0.5) * 360.0 / n,
+                    )
+                )
+    board = spark.createDataFrame(pd.DataFrame(rows, columns=["point_id", "lat", "lon"]))
+    c_clustered = gearys_c(clustered, res=res).collect()[0]["geary_c"]
+    c_board = gearys_c(board, res=res).collect()[0]["geary_c"]
+    assert c_clustered < c_board
