@@ -207,3 +207,61 @@ def mosaic_parent_tiles(
             lambda _k, pdf: compose(pdf), "tile long, n_points long, png binary"
         )
     )
+
+
+def decayed_tiles(
+    events: DataFrame,
+    res: int,
+    anchor_epoch: int,
+    halflife_s: int,
+    max_halvings: int = 16,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts",
+) -> DataFrame:
+    """Recency-weighted density heatmap: each event contributes an EXACT
+    integer weight ``2^(max_halvings - min(age // halflife_s, K))`` —
+    power-of-two decay instead of float ``exp(-age/tau)``, so per-tile
+    sums are associative-exact, engine-portable, and mergeable into the
+    incremental rollup machinery (a float decay would make the rollup
+    merge order-dependent). ``age`` clamps at 0 for events after the
+    anchor, and the weight floors at 1 after ``max_halvings`` halflives
+    (old events stay countable, just maximally discounted).
+
+    One scan, one map-side-combined groupBy — the same plan shape as
+    ``heatmap_stats``; the decay is a pure column expression on the
+    event timestamp. Returns (tile, decayed_sum, n_points, newest_age_s)
+    per occupied tile; rank by decayed_sum for "what is hot NOW" tiles,
+    n_points for all-time density.
+    """
+    if halflife_s < 1:
+        raise ValueError(f"halflife_s must be >= 1, got {halflife_s}")
+    if not 0 <= max_halvings <= 62:
+        raise ValueError(f"max_halvings must be in [0, 62], got {max_halvings}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    age = F.greatest(
+        F.lit(anchor_epoch).cast("long") - F.unix_timestamp(F.col(ts)), F.lit(0)
+    )
+    # long / int -> double, cast long truncates toward zero == floor here
+    # (age >= 0); the quotient is < 2^31/halflife, far inside the double
+    # mantissa, so the truncation can't straddle an integer boundary
+    k = F.least((age / F.lit(halflife_s)).cast("long"), F.lit(max_halvings))
+    # pow is double-typed but every 2^m is exactly representable, and the
+    # long cast is lossless for m <= 62; shiftleft won't take a column
+    # bit count
+    weight = F.pow(F.lit(2.0), (F.lit(max_halvings) - k)).cast("long")
+    return (
+        events.select(tile.alias("tile"), age.alias("__age"), weight.alias("__w"))
+        .groupBy("tile")
+        .agg(
+            F.sum("__w").alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("__age").alias("newest_age_s"),
+        )
+    )

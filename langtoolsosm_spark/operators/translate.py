@@ -415,3 +415,48 @@ def conflict_keys(features: DataFrame, edits: DataFrame) -> DataFrame:
         .filter(F.size("conflict_keys") > 0)
         .select("osm_type", "id", "conflict_keys")
     )
+
+
+def region_lang_audit(
+    points: DataFrame,
+    polygons: DataFrame,
+    region_langs: DataFrame,
+    res: int = 8,
+    text_col: str = "text",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Caption-language vs region-rule consistency audit — the QA table
+    behind the reference's per-region name:LANG fill decisions
+    (lib/osm_utils.py:120-121 asks a human per edit; at 10^12 rows the
+    check must be a batch join): which captions disagree with the
+    language rule of the region that owns their footprint?
+
+    Composition of two oracle-gated parts: unique-owner PIP join assigns
+    each point its governing polygon; marker-based ``lang_id`` guesses
+    the caption language; a broadcast (polygon_id -> expected_lang) dim
+    closes the loop. Emits (id, polygon_id, expected_lang, guess, agree)
+    for every point inside some polygon — ``agree = 0`` rows are the
+    review queue. All column expressions + one hierarchical-cover PIP;
+    the lang dim is polygon-count sized, always broadcast.
+    """
+    from .pip_join import pip_join
+    from .textstats import lang_id
+
+    owned = pip_join(
+        points.select(id_col, "lat", "lon"), polygons, res=res,
+        unique=True, id_col=id_col,
+    ).select(id_col, "polygon_id")
+    guesses = lang_id(points, text_col=text_col, id_col=id_col).select(
+        id_col, "guess"
+    )
+    return (
+        owned.join(F.broadcast(region_langs), "polygon_id")
+        .join(guesses, id_col)
+        .select(
+            id_col,
+            "polygon_id",
+            "expected_lang",
+            "guess",
+            (F.col("guess") == F.col("expected_lang")).cast("int").alias("agree"),
+        )
+    )

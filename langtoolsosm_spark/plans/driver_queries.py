@@ -5919,6 +5919,133 @@ REGISTRY.update({
 })
 
 
+
+AUDIT_LANGS = ["en", "es", "fr", "de"]
+
+
+def q_region_lang_audit(spark, sf_dir):
+    """Caption-language vs region-rule consistency audit
+    (operators/translate.py ``region_lang_audit``): unique-owner PIP +
+    marker lang_id + broadcast polygon->lang dim; agree=0 rows are the
+    reference's human-review queue (lib/osm_utils.py:120-121) as a batch
+    table. Captions come from the documents table, co-located with the
+    point fixture by ``point_id % n_docs`` (counted broadcast dim)."""
+    from ..operators.translate import region_lang_audit
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()  # counted broadcast gate: dim size, driver scalar
+    pts = orders.selectExpr(
+        "o_orderkey AS point_id",
+        f"{PT_LAT_SQL} AS lat",
+        f"{PT_LON_SQL} AS lon",
+        f"o_orderkey % {n_docs} AS doc_id",
+    ).join(F.broadcast(docs), "doc_id").select("point_id", "lat", "lon", "text")
+    region_langs = spark.createDataFrame(
+        [(pid, AUDIT_LANGS[int(pid[1:]) % 4]) for pid, _ in GEO_POLYGONS],
+        "polygon_id string, expected_lang string",
+    )
+    return region_lang_audit(pts, geo_polygons_df(spark), region_langs, res=8)
+
+
+_AUDIT_EXPECTED = (
+    "CASE CAST(substr(polygon_id, 2) AS INT) % 4 "
+    "WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' ELSE 'de' END"
+)
+
+O_REGION_LANG_AUDIT = f"""
+WITH ptsx AS (
+  SELECT o.o_orderkey AS point_id, {PT_LAT_SQL} AS lat, {PT_LON_SQL} AS lon,
+         d.text AS text
+  FROM orders o JOIN documents d
+    ON d.doc_id = o.o_orderkey % (SELECT count(*) FROM documents)
+),
+hits AS (
+  {" UNION ALL ".join(
+    f"SELECT point_id, '{pid}' AS polygon_id FROM ptsx WHERE {pred}"
+    for pid, pred in POLY_PRED_SQL.items()
+  )}
+),
+owned AS (SELECT point_id, min(polygon_id) AS polygon_id FROM hits GROUP BY 1),
+scored AS (
+  SELECT point_id,
+         {_o_lang_score("en", [" the ", " a "])},
+         {_o_lang_score("es", [" el ", " la "])},
+         {_o_lang_score("fr", [" le ", " la "])},
+         {_o_lang_score("de", [" der ", " die "])}
+  FROM ptsx
+),
+g AS (
+  SELECT point_id,
+         CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unk'
+              WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+              WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+              ELSE 'de' END AS guess
+  FROM scored
+)
+SELECT o.point_id, o.polygon_id, {_AUDIT_EXPECTED} AS expected_lang, g.guess,
+       CAST(CASE WHEN g.guess = {_AUDIT_EXPECTED} THEN 1 ELSE 0 END AS INT) AS agree
+FROM owned o JOIN g ON g.point_id = o.point_id
+"""
+
+
+# anchor after the events fixture's last timestamp; halflife one week
+DECAY_ANCHOR, DECAY_HALFLIFE, DECAY_RES = 1_719_792_000, 604_800, 7
+
+
+def q_decayed_heatmap(spark, sf_dir):
+    """Recency-weighted heatmap (operators/heatmap.py ``decayed_tiles``):
+    per-tile exact power-of-two decayed weights over the events stream —
+    2^(16 - min(age // week, 16)) per event from a fixed anchor — next
+    to the raw count and the newest age. Same one-scan histogram plan as
+    heatmap_tiles; the decay is a column expression."""
+    from ..operators.heatmap import decayed_tiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__decay_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __decay_events"
+    )
+    return decayed_tiles(
+        t, res=DECAY_RES, anchor_epoch=DECAY_ANCHOR, halflife_s=DECAY_HALFLIFE
+    )
+
+
+_DECN = 1 << DECAY_RES
+
+O_DECAYED_HEATMAP = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+w AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_DECN}.0)
+                 AS BIGINT), 0), {_DECN - 1}) * {_DECN}
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_DECN}.0)
+                 AS BIGINT), 0), {_DECN - 1}) AS tile,
+         GREATEST({DECAY_ANCHOR} - ep, 0) AS age
+  FROM ev
+)
+SELECT tile,
+       CAST(SUM(CAST(2 AS BIGINT) ** (16 - LEAST(age // {DECAY_HALFLIFE}, 16))) AS BIGINT)
+         AS decayed_sum,
+       count(*) AS n_points,
+       MIN(age) AS newest_age_s
+FROM w GROUP BY 1
+"""
+
+
+REGISTRY.update({
+    "region_lang_audit": (q_region_lang_audit, O_REGION_LANG_AUDIT),
+    "decayed_heatmap": (q_decayed_heatmap, O_DECAYED_HEATMAP),
+})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

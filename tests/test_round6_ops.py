@@ -180,3 +180,72 @@ def test_gearys_c_uniform_vs_checkerboard_ordering(spark):
     c_clustered = gearys_c(clustered, res=res).collect()[0]["geary_c"]
     c_board = gearys_c(board, res=res).collect()[0]["geary_c"]
     assert c_clustered < c_board
+
+
+def test_region_lang_audit_flags_and_coverage(spark):
+    """Known captions in known regions: agree mirrors the marker guess vs
+    the region dim; points outside every polygon are excluded."""
+    from langtoolsosm_spark.operators.translate import region_lang_audit
+
+    polys = spark.createDataFrame(
+        [("G1", [{"lat": 36.0, "lon": -3.0}, {"lat": 36.0, "lon": 1.0},
+                 {"lat": 39.0, "lon": 1.0}, {"lat": 39.0, "lon": -3.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    langs = spark.createDataFrame(
+        [("G1", "en")], "polygon_id string, expected_lang string"
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": [1, 2, 3],
+                "lat": [37.0, 37.5, 50.0],     # 3 is outside
+                "lon": [0.0, 0.5, 0.0],
+                "text": ["see the map a lot", "mira el mapa el dia", "x"],
+            }
+        )
+    )
+    rows = {r["point_id"]: r for r in region_lang_audit(pts, polys, langs, res=6).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["guess"] == "en" and rows[1]["agree"] == 1
+    assert rows[2]["guess"] == "es" and rows[2]["agree"] == 0
+
+
+def test_decayed_tiles_weight_math(spark):
+    """Power-of-two decay: fresh event = 2^16, one halflife = 2^15,
+    beyond max_halvings floors at 1, future events clamp to age 0."""
+    from langtoolsosm_spark.operators.heatmap import decayed_tiles
+
+    anchor = 1_000_000
+    h = 100
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [anchor, anchor - h, anchor - 17 * h, anchor + 50], unit="s"
+                ),
+                "lat": [40.0] * 4,
+                "lon": [0.0] * 4,
+            }
+        )
+    )
+    row = decayed_tiles(
+        df, res=4, anchor_epoch=anchor, halflife_s=h, max_halvings=16
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    # 2^16 (fresh) + 2^15 (one halflife) + 2^0 (capped) + 2^16 (future->0)
+    assert r["decayed_sum"] == 65536 + 32768 + 1 + 65536
+    assert r["n_points"] == 4 and r["newest_age_s"] == 0
+
+
+def test_decayed_tiles_rejects_bad_params(spark):
+    from langtoolsosm_spark.operators.heatmap import decayed_tiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime([0], unit="s"), "lat": [0.0], "lon": [0.0]})
+    )
+    with pytest.raises(ValueError):
+        decayed_tiles(df, res=4, anchor_epoch=0, halflife_s=0)
+    with pytest.raises(ValueError):
+        decayed_tiles(df, res=4, anchor_epoch=0, halflife_s=10, max_halvings=63)
