@@ -845,3 +845,51 @@ def letterbox_detect(images: DataFrame) -> DataFrame:
         schema="image_id string, top_rows long, bottom_rows long, "
                "left_cols long, right_cols long, boxed int",
     )
+
+
+def mip_pyramid(images: DataFrame, levels: int = 2) -> DataFrame:
+    """Mip-level image pyramid — the multi-resolution counterpart of
+    ``tile_pyramid`` on the PIXEL side: repeated 2x2 box reduce with the
+    exact integer floor mean ``(a+b+c+d) // 4`` per channel (odd trailing
+    row/col cropped, so level-k dims are ``w >> k``). Level 0 is the
+    original. Emits one audit row per (image, level):
+    (image_id, level, w, h, px_sum, chk) with the same position-weighted
+    checksum contract as ``resize_nn`` — the shuffle carries a handful of
+    ints per level, never pixels; at scale the mip tensors themselves
+    feed thumbnail/preview shards on the same executor.
+
+    Stops early when the next level would have a zero dimension; callers
+    get exactly the levels that exist.
+    """
+    if levels < 0:
+        raise ValueError(f"levels must be >= 0, got {levels}")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                cur = ic.decode(buf, fmt).astype(np.int64)
+                for lvl in range(levels + 1):
+                    h, w = cur.shape[:2]
+                    wts = (
+                        3 * (np.arange(h)[:, None] * w + np.arange(w))[..., None]
+                        + np.arange(3) + 1
+                    )
+                    recs.append(
+                        (img_id, lvl, w, h, int(cur.sum()), int((cur * wts).sum()))
+                    )
+                    if lvl == levels or h < 2 or w < 2:
+                        break
+                    he, we = (h // 2) * 2, (w // 2) * 2
+                    q = cur[:he, :we]
+                    cur = (
+                        q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]
+                    ) // 4
+            yield pd.DataFrame(
+                recs, columns=["image_id", "level", "w", "h", "px_sum", "chk"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, level int, w int, h int, px_sum long, chk long",
+    )

@@ -249,3 +249,48 @@ def test_decayed_tiles_rejects_bad_params(spark):
         decayed_tiles(df, res=4, anchor_epoch=0, halflife_s=0)
     with pytest.raises(ValueError):
         decayed_tiles(df, res=4, anchor_epoch=0, halflife_s=10, max_halvings=63)
+
+
+def test_mip_pyramid_matches_numpy_reduce(spark):
+    """Exact 2x2 floor-mean chain on a known 5x6 image: level dims halve
+    with odd row/col cropped; checksums match the hand reduce."""
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import mip_pyramid
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)  # h=5, w=6
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "bytes": [ic.encode(px, "raw")],
+                      "fmt": ["raw"]})
+    )
+    got = {r["level"]: r for r in mip_pyramid(df, levels=2).collect()}
+
+    cur = px.astype(np.int64)
+    want = {}
+    for lvl in range(3):
+        h, w = cur.shape[:2]
+        wts = 3 * (np.arange(h)[:, None] * w + np.arange(w))[..., None] + np.arange(3) + 1
+        want[lvl] = (w, h, int(cur.sum()), int((cur * wts).sum()))
+        he, we = (h // 2) * 2, (w // 2) * 2
+        q = cur[:he, :we]
+        cur = (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) // 4
+    assert set(got) == {0, 1, 2}
+    for lvl, (w, h, s, chk) in want.items():
+        r = got[lvl]
+        assert (r["w"], r["h"], r["px_sum"], r["chk"]) == (w, h, s, chk)
+    # dims: 6x5 -> 3x2 -> 1x1
+    assert (got[1]["w"], got[1]["h"]) == (3, 2)
+    assert (got[2]["w"], got[2]["h"]) == (1, 1)
+
+
+def test_mip_pyramid_stops_before_zero_dim(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import mip_pyramid
+
+    px = np.full((1, 7, 3), 9, dtype=np.uint8)  # 1-px tall: no level 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a"], "bytes": [ic.encode(px, "raw")],
+                      "fmt": ["raw"]})
+    )
+    rows = mip_pyramid(df, levels=3).collect()
+    assert [r["level"] for r in rows] == [0]
