@@ -893,3 +893,92 @@ def mip_pyramid(images: DataFrame, levels: int = 2) -> DataFrame:
         kernel,
         schema="image_id string, level int, w int, h int, px_sum long, chk long",
     )
+
+
+def mosaic_pack(
+    images: DataFrame,
+    side: int = 8,
+    n_buckets: int = 16,
+    salt: str = "mosaic0",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Deterministic 4-up mosaic augmentation (the YOLO-style composite:
+    four images NN-resized to ``side x side`` and packed into one
+    ``2*side`` canvas), summarized to exact integers. Grouping is
+    md5-bucketed like ``token_shard_pack``: each image hashes into one of
+    ``n_buckets`` independent streams, ranks within its bucket by
+    (hash, id), and joins mosaic ``group_id = bucket * 2^32 + (rank-1)//4``
+    as quadrant ``(rank-1) % 4`` — sticky, engine-portable, no global
+    sort. Incomplete tail groups (< 4 members) are dropped.
+
+    The mosaic checksum is position-weighted over the COMPOSITE canvas,
+    which makes it separable per member: quadrant q at offset
+    (side * (q//2), side * (q%2)) contributes
+    ``sum(px' * (3 * ((r+dr)*2*side + c+dc) + ch + 1))`` — computable
+    from each image alone given its quadrant. So the plan is one decode
+    + resize kernel emitting per-member partial ints, then a group_id
+    groupBy summing them; the four members' PIXELS never meet, only
+    their checksums do. Returns (group_id, chk, px_sum) per complete
+    group; at scale the composite tensors themselves are materialized
+    executor-locally by the shard writer from the same assignments.
+    """
+    if side < 1:
+        raise ValueError(f"side must be >= 1, got {side}")
+    from pyspark.sql import Window
+
+    from .sampling import _hash32
+
+    h = _hash32(F.col(id_col), salt)
+    ranked = (
+        images.select(id_col, "bytes", "fmt")
+        .withColumn("__h", h)
+        .withColumn("__bucket", F.pmod(F.col("__h"), F.lit(n_buckets)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__bucket").orderBy("__h", id_col)
+            ),
+        )
+        .select(
+            id_col, "bytes", "fmt",
+            (
+                F.col("__bucket") * F.lit(1 << 32).cast("long")
+                + ((F.col("__rn") - 1) / F.lit(4)).cast("long")
+            ).alias("group_id"),
+            ((F.col("__rn") - 1) % 4).alias("quad"),
+        )
+    )
+
+    canvas = 2 * side
+
+    def kernel(batches):
+        rr = np.arange(side)
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt, gid, quad in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["group_id"], pdf["quad"]
+            ):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                ih, iw = px.shape[:2]
+                rs = px[(rr * ih) // side][:, (rr * iw) // side]
+                dr, dc = side * (quad // 2), side * (quad % 2)
+                wts = (
+                    3 * ((rr[:, None] + dr) * canvas + rr + dc)[..., None]
+                    + np.arange(3) + 1
+                )
+                recs.append((int(gid), int((rs * wts).sum()), int(rs.sum())))
+            yield pd.DataFrame(recs, columns=["group_id", "chk", "px_sum"])
+
+    parts = ranked.mapInPandas(
+        kernel, schema="group_id long, chk long, px_sum long"
+    )
+    return (
+        parts.groupBy("group_id")
+        .agg(
+            F.sum("chk").alias("chk"),
+            F.sum("px_sum").alias("px_sum"),
+            F.count(F.lit(1)).alias("__members"),
+        )
+        .filter(F.col("__members") == 4)
+        .select("group_id", "chk", "px_sum")
+    )

@@ -6102,6 +6102,72 @@ WHERE w >= 1 AND h >= 1
 REGISTRY.update({"image_pyramid": (q_image_pyramid, O_IMAGE_PYRAMID)})
 
 
+
+def q_mosaic_pack(spark, sf_dir):
+    """4-up mosaic augmentation audit (operators/images.py
+    ``mosaic_pack``): md5-bucketed quadrant assignment + separable
+    composite checksums over the raw sample + quality fixtures — the
+    members' pixels never meet, only their partial ints. The oracle
+    replays the bucket/rank assignment and the NN-resize + offset
+    weighting in SQL."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import mosaic_pack
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return mosaic_pack(imgs, side=8)
+
+
+O_MOSAIC_PACK = f"""
+WITH {_QUALITY_RAW_V},
+hq AS (
+  SELECT image_id, w, h,
+         {_o_hex8("md5('mosaic0' || image_id)", 1)} AS h32
+  FROM v
+),
+rk AS (
+  SELECT image_id, w, h, h32 % 16 AS bucket,
+         row_number() OVER (PARTITION BY h32 % 16 ORDER BY h32, image_id) AS rn
+  FROM hq
+),
+asg AS (
+  SELECT image_id, w, h,
+         CAST(bucket * 4294967296 + (rn - 1) // 4 AS BIGINT) AS group_id,
+         (rn - 1) % 4 AS quad
+  FROM rk
+),
+ch AS (
+  SELECT image_id, (i - 9) // 3 AS p, (i - 9) % 3 AS chn,
+         CAST(bv AS BIGINT) AS val
+  FROM b WHERE i >= 9
+),
+grid AS (SELECT r.i AS r, c.i AS c
+         FROM generate_series(0, 7) r(i) CROSS JOIN generate_series(0, 7) c(i)),
+map AS (
+  SELECT a.image_id, a.group_id, a.quad, g.r, g.c,
+         ((g.r * a.h) // 8) * a.w + ((g.c * a.w) // 8) AS p
+  FROM asg a CROSS JOIN grid g
+),
+parts AS (
+  SELECT m.group_id,
+         CAST(SUM(ch.val * (3 * ((m.r + (m.quad // 2) * 8) * 16
+                                 + m.c + (m.quad % 2) * 8) + ch.chn + 1))
+              AS BIGINT) AS chk,
+         CAST(SUM(ch.val) AS BIGINT) AS px_sum
+  FROM map m JOIN ch ON ch.image_id = m.image_id AND ch.p = m.p
+  GROUP BY 1
+),
+full_g AS (SELECT group_id FROM asg GROUP BY 1 HAVING count(*) = 4)
+SELECT p.group_id, p.chk, p.px_sum
+FROM parts p JOIN full_g USING (group_id)
+"""
+
+
+REGISTRY.update({"mosaic_pack": (q_mosaic_pack, O_MOSAIC_PACK)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -294,3 +294,50 @@ def test_mip_pyramid_stops_before_zero_dim(spark):
     )
     rows = mip_pyramid(df, levels=3).collect()
     assert [r["level"] for r in rows] == [0]
+
+
+def test_mosaic_pack_checksum_equals_composited_canvas(spark):
+    """The separable per-quadrant partials must equal the checksum of the
+    ACTUALLY composited 2*side canvas, and incomplete groups drop."""
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import mosaic_pack
+    from langtoolsosm_spark.operators.sampling import _hash32
+
+    rng = np.random.default_rng(11)
+    n, side = 9, 4  # one bucket -> groups of 4, one incomplete (9 % 4 = 1)
+    imgs = [rng.integers(0, 256, (rng.integers(4, 9), rng.integers(4, 9), 3),
+                         dtype=np.uint8) for _ in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"m{i}" for i in range(n)],
+                "bytes": [ic.encode(p, "raw") for p in imgs],
+                "fmt": ["raw"] * n,
+            }
+        )
+    )
+    got = {r["group_id"]: r for r in
+           mosaic_pack(df, side=side, n_buckets=1).collect()}
+    assert len(got) == 2  # 9 images -> 2 complete groups, tail dropped
+
+    # replay assignment on the driver
+    h = {r["image_id"]: r["h"] for r in df.select(
+        "image_id", _hash32(F.col("image_id"), "mosaic0").alias("h")).collect()}
+    order = sorted(range(n), key=lambda i: (h[f"m{i}"], f"m{i}"))
+    canvas = 2 * side
+    rr = np.arange(side)
+    for g in range(2):
+        comp = np.zeros((canvas, canvas, 3), dtype=np.int64)
+        for quad in range(4):
+            px = imgs[order[g * 4 + quad]].astype(np.int64)
+            ih, iw = px.shape[:2]
+            rs = px[(rr * ih) // side][:, (rr * iw) // side]
+            dr, dc = side * (quad // 2), side * (quad % 2)
+            comp[dr:dr + side, dc:dc + side] = rs
+        wts = (3 * (np.arange(canvas)[:, None] * canvas
+                    + np.arange(canvas))[..., None] + np.arange(3) + 1)
+        want_chk = int((comp * wts).sum())
+        gid = [k for k in got if k % (1 << 32) == g]
+        assert len(gid) == 1
+        assert got[gid[0]]["chk"] == want_chk
+        assert got[gid[0]]["px_sum"] == int(comp.sum())
