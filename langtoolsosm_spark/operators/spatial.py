@@ -1521,3 +1521,78 @@ def gearys_c(
         den.cast("double").alias("den"),
         (num.cast("double") / den.cast("double")).alias("geary_c"),
     )
+
+
+def convex_hull_edges(
+    points: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-cluster convex hull as directed counterclockwise edges —
+    the footprint-outline op (cluster coverage polygons, dissemination
+    boundaries) the reference delegates to server-side area geometry
+    (lib/osm_utils.py:34-43).
+
+    Coordinates quantize to micro-degree int64 FIRST (``X = floor((lon +
+    180) * scale)``), so every orientation test is an exact integer
+    cross product — engine-independent, no epsilon geometry. Products
+    are bounded by (360e6)^2 < 2^57, far inside int64. Semantics under
+    the integer metric: duplicate locations dedupe to the min id;
+    collinear boundary midpoints are NOT vertices (strict hull); a
+    cluster with 2 distinct locations emits both directed edges; 1-point
+    clusters emit none.
+
+    Plan: one Arrow ``applyInPandas`` per cluster running Andrew's
+    monotone chain (O(k log k) per group). Same bounded-group contract
+    as ``hist_eq``: a cluster's points must fit one task — hulls of
+    city-scale clusters are thousands of points, never the fact table;
+    for degenerate giant clusters pre-thin with ``tile_cap_sample``
+    (hull of a dense set is carried by its extreme points, but exactness
+    then holds for the thinned set). Returns (cluster, a_id, b_id) per
+    hull edge.
+    """
+    qx = F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale))).cast("long")
+    qy = F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale))).cast("long")
+    d = points.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col(id_col).alias("pid"),
+        qx.alias("x"),
+        qy.alias("y"),
+    )
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        cluster = pdf["cluster"].iloc[0]
+        g = (
+            pdf.sort_values(["x", "y", "pid"])
+            .drop_duplicates(["x", "y"], keep="first")
+            .reset_index(drop=True)
+        )
+        pts = list(zip(g["x"].astype(int), g["y"].astype(int), g["pid"].astype(int)))
+        if len(pts) < 2:
+            return pd.DataFrame(columns=["cluster", "a_id", "b_id"])
+
+        def cross(o, a, b):
+            return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+        lower: list = []
+        for p in pts:
+            while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                lower.pop()
+            lower.append(p)
+        upper: list = []
+        for p in reversed(pts):
+            while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                upper.pop()
+            upper.append(p)
+        ring = lower[:-1] + upper[:-1]
+        m = len(ring)
+        rows = [
+            (cluster, ring[i][2], ring[(i + 1) % m][2]) for i in range(m)
+        ]
+        return pd.DataFrame(rows, columns=["cluster", "a_id", "b_id"])
+
+    out_schema = "cluster long, a_id long, b_id long"
+    return d.groupBy("cluster").applyInPandas(hull, schema=out_schema)

@@ -6168,6 +6168,53 @@ FROM parts p JOIN full_g USING (group_id)
 REGISTRY.update({"mosaic_pack": (q_mosaic_pack, O_MOSAIC_PACK)})
 
 
+
+def q_convex_hull(spark, sf_dir):
+    """Per-cluster convex hull edges (operators/spatial.py
+    ``convex_hull_edges``): micro-degree integer quantization makes
+    every orientation test an exact int64 cross product, so the
+    monotone-chain engine path and the quadratic all-pairs SQL spec
+    agree bit-exactly. Thinned fixture (point_id % 23) keeps the
+    cubic oracle tractable; 5 clusters by id."""
+    from ..operators.spatial import convex_hull_edges
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 23 == 0)
+    return convex_hull_edges(
+        pts.withColumn("cluster_id", F.col("point_id") % 5)
+    )
+
+
+O_CONVEX_HULL = f"""
+WITH {PTS_CTE},
+q AS (
+  SELECT point_id % 5 AS cluster, point_id,
+         CAST(FLOOR((lon + 180.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS y
+  FROM pts WHERE point_id % 23 = 0
+),
+d AS (
+  SELECT cluster, min(point_id) AS pid, x, y
+  FROM q GROUP BY cluster, x, y
+)
+SELECT a.cluster, a.pid AS a_id, b.pid AS b_id
+FROM d a JOIN d b ON a.cluster = b.cluster AND a.pid <> b.pid
+WHERE NOT EXISTS (
+  SELECT 1 FROM d p
+  WHERE p.cluster = a.cluster AND p.pid <> a.pid AND p.pid <> b.pid
+    AND (
+      (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0
+      OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+          AND NOT ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y) > 0
+                   AND (p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y)
+                       < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))
+    )
+)
+"""
+
+
+REGISTRY.update({"convex_hull": (q_convex_hull, O_CONVEX_HULL)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

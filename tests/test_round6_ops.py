@@ -341,3 +341,60 @@ def test_mosaic_pack_checksum_equals_composited_canvas(spark):
         assert len(gid) == 1
         assert got[gid[0]]["chk"] == want_chk
         assert got[gid[0]]["px_sum"] == int(comp.sum())
+
+
+def test_convex_hull_edges_properties(spark):
+    """Every returned edge keeps all cluster points on its left (or
+    collinear-between); edges form a single closed CCW ring; degenerate
+    clusters behave per contract."""
+    from langtoolsosm_spark.operators.spatial import convex_hull_edges
+
+    rng = np.random.default_rng(5)
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "cluster_id": np.int64(0),
+            "lat": rng.uniform(35, 45, n),
+            "lon": rng.uniform(-5, 10, n),
+        }
+    )
+    # degenerate clusters: single point, two points, collinear run, duplicate
+    extra = pd.DataFrame(
+        {
+            "point_id": np.arange(n, n + 8, dtype=np.int64),
+            "cluster_id": np.int64([1, 2, 2, 3, 3, 3, 4, 4]),
+            "lat": [40.0, 40.0, 41.0, 40.0, 40.5, 41.0, 40.0, 40.0],
+            "lon": [0.0, 0.0, 1.0, 0.0, 0.5, 1.0, 2.0, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([pdf, extra], ignore_index=True))
+    edges = convex_hull_edges(df).collect()
+    by_cluster = {}
+    for r in edges:
+        by_cluster.setdefault(r["cluster"], []).append((r["a_id"], r["b_id"]))
+
+    # cluster 1 (single point): no edges; cluster 2 (two points) and
+    # cluster 3 (collinear): exactly the two directed extreme edges;
+    # cluster 4 (duplicates of one location): no edges
+    assert 1 not in by_cluster and 4 not in by_cluster
+    assert sorted(by_cluster[2]) == [(n + 1, n + 2), (n + 2, n + 1)]
+    assert sorted(by_cluster[3]) == [(n + 3, n + 5), (n + 5, n + 3)]
+
+    # cluster 0: ring closes, and all points sit left-of every edge
+    ring = dict(by_cluster[0])
+    assert len(ring) == len(by_cluster[0])  # each vertex has one successor
+    start = next(iter(ring))
+    seen, cur = [start], ring[start]
+    while cur != start:
+        seen.append(cur)
+        cur = ring[cur]
+    assert len(seen) == len(ring)  # single closed cycle
+    x = np.floor((pdf.lon + 180.0) * 1e6).astype(np.int64).values
+    y = np.floor((pdf.lat + 90.0) * 1e6).astype(np.int64).values
+    for a, b in by_cluster[0]:
+        crossv = (x[b] - x[a]) * (y - y[a]) - (y[b] - y[a]) * (x - x[a])
+        assert (crossv >= 0).all()  # nothing strictly right
+    # hull vertices are a superset-free minimal set: interior point check
+    hull_ids = set(ring)
+    assert 0 < len(hull_ids) < n
