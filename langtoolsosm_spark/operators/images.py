@@ -982,3 +982,49 @@ def mosaic_pack(
         .filter(F.col("__members") == 4)
         .select("group_id", "chk", "px_sum")
     )
+
+
+ASPECT_LADDER = (500, 750, 1000, 1333, 2000)
+
+
+def aspect_buckets(
+    images: DataFrame,
+    ladder: tuple[int, ...] = ASPECT_LADDER,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Aspect-ratio bucketing for variable-shape training batches (the
+    SDXL-style bucketing step): every image's integer aspect
+    ``ratio_milli = (1000 * w) div h`` snaps to the NEAREST ladder rung
+    (tie -> the smaller rung, first-attains-min), and per-rung stats
+    size the dataloader: (bucket_milli, n_images, n_batches,
+    min_ratio_milli, max_ratio_milli) with ``n_batches = ceil(n /
+    batch_size)``.
+
+    Metadata-only — reads (w, h), never bytes, so the parquet scan
+    prunes to two int columns; the snap is a folded column expression
+    and the rollup one map-side-combined groupBy. At 10^12 rows this is
+    the cheap planning pass that decides shard layout before any decode
+    happens.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if not ladder or list(ladder) != sorted(set(ladder)):
+        raise ValueError("ladder must be strictly increasing and non-empty")
+    r = (F.lit(1000).cast("long") * F.col("w").cast("long") / F.col("h")).cast(
+        "long"
+    )
+    best = F.lit(ladder[0]).cast("long")
+    bestd = F.abs(r - F.lit(ladder[0]))
+    for rung in ladder[1:]:
+        d = F.abs(r - F.lit(rung))
+        best = F.when(d < bestd, F.lit(rung).cast("long")).otherwise(best)
+        bestd = F.least(bestd, d)
+    tagged = images.select(r.alias("ratio_milli"), best.alias("bucket_milli"))
+    return tagged.groupBy("bucket_milli").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        (
+            (F.count(F.lit(1)) + F.lit(batch_size - 1)) / F.lit(batch_size)
+        ).cast("long").alias("n_batches"),
+        F.min("ratio_milli").alias("min_ratio_milli"),
+        F.max("ratio_milli").alias("max_ratio_milli"),
+    )

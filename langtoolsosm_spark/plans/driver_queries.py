@@ -6215,6 +6215,35 @@ WHERE NOT EXISTS (
 REGISTRY.update({"convex_hull": (q_convex_hull, O_CONVEX_HULL)})
 
 
+
+def q_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucket planning (operators/images.py
+    ``aspect_buckets``): metadata-only snap of (1000*w) div h to the
+    nearest ladder rung (tie -> smaller) + per-rung batch sizing over
+    the full image table — the scan reads two int columns, never
+    bytes."""
+    from ..operators.images import aspect_buckets
+
+    return aspect_buckets(_synth_images(spark, sf_dir))
+
+
+O_ASPECT_BUCKETS = f"""
+WITH img AS (
+  SELECT CAST((1000 * w) // h AS BIGINT) AS r
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+d AS (SELECT r, ABS(r - 500) AS d0, ABS(r - 750) AS d1, ABS(r - 1000) AS d2, ABS(r - 1333) AS d3, ABS(r - 2000) AS d4 FROM img),
+snap AS (SELECT r, CAST(CASE WHEN d0 = LEAST(d0, d1, d2, d3, d4) THEN 500 WHEN d1 = LEAST(d0, d1, d2, d3, d4) THEN 750 WHEN d2 = LEAST(d0, d1, d2, d3, d4) THEN 1000 WHEN d3 = LEAST(d0, d1, d2, d3, d4) THEN 1333 ELSE 2000 END AS BIGINT) AS bucket_milli FROM d)
+SELECT bucket_milli, count(*) AS n_images,
+       CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+       MIN(r) AS min_ratio_milli, MAX(r) AS max_ratio_milli
+FROM snap GROUP BY 1
+""".format(SYNTH_SF001_IMAGES=SYNTH_SF001_IMAGES)
+
+
+REGISTRY.update({"aspect_buckets": (q_aspect_buckets, O_ASPECT_BUCKETS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

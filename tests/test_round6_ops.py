@@ -398,3 +398,29 @@ def test_convex_hull_edges_properties(spark):
     # hull vertices are a superset-free minimal set: interior point check
     hull_ids = set(ring)
     assert 0 < len(hull_ids) < n
+
+
+def test_aspect_buckets_snap_and_batches(spark):
+    """Nearest-rung snap with smaller-rung tie-break and ceil batch
+    counts; metadata only (no bytes column needed)."""
+    from langtoolsosm_spark.operators.images import aspect_buckets
+
+    # ratios: 500 (1:2), 1000 (1:1), 875 -> tie 750 vs 1000 (both 125
+    # away) -> smaller rung 750, 3000 -> clamps to nearest 2000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "w": [10, 10, 7, 30] * 33,  # 132 rows -> batches of 32
+                "h": [20, 10, 8, 10] * 33,
+            }
+        )
+    )
+    rows = {r["bucket_milli"]: r for r in aspect_buckets(df).collect()}
+    assert set(rows) == {500, 750, 1000, 2000}
+    assert rows[750]["min_ratio_milli"] == 875
+    assert all(r["n_images"] == 33 and r["n_batches"] == 2 for r in rows.values())
+
+    with pytest.raises(ValueError):
+        aspect_buckets(df, batch_size=0)
+    with pytest.raises(ValueError):
+        aspect_buckets(df, ladder=(1000, 500))
