@@ -1596,3 +1596,70 @@ def convex_hull_edges(
 
     out_schema = "cluster long, a_id long, b_id long"
     return d.groupBy("cluster").applyInPandas(hull, schema=out_schema)
+
+
+def marching_cases(
+    points: DataFrame,
+    res: int,
+    threshold: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Marching-squares case histogram over the thresholded density
+    raster — the contour-extraction primitive (isoline topology of
+    "where density >= threshold") complementing ``raster_polygonize``'s
+    region extraction. Each 2x2 block of raster cells gets the classic
+    4-bit case index from its corners' occupancy (bit 1 = corner
+    (bx, by), bit 2 = (bx+1, by), bit 4 = (bx, by+1), bit 8 =
+    (bx+1, by+1)); the result is (case_idx, n_blocks) for the 15
+    non-empty cases — saddle counts (5, 10), boundary-segment totals,
+    and interior mass fall straight out of it.
+
+    Plan: the map-side-combined histogram, a 4-offset fan-out of ONLY
+    the occupied cells (each occupied corner touches at most 4 blocks),
+    one histogram-scale groupBy summing bit weights per block, one
+    16-row rollup. All-empty blocks (case 0) never materialize — the
+    4^res grid appears nowhere.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    occ = (
+        points.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= threshold)
+        .select("ix", "iy")
+    )
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                    F.lit(bit).alias("bit"),
+                )
+                for dx, dy, bit in ((0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8))
+            ]
+        )
+    ).alias("o")
+    fan = (
+        occ.select("ix", "iy", off)
+        .select(
+            (F.col("ix") + F.col("o.dx")).alias("bx"),
+            (F.col("iy") + F.col("o.dy")).alias("by"),
+            F.col("o.bit").alias("bit"),
+        )
+        .filter(
+            (F.col("bx") >= 0) & (F.col("bx") <= n - 2)
+            & (F.col("by") >= 0) & (F.col("by") <= n - 2)
+        )
+    )
+    blocks = fan.groupBy("bx", "by").agg(F.sum("bit").alias("case_idx"))
+    return blocks.groupBy(F.col("case_idx").cast("int").alias("case_idx")).agg(
+        F.count(F.lit(1)).alias("n_blocks")
+    )

@@ -6244,6 +6244,50 @@ FROM snap GROUP BY 1
 REGISTRY.update({"aspect_buckets": (q_aspect_buckets, O_ASPECT_BUCKETS)})
 
 
+
+MS_RES, MS_THRESHOLD = 8, 2
+
+
+def q_contour_cases(spark, sf_dir):
+    """Marching-squares case histogram (operators/spatial.py
+    ``marching_cases``): 4-bit corner-occupancy cases of every 2x2
+    raster block at res-8 with density threshold 2 — contour topology
+    without materializing the grid; only occupied corners fan out."""
+    from ..operators.spatial import marching_cases
+
+    return marching_cases(
+        geo_points(spark, sf_dir), res=MS_RES, threshold=MS_THRESHOLD
+    )
+
+
+_MSN = 1 << MS_RES
+
+O_CONTOUR_CASES = f"""
+WITH {PTS_CTE},
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_MSN}.0)
+                 AS BIGINT), 0), {_MSN - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_MSN}.0)
+                 AS BIGINT), 0), {_MSN - 1}) AS iy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+occ AS (SELECT ix, iy FROM hist WHERE cnt >= {MS_THRESHOLD}),
+fan AS (
+  SELECT ix + dx AS bx, iy + dy AS by, bit
+  FROM occ, (VALUES (0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8)) o(dx, dy, bit)
+  WHERE ix + dx BETWEEN 0 AND {_MSN - 2}
+    AND iy + dy BETWEEN 0 AND {_MSN - 2}
+),
+blocks AS (SELECT bx, by, SUM(bit) AS case_idx FROM fan GROUP BY 1, 2)
+SELECT CAST(case_idx AS INT) AS case_idx, count(*) AS n_blocks
+FROM blocks GROUP BY 1
+"""
+
+
+REGISTRY.update({"contour_cases": (q_contour_cases, O_CONTOUR_CASES)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -424,3 +424,31 @@ def test_aspect_buckets_snap_and_batches(spark):
         aspect_buckets(df, batch_size=0)
     with pytest.raises(ValueError):
         aspect_buckets(df, ladder=(1000, 500))
+
+
+def test_marching_cases_matches_bruteforce(spark):
+    """Case histogram == dense numpy marching-squares classification of
+    the full thresholded grid (case 0 excluded)."""
+    from langtoolsosm_spark.operators.spatial import marching_cases
+
+    res, thr = 4, 2
+    n = 1 << res
+    pts = _pts(spark, n=500, seed=13)
+    got = {r["case_idx"]: r["n_blocks"]
+           for r in marching_cases(pts, res=res, threshold=thr).collect()}
+
+    pdf = pts.toPandas()
+    ix = np.clip(np.floor((pdf.lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((pdf.lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    occ = grid >= thr
+    case = (
+        occ[:-1, :-1] * 1 + occ[1:, :-1] * 2 + occ[:-1, 1:] * 4 + occ[1:, 1:] * 8
+    )
+    want = {int(c): int((case == c).sum()) for c in np.unique(case) if c != 0}
+    assert got == want
+    assert 0 not in got
+
+    with pytest.raises(ValueError):
+        marching_cases(pts, res=res, threshold=0)
