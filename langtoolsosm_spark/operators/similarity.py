@@ -911,3 +911,101 @@ def pq_ann_rescored(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+def _sq8_flat(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, d, xq): one row per dimension of the integer-quantized
+    vector (the shared x1000 rounding every ANN family trains on)."""
+    return _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+        F.col(id_col), F.posexplode("__xq").alias("d", "xq")
+    )
+
+
+def _sq8_stats(flat: DataFrame) -> DataFrame:
+    """Per-dim (mn, span) trained on the corpus itself — dim-count rows,
+    always broadcast. span floors at 1 so constant dims encode to 0."""
+    return flat.groupBy("d").agg(
+        F.min("xq").alias("mn"),
+        F.greatest(F.max("xq") - F.min("xq"), F.lit(1).cast("long")).alias("span"),
+    )
+
+
+def sq8_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar quantization (SQ8) — the third classic ANN compression next
+    to sign-LSH and PQ: every dimension compresses to ONE byte against
+    per-dim [min, max] corpus statistics,
+    ``code = ((xq - mn_d) * 255) div max(span_d, 1)`` (exact integer,
+    codes in [0, 255] by construction). 4x memory cut with no codebook
+    training — the standard faiss SQ8 baseline that often beats PQ on
+    recall at equal bytes for low-dim embeddings.
+
+    Plan: the stats are one dim-count aggregate (broadcast everywhere);
+    encoding is a pure column expression after one posexplode — no
+    iteration, no shuffle beyond the 64-row stats. Returns
+    (vec_id, d, code)."""
+    flat = _sq8_flat(emb, id_col, vec_col)
+    stats = _sq8_stats(flat)
+    return flat.join(F.broadcast(stats), "d").select(
+        id_col,
+        "d",
+        (((F.col("xq") - F.col("mn")) * 255) / F.col("span"))
+        .cast("long")
+        .alias("code"),
+    )
+
+
+def sq8_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric SQ8 ANN top-k: queries (the % 50 == 0 fixture sample,
+    same as the PQ gates) keep their exact quantized values; database
+    vectors are DEQUANTIZED from their byte codes
+    (``dq = mn_d + (code * span_d) div 255``) and scored by integer L2 —
+    the code table is the only corpus-sized input, queries ride a
+    broadcast, and the per-pair sum is a map-side-combined aggregate.
+    Returns (query_id, neighbor_id, rank, adist) ranked by approximate
+    distance ascending, neighbor id ascending."""
+    flat = _sq8_flat(emb, id_col, vec_col)
+    stats = _sq8_stats(flat)
+    deq = (
+        flat.join(F.broadcast(stats), "d")
+        .select(
+            F.col(id_col),
+            "d",
+            (
+                F.col("mn")
+                + (
+                    (((F.col("xq") - F.col("mn")) * 255) / F.col("span"))
+                    .cast("long")
+                    * F.col("span")
+                    / F.lit(255)
+                ).cast("long")
+            ).alias("dq"),
+        )
+    )
+    q = flat.filter(F.col(id_col) % 50 == 0).select(
+        F.col(id_col).alias("query_id"), "d", "xq"
+    )
+    dist = (
+        deq.join(F.broadcast(q), "d")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("xq") - F.col("dq")) * (F.col("xq") - F.col("dq"))
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adist")
+    )

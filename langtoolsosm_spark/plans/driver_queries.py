@@ -6288,6 +6288,74 @@ FROM blocks GROUP BY 1
 REGISTRY.update({"contour_cases": (q_contour_cases, O_CONTOUR_CASES)})
 
 
+
+def q_sq8_codes(spark, sf_dir):
+    """SQ8 byte codes (operators/similarity.py ``sq8_encode``): per-dim
+    min/span trained on the corpus, code = ((xq - mn) * 255) div
+    max(span, 1) — exact integers both sides."""
+    from ..operators.similarity import sq8_encode
+
+    return sq8_encode(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+_SQ8_FLAT = """flat AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS d,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0) AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+stats AS (
+  SELECT d, min(xq) AS mn, GREATEST(max(xq) - min(xq), 1) AS span
+  FROM flat GROUP BY 1
+)"""
+
+O_SQ8_CODES = f"""
+WITH {_SQ8_FLAT}
+SELECT vec_id, f.d, CAST(((xq - mn) * 255) // span AS BIGINT) AS code
+FROM flat f JOIN stats USING (d)
+"""
+
+
+def q_sq8_ann(spark, sf_dir):
+    """Asymmetric SQ8 ANN (operators/similarity.py ``sq8_ann_topk``):
+    exact quantized queries (% 50 fixture sample) against dequantized
+    byte codes, integer L2, top-5 — the faiss SQ8 baseline as a
+    broadcast-scan plan."""
+    from ..operators.similarity import sq8_ann_topk
+
+    return sq8_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_SQ8_ANN = f"""
+WITH {_SQ8_FLAT},
+deq AS (
+  SELECT vec_id, f.d,
+         mn + (CAST(((xq - mn) * 255) // span AS BIGINT) * span) // 255 AS dq
+  FROM flat f JOIN stats USING (d)
+),
+q AS (SELECT vec_id AS query_id, d, xq FROM flat WHERE vec_id % 50 = 0),
+dist AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(SUM((q.xq - e.dq) * (q.xq - e.dq)) AS BIGINT) AS adist
+  FROM deq e JOIN q ON q.d = e.d
+  WHERE e.vec_id <> q.query_id GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM dist
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adist
+FROM ranked WHERE rank <= 5
+"""
+
+
+REGISTRY.update({
+    "embedding_sq8_codes": (q_sq8_codes, O_SQ8_CODES),
+    "embedding_sq8_ann": (q_sq8_ann, O_SQ8_ANN),
+})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

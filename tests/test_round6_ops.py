@@ -452,3 +452,51 @@ def test_marching_cases_matches_bruteforce(spark):
 
     with pytest.raises(ValueError):
         marching_cases(pts, res=res, threshold=0)
+
+
+def test_sq8_codes_bounded_and_reconstruction_error(spark):
+    from langtoolsosm_spark.operators.similarity import sq8_encode
+
+    rng = np.random.default_rng(17)
+    n, dim = 200, 16
+    emb = rng.normal(0, 1, (n, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": [v.tolist() for v in emb]})
+    )
+    codes = sq8_encode(df).toPandas()
+    assert len(codes) == n * dim
+    assert codes["code"].between(0, 255).all()
+    # reconstruction: |dequant - xq| <= ceil(span/255) per dim
+    xq = np.round(emb * 1000).astype(np.int64)
+    mn, mx = xq.min(axis=0), xq.max(axis=0)
+    span = np.maximum(mx - mn, 1)
+    c = codes.pivot(index="vec_id", columns="d", values="code").values
+    dq = mn + (c * span) // 255
+    assert (np.abs(dq - xq) <= span // 255 + 1).all()
+
+
+def test_sq8_ann_recall_vs_exact(spark):
+    """Byte-compressed ANN must stay close to exact L2 on separable
+    clustered vectors: recall@5 >= 0.8."""
+    from langtoolsosm_spark.operators.similarity import sq8_ann_topk
+
+    rng = np.random.default_rng(23)
+    n, dim = 300, 16
+    centers = rng.normal(0, 5, (6, dim))
+    emb = centers[np.arange(n) % 6] + rng.normal(0, 0.5, (n, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": [v.tolist() for v in emb]})
+    )
+    got = sq8_ann_topk(df, k=5).toPandas()
+    xq = np.round(emb * 1000).astype(np.int64)
+    hits = tot = 0
+    for qid in range(0, n, 50):
+        d2 = ((xq - xq[qid]) ** 2).sum(axis=1)
+        d2[qid] = np.iinfo(np.int64).max
+        exact = set(np.argsort(d2, kind="stable")[:5])
+        approx = set(got[got.query_id == qid]["neighbor_id"])
+        hits += len(exact & approx)
+        tot += 5
+    assert hits / tot >= 0.8
