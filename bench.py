@@ -215,6 +215,7 @@ def main():
         ivf_lloyd_ann_topk,
         pq_ann_rescored,
         pq_ann_topk,
+        sq8_ann_topk,
         topk_dot_kernel,
     )
 
@@ -253,6 +254,7 @@ def main():
     # the rescored two-stage number is the deployment-shaped one
     pq_recall = recall("pq_adc", pq_ann_topk(emb))
     pq_rescored_recall = recall("pq_rescored", pq_ann_rescored(emb))
+    sq8_recall = recall("sq8", sq8_ann_topk(emb))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -272,6 +274,7 @@ def main():
         "ivf_lloyd_recall_at_5": ivf_lloyd_recall,
         "pq_adc_recall_at_5": pq_recall,
         "pq_rescored_recall_at_5": pq_rescored_recall,
+        "sq8_recall_at_5": sq8_recall,
         "corpus_pipeline_sec": round(
             timings["corpus_prep"] + timings["decontaminate"], 3
         ),

@@ -6356,6 +6356,44 @@ REGISTRY.update({
 })
 
 
+
+def q_stream_decayed_heatmap(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the recency-decayed raster:
+    the events-derived point fixture staged as 3 parquet files feeds 3
+    micro-batches through the stateful decayed sum (fixed anchor, exact
+    power-of-two weights); the final state must equal the batch
+    ``decayed_tiles`` oracle exactly — same oracle SQL as
+    decayed_heatmap."""
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_decayed_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__sdecay_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __sdecay_events"
+    )
+    out = tempfile.mkdtemp(prefix="streamdecay_")
+    try:
+        src = os.path.join(out, "src")
+        t.repartition(3).write.parquet(src)
+        result = run_decayed_stream_once(
+            spark, src, os.path.join(out, "ckpt"),
+            res=DECAY_RES, anchor_epoch=DECAY_ANCHOR,
+            halflife_s=DECAY_HALFLIFE,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({
+    "stream_decayed_heatmap": (q_stream_decayed_heatmap, O_DECAYED_HEATMAP),
+})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

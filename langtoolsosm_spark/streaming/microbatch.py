@@ -678,3 +678,51 @@ def run_geofence_stream_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_decayed_tiles(
+    stream: DataFrame, res: int, anchor_epoch: int, halflife_s: int,
+    max_halvings: int = 16, lat: str = "lat", lon: str = "lon", ts: str = "ts",
+) -> DataFrame:
+    """Streaming recency-decayed raster state: the batch ``decayed_tiles``
+    (operators/heatmap.py) unchanged on a streaming frame — the decay
+    weight is a per-event column expression against a FIXED anchor, so
+    the stateful per-tile sum stays associative-exact and state is
+    bounded by occupied tiles. Same code as batch, not a parallel
+    implementation that could drift. (A sliding "now" anchor is served
+    by rescaling the stored sum by 2^-(delta // halflife) on read — the
+    stored state never needs rewriting; out of gate scope.)"""
+    from ..operators.heatmap import decayed_tiles
+
+    return decayed_tiles(
+        stream, res, anchor_epoch, halflife_s, max_halvings, lat, lon, ts
+    )
+
+
+def run_decayed_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str,
+    res: int, anchor_epoch: int, halflife_s: int,
+) -> DataFrame:
+    """Drive the streaming decayed raster over all staged files
+    (availableNow, complete mode, memory sink) and return the final
+    state; batch parity with ``decayed_tiles`` is the oracle contract."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    q = (
+        stream_decayed_tiles(
+            st, res=res, anchor_epoch=anchor_epoch, halflife_s=halflife_s
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("decay_stream")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("decay_stream")
