@@ -1663,3 +1663,73 @@ def marching_cases(
     return blocks.groupBy(F.col("case_idx").cast("int").alias("case_idx")).agg(
         F.count(F.lit(1)).alias("n_blocks")
     )
+
+
+def simplify_radial(
+    traj: DataFrame,
+    eps_micro: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Radial-distance polyline simplification — the streaming-friendly
+    member of the simplification family (Douglas-Peucker's cheap
+    cousin): walk each entity's points in time order, keep a point iff
+    its squared distance from the LAST KEPT point is >= eps_micro^2;
+    the first point is always kept. Standard GPS-track thinning before
+    map-matching / tile rendering.
+
+    Coordinates quantize to micro-degree int64 first (same contract as
+    ``convex_hull_edges``), so the keep decision is an exact integer
+    compare — engine-independent, and expressible as a recursive SQL
+    spec. The walk is inherently sequential per entity, so the kernel is
+    one Arrow ``applyInPandas`` per entity (bounded-group contract like
+    ``hist_eq``: one track fits one task; tracks are thousands of
+    points, never the fact table). Returns (entity, rn, x, y) for kept
+    points, rn the 1-based time rank within the entity.
+    """
+    if eps_micro < 1:
+        raise ValueError(f"eps_micro must be >= 1, got {eps_micro}")
+    from pyspark.sql import Window
+
+    qx = F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale))).cast("long")
+    qy = F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale))).cast("long")
+    d = traj.select(
+        F.col(entity_col).alias("entity"),
+        F.row_number().over(
+            Window.partitionBy(entity_col).orderBy(
+                F.col(ts_col), F.col(order_tiebreak)
+            )
+        ).cast("long").alias("rn"),
+        qx.alias("x"),
+        qy.alias("y"),
+    )
+    eps2 = eps_micro * eps_micro
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values("rn")
+        xs = g["x"].to_numpy()
+        ys = g["y"].to_numpy()
+        rns = g["rn"].to_numpy()
+        ent = g["entity"].iloc[0]
+        keep = []
+        kx = ky = None
+        for i in range(len(g)):
+            if kx is None or (int(xs[i]) - kx) ** 2 + (int(ys[i]) - ky) ** 2 >= eps2:
+                keep.append(i)
+                kx, ky = int(xs[i]), int(ys[i])
+        return pd.DataFrame(
+            {
+                "entity": [ent] * len(keep),
+                "rn": rns[keep],
+                "x": xs[keep],
+                "y": ys[keep],
+            }
+        )
+
+    return d.groupBy("entity").applyInPandas(
+        walk, schema="entity long, rn long, x long, y long"
+    )

@@ -6394,6 +6394,61 @@ REGISTRY.update({
 })
 
 
+
+SIMPLIFY_EPS = 3_000_000  # 3 degrees in micro-degrees
+
+
+def q_simplify_radial(spark, sf_dir):
+    """Radial polyline simplification (operators/spatial.py
+    ``simplify_radial``): keep a point iff its integer squared distance
+    from the last kept point >= eps^2, first always kept — sequential
+    per track, gated against a RECURSIVE SQL spec (correlated min-rank
+    step) over the events trajectory fixture."""
+    from ..operators.spatial import simplify_radial
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__simp_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __simp_events"
+    )
+    return simplify_radial(t, eps_micro=SIMPLIFY_EPS)
+
+
+O_SIMPLIFY_RADIAL = f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+t AS (
+  SELECT user_id AS entity,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn,
+         CAST(FLOOR((lon + 180.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS y
+  FROM src
+),
+kept AS (
+  SELECT entity, rn, x, y FROM t WHERE rn = 1
+  UNION ALL
+  SELECT n.entity, n.rn, n.x, n.y
+  FROM kept k
+  JOIN t n ON n.entity = k.entity
+   AND n.rn = (
+     SELECT min(m.rn) FROM t m
+     WHERE m.entity = k.entity AND m.rn > k.rn
+       AND (m.x - k.x) * (m.x - k.x) + (m.y - k.y) * (m.y - k.y)
+           >= {SIMPLIFY_EPS}::BIGINT * {SIMPLIFY_EPS}
+   )
+)
+SELECT entity, rn, x, y FROM kept
+"""
+
+
+REGISTRY.update({"simplify_radial": (q_simplify_radial, O_SIMPLIFY_RADIAL)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

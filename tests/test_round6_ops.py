@@ -500,3 +500,41 @@ def test_sq8_ann_recall_vs_exact(spark):
         hits += len(exact & approx)
         tot += 5
     assert hits / tot >= 0.8
+
+
+def test_simplify_radial_matches_sequential_walk(spark):
+    """Kernel output == the obvious python walk; first point always
+    kept; eps=1 keeps every distinct-location point."""
+    from langtoolsosm_spark.operators.spatial import simplify_radial
+
+    rng = np.random.default_rng(29)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "user_id": np.int64(np.arange(n) % 5),
+            "ts": np.int64(np.arange(n)),
+            "event_id": np.int64(np.arange(n)),
+            "lat": rng.uniform(35, 45, n),
+            "lon": rng.uniform(-5, 10, n),
+        }
+    )
+    eps = 2_000_000
+    df = spark.createDataFrame(pdf)
+    got = {(r["entity"], r["rn"]) for r in simplify_radial(df, eps).collect()}
+
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf["x"] = np.floor((pdf.lon + 180.0) * 1e6).astype(np.int64)
+    pdf["y"] = np.floor((pdf.lat + 90.0) * 1e6).astype(np.int64)
+    want = set()
+    for uid, g in pdf.groupby("user_id"):
+        kx = ky = None
+        for rn, (x, y) in enumerate(zip(g.x, g.y), start=1):
+            if kx is None or (x - kx) ** 2 + (y - ky) ** 2 >= eps * eps:
+                want.add((uid, rn))
+                kx, ky = x, y
+    assert got == want
+    # every entity keeps its first point
+    assert all((u, 1) in got for u in range(5))
+
+    with pytest.raises(ValueError):
+        simplify_radial(df, 0)
