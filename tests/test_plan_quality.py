@@ -474,3 +474,51 @@ def test_round5c_plan_shapes(spark):
     qk = pts.select(quadkey_col(F.col("lat"), F.col("lon"), 8).alias("q"))
     p = _plan(qk)
     assert "Exchange" not in p and "Python" not in p
+
+
+def test_round6_plan_shapes(spark, synth_dir):
+    """Plan assertions for the round-6 curation family."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.images import aspect_buckets
+    from langtoolsosm_spark.operators.sampling import geo_split
+    from langtoolsosm_spark.operators.spatial import gearys_c, marching_cases
+    from langtoolsosm_spark.operators.tiling import kring_smooth
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": range(100),
+                "lat": [36.0 + i * 0.05 for i in range(100)],
+                "lon": [0.0 + i * 0.05 for i in range(100)],
+            }
+        )
+    )
+
+    # geo_split: pure column expressions — no exchange, no python
+    plan = _plan(geo_split(pts, res=6))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+    # aspect_buckets: the parquet scan must read only the two dim ints
+    imgs = spark.read.parquet(f"{synth_dir}/images.parquet")
+    fplan = _formatted(aspect_buckets(imgs))
+    read_schemas = [l for l in fplan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and not any("bytes" in l for l in read_schemas)
+    assert "struct<w:int,h:int>" in read_schemas[0].replace(" ", "")
+
+    # kring / gearys / marching: exactly one fact-side shuffle (the
+    # histogram); the fan-out works on histogram rows, and aggregates
+    # are map-side partial
+    for df in (
+        kring_smooth(pts, res=6, k=2),
+        gearys_c(pts, res=6),
+        marching_cases(pts, res=6, threshold=1),
+    ):
+        p = _plan(df)
+        assert "EvalPython" not in p
+        assert "partial_count" in p or "partial_sum" in p or "HashAggregate" in p
+        # the histogram explode/fan must come AFTER the first aggregate:
+        # no Generate/fan node may feed the first Exchange from the scan
+        first_exchange = p.find("Exchange")
+        assert first_exchange != -1
