@@ -1733,3 +1733,86 @@ def simplify_radial(
     return d.groupBy("entity").applyInPandas(
         walk, schema="entity long, rn long, x long, y long"
     )
+
+
+def getis_gi(
+    points: DataFrame,
+    res: int,
+    k: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot scores of the density raster at ``res`` —
+    per-cell local z-statistics over the Chebyshev-k box neighborhood
+    (self included, edge-clipped), the standard "statistically hot
+    cells" layer on top of ``kring_smooth``. Because z itself needs a
+    square root, the emitted statistic is the exact rational z^2 with
+    its sign:
+
+        a_i  = N * ring_sum_i - n_i * S          (scaled numerator)
+        z^2  = a_i^2 * (N-1) / ((N*Q - S^2) * n_i * (N - n_i))
+
+    with S = total count, Q = sum of squared cell counts, N = 4^res,
+    and n_i the in-grid box size (closed form from the cell coords).
+    Every term is DECIMAL(38,0)-exact (a_i^2*(N-1) reaches ~1e23);
+    only the final ratio happens in doubles. ``hot`` is sign(a_i): +1 a
+    hotter-than-mean neighborhood, -1 colder.
+
+    Domain: the k-dilated occupancy (cells with ring_sum >= 1) — all
+    other cells are uniformly cold with a_i = -n_i * S and never
+    materialize, keeping the plan histogram-only: one map-side-combined
+    histogram, one (2k+1)^2 fan-out of histogram rows, two single-row
+    aggregates. Returns (tile, ring_sum, n_ring, num, den, gi2, hot).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    n_cells = n * n
+    from .tiling import assign_tiles, kring_smooth
+
+    dec = "decimal(38,0)"
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    base = hist.agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
+    )
+    ring = kring_smooth(points, res, k=k, lat=lat, lon=lon)
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    n_ring = (
+        (F.least(ix + k, F.lit(n - 1)) - F.greatest(ix - k, F.lit(0)) + 1)
+        * (F.least(iy + k, F.lit(n - 1)) - F.greatest(iy - k, F.lit(0)) + 1)
+    )
+    N = F.lit(n_cells).cast(dec)
+    j = ring.withColumn("n_ring", n_ring.cast("long")).crossJoin(
+        F.broadcast(base)
+    )
+    a = N * F.col("ring_sum").cast(dec) - F.col("n_ring").cast(dec) * F.col("s")
+    # a (<= N*S ~ 1e10) and N*Q - S^2 (~1e14) are each exactly
+    # representable in a double, so they convert identically from
+    # Spark's DECIMAL and DuckDB's HUGEINT; the full products a^2*(N-1)
+    # (~1e23) are NOT — converting those as integers differs by an ulp
+    # between the engines' decimal->double paths. So the final products
+    # are computed IN doubles with an identical left-associated
+    # expression tree, which IEEE 754 makes bit-deterministic.
+    a_d = a.cast("double")
+    v_d = (N * F.col("q") - F.col("s") * F.col("s")).cast("double")
+    num = a_d * a_d * F.lit(float(n_cells - 1))
+    den = v_d * F.col("n_ring").cast("double") * (
+        F.lit(float(n_cells)) - F.col("n_ring").cast("double")
+    )
+    return j.select(
+        "tile",
+        "ring_sum",
+        "n_ring",
+        num.alias("num"),
+        den.alias("den"),
+        (num / den).alias("gi2"),
+        F.when(a > 0, 1).when(a < 0, -1).otherwise(0).cast("int").alias("hot"),
+    )

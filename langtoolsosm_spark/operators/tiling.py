@@ -339,3 +339,38 @@ def kring_smooth(
     return fan.groupBy(
         (F.col("tx") * F.lit(n) + F.col("ty")).alias("tile")
     ).agg(F.sum("__n").alias("ring_sum"))
+
+
+def st_cube(
+    events: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    ts: str = "ts",
+) -> DataFrame:
+    """Space-time CUBE: event counts over every subset of
+    (tile, day-of-week, hour-of-day) — all 8 grouping sets in ONE pass
+    (Spark expands grouping sets map-side; the fact table is scanned
+    once), the OLAP dashboard backing "where and when" drill-downs.
+    NULL marks a rolled-up level, as in ANSI CUBE.
+
+    Day-of-week is derived arithmetically from the epoch
+    (``(days + 4) % 7``, 0 = Sunday) rather than calendar functions —
+    Spark's dayofweek() is 1-based and DuckDB's 0-based, so arithmetic
+    is the only dialect-safe spelling. Returns (tile, dow, hour, n).
+    """
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    ep = F.unix_timestamp(F.col(ts))
+    dow = ((ep / F.lit(86400)).cast("long") + 4) % 7
+    hour = (F.pmod(ep, F.lit(86400)) / F.lit(3600)).cast("long")
+    return (
+        events.select(tile.alias("tile"), dow.alias("dow"), hour.alias("hour"))
+        .cube("tile", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

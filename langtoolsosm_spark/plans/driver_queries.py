@@ -6449,6 +6449,121 @@ SELECT entity, rn, x, y FROM kept
 REGISTRY.update({"simplify_radial": (q_simplify_radial, O_SIMPLIFY_RADIAL)})
 
 
+
+ST_CUBE_RES = 5
+
+
+def q_st_cube(spark, sf_dir):
+    """Space-time CUBE (operators/tiling.py ``st_cube``): event counts
+    over all 8 grouping sets of (tile res-5, arithmetic day-of-week,
+    hour) in one scan — gates Spark's cube() expansion against ANSI
+    GROUP BY CUBE."""
+    from ..operators.tiling import st_cube
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__cube_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __cube_events"
+    )
+    return st_cube(t, res=ST_CUBE_RES)
+
+
+_STN = 1 << ST_CUBE_RES
+
+O_ST_CUBE = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+keyed AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_STN}.0)
+                 AS BIGINT), 0), {_STN - 1}) * {_STN}
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_STN}.0)
+                 AS BIGINT), 0), {_STN - 1}) AS tile,
+         (ep // 86400 + 4) % 7 AS dow,
+         (ep % 86400) // 3600 AS hour
+  FROM src
+)
+SELECT tile, dow, hour, count(*) AS n
+FROM keyed GROUP BY CUBE (tile, dow, hour)
+"""
+
+
+REGISTRY.update({"st_cube": (q_st_cube, O_ST_CUBE)})
+
+
+
+GI_RES, GI_K = 8, 2
+
+
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hotspots (operators/spatial.py ``getis_gi``): exact
+    rational z^2 with sign per k-dilated occupied cell — histogram-only
+    plan, DECIMAL(38,0)/HUGEINT algebra like moran_i/gearys_c."""
+    from ..operators.spatial import getis_gi
+
+    return getis_gi(geo_points(spark, sf_dir), res=GI_RES, k=GI_K)
+
+
+O_HOTSPOT_GI = """
+WITH {PTS_CTE},
+occ AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * 256.0)
+                 AS BIGINT), 0), 255) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * 256.0)
+                 AS BIGINT), 0), 255) AS iy,
+         count(*) AS cnt
+  FROM pts GROUP BY 1, 2
+),
+base AS (
+  SELECT CAST(sum(cnt) AS HUGEINT) AS s,
+         CAST(sum(cnt * cnt) AS HUGEINT) AS q
+  FROM occ
+),
+fan AS (
+  SELECT ix + dx.i AS tx, iy + dy.i AS ty, cnt
+  FROM occ
+  CROSS JOIN generate_series(-2, 2) dx(i)
+  CROSS JOIN generate_series(-2, 2) dy(i)
+  WHERE ix + dx.i BETWEEN 0 AND 255
+    AND iy + dy.i BETWEEN 0 AND 255
+),
+ring AS (
+  SELECT CAST(tx * 256 + ty AS BIGINT) AS tile,
+         CAST(SUM(cnt) AS BIGINT) AS ring_sum,
+         CAST((LEAST(tx + 2, 255) - GREATEST(tx - 2, 0) + 1)
+            * (LEAST(ty + 2, 255) - GREATEST(ty - 2, 0) + 1)
+              AS BIGINT) AS n_ring
+  FROM fan GROUP BY 1, 3
+),
+-- a (~1e10) and v (~1e14) each fit a double EXACTLY; the ~1e23 full
+-- products do not, and HUGEINT->double vs Spark DECIMAL->double round
+-- differently at the ulp. So the final products happen IN doubles with
+-- the identical left-associated tree on both engines.
+alg AS (
+  SELECT tile, ring_sum, n_ring,
+         CAST(65536 AS HUGEINT) * ring_sum
+           - CAST(n_ring AS HUGEINT) * s AS a,
+         CAST(65536 AS HUGEINT) * q - s * s AS v
+  FROM ring, base
+)
+SELECT tile, ring_sum, n_ring,
+       CAST(a AS DOUBLE) * CAST(a AS DOUBLE) * 65535.0 AS num,
+       CAST(v AS DOUBLE) * CAST(n_ring AS DOUBLE)
+         * (65536.0 - CAST(n_ring AS DOUBLE)) AS den,
+       (CAST(a AS DOUBLE) * CAST(a AS DOUBLE) * 65535.0)
+         / (CAST(v AS DOUBLE) * CAST(n_ring AS DOUBLE)
+            * (65536.0 - CAST(n_ring AS DOUBLE))) AS gi2,
+       CAST(CASE WHEN a > 0 THEN 1 WHEN a < 0 THEN -1 ELSE 0 END AS INT) AS hot
+FROM alg
+""".format(PTS_CTE=PTS_CTE)
+
+
+REGISTRY.update({"hotspot_gi": (q_hotspot_gi, O_HOTSPOT_GI)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

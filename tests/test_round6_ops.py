@@ -538,3 +538,75 @@ def test_simplify_radial_matches_sequential_walk(spark):
 
     with pytest.raises(ValueError):
         simplify_radial(df, 0)
+
+
+def test_st_cube_grouping_sets(spark):
+    """CUBE emits all 8 grouping sets; the grand total row equals the
+    input count and detail rows sum to it at every level."""
+    from langtoolsosm_spark.operators.tiling import st_cube
+
+    n = 200
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(np.arange(n) * 5000, unit="s"),
+                "lat": np.linspace(35, 44, n),
+                "lon": np.linspace(-4, 9, n),
+            }
+        )
+    )
+    rows = st_cube(df, res=4).collect()
+    total = [r for r in rows if r["tile"] is None and r["dow"] is None
+             and r["hour"] is None]
+    assert len(total) == 1 and total[0]["n"] == n
+    by_dow = sum(r["n"] for r in rows
+                 if r["tile"] is None and r["dow"] is not None and r["hour"] is None)
+    assert by_dow == n
+    # dow is the arithmetic (days + 4) % 7 convention: epoch 0 = Thursday(4)
+    first = [r for r in rows if r["tile"] is None and r["hour"] is None
+             and r["dow"] is not None]
+    assert all(0 <= r["dow"] <= 6 for r in first)
+
+
+def test_getis_gi_hotspot_ranks_hot_cell_first(spark):
+    """The dense cell must carry the largest positive gi2; statistics
+    match a dense numpy computation."""
+    from langtoolsosm_spark.operators.spatial import getis_gi
+
+    res, k = 4, 1
+    n = 1 << res
+    base = _pts(spark, n=300, seed=31)
+    hot = spark.createDataFrame(
+        pd.DataFrame({"point_id": range(1000, 1200),
+                      "lat": [41.4] * 200, "lon": [2.1] * 200})
+    )
+    pts = base.unionByName(hot)
+    rows = getis_gi(pts, res=res, k=k).collect()
+
+    pdf = pts.toPandas()
+    ix = np.clip(np.floor((pdf.lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((pdf.lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    grid = np.zeros((n, n), dtype=np.int64)
+    np.add.at(grid, (ix, iy), 1)
+    N = n * n
+    S, Q = int(grid.sum()), int((grid.astype(object) ** 2).sum())
+    hot_tile = int(np.floor((2.1 + 180) / 360 * n)) * n + int(
+        np.floor((41.4 + 90) / 180 * n))
+    got = {r["tile"]: r for r in rows}
+    # every cell whose k-ring contains the spike ties at ~the same a, so
+    # the argmax is only guaranteed to be within Chebyshev-k of the spike
+    top = max(rows, key=lambda r: r["gi2"] * r["hot"])
+    assert top["hot"] == 1
+    assert max(abs(top["tile"] // n - hot_tile // n),
+               abs(top["tile"] % n - hot_tile % n)) <= k
+    # spot-check one cell's closed form
+    r = got[hot_tile]
+    tx, ty = hot_tile // n, hot_tile % n
+    ring = int(grid[max(0, tx - k):tx + k + 1, max(0, ty - k):ty + k + 1].sum())
+    n_ring = (min(tx + k, n - 1) - max(tx - k, 0) + 1) * (
+        min(ty + k, n - 1) - max(ty - k, 0) + 1)
+    a = N * ring - n_ring * S
+    want = (float(a) * float(a) * float(N - 1)) / (
+        float(N * Q - S * S) * float(n_ring) * (float(N) - float(n_ring)))
+    assert r["ring_sum"] == ring and r["n_ring"] == n_ring
+    assert r["gi2"] == pytest.approx(want, rel=1e-12)
