@@ -6174,11 +6174,12 @@ def q_convex_hull(spark, sf_dir):
     ``convex_hull_edges``): micro-degree integer quantization makes
     every orientation test an exact int64 cross product, so the
     monotone-chain engine path and the quadratic all-pairs SQL spec
-    agree bit-exactly. Thinned fixture (point_id % 23) keeps the
-    cubic oracle tractable; 5 clusters by id."""
+    agree bit-exactly. Thinned fixture (point_id % 199) bounds the
+    CUBIC oracle at every tier (~150 pts/cluster at sf0.1 -> ~3e6
+    witness scans/cluster; % 23 put it at 2e9); 5 clusters by id."""
     from ..operators.spatial import convex_hull_edges
 
-    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 23 == 0)
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 199 == 0)
     return convex_hull_edges(
         pts.withColumn("cluster_id", F.col("point_id") % 5)
     )
@@ -6190,7 +6191,7 @@ q AS (
   SELECT point_id % 5 AS cluster, point_id,
          CAST(FLOOR((lon + 180.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS x,
          CAST(FLOOR((lat + 90.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS y
-  FROM pts WHERE point_id % 23 = 0
+  FROM pts WHERE point_id % 199 = 0
 ),
 d AS (
   SELECT cluster, min(point_id) AS pid, x, y
