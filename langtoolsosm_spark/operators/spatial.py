@@ -1816,3 +1816,62 @@ def getis_gi(
         (num / den).alias("gi2"),
         F.when(a > 0, 1).when(a < 0, -1).otherwise(0).cast("int").alias("hot"),
     )
+
+
+def zone_concurrency(
+    visits: DataFrame,
+    horizon_epoch: int,
+    zone_col: str = "zone",
+    enter_col: str = "enter_ts",
+    exit_col: str = "exit_ts",
+) -> DataFrame:
+    """Sweep-line concurrency profile per zone from visit intervals
+    (``zone_visits`` output): how many entities were inside at once, for
+    how long — (zone, n_visits, max_concurrent, occupied_seconds,
+    user_seconds) where ``occupied_seconds`` is wall time with >= 1
+    visitor and ``user_seconds`` the time-weighted visitor integral.
+    Open visits (NULL exit) close at ``horizon_epoch``.
+
+    The classic alternative — exploding each visit over its hour
+    buckets — fans out by dwell length (an open month-long visit is
+    ~720 rows); the sweep-line is one +1/-1 event per endpoint, one
+    window per zone ordered by (ts, delta) with exits first (half-open
+    [enter, exit): an exit at t frees the slot before an enter at t),
+    and three exact integer aggregates. Zero-length tie segments weigh
+    0 and within-tie running maxima are attained at group end, so every
+    output is tie-order independent. State per zone is the running
+    int — bounded, streaming-friendly.
+    """
+    e_in = visits.select(
+        F.col(zone_col).alias("zone"),
+        F.unix_timestamp(F.col(enter_col)).alias("ts"),
+        F.lit(1).alias("delta"),
+    )
+    e_out = visits.select(
+        F.col(zone_col).alias("zone"),
+        F.coalesce(
+            F.unix_timestamp(F.col(exit_col)), F.lit(horizon_epoch).cast("long")
+        ).alias("ts"),
+        F.lit(-1).alias("delta"),
+    )
+    ev = e_in.unionByName(e_out)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("zone").orderBy(F.col("ts").asc(), F.col("delta").asc())
+    # explicit ROWS frame: Spark's default with an ORDER BY is RANGE,
+    # which hands every tie row the tie-group total — the aggregates
+    # here are tie-insensitive either way, but ROWS matches the SQL
+    # spec row for row
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = (
+        ev.withColumn("running", F.sum("delta").over(wr))
+        .withColumn("seg_len", F.coalesce(F.lead("ts").over(w) - F.col("ts"), F.lit(0)))
+    )
+    return run.groupBy("zone").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_visits"),
+        F.max("running").cast("long").alias("max_concurrent"),
+        F.sum(
+            F.when(F.col("running") > 0, F.col("seg_len")).otherwise(F.lit(0))
+        ).alias("occupied_seconds"),
+        F.sum(F.col("running") * F.col("seg_len")).alias("user_seconds"),
+    )

@@ -6565,6 +6565,59 @@ FROM alg
 REGISTRY.update({"hotspot_gi": (q_hotspot_gi, O_HOTSPOT_GI)})
 
 
+
+def q_zone_concurrency(spark, sf_dir):
+    """Sweep-line zone concurrency (operators/spatial.py
+    ``zone_concurrency``): max simultaneous visitors, occupied wall
+    time, and the visitor-seconds integral per zone from the
+    zone_visits intervals — one +1/-1 event per endpoint, no per-hour
+    explode. Open visits close at the decayed-heatmap anchor."""
+    from ..operators.spatial import zone_concurrency, zone_visits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__zc_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __zc_events"
+    )
+    visits = zone_visits(
+        t, geo_polygons_df(spark), "user_id", "ts", res=8,
+        order_tiebreak="event_id",
+    )
+    return zone_concurrency(visits, horizon_epoch=DECAY_ANCHOR)
+
+
+O_ZONE_CONCURRENCY = f"""
+WITH visits AS ({O_ZONE_VISITS}),
+ev AS (
+  SELECT zone, CAST(floor(epoch(enter_ts)) AS BIGINT) AS ts, 1 AS delta
+  FROM visits
+  UNION ALL
+  SELECT zone,
+         COALESCE(CAST(floor(epoch(exit_ts)) AS BIGINT), {DECAY_ANCHOR}) AS ts,
+         -1 AS delta
+  FROM visits
+),
+run AS (
+  SELECT zone, ts, delta,
+         CAST(sum(delta) OVER w AS BIGINT) AS running,
+         COALESCE(lead(ts) OVER w - ts, 0) AS seg_len
+  FROM ev
+  WINDOW w AS (PARTITION BY zone ORDER BY ts, delta
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT zone, CAST(count(*) // 2 AS BIGINT) AS n_visits,
+       CAST(max(running) AS BIGINT) AS max_concurrent,
+       CAST(SUM(CASE WHEN running > 0 THEN seg_len ELSE 0 END) AS BIGINT)
+         AS occupied_seconds,
+       CAST(SUM(running * seg_len) AS BIGINT) AS user_seconds
+FROM run GROUP BY 1
+"""
+
+
+REGISTRY.update({"zone_concurrency": (q_zone_concurrency, O_ZONE_CONCURRENCY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -610,3 +610,29 @@ def test_getis_gi_hotspot_ranks_hot_cell_first(spark):
         float(N * Q - S * S) * float(n_ring) * (float(N) - float(n_ring)))
     assert r["ring_sum"] == ring and r["n_ring"] == n_ring
     assert r["gi2"] == pytest.approx(want, rel=1e-12)
+
+
+def test_zone_concurrency_sweep_line(spark):
+    """Hand-checkable intervals: overlap counting, half-open semantics
+    (exit at t frees before an enter at t), open-visit horizon."""
+    from langtoolsosm_spark.operators.spatial import zone_concurrency
+
+    visits = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "zone": ["A", "A", "A", "B"],
+                "enter_ts": pd.to_datetime([0, 50, 100, 10], unit="s"),
+                "exit_ts": pd.to_datetime([100, 150, None, None], unit="s"),
+            }
+        )
+    )
+    rows = {r["zone"]: r for r in zone_concurrency(visits, horizon_epoch=200).collect()}
+    a = rows["A"]
+    # A: [0,100) + [50,150) + [100,200): max overlap 2 on [50,100) and
+    # exactly at 100 the first exits as the third enters (still 2)
+    assert a["n_visits"] == 3 and a["max_concurrent"] == 2
+    assert a["occupied_seconds"] == 200
+    assert a["user_seconds"] == 100 + 100 + 100  # sum of dwell lengths
+    b = rows["B"]
+    assert (b["n_visits"], b["max_concurrent"], b["occupied_seconds"],
+            b["user_seconds"]) == (1, 1, 190, 190)
