@@ -237,3 +237,69 @@ def tile_cap_sample(
         .filter(F.col("rk") <= cap)
         .select("id", "tile", "rk")
     )
+
+
+def image_shard_pack(
+    images: DataFrame,
+    res: int = 8,
+    bucket_shift: int = 10,
+    budget: int = 65536,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Spatially-local byte-budgeted training-shard assignment: the
+    image-table counterpart of ``token_shard_pack`` with Hilbert
+    locality instead of hash buckets. The footprint grid cell's
+    order-``res`` Hilbert key is bucketed by its top bits
+    (``bucket = hkey >> bucket_shift``) — every bucket is a CONTIGUOUS
+    curve range and therefore an edge-connected region — and images
+    pack greedily in curve order within their bucket: a shard holds
+    images that are physically near each other, so geo-conditioned
+    training and tile-range reads touch few shards.
+
+    Plan: the Hilbert key is codegen-only column arithmetic
+    (``with_hilbert``); packing is ONE window per bucket (cumulative
+    byte sum), no global sort — buckets scale with the cluster exactly
+    like the token packer. Deterministic, sticky per image. Returns
+    (image_id, hkey, bucket, size_bytes, shard_id) with
+    ``shard_id = bucket * 2^32 + (cum_bytes - 1) div budget``.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if not 0 <= bucket_shift <= 2 * res:
+        raise ValueError(f"bucket_shift must be in [0, {2 * res}]")
+    from pyspark.sql import Window
+
+    from .spatial import with_hilbert
+
+    n = 1 << res
+
+    def gidx(col, off, span):
+        g = F.floor((F.col(col) + F.lit(off)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    d = images.select(
+        F.col(id_col),
+        F.length(F.col(bytes_col)).cast("long").alias("size_bytes"),
+        gidx(lon, 180.0, 360.0).alias("ix"),
+        gidx(lat, 90.0, 180.0).alias("iy"),
+    )
+    keyed = with_hilbert(d, res).select(
+        id_col, "size_bytes", "hkey",
+        F.shiftright("hkey", bucket_shift).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("size_bytes").over(w)
+    return keyed.select(
+        id_col, "hkey", "bucket", "size_bytes",
+        (
+            F.col("bucket") * F.lit(_SCALE).cast("long")
+            + ((cum - 1) / F.lit(budget)).cast("long")
+        ).alias("shard_id"),
+    )

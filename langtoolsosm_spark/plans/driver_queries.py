@@ -6618,6 +6618,74 @@ FROM run GROUP BY 1
 REGISTRY.update({"zone_concurrency": (q_zone_concurrency, O_ZONE_CONCURRENCY)})
 
 
+
+SHARD_RES, SHARD_SHIFT, SHARD_BUDGET = 8, 10, 65536
+
+
+def _o_image_shard() -> str:
+    from ..functions.cells import hilbert_level_exprs
+
+    n = 1 << SHARD_RES
+    ctes = [
+        f"""v AS (
+  SELECT image_id, CAST(octet_length(bytes) AS BIGINT) AS size_bytes, lat, lon
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)""",
+        f"h0 AS (SELECT image_id, size_bytes,\n"
+        f"  CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS x,\n"
+        f"  CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS y,\n"
+        f"  0 AS d FROM v)",
+    ]
+    lvl = 0
+    s = n >> 1
+    while s > 0:
+        dinc, xn, yn = hilbert_level_exprs(s, n, "x", "y")
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT image_id, size_bytes, {xn} AS x, {yn} AS y, "
+            f"d + {dinc} AS d FROM h{lvl})"
+        )
+        lvl += 1
+        s >>= 1
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+keyed AS (
+  SELECT image_id, size_bytes, CAST(d AS BIGINT) AS hkey,
+         CAST(d AS BIGINT) // {1 << SHARD_SHIFT} AS bucket
+  FROM h{lvl}
+),
+packed AS (
+  SELECT image_id, hkey, bucket, size_bytes,
+         sum(size_bytes) OVER (PARTITION BY bucket ORDER BY hkey, image_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+)
+SELECT image_id, hkey, bucket, size_bytes,
+       CAST(bucket * 4294967296 + (cum - 1) // {SHARD_BUDGET} AS BIGINT) AS shard_id
+FROM packed"""
+    )
+
+
+def q_image_shard_pack(spark, sf_dir):
+    """Hilbert-local byte-budgeted shard assignment (operators/
+    sampling.py ``image_shard_pack``) over the image table: buckets are
+    contiguous curve ranges (connected regions), packing is one window
+    per bucket — the geo-aware training-shard writer plan. Oracle
+    chains the identical per-level Hilbert expressions and the same
+    window cumsum."""
+    from ..operators.sampling import image_shard_pack
+
+    return image_shard_pack(
+        _synth_images(spark, sf_dir), res=SHARD_RES,
+        bucket_shift=SHARD_SHIFT, budget=SHARD_BUDGET,
+    )
+
+
+O_IMAGE_SHARD_PACK = _o_image_shard()
+
+
+REGISTRY.update({"image_shard_pack": (q_image_shard_pack, O_IMAGE_SHARD_PACK)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -636,3 +636,39 @@ def test_zone_concurrency_sweep_line(spark):
     b = rows["B"]
     assert (b["n_visits"], b["max_concurrent"], b["occupied_seconds"],
             b["user_seconds"]) == (1, 1, 190, 190)
+
+
+def test_image_shard_pack_budget_and_locality(spark):
+    """Shards respect the byte budget (single oversized images
+    excepted), stay within one bucket, and buckets are contiguous
+    Hilbert ranges (spatial locality)."""
+    from langtoolsosm_spark.operators.sampling import image_shard_pack
+
+    rng = np.random.default_rng(41)
+    n = 400
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [f"i{j:04d}" for j in range(n)],
+                "bytes": [bytes(rng.integers(0, 256, rng.integers(200, 900),
+                                             dtype=np.uint8).tolist())
+                          for _ in range(n)],
+                "lat": rng.uniform(35, 45, n),
+                "lon": rng.uniform(-5, 10, n),
+            }
+        )
+    )
+    out = image_shard_pack(df, res=6, bucket_shift=6, budget=2000).toPandas()
+    assert len(out) == n
+    g = out.groupby("shard_id")
+    # every shard's bytes fit the budget except where one image alone
+    # exceeds it (impossible here: max image 900 < 2000)
+    assert (g["size_bytes"].sum() <= 2000 + 900).all()
+    # shard -> single bucket; bucket == hkey >> shift for every row
+    assert (out["bucket"] == out["hkey"] // 64).all()
+    assert (out["shard_id"] // (1 << 32) == out["bucket"]).all()
+
+    with pytest.raises(ValueError):
+        image_shard_pack(df, budget=0)
+    with pytest.raises(ValueError):
+        image_shard_pack(df, res=6, bucket_shift=13)
