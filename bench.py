@@ -213,6 +213,7 @@ def main():
         ann_lsh_topk,
         ivf_ann_topk,
         ivf_lloyd_ann_topk,
+        ivf_pq_ann_topk,
         pq_ann_rescored,
         pq_ann_topk,
         sq8_ann_topk,
@@ -255,6 +256,7 @@ def main():
     pq_recall = recall("pq_adc", pq_ann_topk(emb))
     pq_rescored_recall = recall("pq_rescored", pq_ann_rescored(emb))
     sq8_recall = recall("sq8", sq8_ann_topk(emb))
+    ivf_pq_recall = recall("ivf_pq", ivf_pq_ann_topk(emb))
     exact.unpersist()
     timings["ann_recall_check"] = round(time.time() - t0, 3)
 
@@ -275,6 +277,7 @@ def main():
         "pq_adc_recall_at_5": pq_recall,
         "pq_rescored_recall_at_5": pq_rescored_recall,
         "sq8_recall_at_5": sq8_recall,
+        "ivf_pq_recall_at_5": ivf_pq_recall,
         "corpus_pipeline_sec": round(
             timings["corpus_prep"] + timings["decontaminate"], 3
         ),

@@ -1009,3 +1009,91 @@ def sq8_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adist")
     )
+
+
+def ivf_pq_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the billion-scale composite (Jégou et al., the faiss
+    ``IVFxPQy`` default): queries probe their ``nprobe`` nearest coarse
+    lists (bounding the candidate set by list occupancy, exactly as
+    ``ivf_ann_topk``), and candidates are scored by PQ asymmetric
+    distance (m table lookups against the query's precomputed L2 table,
+    exactly as ``pq_ann_topk``) — never a full-dimension dot. Both
+    trainings are the deterministic integer procedures the standalone
+    gates already pin, so the composite stays oracle-exact.
+
+    Scale shape: the probe decides WHERE to look (I/O bound — only
+    nprobe/n_centroids of the codes table is touched; with the codes
+    snapshot clustered by centroid_id the scan prunes by file stats),
+    the ADC decides HOW CHEAPLY (CPU bound — 8 byte lookups per
+    candidate). Returns (query_id, neighbor_id, rank, adc)."""
+    assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+    )
+    q = emb.filter(F.col(id_col) % 50 == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    l2q = F.aggregate(
+        F.zip_with(
+            "__qv", "__cv",
+            lambda a, b: (_quantize(a) - _quantize(b)) * (_quantize(a) - _quantize(b)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d", l2q)
+        .withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        probes.join(assigned.select(id_col, "centroid_id"), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+
+    pq_cents = pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    sub = _subvectors(emb, m, id_col, vec_col)
+    codes = _pq_assign(sub, pq_cents, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "s", "code"
+    )
+    l2 = F.aggregate(
+        F.zip_with("__sv", "__cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qd = (
+        sub.filter(F.col(id_col) % 50 == 0)
+        .select(F.col(id_col).alias("query_id"), "s", "__sv")
+        .join(F.broadcast(pq_cents), "s")
+        .select("query_id", "s", "code", l2.alias("qd"))
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

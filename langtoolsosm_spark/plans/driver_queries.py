@@ -6686,6 +6686,69 @@ O_IMAGE_SHARD_PACK = _o_image_shard()
 REGISTRY.update({"image_shard_pack": (q_image_shard_pack, O_IMAGE_SHARD_PACK)})
 
 
+
+def q_ivf_pq_ann(spark, sf_dir):
+    """IVF-PQ composite ANN (operators/similarity.py ``ivf_pq_ann_topk``):
+    coarse-list probing bounds the candidate set, PQ asymmetric distance
+    scores it — the faiss IVFxPQy default as a Spark plan. Both
+    deterministic trainings are replayed verbatim in the oracle."""
+    from ..operators.similarity import ivf_pq_ann_topk
+
+    return ivf_pq_ann_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_IVF_PQ_ANN = f"""
+WITH {_o_pq()},
+ivfc AS (SELECT vec_id AS centroid_id, d, xq AS cvq FROM flat WHERE vec_id < 16),
+ivfl2 AS (
+  SELECT f.vec_id, c.centroid_id, sum((f.xq - c.cvq) * (f.xq - c.cvq)) AS l2q
+  FROM flat f JOIN ivfc c USING (d)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM ivfl2) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM ivfl2 WHERE vec_id % 50 = 0) t WHERE rn <= 8
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+qd AS (
+  SELECT f.vec_id AS query_id, f.s, c.code,
+         sum((f.xq - c.cq) * (f.xq - c.cq)) AS qd
+  FROM sub f JOIN c2 c ON c.s = f.s AND c.ds = f.ds
+  WHERE f.vec_id % 50 = 0 GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(sum(q.qd) AS BIGINT) AS adc
+  FROM cand cd
+  JOIN af a ON a.vec_id = cd.neighbor_id
+  JOIN qd q ON q.query_id = cd.query_id AND q.s = a.s AND q.code = a.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc
+FROM ranked WHERE rank <= 5
+"""
+
+
+REGISTRY.update({"embedding_ivf_pq_ann": (q_ivf_pq_ann, O_IVF_PQ_ANN)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

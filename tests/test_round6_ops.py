@@ -672,3 +672,26 @@ def test_image_shard_pack_budget_and_locality(spark):
         image_shard_pack(df, budget=0)
     with pytest.raises(ValueError):
         image_shard_pack(df, res=6, bucket_shift=13)
+
+
+def test_ivf_pq_candidates_bounded_and_reasonable(spark):
+    """IVF-PQ returns at most k per query, only non-self neighbors, and
+    on clustered vectors finds same-cluster neighbors in the top ranks
+    (the probe must not exclude the home list)."""
+    from langtoolsosm_spark.operators.similarity import ivf_pq_ann_topk
+
+    rng = np.random.default_rng(43)
+    n, dim = 300, 16
+    centers = rng.normal(0, 8, (6, dim))
+    emb = centers[np.arange(n) % 6] + rng.normal(0, 0.3, (n, dim))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                      "embedding": [v.tolist() for v in emb]})
+    )
+    out = ivf_pq_ann_topk(df, k=5, n_centroids=8, nprobe=4, m=4).toPandas()
+    assert (out.groupby("query_id").size() <= 5).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    # same-cluster hit rate at rank 1 should be high on well-separated data
+    r1 = out[out["rank"] == 1]
+    same = (r1["query_id"] % 6 == r1["neighbor_id"] % 6).mean()
+    assert same >= 0.8
