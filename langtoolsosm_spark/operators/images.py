@@ -1028,3 +1028,63 @@ def aspect_buckets(
         F.min("ratio_milli").alias("min_ratio_milli"),
         F.max("ratio_milli").alias("max_ratio_milli"),
     )
+
+
+def patch_tile_map(
+    images: DataFrame,
+    res: int = 8,
+    sub_levels: int = 2,
+    patch: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Tile-aligned patch geo-mapping — the raster<->vector bridge at the
+    PATCH level: treating each image as spanning its res-``res`` tile,
+    every ViT patch (the ``extract_patches`` grid: nr = h div patch
+    rows, nc = w div patch cols, partial edges dropped) maps to the
+    res+``sub_levels`` child tile containing its center. Downstream
+    this keys patch-level masking by map layer (mask water patches,
+    keep building patches) without decoding anything: the whole mapping
+    is metadata arithmetic over (w, h, lat, lon) — the scan never reads
+    bytes.
+
+    Conventions: patch (0, 0) is the image's top-left; image top edge
+    = the tile's NORTH edge, so sub_iy = iy*m + (m-1 - child_row).
+    Child index from the patch center in exact integers:
+    ``child = ((2*p + 1) * m) div (2*np)``. Returns (image_id,
+    patch_row, patch_col, tile, subtile); fan-out equals the patch
+    count the patch pipeline materializes anyway.
+    """
+    if sub_levels < 1:
+        raise ValueError(f"sub_levels must be >= 1, got {sub_levels}")
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+    n = 1 << res
+    m = 1 << sub_levels
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    base = images.select(
+        "image_id",
+        (F.col("h") / F.lit(patch)).cast("long").alias("__nr"),
+        (F.col("w") / F.lit(patch)).cast("long").alias("__nc"),
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("__ix"),
+        F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("__iy"),
+    ).filter((F.col("__nr") >= 1) & (F.col("__nc") >= 1))
+    grid = base.select(
+        "image_id", "__nr", "__nc", "__ix", "__iy",
+        F.explode(F.sequence(F.lit(0), F.col("__nr") - 1)).alias("patch_row"),
+    ).select(
+        "image_id", "__nr", "__nc", "__ix", "__iy", "patch_row",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("patch_col"),
+    )
+    cdx = F.expr(f"div((2 * patch_col + 1) * {m}, 2 * __nc)")
+    cdy = F.expr(f"div((2 * patch_row + 1) * {m}, 2 * __nr)")
+    sub_ix = F.col("__ix") * m + cdx
+    sub_iy = F.col("__iy") * m + (F.lit(m - 1) - cdy)
+    return grid.select(
+        "image_id",
+        F.col("patch_row").cast("int").alias("patch_row"),
+        F.col("patch_col").cast("int").alias("patch_col"),
+        (F.col("__ix") * n + F.col("__iy")).alias("tile"),
+        (sub_ix * F.lit(n * m) + sub_iy).alias("subtile"),
+    )

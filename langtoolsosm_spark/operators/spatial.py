@@ -1875,3 +1875,64 @@ def zone_concurrency(
         ).alias("occupied_seconds"),
         F.sum(F.col("running") * F.col("seg_len")).alias("user_seconds"),
     )
+
+
+def idw_loo_validate(
+    sources: DataFrame,
+    radius: float,
+    value_col: str,
+    id_col: str = "point_id",
+    weight_scale: int = 10**12,
+) -> DataFrame:
+    """Leave-one-out cross-validation of the IDW surface: every source
+    is re-estimated from its OTHER in-radius neighbors with the same
+    exact integer 1/d^2-surrogate weights as ``idw_interpolate``, and
+    the absolute error against its true value comes back per point —
+    the standard interpolation-quality audit (pick radius/kernel by
+    minimizing LOO error) without fitting anything twice.
+
+    Plan: one ``distance_join`` of the source set against itself
+    (cell-disk fan-out, broadcast-gated), self-pairs dropped by id,
+    one map-side-combined rollup. Integer sums; the estimate and error
+    are the only float ops, evaluated by the identical expression tree
+    on both engines. Returns (target_id, n_src, num, den, est,
+    true_val, abs_err) — isolated points keep n_src = 0 and NULL
+    est/abs_err.
+    """
+    tgt = sources.select(
+        F.col(id_col).alias("id"), "lat", "lon", F.col(value_col).alias("__tv")
+    )
+    pairs = distance_join(
+        sources.select(id_col, "lat", "lon"), tgt.select("id", "lat", "lon"),
+        radius, point_id=id_col, feature_id="id",
+    ).filter(F.col(id_col) != F.col("neighbor_id"))
+    vals = sources.select(
+        F.col(id_col).alias("__sid"), F.col(value_col).alias("__v")
+    )
+    dq = F.floor(F.col("dist") * F.lit(DIST_Q_SCALE)).cast("long")
+    w = F.expr(f"{weight_scale} div (1 + __dq)")
+    agg = (
+        pairs.join(vals, pairs[id_col] == vals["__sid"])
+        .withColumn("__dq", dq)
+        .withColumn("__w", w)
+        .groupBy(F.col("neighbor_id").alias("target_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_src"),
+            F.sum(F.col("__w") * F.col("__v")).alias("num"),
+            F.sum("__w").alias("den"),
+        )
+    )
+    est = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        tgt.select(F.col("id").alias("target_id"), "__tv")
+        .join(agg, "target_id", "left")
+        .select(
+            "target_id",
+            F.coalesce(F.col("n_src"), F.lit(0)).alias("n_src"),
+            "num",
+            "den",
+            est.alias("est"),
+            F.col("__tv").cast("long").alias("true_val"),
+            F.abs(est - F.col("__tv").cast("double")).alias("abs_err"),
+        )
+    )

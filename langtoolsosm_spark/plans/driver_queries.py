@@ -6749,6 +6749,94 @@ FROM ranked WHERE rank <= 5
 REGISTRY.update({"embedding_ivf_pq_ann": (q_ivf_pq_ann, O_IVF_PQ_ANN)})
 
 
+
+def q_idw_loo(spark, sf_dir):
+    """Leave-one-out IDW cross-validation (operators/spatial.py
+    ``idw_loo_validate``): every 13th point re-estimated from its other
+    in-radius neighbors, per-point absolute error — the interpolation-
+    quality audit with the same integer weights as the idw gate. The
+    % 13 thinning bounds the quadratic oracle at sf0.1."""
+    from ..operators.spatial import idw_loo_validate
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 13 == 0)
+    return idw_loo_validate(
+        pts.withColumn("val", F.expr("point_id % 1000")),
+        radius=0.3, value_col="val",
+    )
+
+
+O_IDW_LOO = f"""
+WITH {PTS_CTE},
+src AS (SELECT point_id, lat, lon, point_id % 1000 AS v
+        FROM pts WHERE point_id % 13 = 0),
+pairs AS (
+  SELECT t.point_id AS target_id, q.v,
+         CAST({10**12} AS BIGINT)
+           // (1 + CAST(floor(((q.lat - t.lat) * (q.lat - t.lat)
+                + (q.lon - t.lon) * (q.lon - t.lon)) * 1000000000.0)
+               AS BIGINT)) AS w
+  FROM src q JOIN src t
+    ON q.point_id <> t.point_id
+   AND (q.lat - t.lat) * (q.lat - t.lat) + (q.lon - t.lon) * (q.lon - t.lon)
+       <= 0.3 * 0.3
+),
+agg AS (
+  SELECT target_id, CAST(count(*) AS BIGINT) AS n_src,
+         CAST(SUM(w * v) AS BIGINT) AS num, CAST(SUM(w) AS BIGINT) AS den
+  FROM pairs GROUP BY 1
+)
+SELECT s.point_id AS target_id, COALESCE(a.n_src, 0) AS n_src, a.num, a.den,
+       CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) AS est,
+       CAST(s.v AS BIGINT) AS true_val,
+       ABS(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)
+           - CAST(s.v AS DOUBLE)) AS abs_err
+FROM src s LEFT JOIN agg a ON a.target_id = s.point_id
+"""
+
+
+REGISTRY.update({"idw_loo": (q_idw_loo, O_IDW_LOO)})
+
+
+
+def q_patch_tile_map(spark, sf_dir):
+    """Patch-to-subtile geo mapping (operators/images.py
+    ``patch_tile_map``): every ViT patch of every image mapped to the
+    res-10 child tile containing its center — metadata arithmetic only,
+    the scan reads (w, h, lat, lon) and never bytes."""
+    from ..operators.images import patch_tile_map
+
+    return patch_tile_map(_synth_images(spark, sf_dir))
+
+
+O_PATCH_TILE_MAP = f"""
+WITH img AS (
+  SELECT image_id, h // 8 AS nr, w // 8 AS nc,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * 256.0)
+                 AS BIGINT), 0), 255) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * 256.0)
+                 AS BIGINT), 0), 255) AS iy
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE h // 8 >= 1 AND w // 8 >= 1
+),
+grid AS (
+  SELECT i.image_id, i.nr, i.nc, i.ix, i.iy, pr.p AS patch_row, pc.p AS patch_col
+  FROM img i
+  JOIN generate_series(0, 127) pr(p) ON pr.p < i.nr
+  JOIN generate_series(0, 127) pc(p) ON pc.p < i.nc
+)
+SELECT image_id, CAST(patch_row AS INT) AS patch_row,
+       CAST(patch_col AS INT) AS patch_col,
+       CAST(ix * 256 + iy AS BIGINT) AS tile,
+       CAST((ix * 4 + ((2 * patch_col + 1) * 4) // (2 * nc)) * 1024
+            + iy * 4 + (3 - ((2 * patch_row + 1) * 4) // (2 * nr))
+            AS BIGINT) AS subtile
+FROM grid
+"""
+
+
+REGISTRY.update({"patch_tile_map": (q_patch_tile_map, O_PATCH_TILE_MAP)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -695,3 +695,54 @@ def test_ivf_pq_candidates_bounded_and_reasonable(spark):
     r1 = out[out["rank"] == 1]
     same = (r1["query_id"] % 6 == r1["neighbor_id"] % 6).mean()
     assert same >= 0.8
+
+
+def test_idw_loo_excludes_self_and_scores_error(spark):
+    from langtoolsosm_spark.operators.spatial import idw_loo_validate
+
+    # three near points with values 0/100/100: the 0-valued point's LOO
+    # estimate must be ~100 (its own value excluded)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": [1, 2, 3, 9],
+                "lat": [40.0, 40.01, 40.02, 44.9],   # 9 is isolated
+                "lon": [0.0, 0.01, 0.02, 9.9],
+                "val": [0, 100, 100, 7],
+            }
+        )
+    )
+    rows = {r["target_id"]: r
+            for r in idw_loo_validate(pts, radius=0.5, value_col="val").collect()}
+    assert rows[1]["n_src"] == 2 and rows[1]["est"] == pytest.approx(100.0)
+    assert rows[1]["abs_err"] == pytest.approx(100.0)
+    assert rows[9]["n_src"] == 0 and rows[9]["est"] is None
+
+
+def test_patch_tile_map_center_containment(spark):
+    """Every patch's subtile is a child of its image tile; child indices
+    follow the center rule and the north-up row convention."""
+    from langtoolsosm_spark.operators.images import patch_tile_map
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a"],
+                "w": [32], "h": [16],   # nc=4, nr=2 patches
+                "lat": [40.0], "lon": [0.0],
+            }
+        )
+    )
+    rows = patch_tile_map(df, res=4, sub_levels=2).collect()
+    n, m = 16, 4
+    ix = int(np.floor((0.0 + 180) / 360 * n))
+    iy = int(np.floor((40.0 + 90) / 180 * n))
+    assert len(rows) == 8
+    for r in rows:
+        assert r["tile"] == ix * n + iy
+        sx, sy = r["subtile"] // (n * m), r["subtile"] % (n * m)
+        assert sx // m == ix and sy // m == iy  # child of the parent tile
+        # center rule: nc=4 -> child col == patch col; nr=2 -> centers at
+        # 1/4 and 3/4 height = child rows {1, 3} -> north-up offsets {2, 0}
+        assert sx % m == r["patch_col"]
+        assert sy % m == (2 if r["patch_row"] == 0 else 0)
