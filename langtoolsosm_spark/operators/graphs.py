@@ -1,0 +1,77 @@
+"""Graph propagation operators over DataFrames (Pregel-style rounds).
+
+The reference's only graph-shaped behavior is transitive redirect
+resolution (lib/wikimedia.py redirect chains, bounded depth); the engine
+generalizes it to explicit bounded-round propagation — the same
+iterate-join-aggregate shape as ``dedup.connected_components``'
+pointer jumping, but carrying weights (min-plus semiring) instead of
+labels.
+
+Design for scale: each round is ONE shuffle keyed on node id (the join
+with the edge list plus a min-aggregate); the frontier optimization
+relaxes only nodes whose distance improved last round, so rounds touch
+o(V) once the wave passes. Hop-bounded = deterministic output on any
+graph (no convergence detection needed at the gate; pass a generous
+``hops`` for full convergence on diameter-bounded graphs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    source: int,
+    hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest distances over at most ``hops`` edges —
+    Bellman-Ford as ``hops`` DataFrame rounds with a frontier: round h
+    relaxes only edges out of nodes improved in round h-1, and
+    ``dist_{h+1}(v) = min(dist_h(v), min_{(u,v,w)} dist_h(u) + w)``.
+    Integer weights make every round merge-order exact. Returns
+    (node, dist) for every node reachable within ``hops`` edges.
+
+    Semantics note: distances are the min over paths of <= hops edges —
+    on a graph with diameter <= hops this IS the shortest path; the
+    bound is what makes the result a pure function of (graph, source,
+    hops) and therefore oracle-checkable.
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    e = edges.select(
+        F.col(src_col).alias("__u"),
+        F.col(dst_col).alias("__v"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0)], "node long, dist long")
+    frontier = dist
+    for _ in range(hops):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["__u"])
+            .select(F.col("__v").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if relaxed.isEmpty():
+            break
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # frontier = nodes whose best distance improved this round
+        frontier = merged.join(
+            dist.withColumnRenamed("dist", "__old"), "node", "left"
+        ).filter(
+            F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+        ).select("node", "dist")
+        if frontier.isEmpty():
+            break
+        dist = merged
+    return dist

@@ -6837,6 +6837,81 @@ FROM grid
 REGISTRY.update({"patch_tile_map": (q_patch_tile_map, O_PATCH_TILE_MAP)})
 
 
+
+SSSP_HOPS, SSSP_SOURCE = 8, 7
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Hop-bounded single-source shortest paths (operators/graphs.py
+    ``bounded_shortest_paths``) over the 3-nearest-neighbor graph of the
+    id % 7 feature subset: Bellman-Ford as frontier-pruned DataFrame
+    rounds, integer micro-degree^2 weights. Edges come from the gated
+    kNN join (k=4 including the guaranteed-rank-1 self, then dropped —
+    every fixture location is distinct at all tiers). The oracle walks
+    all <= 8-edge paths with a recursive CTE and takes the min."""
+    from pyspark.sql import Window
+
+    from ..operators.graphs import bounded_shortest_paths
+    from ..operators.knn import knn_join
+
+    feats = geo_features(spark, sf_dir).filter(F.col("id") % 7 == 0)
+    pts = feats.select(F.col("id").alias("point_id"), "lat", "lon")
+    nn = knn_join(
+        pts, feats, k=4, res=7, point_id="point_id", feature_id="id"
+    ).filter(F.col("point_id") != F.col("neighbor_id"))
+    w3 = Window.partitionBy("point_id").orderBy(F.col("rank").asc())
+    edges = (
+        nn.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select(F.col("point_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+    a = feats.select(F.col("id").alias("src"), F.col("lat").alias("__alat"),
+                     F.col("lon").alias("__alon"))
+    b = feats.select(F.col("id").alias("dst"), F.col("lat").alias("__blat"),
+                     F.col("lon").alias("__blon"))
+    wq = F.floor(
+        (
+            (F.col("__alat") - F.col("__blat")) * (F.col("__alat") - F.col("__blat"))
+            + (F.col("__alon") - F.col("__blon")) * (F.col("__alon") - F.col("__blon"))
+        ) * F.lit(1000000000.0)
+    ).cast("long")
+    weighted = edges.join(F.broadcast(a), "src").join(F.broadcast(b), "dst").select(
+        "src", "dst", wq.alias("w")
+    )
+    return bounded_shortest_paths(weighted, source=SSSP_SOURCE, hops=SSSP_HOPS)
+
+
+O_SHORTEST_PATHS = f"""
+WITH RECURSIVE {FEATS_CTE},
+f7 AS (SELECT id, lat, lon FROM feats WHERE id % 7 = 0),
+dmat AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon) AS dd,
+         row_number() OVER (PARTITION BY a.id ORDER BY
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) ASC, b.id ASC) AS rank
+  FROM f7 a JOIN f7 b ON a.id <> b.id
+),
+edges AS (
+  SELECT src, dst, CAST(floor(dd * 1000000000.0) AS BIGINT) AS w
+  FROM dmat WHERE rank <= 3
+),
+walk AS (
+  SELECT CAST({SSSP_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+         0 AS depth
+  UNION ALL
+  SELECT e.dst, wk.dist + e.w, wk.depth + 1
+  FROM walk wk JOIN edges e ON e.src = wk.node
+  WHERE wk.depth < {SSSP_HOPS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY 1
+"""
+
+
+REGISTRY.update({"shortest_paths": (q_shortest_paths, O_SHORTEST_PATHS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -746,3 +746,24 @@ def test_patch_tile_map_center_containment(spark):
         # 1/4 and 3/4 height = child rows {1, 3} -> north-up offsets {2, 0}
         assert sx % m == r["patch_col"]
         assert sy % m == (2 if r["patch_row"] == 0 else 0)
+
+
+def test_bounded_shortest_paths_known_graph(spark):
+    from langtoolsosm_spark.operators.graphs import bounded_shortest_paths
+
+    # 0->1 (1), 1->2 (1), 0->2 (5), 2->3 (1); hop bound cuts at depth
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 0, 2], "dst": [1, 2, 2, 3],
+                      "w": [1, 1, 5, 1]})
+    )
+    d3 = {r["node"]: r["dist"]
+          for r in bounded_shortest_paths(edges, source=0, hops=3).collect()}
+    assert d3 == {0: 0, 1: 1, 2: 2, 3: 3}  # 2 via the 2-hop path
+    d1 = {r["node"]: r["dist"]
+          for r in bounded_shortest_paths(edges, source=0, hops=1).collect()}
+    assert d1 == {0: 0, 1: 1, 2: 5}  # one hop only: direct edge wins
+    d0 = {r["node"]: r["dist"]
+          for r in bounded_shortest_paths(edges, source=0, hops=0).collect()}
+    assert d0 == {0: 0}
+    with pytest.raises(ValueError):
+        bounded_shortest_paths(edges, source=0, hops=-1)
