@@ -255,10 +255,15 @@ def main():
     # the rescored two-stage number is the deployment-shaped one
     pq_recall = recall("pq_adc", pq_ann_topk(emb))
     pq_rescored_recall = recall("pq_rescored", pq_ann_rescored(emb))
+    # headline ann_recall_check keeps the round-5 family set so the
+    # artifact stays comparable round over round; the round-6 families
+    # (sq8, ivf_pq) are timed under a separate, clearly-labeled field
+    timings["ann_recall_check"] = round(time.time() - t0, 3)
+    t_ext = time.time()
     sq8_recall = recall("sq8", sq8_ann_topk(emb))
     ivf_pq_recall = recall("ivf_pq", ivf_pq_ann_topk(emb))
+    ann_family_ext_sec = round(time.time() - t_ext, 3)
     exact.unpersist()
-    timings["ann_recall_check"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -285,6 +290,9 @@ def main():
         # is fixed Catalyst planning of the 1,536-literal projection
         # trees — it amortizes at scale)
         "ann_family_sec": fam_sec,
+        # wall for the round-6 additions (sq8 + ivf_pq), kept OUT of the
+        # headline sum so BENCH_r{N} totals compare like for like
+        "ann_family_ext_sec": ann_family_ext_sec,
         "cpus": cpus,
         "load1_start": load1_start,
         "flagship_load1": trial_loads,
