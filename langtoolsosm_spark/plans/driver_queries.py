@@ -6912,6 +6912,63 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY 1
 REGISTRY.update({"shortest_paths": (q_shortest_paths, O_SHORTEST_PATHS)})
 
 
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation (operators/graphs.py
+    ``triangle_counts``) over the undirected 3-NN graph of the id % 7
+    feature subset — same edge fixture as shortest_paths; ordered-wedge
+    enumeration finds each triangle exactly once."""
+    from pyspark.sql import Window
+
+    from ..operators.graphs import triangle_counts
+    from ..operators.knn import knn_join
+
+    feats = geo_features(spark, sf_dir).filter(F.col("id") % 7 == 0)
+    pts = feats.select(F.col("id").alias("point_id"), "lat", "lon")
+    nn = knn_join(
+        pts, feats, k=4, res=7, point_id="point_id", feature_id="id"
+    ).filter(F.col("point_id") != F.col("neighbor_id"))
+    w3 = Window.partitionBy("point_id").orderBy(F.col("rank").asc())
+    edges = (
+        nn.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select(F.col("point_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
+O_TRIANGLE_COUNTS = f"""
+WITH {FEATS_CTE},
+f7 AS (SELECT id, lat, lon FROM feats WHERE id % 7 = 0),
+dmat AS (
+  SELECT a.id AS src, b.id AS dst,
+         row_number() OVER (PARTITION BY a.id ORDER BY
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) ASC, b.id ASC) AS rank
+  FROM f7 a JOIN f7 b ON a.id <> b.id
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dmat WHERE rank <= 3
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+roles AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, count(*) AS n_tri FROM roles GROUP BY 1
+"""
+
+
+REGISTRY.update({"triangle_counts": (q_triangle_counts, O_TRIANGLE_COUNTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -767,3 +767,21 @@ def test_bounded_shortest_paths_known_graph(spark):
     assert d0 == {0: 0}
     with pytest.raises(ValueError):
         bounded_shortest_paths(edges, source=0, hops=-1)
+
+
+def test_triangle_counts_known_graph(spark):
+    from langtoolsosm_spark.operators.graphs import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) plus a pendant 3-4
+    # and a duplicate/reversed edge that must not double count
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": [0, 0, 0, 1, 1, 2, 3, 1, 2],
+                "dst": [1, 2, 3, 2, 3, 3, 4, 0, 2],  # (1,0) dup, (2,2) self
+            }
+        )
+    )
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert 4 not in got
