@@ -726,3 +726,96 @@ def run_decayed_stream_once(
     )
     q.awaitTermination()
     return spark.table("decay_stream")
+
+
+def stream_tile_cap(
+    stream: DataFrame, res: int, cap: int,
+    id_col: str = "point_id", salt: str = "cap0",
+) -> DataFrame:
+    """Streaming per-tile cap sampling (applyInPandasWithState): each
+    tile's state is the ``cap`` smallest (md5-hash, id) pairs seen so
+    far — a MONOTONE bounded reservoir. Unlike a random reservoir, the
+    hash-rank top-cap is a pure function of the SET of rows seen, so
+    the final state equals the batch ``tile_cap_sample`` answer
+    regardless of arrival order or batching — that's the parity
+    contract the gate checks. State is <= cap (id, hash) pairs per
+    tile, ever. Emits one update row per (tile, trigger) carrying the
+    current kept ids in rank order plus the running seen count."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.sampling import _hash32
+    from ..operators.tiling import assign_tiles
+
+    keyed = assign_tiles(stream, res=res).select(
+        "tile",
+        F.col(id_col).alias("__id"),
+        _hash32(F.col(id_col), salt).alias("__h"),
+    )
+
+    def kernel(key, pdf_iter, state):
+        ids = np.empty(0, dtype=np.int64)
+        hs = np.empty(0, dtype=np.int64)
+        n_seen = 0
+        if state.exists:
+            ids_b, hs_b, n_seen = state.get
+            ids = np.frombuffer(ids_b, dtype=np.int64)
+            hs = np.frombuffer(hs_b, dtype=np.int64)
+        for pdf in pdf_iter:
+            n_seen = int(n_seen) + len(pdf)
+            ids = np.concatenate([ids, pdf["__id"].to_numpy(dtype=np.int64)])
+            hs = np.concatenate([hs, pdf["__h"].to_numpy(dtype=np.int64)])
+            order = np.lexsort((ids, hs))[:cap]
+            ids, hs = ids[order], hs[order]
+        state.update((ids.tobytes(), hs.tobytes(), int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "ids": [ids.tolist()],
+                "n_seen": [int(n_seen)],
+            }
+        )
+
+    return keyed.groupBy("tile").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, ids array<long>, n_seen long",
+        stateStructType="ids_b binary, hs_b binary, n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_tile_cap_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str,
+    res: int, cap: int,
+) -> DataFrame:
+    """Drive the streaming cap reservoir over all staged files (one per
+    trigger) and flatten each tile's FINAL state to (point_id, tile,
+    rk) — the exact schema and values of batch ``tile_cap_sample``."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    q = (
+        stream_tile_cap(st, res=res, cap=cap)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tile_cap_stream")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        """
+        SELECT point_id, tile, CAST(pos + 1 AS INT) AS rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY tile ORDER BY n_seen DESC) AS rn
+          FROM tile_cap_stream
+        ) latest
+        LATERAL VIEW posexplode(ids) t AS pos, point_id
+        WHERE rn = 1
+        """
+    )
