@@ -116,3 +116,43 @@ def triangle_counts(
         tri.select(F.col("y").alias("node"))
     ).unionAll(tri.select(F.col("z").alias("node")))
     return roles.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected induced
+    graph: ``c = 2 * triangles / (deg * (deg - 1))`` — how close each
+    node's neighborhood is to a clique. Emitted as the exact integer
+    pair (tri, deg) plus the one float division, so the statistic is
+    engine-exact; degree-1 nodes get coeff 0 by convention. Reuses the
+    exactly-once wedge enumeration of ``triangle_counts`` and adds one
+    degree aggregate — both bounded by degree x edges."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(e, src_col="a", dst_col="b")
+    # coalesce BEFORE the ratio: a node outside every triangle joins
+    # NULL, and 2.0 * NULL would leak a NULL coeff past the deg guard
+    filled = deg.join(tri, "node", "left").select(
+        "node", "deg", F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri")
+    )
+    coeff = F.when(
+        F.col("deg") >= 2,
+        (F.lit(2.0) * F.col("n_tri").cast("double"))
+        / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    return filled.select("node", "deg", "n_tri", coeff.alias("coeff"))

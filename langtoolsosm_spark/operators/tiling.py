@@ -374,3 +374,55 @@ def st_cube(
         .cube("tile", "dow", "hour")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def tile_retention(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Day-over-day visitor retention per tile — the product-analytics
+    cohort question with a spatial key: of the distinct entities seen in
+    tile t on day d, how many came back to the SAME tile on day d+1?
+    Returns (tile, day, n_users, n_retained, retained_milli) for every
+    (tile, day) with at least one visitor; days are epoch-day ints
+    (engine-portable arithmetic, no calendar functions).
+
+    Plan: one distinct on (tile, day, entity) — the only fact-sized
+    shuffle — then a self equi-join on (tile, entity, day+1) between
+    two projections of that deduped set, and one rollup. The deduped
+    presence set is |tiles x active users| — the natural cohort-table
+    size every retention system materializes anyway.
+    """
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    pres = events.select(
+        tile.alias("tile"), day.alias("day"), F.col(entity_col).alias("entity")
+    ).distinct()
+    nxt = pres.select(
+        F.col("tile").alias("__t2"),
+        (F.col("day") - 1).alias("__d2"),
+        F.col("entity").alias("__e2"),
+    )
+    joined = pres.join(
+        nxt,
+        (pres["tile"] == nxt["__t2"]) & (pres["day"] == nxt["__d2"])
+        & (pres["entity"] == nxt["__e2"]),
+        "left",
+    ).select("tile", "day", "entity", F.col("__e2").isNotNull().alias("__ret"))
+    return joined.groupBy("tile", "day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("__ret").cast("long")).alias("n_retained"),
+        F.expr("CAST(1000 * sum(CAST(__ret AS LONG)) AS BIGINT) div count(1)").alias(
+            "retained_milli"
+        ),
+    )

@@ -6997,6 +6997,126 @@ def q_stream_tile_cap(spark, sf_dir):
 REGISTRY.update({"stream_tile_cap": (q_stream_tile_cap, O_TILE_CAP)})
 
 
+
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficients (operators/graphs.py
+    ``clustering_coefficients``) over the 3-NN feature graph: exact
+    (tri, deg) integers + the single float division; degree-1 nodes
+    coeff 0 by convention."""
+    from pyspark.sql import Window
+
+    from ..operators.graphs import clustering_coefficients
+    from ..operators.knn import knn_join
+
+    feats = geo_features(spark, sf_dir).filter(F.col("id") % 7 == 0)
+    pts = feats.select(F.col("id").alias("point_id"), "lat", "lon")
+    nn = knn_join(
+        pts, feats, k=4, res=7, point_id="point_id", feature_id="id"
+    ).filter(F.col("point_id") != F.col("neighbor_id"))
+    w3 = Window.partitionBy("point_id").orderBy(F.col("rank").asc())
+    edges = (
+        nn.withColumn("__rn", F.row_number().over(w3))
+        .filter(F.col("__rn") <= 3)
+        .select(F.col("point_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+    return clustering_coefficients(edges)
+
+
+O_CLUSTERING_COEFF = f"""
+WITH {FEATS_CTE},
+f7 AS (SELECT id, lat, lon FROM feats WHERE id % 7 = 0),
+dmat AS (
+  SELECT a.id AS src, b.id AS dst,
+         row_number() OVER (PARTITION BY a.id ORDER BY
+           (a.lat - b.lat) * (a.lat - b.lat)
+             + (a.lon - b.lon) * (a.lon - b.lon) ASC, b.id ASC) AS rank
+  FROM f7 a JOIN f7 b ON a.id <> b.id
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dmat WHERE rank <= 3
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) r GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ntri AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) r GROUP BY 1
+)
+SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * CAST(COALESCE(t.n_tri, 0) AS DOUBLE))
+                 / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN ntri t ON t.node = d.node
+"""
+
+
+REGISTRY.update({"clustering_coeff": (q_clustering_coeff, O_CLUSTERING_COEFF)})
+
+
+RET_RES = 6
+
+
+def q_tile_retention(spark, sf_dir):
+    """Day-over-day tile visitor retention (operators/tiling.py
+    ``tile_retention``): per (tile, epoch-day), distinct visitors and
+    how many return to the same tile the next day — one distinct on the
+    presence set, one self equi-join shifted by a day, one rollup."""
+    from ..operators.tiling import tile_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__ret_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __ret_events"
+    )
+    return tile_retention(t, res=RET_RES)
+
+
+_RETN = 1 << RET_RES
+
+O_TILE_RETENTION = f"""
+WITH src AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_RETN}.0)
+            AS BIGINT), 0), {_RETN - 1}) * {_RETN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_RETN}.0)
+            AS BIGINT), 0), {_RETN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+)
+SELECT p.tile, p.day, count(*) AS n_users,
+       CAST(SUM(CASE WHEN n.entity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(1000 * SUM(CASE WHEN n.entity IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) // count(*) AS retained_milli
+FROM pres p
+LEFT JOIN pres n
+  ON n.tile = p.tile AND n.entity = p.entity AND n.day = p.day + 1
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"tile_retention": (q_tile_retention, O_TILE_RETENTION)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

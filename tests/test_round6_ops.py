@@ -785,3 +785,41 @@ def test_triangle_counts_known_graph(spark):
     got = {r["node"]: r["n_tri"] for r in triangle_counts(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     assert 4 not in got
+
+
+def test_clustering_coefficients_known_graph(spark):
+    from langtoolsosm_spark.operators.graphs import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 2-3
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 0, 2], "dst": [1, 2, 2, 3]})
+    )
+    got = {r["node"]: r for r in clustering_coefficients(edges).collect()}
+    assert got[0]["coeff"] == pytest.approx(1.0)       # deg 2, 1 tri
+    assert got[1]["coeff"] == pytest.approx(1.0)
+    assert got[2]["coeff"] == pytest.approx(1.0 / 3)   # deg 3, 1 tri
+    assert got[3]["coeff"] == 0.0 and got[3]["n_tri"] == 0  # pendant
+
+
+def test_tile_retention_day_over_day(spark):
+    from langtoolsosm_spark.operators.tiling import tile_retention
+
+    # users 1,2 on day 0; user 1 returns day 1 (same tile); user 3 only
+    # day 1; a second tile far away with no retention
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 2, 1, 3, 9],
+                "ts": pd.to_datetime([10, 20, 86410, 86420, 30], unit="s"),
+                "lat": [40.0] * 4 + [10.0],
+                "lon": [0.0] * 4 + [100.0],
+            }
+        )
+    )
+    rows = {(r["tile"], r["day"]): r for r in tile_retention(df, res=4).collect()}
+    # the busy tile appears on two consecutive days with 2 users each
+    busy = sorted(k for k in rows if rows[k]["n_users"] == 2)
+    assert len(busy) == 2 and busy[1][1] == busy[0][1] + 1
+    r0, r1 = rows[busy[0]], rows[busy[1]]
+    assert r0["n_retained"] == 1 and r0["retained_milli"] == 500
+    assert r1["n_retained"] == 0  # nobody returns on day 2
