@@ -522,3 +522,23 @@ def test_round6_plan_shapes(spark, synth_dir):
         # no Generate/fan node may feed the first Exchange from the scan
         first_exchange = p.find("Exchange")
         assert first_exchange != -1
+
+
+def test_graph_ops_plan_shapes(spark):
+    """Graph family: no cartesian products, no Python eval; the wedge
+    join keys on the middle vertex."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.graphs import (
+        clustering_coefficients,
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": list(range(50)) * 2,
+                      "dst": [(i * 7 + 1) % 50 for i in range(100)]})
+    )
+    for df in (triangle_counts(edges), clustering_coefficients(edges)):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "EvalPython" not in p
