@@ -1857,18 +1857,27 @@ def zone_concurrency(
     ev = e_in.unionByName(e_out)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("zone").orderBy(F.col("ts").asc(), F.col("delta").asc())
-    # explicit ROWS frame: Spark's default with an ORDER BY is RANGE,
-    # which hands every tie row the tie-group total — the aggregates
-    # here are tie-insensitive either way, but ROWS matches the SQL
-    # spec row for row
+    # Collapse to ONE net-delta row per (zone, ts) before the window —
+    # provably result-identical: with exits ordered before enters at a
+    # tie, the intra-tie intermediate running values are prev - exits
+    # (<= prev) or prev + partial-enters (<= the tie-group end), so the
+    # collapsed cumsum preserves max(running); tie segments have length
+    # 0, so occupied/user-seconds never saw them. This bounds the
+    # per-zone window input by DISTINCT timestamps (map-side combined),
+    # not raw visit endpoints — the difference between one hot zone
+    # sorting its whole history on one task and sorting its timeline.
+    net = ev.groupBy("zone", "ts").agg(
+        F.sum("delta").alias("net"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).alias("enters"),
+    )
+    w = Window.partitionBy("zone").orderBy(F.col("ts").asc())
     wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     run = (
-        ev.withColumn("running", F.sum("delta").over(wr))
+        net.withColumn("running", F.sum("net").over(wr))
         .withColumn("seg_len", F.coalesce(F.lead("ts").over(w) - F.col("ts"), F.lit(0)))
     )
     return run.groupBy("zone").agg(
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_visits"),
+        F.sum("enters").cast("long").alias("n_visits"),
         F.max("running").cast("long").alias("max_concurrent"),
         F.sum(
             F.when(F.col("running") > 0, F.col("seg_len")).otherwise(F.lit(0))
