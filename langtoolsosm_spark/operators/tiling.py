@@ -426,3 +426,154 @@ def tile_retention(
             "retained_milli"
         ),
     )
+
+
+def tile_anomaly(
+    events: DataFrame,
+    res: int,
+    window_days: int = 7,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-tile daily volume anomaly vs the trailing mean: for every
+    (tile, day) with activity, the day's event count next to the mean of
+    the PRECEDING ``window_days`` observed days and the exact per-mille
+    excess ``1000 * (cnt * n_prev - prev_sum) div prev_sum`` (negative =
+    quieter than trend; NULL when the tile has no history yet). The
+    burst/outage detector for spatial event streams.
+
+    Integer end to end: the trailing mean never materializes as a float
+    — the excess compares ``cnt * n_prev`` against ``prev_sum``
+    cross-multiplied. One histogram groupBy (fact-sized shuffle), one
+    window over each tile's observed-day series (history-sized).
+    Trailing window is ROWS over observed days, the standard sparse
+    formulation (quiet days don't dilute the trend).
+    """
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    hist = (
+        events.select(tile.alias("tile"), day.alias("day"))
+        .groupBy("tile", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("tile")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    trailed = hist.select(
+        "tile",
+        "day",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prev_sum"),
+        F.count("cnt").over(w).alias("n_prev"),
+    )
+    return trailed.withColumn(
+        "excess_milli",
+        F.when(
+            F.col("n_prev") > 0,
+            F.expr("CAST(1000 * (cnt * n_prev - prev_sum) AS BIGINT) div prev_sum"),
+        ),
+    )
+
+
+def user_home_tile(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Home-location inference: each entity's modal tile (most visits;
+    ties -> the smaller tile key, so the answer is deterministic) plus
+    its visit count and share of the entity's events in exact per-mille.
+    The standard first step of mobility analysis and privacy review.
+
+    One (entity, tile) histogram, then a struct-max aggregation —
+    ``max(struct(cnt, -tile))`` picks the modal tile in the same
+    map-side-combined pass that counts totals; no window, no second
+    shuffle on the raw facts.
+    """
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    hist = (
+        events.select(F.col(entity_col).alias("entity"), tile.alias("tile"))
+        .groupBy("entity", "tile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.max(F.struct(F.col("cnt"), (-F.col("tile")).alias("nt"))).alias("b")
+    return hist.groupBy("entity").agg(
+        best,
+        F.sum("cnt").alias("n_events"),
+    ).select(
+        "entity",
+        (-F.col("b.nt")).alias("home_tile"),
+        F.col("b.cnt").alias("home_visits"),
+        "n_events",
+        F.expr("CAST(1000 * b.cnt AS BIGINT) div n_events").alias("home_milli"),
+    )
+
+
+def co_visitation(
+    events: DataFrame,
+    res: int,
+    min_days: int = 2,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Co-visitation contact pairs: entity pairs that shared the same
+    tile on at least ``min_days`` distinct days — the contact-graph /
+    companion-detection primitive. Returns (a, b, n_codays) with a < b.
+
+    Plan: the distinct (tile, day, entity) presence set (the same cohort
+    table ``tile_retention`` builds), self-joined WITHIN (tile, day)
+    only — never a global entity cross — then one pair rollup with the
+    HAVING threshold. Pair fan-out is sum over (tile, day) of
+    occupancy^2: bounded by the cell-day crowd sizes, the quantity a
+    deployment would cap (crowded-venue days are exactly where
+    co-presence stops being evidence of companionship); pre-thin hot
+    cell-days with ``tile_cap_sample`` when that cap matters.
+    """
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    pres = events.select(
+        tile.alias("tile"), day.alias("day"), F.col(entity_col).alias("entity")
+    ).distinct()
+    other = pres.select(
+        F.col("tile").alias("__t"), F.col("day").alias("__d"),
+        F.col("entity").alias("__e"),
+    )
+    pairs = pres.join(
+        other,
+        (pres["tile"] == other["__t"]) & (pres["day"] == other["__d"])
+        & (pres["entity"] < other["__e"]),
+    ).select(F.col("entity").alias("a"), F.col("__e").alias("b"), "tile", "day")
+    return (
+        pairs.select("a", "b", "tile", "day").distinct()
+        .groupBy("a", "b")
+        .agg(F.countDistinct("day").alias("n_codays"))
+        .filter(F.col("n_codays") >= min_days)
+    )

@@ -7117,6 +7117,159 @@ GROUP BY 1, 2
 REGISTRY.update({"tile_retention": (q_tile_retention, O_TILE_RETENTION)})
 
 
+
+ANOM_RES, ANOM_WIN = 6, 7
+
+
+def q_tile_anomaly(spark, sf_dir):
+    """Per-tile daily volume anomaly vs trailing mean (operators/
+    tiling.py ``tile_anomaly``): integer cross-multiplied per-mille
+    excess against the preceding 7 observed days; NULL with no history.
+    One histogram shuffle + one history-sized window."""
+    from ..operators.tiling import tile_anomaly
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__anom_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __anom_events"
+    )
+    return tile_anomaly(t, res=ANOM_RES, window_days=ANOM_WIN)
+
+
+_ANOMN = 1 << ANOM_RES
+
+O_TILE_ANOMALY = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_ANOMN}.0)
+            AS BIGINT), 0), {_ANOMN - 1}) * {_ANOMN}
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_ANOMN}.0)
+            AS BIGINT), 0), {_ANOMN - 1}) AS tile,
+         ep // 86400 AS day, count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+t AS (
+  SELECT tile, day, cnt,
+         COALESCE(CAST(SUM(cnt) OVER w AS BIGINT), 0) AS prev_sum,
+         CAST(COUNT(cnt) OVER w AS BIGINT) AS n_prev
+  FROM hist
+  WINDOW w AS (PARTITION BY tile ORDER BY day
+               ROWS BETWEEN {ANOM_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT tile, day, cnt, prev_sum, n_prev,
+       CASE WHEN n_prev > 0
+            THEN CAST(1000 * (cnt * n_prev - prev_sum) AS BIGINT) // prev_sum
+       END AS excess_milli
+FROM t
+"""
+
+
+REGISTRY.update({"tile_anomaly": (q_tile_anomaly, O_TILE_ANOMALY)})
+
+
+HOME_RES = 6
+
+
+def q_user_home_tile(spark, sf_dir):
+    """Home-location inference (operators/tiling.py ``user_home_tile``):
+    modal tile per user (ties -> smaller key) with exact per-mille
+    share — one histogram + one struct-max pass, no window."""
+    from ..operators.tiling import user_home_tile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__home_events")
+    t = spark.sql(
+        f"SELECT user_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __home_events"
+    )
+    return user_home_tile(t, res=HOME_RES)
+
+
+_HOMEN = 1 << HOME_RES
+
+O_USER_HOME_TILE = f"""
+WITH src AS (
+  SELECT user_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT user_id AS entity,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_HOMEN}.0)
+            AS BIGINT), 0), {_HOMEN - 1}) * {_HOMEN}
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_HOMEN}.0)
+            AS BIGINT), 0), {_HOMEN - 1}) AS tile,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+pick AS (
+  SELECT entity, tile AS home_tile, cnt AS home_visits,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY cnt DESC, tile ASC) AS rn,
+         CAST(SUM(cnt) OVER (PARTITION BY entity) AS BIGINT) AS n_events
+  FROM hist
+)
+SELECT entity, home_tile, home_visits, n_events,
+       CAST(1000 * home_visits AS BIGINT) // n_events AS home_milli
+FROM pick WHERE rn = 1
+"""
+
+
+REGISTRY.update({"user_home_tile": (q_user_home_tile, O_USER_HOME_TILE)})
+
+
+COVIS_RES, COVIS_MIN = 5, 3
+
+
+def q_co_visitation(spark, sf_dir):
+    """Co-visitation contact pairs (operators/tiling.py
+    ``co_visitation``): user pairs sharing a res-5 tile on >= 3 distinct
+    days — the within-(tile, day) self-join never crosses cell-day
+    boundaries."""
+    from ..operators.tiling import co_visitation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__covis_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __covis_events"
+    )
+    return co_visitation(t, res=COVIS_RES, min_days=COVIS_MIN)
+
+
+_COVN = 1 << COVIS_RES
+
+O_CO_VISITATION = f"""
+WITH src AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_COVN}.0)
+            AS BIGINT), 0), {_COVN - 1}) * {_COVN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_COVN}.0)
+            AS BIGINT), 0), {_COVN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+pairs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_codays
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= {COVIS_MIN}
+"""
+
+
+REGISTRY.update({"co_visitation": (q_co_visitation, O_CO_VISITATION)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

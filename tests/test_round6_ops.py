@@ -823,3 +823,67 @@ def test_tile_retention_day_over_day(spark):
     r0, r1 = rows[busy[0]], rows[busy[1]]
     assert r0["n_retained"] == 1 and r0["retained_milli"] == 500
     assert r1["n_retained"] == 0  # nobody returns on day 2
+
+
+def test_tile_anomaly_trailing_mean(spark):
+    from langtoolsosm_spark.operators.tiling import tile_anomaly
+
+    # one tile: days 0..3 with counts 2,2,2,8 -> day 3 excess vs mean 2
+    ts, lats, lons = [], [], []
+    for d, c in enumerate([2, 2, 2, 8]):
+        for i in range(c):
+            ts.append(d * 86400 + i)
+            lats.append(40.0)
+            lons.append(0.0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(ts, unit="s"),
+                      "lat": lats, "lon": lons})
+    )
+    rows = {r["day"]: r for r in tile_anomaly(df, res=4, window_days=7).collect()}
+    assert rows[0]["excess_milli"] is None and rows[0]["n_prev"] == 0
+    assert rows[1]["excess_milli"] == 0
+    # day 3: cnt 8 vs prev mean 2 -> (8*3 - 6)*1000 // 6 = 3000
+    assert rows[3]["n_prev"] == 3 and rows[3]["excess_milli"] == 3000
+
+
+def test_user_home_tile_mode_and_tiebreak(spark):
+    from langtoolsosm_spark.operators.tiling import user_home_tile
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2],
+                # user 1: 2 visits near (40,0), 1 elsewhere; user 2: tie
+                # between two tiles -> smaller tile key wins
+                "lat": [40.0, 40.0, 10.0, 40.0, 10.0],
+                "lon": [0.0, 0.0, 100.0, 0.0, 100.0],
+            }
+        )
+    )
+    rows = {r["entity"]: r for r in user_home_tile(df, res=4).collect()}
+    n = 16
+    t_main = int((0.0 + 180) / 360 * n) * n + int((40.0 + 90) / 180 * n)
+    t_far = int((100.0 + 180) / 360 * n) * n + int((10.0 + 90) / 180 * n)
+    assert rows[1]["home_tile"] == t_main and rows[1]["home_milli"] == 666
+    assert rows[2]["home_tile"] == min(t_main, t_far)  # deterministic tie
+
+
+def test_co_visitation_threshold(spark):
+    from langtoolsosm_spark.operators.tiling import co_visitation
+
+    # users 1,2 share the tile on days 0,1; user 3 only day 0
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 2, 3, 1, 2],
+                "ts": pd.to_datetime([0, 10, 20, 86400, 86410], unit="s"),
+                "lat": [40.0] * 5,
+                "lon": [0.0] * 5,
+            }
+        )
+    )
+    two = {(r["a"], r["b"]): r["n_codays"]
+           for r in co_visitation(df, res=4, min_days=2).collect()}
+    assert two == {(1, 2): 2}
+    one = co_visitation(df, res=4, min_days=1).collect()
+    assert {(r["a"], r["b"]) for r in one} == {(1, 2), (1, 3), (2, 3)}
