@@ -7270,6 +7270,96 @@ FROM pairs GROUP BY 1, 2 HAVING count(*) >= {COVIS_MIN}
 REGISTRY.update({"co_visitation": (q_co_visitation, O_CO_VISITATION)})
 
 
+
+def q_geo_split_report(spark, sf_dir):
+    """Split-balance audit for the spatially disjoint split: per split,
+    point and tile counts with exact per-mille shares — the check the
+    geo_split docstring tells users to run (cell-hashing makes
+    proportions lumpy; this is the lumpiness, quantified)."""
+    from ..operators.sampling import geo_split
+
+    s = geo_split(geo_points(spark, sf_dir), res=GEO_SPLIT_RES)
+    total = s.count()  # scalar gate, fixture-scale
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("tile").alias("n_tiles"),
+        F.expr(f"CAST(1000 * count(1) AS BIGINT) div {total}").alias("share_milli"),
+    )
+
+
+O_GEO_SPLIT_REPORT = f"""
+WITH s AS ({O_GEO_SPLIT})
+SELECT split, count(*) AS n_points,
+       CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles,
+       CAST(1000 * count(*) AS BIGINT) // (SELECT count(*) FROM s) AS share_milli
+FROM s GROUP BY 1
+"""
+
+
+REGISTRY.update({"geo_split_report": (q_geo_split_report, O_GEO_SPLIT_REPORT)})
+
+
+PERSIST_THRESH, PERSIST_DAYS = 20, 5
+
+
+def q_hotspot_persistence(spark, sf_dir):
+    """Persistent-hotspot extraction: tiles whose daily count reached
+    the threshold on >= PERSIST_DAYS distinct days — separates standing
+    dense areas from one-off bursts (the complement of tile_anomaly's
+    day-level signal). Histogram + one filter + one rollup."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__pers_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __pers_events"
+    )
+    n = 1 << ANOM_RES
+    fx = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    day = (F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
+    hist = t.select(tile.alias("tile"), day.alias("day")).groupBy(
+        "tile", "day"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        hist.filter(F.col("cnt") >= PERSIST_THRESH)
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("hot_days"),
+            F.max("cnt").alias("peak"),
+            F.sum("cnt").alias("hot_volume"),
+        )
+        .filter(F.col("hot_days") >= PERSIST_DAYS)
+    )
+
+
+O_HOTSPOT_PERSISTENCE = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_ANOMN}.0)
+            AS BIGINT), 0), {_ANOMN - 1}) * {_ANOMN}
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_ANOMN}.0)
+            AS BIGINT), 0), {_ANOMN - 1}) AS tile,
+         ep // 86400 AS day, count(*) AS cnt
+  FROM src GROUP BY 1, 2
+)
+SELECT tile, count(*) AS hot_days, max(cnt) AS peak,
+       CAST(sum(cnt) AS BIGINT) AS hot_volume
+FROM hist WHERE cnt >= {PERSIST_THRESH}
+GROUP BY 1 HAVING count(*) >= {PERSIST_DAYS}
+"""
+
+
+REGISTRY.update({"hotspot_persistence": (q_hotspot_persistence, O_HOTSPOT_PERSISTENCE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:
