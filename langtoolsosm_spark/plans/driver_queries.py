@@ -7377,17 +7377,10 @@ REGISTRY.update({"hotspot_persistence": (q_hotspot_persistence, O_HOTSPOT_PERSIS
 # tools/verify_oracles.py sweep at three tiers.
 _LAST_SIGNED = {
     "agg_pushdown": 3,
-    "bbox_filter": 3,
-    "cell_histogram": 3,
-    "conflict_keys": 3,
     "count_by_type": 3,
     "coverage_stats": 3,
     "dedup_exact": 3,
     "doc_fingerprint": 3,
-    "fill_empty_name": 3,
-    "fill_empty_name_lang": 3,
-    "fill_wikidata_from_wikipedia": 3,
-    "fill_wikipedia_from_wikidata": 3,
     "group_collect": 3,
     "hash_sample": 3,
     "hash_split": 3,
@@ -7398,7 +7391,6 @@ _LAST_SIGNED = {
     "ngram_jaccard_pairs": 3,
     "pivot_counts": 3,
     "quantile_estimate": 3,
-    "regex_name_lang": 3,
     "regex_tokens": 3,
     "rolling_window": 3,
     "rollup_counts": 3,
@@ -7507,6 +7499,56 @@ _LAST_SIGNED = {
     "trajectory_stats": 5,
     "vocab_growth": 5,
     "zonal_stats": 5,
+    "aspect_buckets": 6,
+    "bbox_filter": 6,
+    "cell_histogram": 6,
+    "clustering_coeff": 6,
+    "co_visitation": 6,
+    "conflict_keys": 6,
+    "contour_cases": 6,
+    "convex_hull": 6,
+    "coverage_gaps": 6,
+    "decayed_heatmap": 6,
+    "embedding_ivf_pq_ann": 6,
+    "embedding_pq_ann": 6,
+    "embedding_pq_codes": 6,
+    "embedding_pq_rescored": 6,
+    "embedding_sq8_ann": 6,
+    "embedding_sq8_codes": 6,
+    "fill_empty_name": 6,
+    "fill_empty_name_lang": 6,
+    "fill_wikidata_from_wikipedia": 6,
+    "fill_wikipedia_from_wikidata": 6,
+    "gearys_c": 6,
+    "geo_split": 6,
+    "geo_split_report": 6,
+    "hotspot_gi": 6,
+    "hotspot_persistence": 6,
+    "idw_loo": 6,
+    "image_exposure": 6,
+    "image_pyramid": 6,
+    "image_quality": 6,
+    "image_shard_pack": 6,
+    "kring_smooth": 6,
+    "letterbox": 6,
+    "mosaic_pack": 6,
+    "patch_tile_map": 6,
+    "pip_antijoin": 6,
+    "regex_name_lang": 6,
+    "region_lang_audit": 6,
+    "resize_nn": 6,
+    "shortest_paths": 6,
+    "simplify_radial": 6,
+    "st_cube": 6,
+    "stream_decayed_heatmap": 6,
+    "stream_tile_cap": 6,
+    "tile_anomaly": 6,
+    "tile_cap_sample": 6,
+    "tile_retention": 6,
+    "triangle_counts": 6,
+    "user_home_tile": 6,
+    "zone_concurrency": 6,
+    "zone_visits": 6,
 }
 
 _REGISTRY_ORDER = list(REGISTRY)
