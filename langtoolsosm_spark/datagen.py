@@ -495,6 +495,63 @@ def ensure_media(tier: str = "sf0.01", root: str | None = None) -> str:
     return path
 
 
+_CLUST_EMB_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+)
+
+
+def synth_clustered_embeddings(
+    n: int = 2_000,
+    dim: int = 64,
+    n_clusters: int = 16,
+    sigma: float = 0.25,
+    seed: int = SEED,
+) -> pd.DataFrame:
+    """Mixture-of-Gaussians embedding fixture (unit-norm rows).
+
+    The driver's embeddings table is ~uniform on the sphere — the
+    information-theoretic worst case for quantized ANN, so PQ/IVF-PQ
+    recall on it carries no regression signal. This fixture is the
+    realistic counterpart: ``n_clusters`` unit-norm centers, each point
+    ``normalize(center + sigma*N(0,I))``, same schema as the driver's
+    embeddings.parquet (vec_id/embedding/label; label = generating
+    cluster). Deterministic for a given (n, dim, n_clusters, sigma, seed).
+    """
+    rng = np.random.RandomState(seed + 7)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.randint(0, n_clusters, size=n)
+    pts = centers[lab] + sigma * rng.randn(n, dim)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in pts],
+            "label": lab.astype(np.int32),
+        }
+    )
+
+
+def ensure_clustered_embeddings(tier: str = "sf0.01", root: str | None = None) -> str:
+    """Generate (once) and return the clustered-embeddings parquet path.
+
+    Additive next to the core tables (keys on its own file, like
+    ensure_media). Row count tracks the driver's embeddings table
+    (sf0.1 -> 2,000 rows)."""
+    out = ensure_dataset(tier, root)
+    path = os.path.join(out, "embeddings_clustered.parquet")
+    if not os.path.exists(path):
+        n = max(500, TIER_ROWS[tier] // 100)
+        tmp = path + ".tmp"
+        _write(synth_clustered_embeddings(n), _CLUST_EMB_SCHEMA, tmp)
+        os.rename(tmp, path)
+    return path
+
+
 def tier_for_sf_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to a synth tier name."""
     base = os.path.basename(sf_dir.rstrip("/"))

@@ -6749,6 +6749,86 @@ FROM ranked WHERE rank <= 5
 REGISTRY.update({"embedding_ivf_pq_ann": (q_ivf_pq_ann, O_IVF_PQ_ANN)})
 
 
+def q_ivf_pq_rescored(spark, sf_dir):
+    """IVF-PQ with exact re-ranking (operators/similarity.py
+    ``ivf_pq_ann_rescored``, the faiss IVFPQR composite): probe -> ADC
+    shortlist of 50 -> exact quantized-dot rescore of the shortlist only,
+    top-5 by dot. Raw ADC recall is ceiling-bound by the 32-bit code
+    budget; this is the deployment shape whose recall the clustered
+    fixture floors pin (tests/test_round7_fixes.py)."""
+    from ..operators.similarity import ivf_pq_ann_rescored
+
+    return ivf_pq_ann_rescored(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+O_IVF_PQ_RESCORED = f"""
+WITH {_o_pq()},
+ivfc AS (SELECT vec_id AS centroid_id, d, xq AS cvq FROM flat WHERE vec_id < 16),
+ivfl2 AS (
+  SELECT f.vec_id, c.centroid_id, sum((f.xq - c.cvq) * (f.xq - c.cvq)) AS l2q
+  FROM flat f JOIN ivfc c USING (d)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM ivfl2) t WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY l2q ASC, centroid_id ASC) AS rn
+    FROM ivfl2 WHERE vec_id % 50 = 0) t WHERE rn <= 8
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id
+),
+qd AS (
+  SELECT f.vec_id AS query_id, f.s, c.code,
+         sum((f.xq - c.cq) * (f.xq - c.cq)) AS qd
+  FROM sub f JOIN c2 c ON c.s = f.s AND c.ds = f.ds
+  WHERE f.vec_id % 50 = 0 GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT cd.query_id, cd.neighbor_id, CAST(sum(q.qd) AS BIGINT) AS adc
+  FROM cand cd
+  JOIN af a ON a.vec_id = cd.neighbor_id
+  JOIN qd q ON q.query_id = cd.query_id AND q.s = a.s AND q.code = a.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, neighbor_id ASC) AS rn
+    FROM adc) t WHERE rn <= 50
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, CAST(sum(qf.xq * nf.xq) AS BIGINT) AS dot
+  FROM short s
+  JOIN flat qf ON qf.vec_id = s.query_id
+  JOIN flat nf ON nf.vec_id = s.neighbor_id AND nf.d = qf.d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+REGISTRY.update(
+    {"embedding_ivf_pq_rescored": (q_ivf_pq_rescored, O_IVF_PQ_RESCORED)}
+)
+
+
 
 def q_idw_loo(spark, sf_dir):
     """Leave-one-out IDW cross-validation (operators/spatial.py
