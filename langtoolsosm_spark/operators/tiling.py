@@ -537,6 +537,7 @@ def co_visitation(
     ts_col: str = "ts",
     lat: str = "lat",
     lon: str = "lon",
+    max_occupancy: int = 10_000,
 ) -> DataFrame:
     """Co-visitation contact pairs: entity pairs that shared the same
     tile on at least ``min_days`` distinct days — the contact-graph /
@@ -545,11 +546,18 @@ def co_visitation(
     Plan: the distinct (tile, day, entity) presence set (the same cohort
     table ``tile_retention`` builds), self-joined WITHIN (tile, day)
     only — never a global entity cross — then one pair rollup with the
-    HAVING threshold. Pair fan-out is sum over (tile, day) of
-    occupancy^2: bounded by the cell-day crowd sizes, the quantity a
-    deployment would cap (crowded-venue days are exactly where
-    co-presence stops being evidence of companionship); pre-thin hot
-    cell-days with ``tile_cap_sample`` when that cap matters.
+    HAVING threshold. The join output is already distinct on
+    (a, b, tile, day) — pres is distinct and a within-(tile, day)
+    equi-join cannot duplicate — so no dedup exchange sits on the
+    occupancy^2-sized frame (the largest intermediate).
+
+    Pair fan-out is sum over (tile, day) of occupancy^2 — quadratic in
+    exactly the cell-days where co-presence stops being evidence of
+    companionship (stadiums, festivals). A counted gate raises (the
+    ``hex_bin`` loud-failure pattern) when any cell-day exceeds
+    ``max_occupancy`` BEFORE the quadratic join can run; pre-thin hot
+    cell-days with ``tile_cap_sample`` and re-run, or raise the cap
+    deliberately.
     """
     n = 1 << res
     fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
@@ -562,6 +570,24 @@ def co_visitation(
     pres = events.select(
         tile.alias("tile"), day.alias("day"), F.col(entity_col).alias("entity")
     ).distinct()
+    if max_occupancy is not None:
+        pres = pres.persist()
+        hot = (
+            pres.groupBy("tile", "day")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_occupancy)
+        )
+        worst = hot.orderBy(F.col("occ").desc()).limit(1).collect()
+        if worst:
+            r = worst[0]
+            pres.unpersist()
+            raise ValueError(
+                f"co_visitation: cell-day (tile={r['tile']}, day={r['day']}) "
+                f"holds {r['occ']} entities (> max_occupancy={max_occupancy}); "
+                "the pair join is quadratic in occupancy — pre-thin hot "
+                "cell-days with tile_cap_sample, or pass a higher "
+                "max_occupancy deliberately (None disables the gate)"
+            )
     other = pres.select(
         F.col("tile").alias("__t"), F.col("day").alias("__d"),
         F.col("entity").alias("__e"),
@@ -570,10 +596,9 @@ def co_visitation(
         other,
         (pres["tile"] == other["__t"]) & (pres["day"] == other["__d"])
         & (pres["entity"] < other["__e"]),
-    ).select(F.col("entity").alias("a"), F.col("__e").alias("b"), "tile", "day")
+    ).select(F.col("entity").alias("a"), F.col("__e").alias("b"), "day")
     return (
-        pairs.select("a", "b", "tile", "day").distinct()
-        .groupBy("a", "b")
+        pairs.groupBy("a", "b")
         .agg(F.countDistinct("day").alias("n_codays"))
         .filter(F.col("n_codays") >= min_days)
     )

@@ -117,3 +117,67 @@ def test_headline_ann_family_frozen():
     assert set(bench.EXT_ANN) & set(bench.HEADLINE_ANN) == set()
     for fam in ("pq_adc", "pq_rescored", "sq8", "ivf_pq"):
         assert fam in bench.EXT_ANN
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 3: co_visitation hardening — occupancy gate + no dedup
+# exchange on the occupancy^2 frame.
+# ---------------------------------------------------------------------------
+
+
+def _covis_events(spark):
+    # 3 users co-located across 2 days in a quiet tile, plus an 8-entity
+    # "stadium day" in another tile
+    rows = []
+    for day in (0, 1):
+        for u in ("a", "b", "c"):
+            rows.append((u, day * 86400 + 10, 10.0, 10.0))
+    for i in range(8):
+        rows.append((f"crowd{i}", 5 * 86400 + 10, -40.0, -40.0))
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "lat", "lon"])
+    return spark.createDataFrame(pdf).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+
+
+def test_co_visitation_occupancy_gate_fires(spark):
+    from langtoolsosm_spark.operators.tiling import co_visitation
+
+    ev = _covis_events(spark)
+    with pytest.raises(ValueError, match="max_occupancy"):
+        co_visitation(ev, res=5, min_days=2, max_occupancy=5)
+
+
+def test_co_visitation_capped_consistent(spark):
+    """With the gate satisfied, the result on the quiet portion is the
+    same whether or not the hot venue-day rows are present after
+    pre-thinning them away — and the gate default passes the fixture."""
+    from langtoolsosm_spark.operators.tiling import co_visitation
+
+    ev = _covis_events(spark)
+    full = co_visitation(ev, res=5, min_days=2)  # default cap 10k: passes
+    got = {(r["a"], r["b"], r["n_codays"]) for r in full.collect()}
+    assert got == {("a", "b", 2), ("a", "c", 2), ("b", "c", 2)}
+
+    thinned = ev.filter(~F.col("user_id").startswith("crowd"))
+    quiet = co_visitation(thinned, res=5, min_days=2, max_occupancy=5)
+    assert {(r["a"], r["b"], r["n_codays"]) for r in quiet.collect()} == got
+
+
+def test_co_visitation_no_pair_dedup_exchange(spark):
+    """The within-(tile, day) join of a distinct presence set cannot
+    duplicate, so the (a, b, tile, day) dedup aggregate that used to sit
+    on the occupancy^2 pair frame (the largest intermediate) must be
+    gone: no aggregate keyed on (a, b, tile, ...) anywhere in the plan.
+    (A raw Exchange count is NOT asserted — AQE's plan dump repeats
+    initial plans, making the count run-order-dependent.)"""
+    import re
+
+    from langtoolsosm_spark.operators.tiling import co_visitation
+
+    df = co_visitation(
+        _covis_events(spark), res=5, min_days=2, max_occupancy=None
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"keys=\[a#\d+, b#\d+, tile#", plan), plan
