@@ -248,6 +248,7 @@ def image_shard_pack(
     bytes_col: str = "bytes",
     lat: str = "lat",
     lon: str = "lon",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Spatially-local byte-budgeted training-shard assignment: the
     image-table counterpart of ``token_shard_pack`` with Hilbert
@@ -280,9 +281,14 @@ def image_shard_pack(
         g = F.floor((F.col(col) + F.lit(off)) / F.lit(span) * F.lit(float(n)))
         return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
 
+    # size_col: precomputed byte sizes (metadata-only packing — avoids
+    # touching the blob column at all); default measures the blob
+    size = (
+        F.col(size_col) if size_col else F.length(F.col(bytes_col))
+    ).cast("long")
     d = images.select(
         F.col(id_col),
-        F.length(F.col(bytes_col)).cast("long").alias("size_bytes"),
+        size.alias("size_bytes"),
         gidx(lon, 180.0, 360.0).alias("ix"),
         gidx(lat, 90.0, 180.0).alias("iy"),
     )
@@ -295,11 +301,27 @@ def image_shard_pack(
         .orderBy("hkey", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum("size_bytes").over(w)
-    return keyed.select(
-        id_col, "hkey", "bucket", "size_bytes",
-        (
-            F.col("bucket") * F.lit(_SCALE).cast("long")
-            + ((cum - 1) / F.lit(budget)).cast("long")
-        ).alias("shard_id"),
+    # integer div keeps the shard index exact past 2^53 cumulative bytes
+    # (the old double division would round); the raise_error branch fires
+    # iff a bucket exceeds budget * 2^32 bytes, where the packed
+    # bucket*2^32+index encoding would silently collide into the next
+    # bucket's id space — loud failure, zero extra passes
+    cum = (F.sum("size_bytes").over(w) - F.lit(1)).alias("__c")
+    staged = keyed.select(F.col(id_col), "hkey", "bucket", "size_bytes", cum)
+    idx = F.expr(f"__c div {budget}")
+    guarded = F.when(
+        idx >= F.lit(_SCALE),
+        F.raise_error(
+            F.format_string(
+                "image_shard_pack: bucket %s exceeds budget*2^32 bytes - "
+                "its shard index no longer fits the bucket*2^32+index "
+                "encoding; lower bucket_shift (smaller buckets) or raise "
+                "budget",
+                F.col("bucket"),
+            )
+        ).cast("long"),
+    ).otherwise(idx)
+    return staged.select(
+        F.col(id_col), "hkey", "bucket", "size_bytes",
+        (F.col("bucket") * F.lit(_SCALE).cast("long") + guarded).alias("shard_id"),
     )

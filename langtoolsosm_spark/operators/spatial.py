@@ -1770,19 +1770,29 @@ def getis_gi(
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     n = 1 << res
     n_cells = n * n
-    from .tiling import assign_tiles, kring_smooth
+    from .tiling import kring_smooth
 
     dec = "decimal(38,0)"
+    # ONE (ix, iy, __n) histogram: kring_smooth consumes it directly and
+    # the (s, q) base aggregates over the same subtree, so Spark's
+    # exchange reuse scans the fact table once (it used to scan twice —
+    # once for a tile-keyed copy of this histogram, once inside
+    # kring_smooth)
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
     hist = (
-        assign_tiles(points, res, lat=lat, lon=lon)
-        .groupBy("tile")
-        .agg(F.count(F.lit(1)).alias("x"))
+        points.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
     base = hist.agg(
-        F.sum(F.col("x").cast(dec)).alias("s"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q"),
+        F.sum(F.col("__n").cast(dec)).alias("s"),
+        F.sum((F.col("__n") * F.col("__n")).cast(dec)).alias("q"),
     )
-    ring = kring_smooth(points, res, k=k, lat=lat, lon=lon)
+    ring = kring_smooth(points, res, k=k, lat=lat, lon=lon, hist=hist)
     ix = (F.col("tile") / F.lit(n)).cast("long")
     iy = F.col("tile") % F.lit(n)
     n_ring = (

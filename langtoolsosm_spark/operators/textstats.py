@@ -302,21 +302,26 @@ def vocab_growth(
     bdf = ranked.sparkSession.createDataFrame(
         bounds, schema="step int, n_docs long"
     )
-    bounds_ids = F.broadcast(
-        bdf.join(ranked, bdf["n_docs"] == ranked["rn"]).select(
-            "step", "n_docs", F.col("doc").alias("boundary_id")
-        )
+    # the broadcast hint goes on the two INNER-join probe sites only: a
+    # blanket hint on bounds_ids also landed on the preserved (left) side
+    # of the final left-outer join below, where Spark cannot build and
+    # silently dropped it (HintErrorLogger noise the sweep now fails on)
+    bounds_ids = bdf.join(ranked, bdf["n_docs"] == ranked["rn"]).select(
+        "step", "n_docs", F.col("doc").alias("boundary_id")
     )
     first_doc = terms.groupBy("term").agg(F.min("doc").alias("first_doc"))
     vocab = (
         first_doc.join(
-            bounds_ids, F.col("first_doc") <= F.col("boundary_id"), "inner"
+            F.broadcast(bounds_ids),
+            F.col("first_doc") <= F.col("boundary_id"),
+            "inner",
         )
         .groupBy("step")
         .agg(F.count(F.lit(1)).alias("vocab"))
     )
+    b2 = F.broadcast(bounds_ids)
     toks = (
-        ranked.join(bounds_ids, ranked["rn"] <= bounds_ids["n_docs"], "inner")
+        ranked.join(b2, ranked["rn"] <= b2["n_docs"], "inner")
         .groupBy("step")
         .agg(F.sum("n_tok").alias("total_tokens"))
     )

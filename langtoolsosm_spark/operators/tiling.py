@@ -252,6 +252,15 @@ def coverage_gaps(
     """
     import math
 
+    if lat0 > lat1 or lon0 > lon1:
+        # loud-guard convention (hex_bin, with_hilbert): an inverted bbox
+        # would yield an empty lattice and silently report "no gaps"
+        raise ValueError(
+            f"coverage_gaps: inverted bbox (lat0={lat0} > lat1={lat1}"
+            if lat0 > lat1
+            else f"coverage_gaps: inverted bbox (lon0={lon0} > lon1={lon1}"
+        )
+
     n = 1 << res
 
     def cell(v: float, off: float, span: float) -> int:
@@ -289,6 +298,7 @@ def kring_smooth(
     k: int = 1,
     lat: str = "lat",
     lon: str = "lon",
+    hist: DataFrame | None = None,
 ) -> DataFrame:
     """k-ring neighborhood density smoothing — the H3 ``kRing`` analogue
     on the quad grid: each tile's smoothed value is the sum of point
@@ -303,20 +313,24 @@ def kring_smooth(
     columns; everything after it is bounded by occupied-cells x (2k+1)^2.
     Returns (tile, ring_sum) for every tile with >= 1 point in its
     k-ring — i.e. the k-dilated occupancy raster.
-    """
+
+    Callers that already aggregated the same (ix, iy, __n) histogram
+    (``getis_gi``) pass it via ``hist`` so the shared subtree plans once
+    (Spark's exchange reuse then scans the fact table a single time)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     n = 1 << res
-    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    hist = (
-        df.select(
-            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
-            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+    if hist is None:
+        fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+        fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+        hist = (
+            df.select(
+                F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+                F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+            )
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
     fan = (
         hist.select(
             "ix", "iy", "__n",

@@ -4705,6 +4705,71 @@ def q_stream_od(spark, sf_dir):
 REGISTRY.update({"stream_od": (q_stream_od, O_OD_FLOWS)})
 
 
+def q_stream_od_late(spark, sf_dir):
+    """Bounded-lateness streaming OD parity gate
+    (streaming/microbatch.py ``stream_od_transitions_late``): the
+    trajectory fixture is staged as 3 files INTERLEAVED BY RANK — every
+    micro-batch spans the whole time range, maximal cross-batch disorder
+    — plus a final watermark-punctuation file (one NULL-position row per
+    user past the span). The watermark-tolerant kernel buffers events in
+    state until the per-entity watermark passes them, emits in
+    event-time order, and the rolled-up flows must STILL equal the batch
+    ``od_flows`` oracle exactly. The ordered-ingestion kernel
+    (stream_od) raises on this staging; this one absorbs it."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..streaming.microbatch import run_od_late_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__sodl_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __sodl_events"
+    )
+    out = tempfile.mkdtemp(prefix="streamodlate_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        span_s = int(
+            (pdf["ts"].max() - pdf["ts"].min()).total_seconds()
+        ) + 1
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            # rank-interleaved: batch i holds ranks i, i+3, i+6, ...
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        flush = _pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].unique(),
+                "ts": pdf["ts"].max() + _pd.Timedelta(seconds=2 * span_s),
+                "event_id": -1,
+                "lat": _np.nan,
+                "lon": _np.nan,
+            }
+        )
+        flush["ts"] = flush["ts"].astype("datetime64[us]")
+        p = _os.path.join(src, "b3_flush.parquet")
+        flush.to_parquet(p, index=False)
+        _os.utime(p, (4000, 4000))
+        result = run_od_late_stream_once(
+            spark, src, _os.path.join(out, "ckpt"),
+            res=8, lateness_s=span_s,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_od_late": (q_stream_od_late, O_OD_FLOWS)})
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram LM counts (operators/textstats.py ``ngram_counts``):
     adjacent lowercase-alpha token pairs, corpus-wide counts, pruned at

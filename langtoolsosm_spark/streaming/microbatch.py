@@ -518,6 +518,170 @@ def stream_od_transitions(
     )
 
 
+def stream_od_transitions_late(
+    stream: DataFrame,
+    res: int = 8,
+    lateness_s: int = 3600,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Bounded-lateness OD transition extraction — the watermark-tolerant
+    sibling of ``stream_od_transitions``. That kernel's ordered-ingestion
+    contract raises on ANY cross-batch disorder; this one holds events in
+    per-entity state until the entity's watermark (``max event time seen
+    - lateness_s``) passes them, then emits transitions in EVENT-TIME
+    order — so any arrival order within the lateness bound produces
+    byte-identical output to the batch ``od_flows``. Only an event BELOW
+    the already-passed watermark (disorder beyond the bound) raises; the
+    reference's ingestion layer tolerates bounded retries the same way
+    (lib/osm_utils.py:52-66).
+
+    Rows with NULL lat/lon are watermark PUNCTUATION (Flink-style): they
+    advance the entity's watermark to ``ts - lateness`` without becoming
+    positions — the stream's end-of-input flush. Events with
+    ``ts < watermark`` are final (later arrivals at exactly the watermark
+    stay buffered until it strictly passes them).
+
+    State per entity: the watermark, the last emitted position, and the
+    pending buffer — bounded by the entity's event rate x lateness
+    window, the same bound Spark's own watermarked aggregations carry.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.cells import tile_key
+
+    lateness_ns = int(lateness_s) * 1_000_000_000
+    NEG = np.iinfo(np.int64).min
+
+    def kernel(key, pdf_iter, state):
+        if state.exists:
+            wm, has_last, lts, leid, ltile, bts, beid, btile = state.get
+            buf_ts = np.frombuffer(bts, dtype=np.int64)
+            buf_eid = np.frombuffer(beid, dtype=np.int64)
+            buf_tile = np.frombuffer(btile, dtype=np.int64)
+        else:
+            wm, has_last, lts, leid, ltile = NEG, 0, 0, 0, 0
+            buf_ts = buf_eid = buf_tile = np.empty(0, dtype=np.int64)
+        wm = int(wm)
+
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts_ns = pdf[ts_col].to_numpy("datetime64[ns]").astype("int64")
+            punct = pdf[lat].isna().to_numpy() | pdf[lon].isna().to_numpy()
+            real = ~punct
+            if real.any():
+                r_ts = ts_ns[real]
+                if int(r_ts.min()) < wm:
+                    raise ValueError(
+                        f"event beyond bounded lateness for entity "
+                        f"{key[0]}: ts {int(r_ts.min())} is below the "
+                        f"passed watermark {wm} (lateness_s={lateness_s})"
+                    )
+                buf_ts = np.concatenate([buf_ts, r_ts])
+                buf_eid = np.concatenate(
+                    [buf_eid, pdf.loc[real, id_col].to_numpy(np.int64)]
+                )
+                buf_tile = np.concatenate(
+                    [
+                        buf_tile,
+                        tile_key(
+                            pdf.loc[real, lat].to_numpy(),
+                            pdf.loc[real, lon].to_numpy(),
+                            res,
+                        ),
+                    ]
+                )
+            wm = max(wm, int(ts_ns.max()) - lateness_ns)
+
+        ready = buf_ts < wm
+        if ready.any():
+            order = np.lexsort((buf_eid[ready], buf_ts[ready]))
+            e_ts = buf_ts[ready][order]
+            e_eid = buf_eid[ready][order]
+            e_tile = buf_tile[ready][order]
+            if has_last:
+                from_tiles = np.concatenate(([np.int64(ltile)], e_tile[:-1]))
+                to_tiles = e_tile
+            else:
+                from_tiles = e_tile[:-1]
+                to_tiles = e_tile[1:]
+            has_last, lts, leid, ltile = (
+                1, int(e_ts[-1]), int(e_eid[-1]), int(e_tile[-1]),
+            )
+            keep = ~ready
+            buf_ts, buf_eid, buf_tile = buf_ts[keep], buf_eid[keep], buf_tile[keep]
+            out = pd.DataFrame(
+                {
+                    entity_col: np.repeat(np.int64(key[0]), len(to_tiles)),
+                    "from_tile": from_tiles.astype(np.int64),
+                    "to_tile": to_tiles.astype(np.int64),
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                columns=[entity_col, "from_tile", "to_tile"]
+            ).astype(
+                {entity_col: "int64", "from_tile": "int64", "to_tile": "int64"}
+            )
+        state.update(
+            (
+                int(wm), int(has_last), int(lts), int(leid), int(ltile),
+                buf_ts.tobytes(), buf_eid.tobytes(), buf_tile.tobytes(),
+            )
+        )
+        yield out
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        kernel,
+        outputStructType=f"{entity_col} long, from_tile long, to_tile long",
+        stateStructType=(
+            "wm long, has_last int, lts long, leid long, ltile long, "
+            "bts binary, beid binary, btile binary"
+        ),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_od_late_stream_once(
+    spark: SparkSession, events_dir: str, checkpoint: str,
+    res: int = 8, lateness_s: int = 3600,
+) -> DataFrame:
+    """Drive the bounded-lateness OD extractor over all staged files
+    (availableNow, one file per trigger) and roll the emitted
+    transitions up to the batch ``od_flows`` shape — same downstream
+    rollup rationale as ``run_od_stream_once``."""
+    schema = spark.read.parquet(events_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    name = f"od_late_stream_{abs(hash(events_dir)) % 10**8}"
+    q = (
+        stream_od_transitions_late(st, res=res, lateness_s=lateness_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    ent = t.columns[0]  # the entity key column (not hard-coded 'user_id')
+    return t.groupBy("from_tile", "to_tile").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct(ent).alias("n_entities"),
+    )
+
+
 def run_od_stream_once(
     spark: SparkSession, events_dir: str, checkpoint: str, res: int = 8
 ) -> DataFrame:
@@ -740,12 +904,26 @@ def stream_tile_cap(
     regardless of arrival order or batching — that's the parity
     contract the gate checks. State is <= cap (id, hash) pairs per
     tile, ever. Emits one update row per (tile, trigger) carrying the
-    current kept ids in rank order plus the running seen count."""
+    current kept ids in rank order plus the running seen count.
+
+    Ids must be integral (the state blob and the ``ids array<long>``
+    output serialize int64): batch ``tile_cap_sample`` accepts any
+    orderable id, so the narrower streaming contract is validated UP
+    FRONT with a clear error instead of a mid-stream kernel crash."""
     import numpy as np
     import pandas as pd
 
     from ..operators.sampling import _hash32
     from ..operators.tiling import assign_tiles
+
+    id_type = stream.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"stream_tile_cap: id column {id_col!r} is {id_type}, but the "
+            "streaming state/output serialize int64 ids — cast to an "
+            "integral type first, or use batch tile_cap_sample (which "
+            "accepts any orderable id)"
+        )
 
     keyed = assign_tiles(stream, res=res).select(
         "tile",

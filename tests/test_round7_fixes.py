@@ -181,3 +181,162 @@ def test_co_visitation_no_pair_dedup_exchange(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"keys=\[a#\d+, b#\d+, tile#", plan), plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ADVICE guards
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_gaps_inverted_bbox_raises(spark):
+    """An inverted bbox used to yield an empty lattice and silently
+    report 'no gaps' (ADVICE r6)."""
+    from langtoolsosm_spark.operators.tiling import coverage_gaps
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": [1.0], "lon": [1.0]})
+    )
+    with pytest.raises(ValueError, match="inverted bbox"):
+        coverage_gaps(df, res=4, lat0=5.0, lat1=1.0, lon0=0.0, lon1=2.0)
+    with pytest.raises(ValueError, match="inverted bbox"):
+        coverage_gaps(df, res=4, lat0=0.0, lat1=1.0, lon0=3.0, lon1=2.0)
+
+
+def test_stream_tile_cap_rejects_non_integer_ids(spark):
+    """The streaming reservoir serializes int64 ids; a string id column
+    used to crash mid-stream inside the state kernel (ADVICE r6)."""
+    from langtoolsosm_spark.streaming.microbatch import stream_tile_cap
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"point_id": ["a"], "lat": [1.0], "lon": [1.0]})
+    )
+    with pytest.raises(TypeError, match="integral"):
+        stream_tile_cap(df, res=4, cap=2)
+
+
+def test_image_shard_pack_index_overflow_raises(spark):
+    """A bucket whose cumulative bytes exceed budget * 2^32 would
+    silently collide into the next bucket's shard-id space (ADVICE r6):
+    the encoding guard must fail loudly instead."""
+    from langtoolsosm_spark.operators.sampling import image_shard_pack
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a", "b"],
+            "sz": [1 << 33, 1 << 33],  # same tile -> one bucket
+            "lat": [1.0, 1.0],
+            "lon": [1.0, 1.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = image_shard_pack(df, res=8, budget=1, size_col="sz")
+    with pytest.raises(Exception, match="bucket.*2\\^32|exceeds budget"):
+        packed.collect()
+
+
+def test_image_shard_pack_size_col_matches_blob_length(spark):
+    """size_col packing must equal bytes-length packing when the sizes
+    agree (and the integer-div shard index is unchanged for normal
+    inputs)."""
+    from langtoolsosm_spark.operators.sampling import image_shard_pack
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"i{j}" for j in range(6)],
+            "bytes": [b"x" * (j + 1) for j in range(6)],
+            "sz": [j + 1 for j in range(6)],
+            "lat": [1.0, 1.0, 1.0, 40.0, 40.0, 40.0],
+            "lon": [1.0, 1.0, 1.0, -40.0, -40.0, -40.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = image_shard_pack(df, res=8, budget=4).orderBy("image_id").collect()
+    b = image_shard_pack(df, res=8, budget=4, size_col="sz").orderBy(
+        "image_id"
+    ).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_getis_gi_single_fact_scan(spark):
+    """getis_gi's (s, q) base and kring_smooth now share one histogram
+    subtree, so the executed plan reuses the exchange instead of
+    scanning the fact table twice (ADVICE r6)."""
+    from langtoolsosm_spark.operators.spatial import getis_gi
+
+    pdf = pd.DataFrame({"lat": [1.0, 1.0, 2.0], "lon": [1.0, 1.5, 2.0]})
+    df = spark.createDataFrame(pdf)
+    out = getis_gi(df, res=4, k=1)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or plan.count("LocalTableScan") <= 2, plan
+
+
+# ---------------------------------------------------------------------------
+# VERDICT item 8: bounded-lateness streaming OD (watermark-tolerant)
+# ---------------------------------------------------------------------------
+
+
+def _stage_od_batches(tmp_path, batches, span_flush=None):
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "epoch", "event_id", "lat", "lon"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf.pop("epoch"), unit="s").astype(
+            "datetime64[us]"
+        )
+        pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+        p = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    return src
+
+
+def test_stream_od_late_absorbs_bounded_disorder(spark, tmp_path):
+    """Cross-batch disorder within the lateness bound yields exactly the
+    event-time-ordered transitions; events past the watermark stay
+    buffered until a later batch (or punctuation) releases them."""
+    from langtoolsosm_spark.streaming.microbatch import run_od_late_stream_once
+
+    # one user; positions at ts 0/10/20/40 in four distinct tiles;
+    # arrival order scrambles 20 before 10 across batches
+    pos = {0: (10.0, 10.0), 10: (20.0, 20.0), 20: (30.0, 30.0), 40: (40.0, 40.0)}
+    b0 = [(1, 0, 100, *pos[0]), (1, 20, 102, *pos[20])]
+    b1 = [(1, 10, 101, *pos[10]), (1, 40, 104, *pos[40])]
+    flush = [(1, 1000, -1, np.nan, np.nan)]
+    src = _stage_od_batches(tmp_path, [b0, b1, flush])
+    out = run_od_late_stream_once(
+        spark, src, str(tmp_path / "ckpt"), res=8, lateness_s=15
+    )
+    got = {(r["from_tile"], r["to_tile"]) for r in out.collect()}
+
+    from langtoolsosm_spark.functions.cells import tile_key
+
+    tiles = {
+        t: int(tile_key(np.array([la]), np.array([lo]), 8)[0])
+        for t, (la, lo) in pos.items()
+    }
+    want = {
+        (tiles[0], tiles[10]),
+        (tiles[10], tiles[20]),
+        (tiles[20], tiles[40]),
+    }
+    assert got == want
+
+
+def test_stream_od_late_raises_beyond_lateness(spark, tmp_path):
+    """An event BELOW the already-passed watermark (disorder beyond the
+    bound) must raise, not silently emit out-of-order transitions."""
+    from langtoolsosm_spark.streaming.microbatch import run_od_late_stream_once
+
+    b0 = [(1, 0, 100, 10.0, 10.0), (1, 100, 101, 20.0, 20.0)]
+    # wm after b0 = 100 - 15 = 85; ts=5 is far below it
+    b1 = [(1, 5, 102, 30.0, 30.0)]
+    src = _stage_od_batches(tmp_path, [b0, b1])
+    with pytest.raises(Exception, match="beyond bounded lateness"):
+        run_od_late_stream_once(
+            spark, src, str(tmp_path / "ckpt"), res=8, lateness_s=15
+        ).collect()

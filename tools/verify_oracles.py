@@ -146,6 +146,29 @@ def main():
     import __spark_entry__ as entry_mod
     from langtoolsosm_spark.session import get_spark
 
+    # Tee the process's stderr (which the Spark JVM inherits) through a
+    # file so dropped-hint warnings (HintErrorLogger: "Hint (strategy=
+    # broadcast) is not supported ...") are detected and attributed to
+    # the query that planned them. A silently dropped hint is exactly the
+    # noise that would mask a real hint failure on the 100x path, so the
+    # sweep FAILS on any hit (LTOSM_ALLOW_HINT_DROPS=1 downgrades to a
+    # loud warning).
+    import subprocess
+    import tempfile
+
+    hint_log = tempfile.NamedTemporaryFile(
+        "r", suffix=".stderr", prefix="verify_hints_", delete=False
+    )
+    orig_stderr = os.dup(2)
+    tee = subprocess.Popen(
+        ["tee", hint_log.name], stdin=subprocess.PIPE, stdout=orig_stderr
+    )
+    os.dup2(tee.stdin.fileno(), 2)
+
+    def hint_offset() -> int:
+        sys.stderr.flush()
+        return os.path.getsize(hint_log.name)
+
     spark = get_spark("verify_oracles", cores=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -156,9 +179,11 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     results = {}
+    hint_spans: list[tuple[str, int]] = []  # (query, stderr offset at start)
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        hint_spans.append((name, hint_offset()))
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -202,6 +227,24 @@ def main():
     n_ro = sum(1 for v in results.values() if str(v).startswith("rows-only"))
     n_bad = len(results) - n_ok - n_ro
     print(f"\n== {n_ok} OK, {n_ro} rows-only, {n_bad} failing of {len(results)}")
+
+    # plan-hygiene gate: attribute any dropped-hint warning to the query
+    # whose span of the teed stderr contains it
+    hint_spans.append(("<end>", hint_offset()))
+    blamed: dict[str, int] = {}
+    with open(hint_log.name) as f:
+        text = f.read()
+    for (name, lo), (_nxt, hi) in zip(hint_spans, hint_spans[1:]):
+        n_hits = text[lo:hi].count("HintErrorLogger")
+        if n_hits:
+            blamed[name] = n_hits
+    os.unlink(hint_log.name)
+    if blamed:
+        msg = ", ".join(f"{k} ({v})" for k, v in sorted(blamed.items()))
+        print(f"\n!! dropped join hints (HintErrorLogger) during: {msg}")
+        if os.environ.get("LTOSM_ALLOW_HINT_DROPS") != "1":
+            print("!! failing the sweep (set LTOSM_ALLOW_HINT_DROPS=1 to downgrade)")
+            return 2
     return 0 if n_bad == 0 else 1
 
 
