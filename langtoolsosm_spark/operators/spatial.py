@@ -1955,3 +1955,190 @@ def idw_loo_validate(
             F.abs(est - F.col("__tv").cast("double")).alias("abs_err"),
         )
     )
+
+
+def lisa_quadrants(
+    points: DataFrame,
+    res: int,
+    k: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Local Moran scatter-plot quadrants (Anselin's LISA classes): each
+    OCCUPIED cell is labeled HH / LL / HL / LH by the sign of its own
+    deviation from the global mean and the sign of its k-ring NEIGHBOR
+    mean's deviation — the per-cell drill-down under the global
+    ``moran_i`` statistic. All comparisons are exact integer
+    cross-multiplications (own: N*x - S; neighbors: N*ring_m - m*S with
+    ring_m the neighbor sum excluding self and m the in-grid neighbor
+    count), so no mean is ever a float. Zero deviations classify as the
+    LOW side (deterministic tie rule, documented here and replayed by
+    the oracle). Returns (tile, x, ring_m, n_nbrs, quad).
+
+    Plan: ONE histogram + the (2k+1)^2 fan-out (shared ``kring_smooth``
+    subtree), then an inner join of the two histogram-sized frames —
+    nothing scales with 4^res but the histogram."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = 1 << res
+    n_cells = n * n
+    from .tiling import kring_smooth
+
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        points.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    base = hist.agg(F.sum("__n").alias("s"))
+    ring = kring_smooth(points, res, k=k, lat=lat, lon=lon, hist=hist)
+    own = hist.select(
+        (F.col("ix") * F.lit(n) + F.col("iy")).alias("tile"),
+        F.col("__n").alias("x"),
+    )
+    j = own.join(ring, "tile", "inner").crossJoin(F.broadcast(base))
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    n_ring = (
+        (F.least(ix + k, F.lit(n - 1)) - F.greatest(ix - k, F.lit(0)) + 1)
+        * (F.least(iy + k, F.lit(n - 1)) - F.greatest(iy - k, F.lit(0)) + 1)
+    )
+    ring_m = F.col("ring_sum") - F.col("x")
+    m = (n_ring - 1).cast("long")
+    own_hi = F.lit(n_cells).cast("long") * F.col("x") > F.col("s")
+    # m * S is the neighbor-mean cross-multiplication; m = 0 (isolated
+    # 1x1 grid) cannot occur for k >= 1, n >= 2
+    nbr_hi = F.lit(n_cells).cast("long") * ring_m > m * F.col("s")
+    quad = (
+        F.when(own_hi & nbr_hi, F.lit("HH"))
+        .when(own_hi & ~nbr_hi, F.lit("HL"))
+        .when(~own_hi & nbr_hi, F.lit("LH"))
+        .otherwise(F.lit("LL"))
+    )
+    return j.select(
+        "tile", "x", ring_m.alias("ring_m"), m.alias("n_nbrs"), quad.alias("quad")
+    )
+
+
+def ripley_k(
+    points: DataFrame,
+    res: int,
+    radii: tuple[int, ...] = (1, 2, 4),
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Ripley's K point-pattern statistic on the cell grid: for each
+    radius r (in CELLS, Chebyshev metric — the grid-native analogue of
+    the classic Euclidean K), the number of ORDERED point pairs whose
+    cells are within distance r, self-pairs excluded. Rising-faster-
+    than-area counts mean clustering; the K curve's shape against r is
+    the diagnostic. Returns (r, n_pairs, n_points) with exact integers.
+
+    Plan: pair counting never touches point pairs — for each r,
+    n_pairs = sum_c n_c * ring_sum_r(c) - N (the histogram fanned out by
+    the shared ``kring_smooth`` subtree, N self-pairs removed). Cost is
+    len(radii) fan-outs of the ONE histogram; nothing is quadratic in
+    points."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    if not radii or any(r < 1 for r in radii):
+        raise ValueError(f"radii must be >= 1, got {radii}")
+    n = 1 << res
+    from .tiling import kring_smooth
+
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        points.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    own = hist.select(
+        (F.col("ix") * F.lit(n) + F.col("iy")).alias("tile"),
+        F.col("__n").alias("x"),
+    )
+    parts = []
+    for r in radii:
+        ring = kring_smooth(points, res, k=r, lat=lat, lon=lon, hist=hist)
+        pairs = (
+            own.join(ring, "tile", "inner")
+            .agg(
+                F.sum(F.col("x") * F.col("ring_sum")).alias("__tot"),
+                F.sum("x").alias("__np"),
+            )
+            .select(
+                F.lit(r).alias("r"),
+                (F.col("__tot") - F.col("__np")).alias("n_pairs"),
+                F.col("__np").alias("n_points"),
+            )
+        )
+        parts.append(pairs)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def od_gravity_residual(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gravity-model residuals over the OD flow matrix: each observed
+    (from, to) flow is compared against the classic gravity expectation
+    out_from * in_to / (T * (1 + d2)) with d2 the squared Euclidean
+    CELL distance between the tile centers — corridors with resid >> 0
+    move more people than their endpoints' sizes and separation predict
+    (transit lines, commuter funnels). Everything is exact integer
+    arithmetic in DECIMAL(38,0) (products like 1000 * out * in overflow
+    int64 once marginals pass ~3e6): expected_milli uses truncating
+    integer division, replayed verbatim by the oracle. Returns
+    (from_tile, to_tile, n_trips, out_from, in_to, d2, exp_milli,
+    resid_milli).
+
+    Plan: the od_flows rollup (bounded by occupied tile pairs), two
+    histogram-sized marginal aggregates joined back by tile key, one
+    single-row total — no event-scale work after the first window."""
+    dec = "decimal(38,0)"
+    flows = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    ).select("from_tile", "to_tile", "n_trips")
+    out_m = flows.groupBy("from_tile").agg(F.sum("n_trips").alias("out_from"))
+    in_m = flows.groupBy("to_tile").agg(F.sum("n_trips").alias("in_to"))
+    tot = flows.agg(F.sum("n_trips").alias("t_total"))
+    n = 1 << res
+    fx = (F.col("from_tile") / F.lit(n)).cast("long")
+    fy = F.col("from_tile") % F.lit(n)
+    tx = (F.col("to_tile") / F.lit(n)).cast("long")
+    ty = F.col("to_tile") % F.lit(n)
+    d2 = (fx - tx) * (fx - tx) + (fy - ty) * (fy - ty)
+    j = (
+        flows.join(out_m, "from_tile")
+        .join(in_m, "to_tile")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("d2", d2)
+    )
+    exp_milli = F.expr(
+        "CAST(CAST(1000 AS decimal(38,0)) * out_from * in_to AS decimal(38,0)) "
+        "div (CAST(t_total AS decimal(38,0)) * (1 + d2))"
+    ).cast("long")
+    return j.select(
+        "from_tile", "to_tile", "n_trips", "out_from", "in_to",
+        F.col("d2").cast("long").alias("d2"),
+        exp_milli.alias("exp_milli"),
+        (F.lit(1000) * F.col("n_trips") - exp_milli).alias("resid_milli"),
+    )

@@ -616,3 +616,157 @@ def co_visitation(
         .agg(F.countDistinct("day").alias("n_codays"))
         .filter(F.col("n_codays") >= min_days)
     )
+
+
+def radius_of_gyration(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Radius of gyration per entity — THE standard mobility-range metric
+    (Gonzalez/Hidalgo/Barabasi 2008): rg^2 = mean squared distance of an
+    entity's positions from their centroid. Because the centroid is
+    fractional, rg^2 is emitted as the EXACT rational
+
+        rg2_num / rg2_den = (n*(Sxx+Syy) - Sx^2 - Sy^2) / n^2
+
+    over micro-degree integer coordinates (x = floor(lat*1e6)), with all
+    sums in DECIMAL(38,0) — no float ever enters, so the oracle matches
+    bit-for-bit (the hotspot_gi contract). Returns
+    (entity, n_events, rg2_num, rg2_den).
+
+    One map-side-combined groupBy; the per-entity moment algebra is
+    five sums — linear scan, shuffle keyed by entity."""
+    dec = "decimal(38,0)"
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    g = (
+        events.select(F.col(entity_col).alias("entity"), x.alias("x"), y.alias("y"))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        )
+    )
+    return g.select(
+        "entity",
+        F.col("n").cast("long").alias("n_events"),
+        (
+            F.col("n") * (F.col("sxx") + F.col("syy"))
+            - F.col("sx") * F.col("sx")
+            - F.col("sy") * F.col("sy")
+        ).cast(dec).alias("rg2_num"),
+        (F.col("n") * F.col("n")).cast(dec).alias("rg2_den"),
+    )
+
+
+def dwell_time(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-tile dwell accounting: each consecutive per-entity segment's
+    duration (epoch seconds, exact integers) is attributed to the tile
+    the segment STARTS in — "how long do people stay here", the
+    complement of the od_flows transition counts. Returns
+    (tile, total_dwell_s, n_segments, n_entities).
+
+    One lag window (entity-key shuffle of two narrow columns) + one
+    map-side-combined groupBy on the tile key."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    ep = F.unix_timestamp(F.col(ts_col))
+    seg = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            ep.alias("__ep"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            *([F.col(order_tiebreak)] if order_tiebreak else []),
+        )
+        .withColumn("__next", F.lead("__ep").over(
+            Window.partitionBy("entity").orderBy(
+                F.col("__ep").asc(),
+                *([F.col(order_tiebreak).asc()] if order_tiebreak else []),
+            )
+        ))
+        .filter(F.col("__next").isNotNull())
+    )
+    return seg.groupBy("tile").agg(
+        F.sum(F.col("__next") - F.col("__ep")).alias("total_dwell_s"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.countDistinct("entity").alias("n_entities"),
+    )
+
+
+def visit_concentration(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-entity spatial concentration: the Herfindahl index of the
+    entity's tile-visit distribution as an exact rational
+    (hhi_num / n_events^2 with hhi_num = sum of squared per-tile counts)
+    plus the modal tile share in exact milli units — the
+    integer-arithmetic stand-in for visit entropy (log parity across
+    engines is not bit-stable; ratios of counts are). Returns
+    (entity, n_events, n_tiles, hhi_num, top_milli).
+
+    Two map-side-combined aggregates over (entity, tile) histograms —
+    never the raw events twice (the per-entity rollup consumes the
+    histogram)."""
+    hist = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        )
+        .groupBy("entity", "tile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return hist.groupBy("entity").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("hhi_num"),
+        F.expr("CAST(1000 * max(cnt) AS BIGINT) div sum(cnt)").alias("top_milli"),
+    )
+
+
+def tile_first_seen(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Coverage-novelty audit: per tile, the first epoch-day any event
+    landed in it, how many distinct days it has been active, and its
+    total events — the "what did this batch newly cover" primitive
+    (filter first_day = today downstream). Returns
+    (tile, first_day, n_days, n_events); one map-side-combined
+    groupBy."""
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    return (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            day.alias("day"),
+        )
+        .groupBy("tile")
+        .agg(
+            F.min("day").alias("first_day"),
+            F.countDistinct("day").alias("n_days"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

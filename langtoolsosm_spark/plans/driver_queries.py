@@ -7505,6 +7505,316 @@ GROUP BY 1 HAVING count(*) >= {PERSIST_DAYS}
 REGISTRY.update({"hotspot_persistence": (q_hotspot_persistence, O_HOTSPOT_PERSISTENCE)})
 
 
+TRAJ_SRC_CTE = f"""src AS (
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+)"""
+
+
+def _traj(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__traj_events")
+    return spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __traj_events"
+    )
+
+
+def q_radius_of_gyration(spark, sf_dir):
+    """Per-entity radius of gyration (operators/tiling.py
+    ``radius_of_gyration``, Gonzalez et al. 2008): exact rational rg^2
+    over micro-degree integer coordinates, DECIMAL(38,0) moment algebra
+    — no float anywhere, same exactness contract as hotspot_gi."""
+    from ..operators.tiling import radius_of_gyration
+
+    return radius_of_gyration(_traj(spark, sf_dir))
+
+
+O_RADIUS_GYRATION = f"""
+WITH {TRAJ_SRC_CTE},
+q AS (
+  SELECT user_id AS entity,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS y
+  FROM src
+),
+m AS (
+  SELECT entity, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q GROUP BY 1
+)
+SELECT entity, CAST(n AS BIGINT) AS n_events,
+       -- BIGINT is lossless at every fixture tier (max ~1.3e18 < 2^63);
+       -- HUGEINT would reach pandas as float and break the hash. The
+       -- Spark side stays DECIMAL(38,0) for the 100x path.
+       CAST(n * (sxx + syy) - sx * sx - sy * sy AS BIGINT) AS rg2_num,
+       CAST(n * n AS BIGINT) AS rg2_den
+FROM m
+"""
+
+
+REGISTRY.update({"radius_of_gyration": (q_radius_of_gyration, O_RADIUS_GYRATION)})
+
+
+DWELL_RES = 7
+
+
+def q_dwell_time(spark, sf_dir):
+    """Per-tile dwell accounting (operators/tiling.py ``dwell_time``):
+    consecutive per-user segment durations attributed to the starting
+    tile — exact epoch-second integers; the stay-duration complement of
+    od_flows."""
+    from ..operators.tiling import dwell_time
+
+    return dwell_time(
+        _traj(spark, sf_dir), res=DWELL_RES, order_tiebreak="event_id"
+    )
+
+
+O_DWELL_TIME = f"""
+WITH {TRAJ_SRC_CTE},
+seg AS (
+  SELECT user_id AS entity, {_tile_sql(DWELL_RES)} AS tile, ep,
+         lead(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM src
+)
+SELECT tile, CAST(sum(nxt - ep) AS BIGINT) AS total_dwell_s,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+FROM seg WHERE nxt IS NOT NULL GROUP BY 1
+"""
+
+
+REGISTRY.update({"dwell_time": (q_dwell_time, O_DWELL_TIME)})
+
+
+VISIT_RES = 6
+
+
+def q_visit_concentration(spark, sf_dir):
+    """Per-entity Herfindahl concentration of tile visits
+    (operators/tiling.py ``visit_concentration``): exact-integer HHI
+    numerator + modal-share milli — the dialect-safe stand-in for visit
+    entropy (log bit-parity across engines is not guaranteed; count
+    ratios are)."""
+    from ..operators.tiling import visit_concentration
+
+    return visit_concentration(_traj(spark, sf_dir), res=VISIT_RES)
+
+
+O_VISIT_CONC = f"""
+WITH {TRAJ_SRC_CTE},
+hist AS (
+  SELECT user_id AS entity, {_tile_sql(VISIT_RES)} AS tile,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+)
+SELECT entity, CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_tiles,
+       CAST(sum(cnt * cnt) AS BIGINT) AS hhi_num,
+       CAST((1000 * max(cnt)) // sum(cnt) AS BIGINT) AS top_milli
+FROM hist GROUP BY 1
+"""
+
+
+REGISTRY.update({"visit_concentration": (q_visit_concentration, O_VISIT_CONC)})
+
+
+def q_tile_first_seen(spark, sf_dir):
+    """Coverage-novelty audit (operators/tiling.py ``tile_first_seen``):
+    per tile the first active epoch-day, distinct active days, and total
+    events — the "what did this batch newly cover" primitive."""
+    from ..operators.tiling import tile_first_seen
+
+    return tile_first_seen(_traj(spark, sf_dir), res=DWELL_RES)
+
+
+O_TILE_FIRST_SEEN = f"""
+WITH {TRAJ_SRC_CTE}
+SELECT {_tile_sql(DWELL_RES)} AS tile,
+       CAST(min(ep // 86400) AS BIGINT) AS first_day,
+       CAST(count(DISTINCT ep // 86400) AS BIGINT) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM src GROUP BY 1
+"""
+
+
+REGISTRY.update({"tile_first_seen": (q_tile_first_seen, O_TILE_FIRST_SEEN)})
+
+
+LISA_RES, LISA_K = 8, 1
+
+
+def _kring_sql(res: int, k: int) -> str:
+    """Shared k-ring CTE chain over the trajectory histogram: ``hist``
+    (ix, iy, cnt) and ``ring`` (tile, ring_sum) — the SQL twin of
+    operators/tiling.py kring_smooth's fan-out."""
+    n = 1 << res
+    return f"""hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {n}.0)
+           AS BIGINT), 0), {n - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {n}.0)
+           AS BIGINT), 0), {n - 1}) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+ring AS (
+  SELECT (h.ix + dx.d) * {n} + (h.iy + dy.d) AS tile, sum(h.cnt) AS ring_sum
+  FROM hist h
+  JOIN generate_series(-{k}, {k}) AS dx(d) ON TRUE
+  JOIN generate_series(-{k}, {k}) AS dy(d) ON TRUE
+  WHERE h.ix + dx.d BETWEEN 0 AND {n - 1}
+    AND h.iy + dy.d BETWEEN 0 AND {n - 1}
+  GROUP BY 1
+)"""
+
+
+def q_lisa_quadrants(spark, sf_dir):
+    """Local Moran scatter quadrants (operators/spatial.py
+    ``lisa_quadrants``, Anselin's LISA classes): HH/HL/LH/LL per occupied
+    cell by exact integer cross-multiplied deviations — the per-cell
+    drill-down under the global moran_i gate."""
+    from ..operators.spatial import lisa_quadrants
+
+    return lisa_quadrants(_traj(spark, sf_dir), res=LISA_RES, k=LISA_K)
+
+
+_LISA_N = 1 << LISA_RES
+O_LISA = f"""
+WITH {TRAJ_SRC_CTE},
+{_kring_sql(LISA_RES, LISA_K)},
+base AS (SELECT sum(cnt) AS s FROM hist),
+own AS (SELECT ix * {_LISA_N} + iy AS tile, ix, iy, cnt AS x FROM hist)
+SELECT o.tile, CAST(o.x AS BIGINT) AS x,
+       CAST(r.ring_sum - o.x AS BIGINT) AS ring_m,
+       CAST((LEAST(o.ix + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.ix - {LISA_K}, 0) + 1)
+          * (LEAST(o.iy + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.iy - {LISA_K}, 0) + 1)
+          - 1 AS BIGINT) AS n_nbrs,
+       CASE
+         WHEN {_LISA_N * _LISA_N} * o.x > b.s
+              AND {_LISA_N * _LISA_N} * (r.ring_sum - o.x) >
+                  ((LEAST(o.ix + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.ix - {LISA_K}, 0) + 1)
+                 * (LEAST(o.iy + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.iy - {LISA_K}, 0) + 1)
+                 - 1) * b.s
+           THEN 'HH'
+         WHEN {_LISA_N * _LISA_N} * o.x > b.s THEN 'HL'
+         WHEN {_LISA_N * _LISA_N} * (r.ring_sum - o.x) >
+                  ((LEAST(o.ix + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.ix - {LISA_K}, 0) + 1)
+                 * (LEAST(o.iy + {LISA_K}, {_LISA_N - 1}) - GREATEST(o.iy - {LISA_K}, 0) + 1)
+                 - 1) * b.s
+           THEN 'LH'
+         ELSE 'LL'
+       END AS quad
+FROM own o JOIN ring r ON r.tile = o.tile CROSS JOIN base b
+"""
+
+
+REGISTRY.update({"lisa_quadrants": (q_lisa_quadrants, O_LISA)})
+
+
+RIPLEY_RES = 8
+RIPLEY_RADII = (1, 2, 4)
+
+
+def q_ripley_k(spark, sf_dir):
+    """Grid Ripley's K (operators/spatial.py ``ripley_k``): ordered point
+    pairs within Chebyshev cell distance r for r in {1, 2, 4} — pair
+    counting via histogram k-ring sums, never point pairs."""
+    from ..operators.spatial import ripley_k
+
+    return ripley_k(_traj(spark, sf_dir), res=RIPLEY_RES, radii=RIPLEY_RADII)
+
+
+_RIP_N = 1 << RIPLEY_RES
+O_RIPLEY = f"""
+WITH {TRAJ_SRC_CTE},
+{_kring_sql(RIPLEY_RES, 1)},
+own AS (SELECT ix * {_RIP_N} + iy AS tile, cnt AS x FROM hist)
+""" + " UNION ALL ".join(
+    f"""
+SELECT {r} AS r,
+       CAST(sum(o.x * rr.ring_sum) - sum(o.x) AS BIGINT) AS n_pairs,
+       CAST(sum(o.x) AS BIGINT) AS n_points
+FROM own o JOIN (
+  SELECT (h.ix + dx.d) * {_RIP_N} + (h.iy + dy.d) AS tile, sum(h.cnt) AS ring_sum
+  FROM hist h
+  JOIN generate_series(-{r}, {r}) AS dx(d) ON TRUE
+  JOIN generate_series(-{r}, {r}) AS dy(d) ON TRUE
+  WHERE h.ix + dx.d BETWEEN 0 AND {_RIP_N - 1}
+    AND h.iy + dy.d BETWEEN 0 AND {_RIP_N - 1}
+  GROUP BY 1
+) rr ON rr.tile = o.tile"""
+    for r in RIPLEY_RADII
+)
+
+
+REGISTRY.update({"ripley_k": (q_ripley_k, O_RIPLEY)})
+
+
+GRAV_RES = 7
+
+
+def q_od_gravity_residual(spark, sf_dir):
+    """Gravity-model residuals over the OD matrix (operators/spatial.py
+    ``od_gravity_residual``): observed flows vs out*in/(T*(1+d2))
+    expectation in exact DECIMAL integer arithmetic — the
+    over-performing-corridor detector."""
+    from ..operators.spatial import od_gravity_residual
+
+    return od_gravity_residual(
+        _traj(spark, sf_dir), "user_id", "ts", res=GRAV_RES,
+        order_tiebreak="event_id",
+    )
+
+
+_GRAV_N = 1 << GRAV_RES
+O_OD_GRAVITY = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT user_id, {_tile_sql(GRAV_RES)} AS tile,
+         lag({_tile_sql(GRAV_RES)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+flows AS (
+  SELECT prev AS from_tile, tile AS to_tile, count(*) AS n_trips
+  FROM g WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+om AS (SELECT from_tile, sum(n_trips) AS out_from FROM flows GROUP BY 1),
+im AS (SELECT to_tile, sum(n_trips) AS in_to FROM flows GROUP BY 1),
+tt AS (SELECT sum(n_trips) AS t_total FROM flows)
+SELECT f.from_tile, f.to_tile, CAST(f.n_trips AS BIGINT) AS n_trips,
+       CAST(o.out_from AS BIGINT) AS out_from,
+       CAST(i.in_to AS BIGINT) AS in_to,
+       CAST((f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+          * (f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+          + (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N})
+          * (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N}) AS BIGINT) AS d2,
+       CAST((1000 * o.out_from * i.in_to)
+            // (t.t_total * (1 + (f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+                                 * (f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+                               + (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N})
+                                 * (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N})))
+            AS BIGINT) AS exp_milli,
+       CAST(1000 * f.n_trips
+            - (1000 * o.out_from * i.in_to)
+              // (t.t_total * (1 + (f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+                                   * (f.from_tile // {_GRAV_N} - f.to_tile // {_GRAV_N})
+                                 + (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N})
+                                   * (f.from_tile % {_GRAV_N} - f.to_tile % {_GRAV_N})))
+            AS BIGINT) AS resid_milli
+FROM flows f
+JOIN om o ON o.from_tile = f.from_tile
+JOIN im i ON i.to_tile = f.to_tile
+CROSS JOIN tt t
+"""
+
+
+REGISTRY.update({"od_gravity_residual": (q_od_gravity_residual, O_OD_GRAVITY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1,0 +1,170 @@
+"""Round-7 operator units: mobility metrics (radius of gyration, dwell,
+concentration, first-seen), spatial statistics (LISA quadrants, grid
+Ripley K), gravity residuals."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    return spark.createDataFrame(pdf).select(
+        "user_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+        "event_id", "lat", "lon",
+    )
+
+
+def test_radius_of_gyration_matches_numpy(spark):
+    from langtoolsosm_spark.operators.tiling import radius_of_gyration
+
+    rng = np.random.RandomState(3)
+    lats = 35 + rng.rand(40) * 10
+    lons = -5 + rng.rand(40) * 15
+    rows = [(1, i, i, float(lats[i]), float(lons[i])) for i in range(40)]
+    out = radius_of_gyration(_ev(spark, rows)).collect()[0]
+    x = np.floor(lats * 1e6).astype(np.int64)
+    y = np.floor(lons * 1e6).astype(np.int64)
+    n = len(x)
+    num = n * (int((x.astype(object) ** 2).sum()) + int((y.astype(object) ** 2).sum())) \
+        - int(x.sum()) ** 2 - int(y.sum()) ** 2
+    assert int(out["rg2_num"]) == num
+    assert int(out["rg2_den"]) == n * n
+    # cross-check against float rg^2 (mean squared distance from centroid)
+    rg2 = ((x - x.mean()) ** 2 + (y - y.mean()) ** 2).mean()
+    assert abs(num / (n * n) - rg2) / rg2 < 1e-9
+
+
+def test_dwell_time_attributes_to_from_tile(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import dwell_time
+
+    # user 1: t0 in A (dwell 100), t100 in B (dwell 50), t150 in A (open)
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (1, 100, 1, 40.0, 40.0),
+        (1, 150, 2, 10.0, 10.0),
+    ]
+    out = {r["tile"]: r for r in dwell_time(_ev(spark, rows), res=6).collect()}
+    a = int(tile_key(np.array([10.0]), np.array([10.0]), 6)[0])
+    b = int(tile_key(np.array([40.0]), np.array([40.0]), 6)[0])
+    assert out[a]["total_dwell_s"] == 100 and out[a]["n_segments"] == 1
+    assert out[b]["total_dwell_s"] == 50 and out[b]["n_segments"] == 1
+
+
+def test_visit_concentration_hhi(spark):
+    from langtoolsosm_spark.operators.tiling import visit_concentration
+
+    # user 1: 3 visits to one tile, 1 to another -> hhi_num 10, top 750
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (1, 1, 1, 10.0, 10.0),
+        (1, 2, 2, 10.0, 10.0),
+        (1, 3, 3, 40.0, 40.0),
+    ]
+    out = visit_concentration(_ev(spark, rows), res=6).collect()[0]
+    assert out["n_events"] == 4 and out["n_tiles"] == 2
+    assert out["hhi_num"] == 9 + 1
+    assert out["top_milli"] == 750
+
+
+def test_tile_first_seen(spark):
+    from langtoolsosm_spark.operators.tiling import tile_first_seen
+
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (2, 86400 * 3 + 5, 1, 10.0, 10.0),
+        (1, 86400 * 5, 2, 40.0, 40.0),
+    ]
+    out = {r["tile"]: r for r in tile_first_seen(_ev(spark, rows), res=6).collect()}
+    vals = sorted((r["first_day"], r["n_days"], r["n_events"]) for r in out.values())
+    assert vals == [(0, 2, 2), (5, 1, 1)]
+
+
+def test_lisa_quadrants_tiny_grid(spark):
+    """A 100-point cell next to a 1-point cell on a sparse grid: both
+    cells' own counts exceed the global mean (101/256 < 1 — on a sparse
+    grid every OCCUPIED cell is high), so the hot cell classifies HL
+    (cold neighborhood) and its small neighbor HH (the hot cell
+    dominates its ring). Exact integer cross-multiplication decides
+    both; the L-own classes need mean > 1 grids (exercised by the
+    sf0.01 oracle gate)."""
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import lisa_quadrants
+
+    # res 4 grid: 100 points in one cell, 1 point in an adjacent cell
+    rows = [(1, i, i, 10.0, 10.0) for i in range(100)]
+    rows += [(1, 200, 200, 10.0, 25.0)]  # next cell over at res 4 (11.25 deg)
+    out = {r["tile"]: r["quad"] for r in lisa_quadrants(_ev(spark, rows), res=4).collect()}
+    hot = int(tile_key(np.array([10.0]), np.array([10.0]), 4)[0])
+    small = int(tile_key(np.array([10.0]), np.array([25.0]), 4)[0])
+    assert out[hot] == "HL"
+    assert out[small] == "HH"
+
+
+def test_ripley_k_matches_bruteforce(spark):
+    from langtoolsosm_spark.operators.spatial import ripley_k
+
+    rng = np.random.RandomState(5)
+    lats = 35 + rng.rand(60) * 10
+    lons = -5 + rng.rand(60) * 15
+    rows = [(1, i, i, float(lats[i]), float(lons[i])) for i in range(60)]
+    res = 5
+    n = 1 << res
+    ix = np.clip(np.floor((lons + 180) / 360 * n), 0, n - 1).astype(int)
+    iy = np.clip(np.floor((lats + 90) / 180 * n), 0, n - 1).astype(int)
+    out = {r["r"]: r for r in ripley_k(_ev(spark, rows), res=res, radii=(1, 2)).collect()}
+    for r in (1, 2):
+        brute = sum(
+            1
+            for i in range(60)
+            for j in range(60)
+            if i != j and max(abs(ix[i] - ix[j]), abs(iy[i] - iy[j])) <= r
+        )
+        assert out[r]["n_pairs"] == brute
+        assert out[r]["n_points"] == 60
+
+
+def test_od_gravity_residual_identity(spark):
+    """Sum of observed flows equals T; expectations are the documented
+    truncating integer division."""
+    from langtoolsosm_spark.operators.spatial import od_gravity_residual
+
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (1, 10, 1, 40.0, 40.0),
+        (2, 0, 2, 10.0, 10.0),
+        (2, 10, 3, 40.0, 40.0),
+        (2, 20, 4, 10.0, 10.0),
+    ]
+    out = od_gravity_residual(
+        _ev(spark, rows), "user_id", "ts", res=5, order_tiebreak="event_id"
+    ).collect()
+    t = sum(r["n_trips"] for r in out)
+    assert t == 3
+    for r in out:
+        d2 = r["d2"]
+        expect = (1000 * r["out_from"] * r["in_to"]) // (t * (1 + d2))
+        assert r["exp_milli"] == expect
+        assert r["resid_milli"] == 1000 * r["n_trips"] - expect
+
+
+def test_lisa_quadrants_low_classes(spark):
+    """On a dense coarse grid (mean > 1 per cell) the L-own classes
+    appear: a 1-point cell far from the hot cluster is LL, a 1-point
+    cell adjacent to it is LH."""
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import lisa_quadrants
+
+    # res 2 grid (16 cells of 45 deg): 30 points in cell A, 1 point in
+    # the cell east of A (LH candidate), 1 point far away (LL candidate)
+    rows = [(1, i, i, 10.0, 10.0) for i in range(30)]
+    rows += [(1, 100, 100, 10.0, 100.0)]   # adjacent cell (res-2 cells are 90 deg wide)
+    rows += [(1, 101, 101, -60.0, -120.0)]  # far cell
+    out = {r["tile"]: r["quad"] for r in lisa_quadrants(_ev(spark, rows), res=2).collect()}
+    adj = int(tile_key(np.array([10.0]), np.array([100.0]), 2)[0])
+    far = int(tile_key(np.array([-60.0]), np.array([-120.0]), 2)[0])
+    assert out[adj] == "LH"
+    assert out[far] == "LL"
