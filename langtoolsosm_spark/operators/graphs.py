@@ -156,3 +156,125 @@ def clustering_coefficients(
         / (F.col("deg").cast("double") * (F.col("deg") - F.lit(1)).cast("double")),
     ).otherwise(F.lit(0.0))
     return filled.select("node", "deg", "n_tri", coeff.alias("coeff"))
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    alpha_milli: int = 850,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-scaled PageRank over the distinct directed edge set —
+    ``iters`` power-iteration rounds in EXACT integer arithmetic:
+
+        r_0(v)   = scale
+        r_{t+1}(v) = scale*(1000-alpha)/1000
+                   + alpha * sum_{(u,v)} (r_t(u) div outdeg(u)) div 1000
+
+    Every division is the truncating integer ``div`` (the same
+    determinism device as ivf_train_lloyd's integer means), so the
+    result is a pure function of (graph, iters, alpha, scale) and the
+    oracle unrolls identical rounds in SQL. Mass flowing into dangling
+    nodes is dropped rather than redistributed (the standard
+    simplification; documented contract). Returns (node, rank_int).
+
+    Scale shape: each round is one shuffle keyed on node id (edge join +
+    sum aggregate); the alpha product runs in DECIMAL(38,0) so V * scale
+    never overflows int64 mid-product. localCheckpoint per round keeps
+    lineage flat (the frontier Bellman-Ford pattern)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 <= alpha_milli <= 1000:
+        raise ValueError(f"alpha_milli must be in [0, 1000], got {alpha_milli}")
+    e = edges.select(
+        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("__u").alias("node"))
+        .unionByName(e.select(F.col("__v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
+    base = (scale * (1000 - alpha_milli)) // 1000
+    r = nodes.withColumn("rank_int", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            r.join(outdeg, r["node"] == outdeg["__u"])
+            .select("__u", F.expr("rank_int div __deg").alias("__c"))
+        )
+        insum = (
+            contrib.join(e, "__u")
+            .groupBy(F.col("__v").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        r = (
+            nodes.join(insum, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(CAST({alpha_milli} AS decimal(38,0)) "
+                        "* coalesce(__in, 0) AS decimal(38,0)) div 1000"
+                    ).cast("long")
+                ).alias("rank_int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Bounded-round k-core peeling of the undirected graph: each round
+    removes every node whose current degree is below ``k`` (and its
+    incident edges); after ``rounds`` rounds the surviving nodes with
+    their degrees are returned — (node, deg). On graphs that converge
+    within the bound this IS the k-core (the standard dense-community
+    extraction); bounding the rounds makes the result a pure function of
+    (graph, k, rounds), the same oracle-checkability device as
+    bounded_shortest_paths' hop bound.
+
+    Each round is one degree aggregate + one semi-join pair (shuffles
+    keyed on node id, edge set only shrinks); localCheckpoint per round
+    keeps lineage flat."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    # normalize to canonical undirected pairs (a < b), dedup
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("__a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("__b"),
+        )
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("__a").alias("node"))
+            .unionByName(e.select(F.col("__b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "__a"), "__a", "left_semi")
+            .join(alive.withColumnRenamed("node", "__b"), "__b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("__a").alias("node"))
+        .unionByName(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -7815,6 +7815,152 @@ CROSS JOIN tt t
 REGISTRY.update({"od_gravity_residual": (q_od_gravity_residual, O_OD_GRAVITY)})
 
 
+PR_RES, PR_ITERS = 8, 3
+
+
+def q_tile_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank of the OD tile graph (operators/graphs.py
+    ``pagerank_int``): which tiles accumulate trajectory flow — 3
+    truncating-integer power rounds, replayed verbatim by the oracle;
+    self-loop transitions dropped (rank flowing to itself is dwell, not
+    connectivity)."""
+    from pyspark.sql import Window
+
+    from ..operators.graphs import pagerank_int
+
+    t = _traj(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    from ..functions.cells import tile_key_col
+
+    g = (
+        t.withColumn("__tile", tile_key_col(F.col("lat"), F.col("lon"), PR_RES))
+        .withColumn("__prev", F.lag("__tile").over(w))
+        .filter(F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__tile")))
+        .select(F.col("__prev").alias("src"), F.col("__tile").alias("dst"))
+    )
+    return pagerank_int(g, iters=PR_ITERS)
+
+
+def _o_pagerank(res: int, iters: int) -> str:
+    parts = [
+        f"""g AS (
+  SELECT user_id, {_tile_sql(res)} AS tile,
+         lag({_tile_sql(res)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+edges AS (
+  SELECT DISTINCT prev AS u, tile AS v FROM g
+  WHERE prev IS NOT NULL AND prev <> tile
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+outdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""s{t} AS (
+  SELECT e.v AS node, sum(r.r // d.deg) AS i
+  FROM r{t} r JOIN outdeg d ON d.u = r.node JOIN edges e ON e.u = r.node
+  GROUP BY 1
+),
+r{t + 1} AS (
+  SELECT n.node,
+         CAST(150000 + (850 * coalesce(s.i, 0)) // 1000 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{t} s ON s.node = n.node
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT node, r AS rank_int FROM r{iters}"
+
+
+O_TILE_PAGERANK = f"WITH {TRAJ_SRC_CTE},\n" + _o_pagerank(PR_RES, PR_ITERS)
+
+
+REGISTRY.update({"tile_pagerank": (q_tile_pagerank, O_TILE_PAGERANK)})
+
+
+KCORE_RES, KCORE_MIN, KCORE_K, KCORE_ROUNDS = 8, 3, 3, 4
+
+
+def q_covis_kcore(spark, sf_dir):
+    """Bounded-round k-core peeling (operators/graphs.py ``kcore``) of
+    the co-visitation graph (pairs sharing a tile >= {COVIS_MIN} distinct
+    days): the dense-companionship community extraction on top of the
+    co_visitation gate; the oracle unrolls identical peel rounds."""
+    from ..operators.graphs import kcore
+    from ..operators.tiling import co_visitation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__kcore_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __kcore_events"
+    )
+    pairs = co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+    return kcore(pairs, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _o_kcore(k: int, rounds: int) -> str:
+    # every e{t} is referenced three times by round t+1 (degree count +
+    # both endpoint filters): AS MATERIALIZED stops DuckDB from inlining
+    # the chain, which otherwise re-evaluates the quadratic pair join
+    # 3^rounds times
+    parts = ["e0 AS MATERIALIZED (SELECT a, b FROM pairs_agg)"]
+    for t in range(rounds):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{t} UNION ALL SELECT b AS node FROM e{t}
+  ) GROUP BY 1
+),
+al{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {k}),
+e{t + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{t} e
+  WHERE e.a IN (SELECT node FROM al{t}) AND e.b IN (SELECT node FROM al{t})
+)"""
+        )
+    parts.append(
+        f"""fin AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds}
+  ) GROUP BY 1
+)"""
+    )
+    return ",\n".join(parts) + "\nSELECT node, deg FROM fin"
+
+
+_KCN = 1 << KCORE_RES
+O_COVIS_KCORE = f"""
+WITH src AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+pairs_agg AS (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+),
+{_o_kcore(KCORE_K, KCORE_ROUNDS)}
+"""
+
+
+REGISTRY.update({"covis_kcore": (q_covis_kcore, O_COVIS_KCORE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

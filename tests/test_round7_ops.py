@@ -168,3 +168,56 @@ def test_lisa_quadrants_low_classes(spark):
     far = int(tile_key(np.array([-60.0]), np.array([-120.0]), 2)[0])
     assert out[adj] == "LH"
     assert out[far] == "LL"
+
+
+def test_pagerank_int_hub_dominates(spark):
+    """A star graph's hub must out-rank the leaves, and the integer
+    recurrence must match a hand-rolled replay."""
+    from langtoolsosm_spark.operators.graphs import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)] + [(0, i) for i in range(1, 5)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["rank_int"] for r in pagerank_int(edges, iters=3).collect()}
+    assert out[0] > max(out[i] for i in range(1, 5))
+    # replay: hub outdeg 4, leaves outdeg 1
+    r = {v: 1_000_000 for v in range(5)}
+    for _ in range(3):
+        contrib = {v: r[v] // (4 if v == 0 else 1) for v in range(5)}
+        nxt = {0: 150_000 + (850 * sum(contrib[i] for i in range(1, 5))) // 1000}
+        for i in range(1, 5):
+            nxt[i] = 150_000 + (850 * contrib[0]) // 1000
+        r = nxt
+    assert out == r
+
+
+def test_pagerank_int_dangling_documented(spark):
+    """A dangling node keeps its base rank (its inflow), and the mass it
+    received is dropped, not redistributed — the documented contract."""
+    from langtoolsosm_spark.operators.graphs import pagerank_int
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["rank_int"] for r in pagerank_int(edges, iters=1).collect()}
+    assert out[1] == 150_000                      # no inflow
+    assert out[2] == 150_000 + (850 * 1_000_000) // 1000
+
+
+def test_kcore_peels_iteratively(spark):
+    """A triangle with a pendant chain: k=2 removes the chain end, then
+    the newly-exposed chain node — two rounds needed, triangle
+    survives with degree 2 each."""
+    from langtoolsosm_spark.operators.graphs import kcore
+
+    # triangle 1-2-3 + chain 3-4, 4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+    one_round = {
+        r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=1).collect()
+    }
+    # after one round only node 5 is gone; 4 still present (deg 1 now)
+    assert set(one_round) == {1, 2, 3, 4}
