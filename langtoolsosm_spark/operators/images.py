@@ -1088,3 +1088,74 @@ def patch_tile_map(
         (F.col("__ix") * n + F.col("__iy")).alias("tile"),
         (sub_ix * F.lit(n * m) + sub_iy).alias("subtile"),
     )
+
+
+def capture_bursts(
+    images: DataFrame,
+    res: int = 8,
+    band_div: int = 1 << 48,
+    min_n: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Near-duplicate capture-burst detection: groups of images in the
+    SAME tile whose perceptual hashes fall in the same coarse band
+    (``phash div band_div`` — truncating division, the cross-engine-safe
+    spelling; bands of 2^48 keep the top 16 phash bits) — the "N shots
+    of the same scene from the same spot" curation signal that exact
+    dedup misses. Returns (tile, band, n_images, n_distinct_phash) for
+    groups of at least ``min_n``.
+
+    Metadata-only: the scan reads (phash, lat, lon), never bytes; one
+    map-side-combined groupBy on (tile, band)."""
+    from ..functions.cells import tile_key_col
+
+    return (
+        images.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.expr(f"phash div {band_div}").alias("band"),
+            "phash",
+        )
+        .groupBy("tile", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+        )
+        .filter(F.col("n_images") >= min_n)
+    )
+
+
+def region_image_stats(
+    images: DataFrame,
+    polygons: DataFrame,
+    res: int = 8,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-region image inventory: every polygon's image count, total
+    stored bytes, largest pixel count, and occupied-tile count — the
+    "what does our coverage of region X look like" dashboard rollup.
+    Returns (polygon_id, n_images, sum_bytes, max_px, n_tiles).
+
+    Plan: the hierarchical-cover PIP join (pip_join, non-unique —
+    overlapping regions each count the image) carries only
+    (id, size, px, tile); the blob column contributes one length per
+    row at scan time and is never shuffled."""
+    from ..functions.cells import tile_key_col
+    from .pip_join import pip_join
+
+    slim = images.select(
+        F.col(id_col),
+        F.col("lat"),
+        F.col("lon"),
+        F.length(F.col(bytes_col)).cast("long").alias("size_bytes"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+        tile_key_col(F.col("lat"), F.col("lon"), res).alias("tile"),
+    )
+    owned = pip_join(slim, polygons, res=res, unique=False, id_col=id_col)
+    return owned.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("size_bytes").alias("sum_bytes"),
+        F.max("px").alias("max_px"),
+        F.countDistinct("tile").alias("n_tiles"),
+    )

@@ -7961,6 +7961,77 @@ pairs_agg AS (
 REGISTRY.update({"covis_kcore": (q_covis_kcore, O_COVIS_KCORE)})
 
 
+BURST_RES = 8
+
+
+def q_capture_bursts(spark, sf_dir):
+    """Capture-burst detection (operators/images.py ``capture_bursts``):
+    same-tile same-phash-band image groups — the near-duplicate scene
+    signal exact dedup misses; metadata-only scan."""
+    from ..operators.images import capture_bursts
+
+    return capture_bursts(_synth_images(spark, sf_dir), res=BURST_RES)
+
+
+_BN = 1 << BURST_RES
+O_CAPTURE_BURSTS = f"""
+WITH img AS (
+  SELECT phash,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_BN}.0)
+        AS BIGINT), 0), {_BN - 1}) * {_BN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_BN}.0)
+        AS BIGINT), 0), {_BN - 1}) AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+SELECT tile, CAST(phash // {1 << 48} AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash
+FROM img GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+REGISTRY.update({"capture_bursts": (q_capture_bursts, O_CAPTURE_BURSTS)})
+
+
+def q_region_image_stats(spark, sf_dir):
+    """Per-region image inventory (operators/images.py
+    ``region_image_stats``): PIP-joined count / stored bytes / largest
+    pixel count / occupied tiles per polygon — the coverage dashboard
+    rollup; the oracle replays each polygon's half-open predicates."""
+    from ..operators.images import region_image_stats
+
+    return region_image_stats(
+        _synth_images(spark, sf_dir), geo_polygons_df(spark), res=8
+    )
+
+
+O_REGION_IMAGE_STATS = (
+    f"""
+WITH img AS (
+  SELECT lat, lon, octet_length(bytes) AS size_bytes,
+         CAST(w AS BIGINT) * h AS px,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * 256.0)
+             AS BIGINT), 0), 255) * 256
+       + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * 256.0)
+             AS BIGINT), 0), 255) AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+"""
+    + " UNION ALL ".join(
+        f"""
+SELECT '{pid}' AS polygon_id, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(size_bytes) AS BIGINT) AS sum_bytes,
+       CAST(max(px) AS BIGINT) AS max_px,
+       CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles
+FROM img WHERE {pred}"""
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+)
+
+
+REGISTRY.update({"region_image_stats": (q_region_image_stats, O_REGION_IMAGE_STATS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

