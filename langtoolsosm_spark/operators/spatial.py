@@ -2142,3 +2142,97 @@ def od_gravity_residual(
         exp_milli.alias("exp_milli"),
         (F.lit(1000) * F.col("n_trips") - exp_milli).alias("resid_milli"),
     )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    polygons: DataFrame,
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """Map matching to boundary segments: each point snaps to its
+    nearest polygon-ring segment under exact integer micro-degree
+    arithmetic — the "which border am I closest to, and how close"
+    primitive behind boundary-uncertainty flags and road-snapping.
+    Returns (id, polygon_id, seg_idx, d2) with
+
+        d2 = clamped point-to-segment squared distance in micro-deg^2:
+             an exact integer at the endpoints and the truncating
+             cross^2 div |seg|^2 on the interior projection
+
+    so every comparison (including the (d2, polygon_id, seg_idx)
+    tie-break) is integer-deterministic and the oracle replays it
+    verbatim. Segments come from consecutive ring vertices (closed).
+
+    Scale shape: boundary dimensions are small by nature (admin borders,
+    road graphs partition by region) — the segment dim is counted and
+    broadcast below ``broadcast_threshold``; above it the operator
+    raises rather than silently planning a shuffled cross join (band
+    segments to cells and use the kNN machinery instead)."""
+    segs_raw = polygons.select(
+        "polygon_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ring) - 1), i -> struct("
+                "ring[i].lat AS y1, ring[i].lon AS x1, "
+                "ring[CAST((i + 1) % size(ring) AS INT)].lat AS y2, "
+                "ring[CAST((i + 1) % size(ring) AS INT)].lon AS x2))"
+            )
+        ).alias("seg_idx", "__s"),
+    ).select(
+        "polygon_id", "seg_idx",
+        F.floor(F.col("__s.x1") * 1e6).cast("long").alias("x1"),
+        F.floor(F.col("__s.y1") * 1e6).cast("long").alias("y1"),
+        F.floor(F.col("__s.x2") * 1e6).cast("long").alias("x2"),
+        F.floor(F.col("__s.y2") * 1e6).cast("long").alias("y2"),
+    )
+    n_segs = segs_raw.count()
+    if n_segs > broadcast_threshold:
+        raise ValueError(
+            f"snap_to_segments: {n_segs} segments exceed the broadcast "
+            f"threshold {broadcast_threshold}; band the segments to cells "
+            "and use the kNN machinery for huge segment sets"
+        )
+    pts = points.select(
+        F.col(id_col),
+        F.floor(F.col(lon) * 1e6).cast("long").alias("x0"),
+        F.floor(F.col(lat) * 1e6).cast("long").alias("y0"),
+    )
+    j = pts.crossJoin(F.broadcast(segs_raw))
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    l2 = dx * dx + dy * dy
+    tn = (F.col("x0") - F.col("x1")) * dx + (F.col("y0") - F.col("y1")) * dy
+    d2_a = (F.col("x0") - F.col("x1")) * (F.col("x0") - F.col("x1")) + (
+        F.col("y0") - F.col("y1")
+    ) * (F.col("y0") - F.col("y1"))
+    d2_b = (F.col("x0") - F.col("x2")) * (F.col("x0") - F.col("x2")) + (
+        F.col("y0") - F.col("y2")
+    ) * (F.col("y0") - F.col("y2"))
+    cross = (F.col("x0") - F.col("x1")) * dy - (F.col("y0") - F.col("y1")) * dx
+    # cross^2 reaches ~1e34: DECIMAL(38,0), truncating div back to long
+    d2_mid = F.expr(
+        "CAST(CAST(__cross AS decimal(38,0)) * __cross div __l2 AS BIGINT)"
+    )
+    scored = (
+        j.withColumn("__l2", l2)
+        .withColumn("__tn", tn)
+        .withColumn("__cross", cross)
+        .withColumn(
+            "d2",
+            F.when((F.col("__l2") == 0) | (F.col("__tn") <= 0), d2_a)
+            .when(F.col("__tn") >= F.col("__l2"), d2_b)
+            .otherwise(d2_mid),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct("d2", "polygon_id", "seg_idx")).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.polygon_id").alias("polygon_id"),
+        F.col("__b.seg_idx").cast("int").alias("seg_idx"),
+        F.col("__b.d2").alias("d2"),
+    )

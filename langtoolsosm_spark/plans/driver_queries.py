@@ -8032,6 +8032,76 @@ FROM img WHERE {pred}"""
 REGISTRY.update({"region_image_stats": (q_region_image_stats, O_REGION_IMAGE_STATS)})
 
 
+def q_snap_to_segments(spark, sf_dir):
+    """Boundary map matching (operators/spatial.py ``snap_to_segments``):
+    every point snapped to its nearest polygon-ring segment under exact
+    integer micro-degree arithmetic (endpoint squares exact, interior
+    projection as truncating cross^2 div len^2) — the border-proximity
+    primitive; the oracle replays segments and arithmetic verbatim."""
+    from ..operators.spatial import snap_to_segments
+
+    return snap_to_segments(
+        geo_points(spark, sf_dir), geo_polygons_df(spark)
+    )
+
+
+def _seg_values() -> str:
+    import math
+
+    rows = []
+    for pid, ring in GEO_POLYGONS:
+        m = len(ring)
+        for i in range(m):
+            (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % m]
+            rows.append(
+                f"('{pid}', {i}, {math.floor(x1 * 1e6)}, {math.floor(y1 * 1e6)}, "
+                f"{math.floor(x2 * 1e6)}, {math.floor(y2 * 1e6)})"
+            )
+    return ", ".join(rows)
+
+
+O_SNAP_SEGMENTS = f"""
+WITH {PTS_CTE},
+segs AS (
+  SELECT polygon_id, seg_idx,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2
+  FROM (VALUES {_seg_values()}) AS v(polygon_id, seg_idx, x1, y1, x2, y2)
+),
+q AS (
+  SELECT point_id, CAST(FLOOR(lon * 1000000.0) AS BIGINT) AS x0,
+         CAST(FLOOR(lat * 1000000.0) AS BIGINT) AS y0
+  FROM pts
+),
+sc AS (
+  SELECT point_id, polygon_id, seg_idx,
+         CASE WHEN l2 = 0 OR tn <= 0 THEN da
+              WHEN tn >= l2 THEN db
+              ELSE CAST(CAST(cr AS HUGEINT) * cr // l2 AS BIGINT) END AS d2
+  FROM (
+    SELECT q.point_id, s.polygon_id, s.seg_idx,
+           (s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1) AS l2,
+           (q.x0 - s.x1) * (s.x2 - s.x1) + (q.y0 - s.y1) * (s.y2 - s.y1) AS tn,
+           (q.x0 - s.x1) * (q.x0 - s.x1) + (q.y0 - s.y1) * (q.y0 - s.y1) AS da,
+           (q.x0 - s.x2) * (q.x0 - s.x2) + (q.y0 - s.y2) * (q.y0 - s.y2) AS db,
+           (q.x0 - s.x1) * (s.y2 - s.y1) - (q.y0 - s.y1) * (s.x2 - s.x1) AS cr
+    FROM q CROSS JOIN segs s
+  )
+),
+best AS (
+  SELECT point_id, polygon_id, seg_idx, d2,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY d2, polygon_id, seg_idx) AS rn
+  FROM sc
+)
+SELECT point_id, polygon_id, CAST(seg_idx AS INT) AS seg_idx, d2
+FROM best WHERE rn = 1
+"""
+
+
+REGISTRY.update({"snap_to_segments": (q_snap_to_segments, O_SNAP_SEGMENTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

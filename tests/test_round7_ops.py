@@ -259,3 +259,42 @@ def test_region_image_stats_counts_overlaps_per_region(spark, synth_dir):
     for r in out.values():
         assert r["n_images"] >= r["n_tiles"] >= 1
         assert r["sum_bytes"] > 0 and r["max_px"] > 0
+
+
+def test_snap_to_segments_exact_geometry(spark):
+    """Hand-checkable cases: interior projection, endpoint clamp, and
+    the truncating cross^2 div len^2 arithmetic."""
+    from langtoolsosm_spark.operators.spatial import snap_to_segments
+
+    polys = spark.createDataFrame(
+        [("P", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
+                {"lat": 1.0, "lon": 1.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),    # above seg 0 midpoint: d = 0.5 deg vertically
+            (2, -1.0, -1.0),  # beyond seg-0 start: clamps to vertex (0,0)
+        ],
+        "point_id long, lat double, lon double",
+    )
+    out = {r["point_id"]: r for r in snap_to_segments(pts, polys).collect()}
+    # point 1: nearest is the hypotenuse seg 2 from (1,1) to (0,0):
+    # distance 0 (it lies on y=x)? lat=lon=0.5 -> exactly on that line
+    assert out[1]["d2"] == 0 and out[1]["seg_idx"] == 2
+    # point 2: clamps to vertex (0,0) of seg 0: d2 = (1e6)^2 + (1e6)^2
+    assert out[2]["d2"] == 2 * 10**12
+    assert out[2]["polygon_id"] == "P"
+
+
+def test_snap_to_segments_raises_on_huge_dim(spark):
+    from langtoolsosm_spark.operators.spatial import snap_to_segments
+
+    polys = spark.createDataFrame(
+        [("P", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
+                {"lat": 1.0, "lon": 1.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "point_id long, lat double, lon double")
+    with pytest.raises(ValueError, match="broadcast threshold"):
+        snap_to_segments(pts, polys, broadcast_threshold=2)
