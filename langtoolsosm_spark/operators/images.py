@@ -1159,3 +1159,35 @@ def region_image_stats(
         F.max("px").alias("max_px"),
         F.countDistinct("tile").alias("n_tiles"),
     )
+
+
+def burst_dedup_keep(
+    images: DataFrame,
+    res: int = 8,
+    band_div: int = 1 << 48,
+    id_col: str = "image_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Burst-collapse curation policy: one representative per
+    (tile, phash band) capture-burst group — the smallest id, a
+    deterministic sticky pick — plus how many near-duplicates it
+    displaces. Feeding shard packing with the keep-list instead of the
+    raw table removes same-scene redundancy that exact dedup can't see.
+    Returns (tile, band, keep_id, n_images, n_dropped); singleton groups
+    appear with n_dropped = 0 so the output IS the full keep-list."""
+    from ..functions.cells import tile_key_col
+
+    return (
+        images.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.expr(f"phash div {band_div}").alias("band"),
+            F.col(id_col),
+        )
+        .groupBy("tile", "band")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_images"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )

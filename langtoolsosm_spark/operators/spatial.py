@@ -2144,7 +2144,7 @@ def od_gravity_residual(
     )
 
 
-def snap_to_segments(
+def snap_to_boundary(
     points: DataFrame,
     polygons: DataFrame,
     id_col: str = "point_id",
@@ -2191,7 +2191,7 @@ def snap_to_segments(
     n_segs = segs_raw.count()
     if n_segs > broadcast_threshold:
         raise ValueError(
-            f"snap_to_segments: {n_segs} segments exceed the broadcast "
+            f"snap_to_boundary: {n_segs} segments exceed the broadcast "
             f"threshold {broadcast_threshold}; band the segments to cells "
             "and use the kNN machinery for huge segment sets"
         )
@@ -2235,4 +2235,87 @@ def snap_to_segments(
         F.col("__b.polygon_id").alias("polygon_id"),
         F.col("__b.seg_idx").cast("int").alias("seg_idx"),
         F.col("__b.d2").alias("d2"),
+    )
+
+
+def cell_hausdorff(
+    events: DataFrame,
+    pairs: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_cells: int = 10_000,
+) -> DataFrame:
+    """Trajectory similarity as the exact Hausdorff distance between two
+    entities' visited-CELL sets under the Chebyshev metric (grid-native:
+    distances are integers, so min/max chains are bit-deterministic) —
+    the "do these two move through the same places" score for the
+    candidate ``pairs`` (typically ``co_visitation`` output; never all
+    entity pairs). Returns (a, b, d_ab, d_ba, d_h) where d_ab = max over
+    a's cells of the min distance to b's cells and d_h = max(d_ab, d_ba).
+
+    Cost is sum over pairs of |cells_a| * |cells_b| — quadratic in
+    per-entity footprint, so a counted gate raises when any entity
+    exceeds ``max_cells`` distinct cells (the co_visitation loud-guard
+    pattern; coarsen res or pre-thin instead of letting the join
+    explode)."""
+    if max_cells is not None and max_cells < 1:
+        raise ValueError(f"max_cells must be >= 1, got {max_cells}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    cells = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .distinct()
+    )
+    if max_cells is not None:
+        cells = cells.persist()
+        worst = (
+            cells.groupBy("entity").agg(F.count(F.lit(1)).alias("nc"))
+            .filter(F.col("nc") > max_cells)
+            .orderBy(F.col("nc").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            cells.unpersist()
+            raise ValueError(
+                f"cell_hausdorff: entity {r['entity']} occupies {r['nc']} "
+                f"cells (> max_cells={max_cells}); the per-pair join is "
+                "quadratic in footprint — coarsen res or pre-thin"
+            )
+    p = pairs.select("a", "b")
+    ca = cells.select(
+        F.col("entity").alias("a"), F.col("ix").alias("ax"), F.col("iy").alias("ay")
+    )
+    cb = cells.select(
+        F.col("entity").alias("b"), F.col("ix").alias("bx"), F.col("iy").alias("by")
+    )
+    cheb = F.greatest(
+        F.abs(F.col("ax") - F.col("bx")), F.abs(F.col("ay") - F.col("by"))
+    )
+    d_ab = (
+        p.join(ca, "a").join(cb, "b")
+        .groupBy("a", "b", "ax", "ay")
+        .agg(F.min(cheb).alias("__mn"))
+        .groupBy("a", "b")
+        .agg(F.max("__mn").alias("d_ab"))
+    )
+    d_ba = (
+        p.join(cb, "b").join(ca, "a")
+        .groupBy("a", "b", "bx", "by")
+        .agg(F.min(cheb).alias("__mn"))
+        .groupBy("a", "b")
+        .agg(F.max("__mn").alias("d_ba"))
+    )
+    return (
+        d_ab.join(d_ba, ["a", "b"])
+        .select(
+            "a", "b", "d_ab", "d_ba",
+            F.greatest("d_ab", "d_ba").alias("d_h"),
+        )
     )

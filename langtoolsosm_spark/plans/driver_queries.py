@@ -8032,15 +8032,15 @@ FROM img WHERE {pred}"""
 REGISTRY.update({"region_image_stats": (q_region_image_stats, O_REGION_IMAGE_STATS)})
 
 
-def q_snap_to_segments(spark, sf_dir):
-    """Boundary map matching (operators/spatial.py ``snap_to_segments``):
+def q_snap_to_boundary(spark, sf_dir):
+    """Boundary map matching (operators/spatial.py ``snap_to_boundary``):
     every point snapped to its nearest polygon-ring segment under exact
     integer micro-degree arithmetic (endpoint squares exact, interior
     projection as truncating cross^2 div len^2) — the border-proximity
     primitive; the oracle replays segments and arithmetic verbatim."""
-    from ..operators.spatial import snap_to_segments
+    from ..operators.spatial import snap_to_boundary
 
-    return snap_to_segments(
+    return snap_to_boundary(
         geo_points(spark, sf_dir), geo_polygons_df(spark)
     )
 
@@ -8099,7 +8099,149 @@ FROM best WHERE rn = 1
 """
 
 
-REGISTRY.update({"snap_to_segments": (q_snap_to_segments, O_SNAP_SEGMENTS)})
+REGISTRY.update({"snap_to_boundary": (q_snap_to_boundary, O_SNAP_SEGMENTS)})
+
+
+HAUS_RES = 7
+
+
+def q_cell_hausdorff(spark, sf_dir):
+    """Trajectory-pair similarity (operators/spatial.py
+    ``cell_hausdorff``): exact Chebyshev Hausdorff distance between
+    visited-cell sets for the res-8 co-visitation candidate pairs — the
+    'same places' score on top of the contact graph."""
+    from ..operators.spatial import cell_hausdorff
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+    return cell_hausdorff(t, pairs, res=HAUS_RES)
+
+
+_HN = 1 << HAUS_RES
+_HKN = 1 << KCORE_RES
+O_CELL_HAUSDORFF = f"""
+WITH {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_HKN}.0)
+            AS BIGINT), 0), {_HKN - 1}) * {_HKN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_HKN}.0)
+            AS BIGINT), 0), {_HKN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+pairs_agg AS MATERIALIZED (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+),
+cells AS MATERIALIZED (
+  SELECT DISTINCT user_id AS entity,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_HN}.0)
+        AS BIGINT), 0), {_HN - 1}) AS ix,
+    LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_HN}.0)
+        AS BIGINT), 0), {_HN - 1}) AS iy
+  FROM src
+),
+dab AS (
+  SELECT a, b, max(mn) AS d_ab FROM (
+    SELECT p.a, p.b, ca.ix, ca.iy,
+           min(GREATEST(ABS(ca.ix - cb.ix), ABS(ca.iy - cb.iy))) AS mn
+    FROM pairs_agg p
+    JOIN cells ca ON ca.entity = p.a
+    JOIN cells cb ON cb.entity = p.b
+    GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+dba AS (
+  SELECT a, b, max(mn) AS d_ba FROM (
+    SELECT p.a, p.b, cb.ix, cb.iy,
+           min(GREATEST(ABS(ca.ix - cb.ix), ABS(ca.iy - cb.iy))) AS mn
+    FROM pairs_agg p
+    JOIN cells cb ON cb.entity = p.b
+    JOIN cells ca ON ca.entity = p.a
+    GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+)
+SELECT d1.a, d1.b, CAST(d1.d_ab AS BIGINT) AS d_ab,
+       CAST(d2.d_ba AS BIGINT) AS d_ba,
+       CAST(GREATEST(d1.d_ab, d2.d_ba) AS BIGINT) AS d_h
+FROM dab d1 JOIN dba d2 ON d2.a = d1.a AND d2.b = d1.b
+"""
+
+
+REGISTRY.update({"cell_hausdorff": (q_cell_hausdorff, O_CELL_HAUSDORFF)})
+
+
+def q_stream_tile_first_seen(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the coverage-novelty state
+    (streaming/microbatch.py ``stream_tile_first_seen``): the trajectory
+    fixture staged as 3 RANK-INTERLEAVED files (maximal cross-batch
+    disorder — min/distinct/count are order-free, so no ordering
+    contract is needed); final per-tile state must equal batch
+    ``tile_first_seen`` exactly — same oracle SQL."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_tile_first_seen_stream_once
+
+    t = _traj(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamfseen_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_tile_first_seen_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=DWELL_RES
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update(
+    {"stream_tile_first_seen": (q_stream_tile_first_seen, O_TILE_FIRST_SEEN)}
+)
+
+
+def q_burst_dedup_keep(spark, sf_dir):
+    """Burst-collapse keep-list (operators/images.py
+    ``burst_dedup_keep``): one deterministic representative per
+    (tile, phash-band) group + displaced-duplicate counts — the
+    curation policy on top of capture_bursts."""
+    from ..operators.images import burst_dedup_keep
+
+    return burst_dedup_keep(_synth_images(spark, sf_dir), res=BURST_RES)
+
+
+O_BURST_KEEP = f"""
+WITH img AS (
+  SELECT image_id, phash,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_BN}.0)
+        AS BIGINT), 0), {_BN - 1}) * {_BN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_BN}.0)
+        AS BIGINT), 0), {_BN - 1}) AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+SELECT tile, CAST(phash // {1 << 48} AS BIGINT) AS band,
+       min(image_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM img GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"burst_dedup_keep": (q_burst_dedup_keep, O_BURST_KEEP)})
 
 
 # The external driver's correctness artifact is positionally capped at the

@@ -997,3 +997,91 @@ def run_tile_cap_stream_once(
         WHERE rn = 1
         """
     )
+
+
+def stream_tile_first_seen(
+    stream: DataFrame, res: int, ts_col: str = "ts",
+    lat: str = "lat", lon: str = "lon",
+) -> DataFrame:
+    """Streaming coverage-novelty state (applyInPandasWithState): per
+    tile, the running (first_day, distinct active days, event count).
+    min / set-union / count are order-free, so the final state equals
+    batch ``tile_first_seen`` under ANY arrival order or batching — no
+    ordered-ingestion contract needed (the strongest parity class, like
+    stream_tile_cap's monotone reservoir). State per tile is the sorted
+    unique day array — bounded by the calendar, not the event rate.
+    Emits one update row per (tile, trigger)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.tiling import assign_tiles
+
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    keyed = assign_tiles(stream, res=res, lat=lat, lon=lon).select(
+        "tile", day.alias("__day")
+    )
+
+    def kernel(key, pdf_iter, state):
+        days = np.empty(0, dtype=np.int64)
+        n_events = 0
+        if state.exists:
+            days_b, n_events = state.get
+            days = np.frombuffer(days_b, dtype=np.int64)
+        for pdf in pdf_iter:
+            n_events = int(n_events) + len(pdf)
+            days = np.unique(
+                np.concatenate([days, pdf["__day"].to_numpy(np.int64)])
+            )
+        state.update((days.tobytes(), int(n_events)))
+        yield pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "first_day": [int(days[0]) if len(days) else None],
+                "n_days": [len(days)],
+                "n_events": [int(n_events)],
+            }
+        )
+
+    return keyed.groupBy("tile").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, first_day long, n_days long, n_events long",
+        stateStructType="days_b binary, n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_tile_first_seen_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str, res: int
+) -> DataFrame:
+    """Drive the streaming first-seen state over all staged files (one
+    per trigger) and return each tile's FINAL state — the exact schema
+    and values of batch ``tile_first_seen``."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"first_seen_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_tile_first_seen(st, res=res)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT tile, first_day, n_days, n_events FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY tile ORDER BY n_events DESC, n_days DESC
+          ) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )

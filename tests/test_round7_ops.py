@@ -261,10 +261,10 @@ def test_region_image_stats_counts_overlaps_per_region(spark, synth_dir):
         assert r["sum_bytes"] > 0 and r["max_px"] > 0
 
 
-def test_snap_to_segments_exact_geometry(spark):
+def test_snap_to_boundary_exact_geometry(spark):
     """Hand-checkable cases: interior projection, endpoint clamp, and
     the truncating cross^2 div len^2 arithmetic."""
-    from langtoolsosm_spark.operators.spatial import snap_to_segments
+    from langtoolsosm_spark.operators.spatial import snap_to_boundary
 
     polys = spark.createDataFrame(
         [("P", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
@@ -278,7 +278,7 @@ def test_snap_to_segments_exact_geometry(spark):
         ],
         "point_id long, lat double, lon double",
     )
-    out = {r["point_id"]: r for r in snap_to_segments(pts, polys).collect()}
+    out = {r["point_id"]: r for r in snap_to_boundary(pts, polys).collect()}
     # point 1: nearest is the hypotenuse seg 2 from (1,1) to (0,0):
     # distance 0 (it lies on y=x)? lat=lon=0.5 -> exactly on that line
     assert out[1]["d2"] == 0 and out[1]["seg_idx"] == 2
@@ -287,8 +287,8 @@ def test_snap_to_segments_exact_geometry(spark):
     assert out[2]["polygon_id"] == "P"
 
 
-def test_snap_to_segments_raises_on_huge_dim(spark):
-    from langtoolsosm_spark.operators.spatial import snap_to_segments
+def test_snap_to_boundary_raises_on_huge_dim(spark):
+    from langtoolsosm_spark.operators.spatial import snap_to_boundary
 
     polys = spark.createDataFrame(
         [("P", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 1.0},
@@ -297,4 +297,4 @@ def test_snap_to_segments_raises_on_huge_dim(spark):
     )
     pts = spark.createDataFrame([(1, 0.5, 0.5)], "point_id long, lat double, lon double")
     with pytest.raises(ValueError, match="broadcast threshold"):
-        snap_to_segments(pts, polys, broadcast_threshold=2)
+        snap_to_boundary(pts, polys, broadcast_threshold=2)
