@@ -770,3 +770,115 @@ def tile_first_seen(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def binomial_smooth(
+    df: DataFrame,
+    res: int,
+    k: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+    hist: DataFrame | None = None,
+) -> DataFrame:
+    """Binomial-kernel raster smoothing — the exact-integer analogue of a
+    Gaussian blur (the separable binomial kernel C(2k, k+d) per axis is
+    the standard integer approximation; k=1 is the classic 1-2-1). Where
+    ``kring_smooth`` box-sums, this weights by distance, so hotspot
+    edges fade smoothly instead of stepping. Returns (tile, smooth_sum)
+    over the k-dilated occupancy; all arithmetic is integer-exact.
+
+    Plan: identical shape to kring_smooth — ONE histogram (or a shared
+    prebuilt one), a (2k+1)^2 weighted offset fan-out of histogram rows
+    only, one histogram-sized groupBy."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = 1 << res
+    if hist is None:
+        fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+        fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+        hist = (
+            df.select(
+                F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+                F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+            )
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+    w = [math.comb(2 * k, k + d) for d in range(-k, k + 1)]
+    offs = [
+        (dx, dy, w[dx + k] * w[dy + k])
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+    ]
+    fan = hist.select(
+        "ix", "iy", "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                        F.lit(wt).cast("long").alias("wt"),
+                    )
+                    for dx, dy, wt in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        (F.col("ix") + F.col("o.dx")).alias("tx"),
+        (F.col("iy") + F.col("o.dy")).alias("ty"),
+        (F.col("__n") * F.col("o.wt")).alias("__w"),
+    ).filter(
+        (F.col("tx") >= 0) & (F.col("tx") < n)
+        & (F.col("ty") >= 0) & (F.col("ty") < n)
+    )
+    return fan.groupBy(
+        (F.col("tx") * F.lit(n) + F.col("ty")).alias("tile")
+    ).agg(F.sum("__w").alias("smooth_sum"))
+
+
+def tile_gini(
+    df: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Occupancy-inequality audit: the Gini coefficient of the per-tile
+    event distribution over OCCUPIED tiles, as the exact rational
+
+        gini = (2 * sum_i i*x_(i) - (n+1) * sum x) / (n * sum x)
+
+    (x ascending, ranks 1-based) plus its truncated milli value — "is
+    our coverage a few megacities or spread out", the skew headline
+    number that decides salting budgets. Returns ONE row
+    (n_tiles, total, gini_num, gini_den, gini_milli), all integers.
+
+    The rank window sorts only the HISTOGRAM (occupied cells), never the
+    facts — the single-partition sort is bounded by distinct tiles, the
+    same size class every other raster op's driver-facing output has."""
+    hist = (
+        df.select(tile_key_col(F.col(lat), F.col(lon), res).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("x").asc(), F.col("tile").asc())
+    ranked = hist.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i").cast("long") * F.col("x")).alias("__ix"),
+    )
+    num = F.lit(2) * F.col("__ix") - (F.col("n_tiles") + 1) * F.col("total")
+    den = F.col("n_tiles") * F.col("total")
+    return agg.select(
+        "n_tiles", "total",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        F.expr(
+            "CAST(1000 * (2 * __ix - (n_tiles + 1) * total) AS BIGINT) "
+            "div (n_tiles * total)"
+        ).alias("gini_milli"),
+    )

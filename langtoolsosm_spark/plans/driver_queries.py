@@ -8244,6 +8244,123 @@ FROM img GROUP BY 1, 2
 REGISTRY.update({"burst_dedup_keep": (q_burst_dedup_keep, O_BURST_KEEP)})
 
 
+BINOM_RES, BINOM_K = 8, 2
+
+
+def q_binomial_smooth(spark, sf_dir):
+    """Binomial-kernel raster smoothing (operators/tiling.py
+    ``binomial_smooth``): the exact-integer Gaussian-blur analogue
+    (separable C(2k, k+d) weights, k=2) over the trajectory density
+    raster — distance-weighted where kring_smooth box-sums."""
+    from ..operators.tiling import binomial_smooth
+
+    return binomial_smooth(_traj(spark, sf_dir), res=BINOM_RES, k=BINOM_K)
+
+
+def _o_binom(res: int, k: int) -> str:
+    import math
+
+    n = 1 << res
+    w = {d: math.comb(2 * k, k + d) for d in range(-k, k + 1)}
+    wcase = "CASE " + " ".join(
+        f"WHEN d = {d} THEN {wt}" for d, wt in w.items()
+    ) + " END"
+    return f"""hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {n}.0)
+           AS BIGINT), 0), {n - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {n}.0)
+           AS BIGINT), 0), {n - 1}) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+)
+SELECT (h.ix + dx.d) * {n} + (h.iy + dy.d) AS tile,
+       CAST(sum(h.cnt * ({wcase.replace('d =', 'dx.d =')})
+                      * ({wcase.replace('d =', 'dy.d =')})) AS BIGINT)
+         AS smooth_sum
+FROM hist h
+JOIN generate_series(-{k}, {k}) AS dx(d) ON TRUE
+JOIN generate_series(-{k}, {k}) AS dy(d) ON TRUE
+WHERE h.ix + dx.d BETWEEN 0 AND {n - 1}
+  AND h.iy + dy.d BETWEEN 0 AND {n - 1}
+GROUP BY 1"""
+
+
+O_BINOM_SMOOTH = f"WITH {TRAJ_SRC_CTE},\n" + _o_binom(BINOM_RES, BINOM_K)
+
+
+REGISTRY.update({"binomial_smooth": (q_binomial_smooth, O_BINOM_SMOOTH)})
+
+
+GINI_RES = 8
+
+
+def q_tile_gini(spark, sf_dir):
+    """Occupancy-inequality audit (operators/tiling.py ``tile_gini``):
+    the exact rational Gini coefficient of per-tile event counts — the
+    skew headline that sizes salting budgets."""
+    from ..operators.tiling import tile_gini
+
+    return tile_gini(_traj(spark, sf_dir), res=GINI_RES)
+
+
+O_TILE_GINI = f"""
+WITH {TRAJ_SRC_CTE},
+hist AS (
+  SELECT {_tile_sql(GINI_RES)} AS tile, count(*) AS x
+  FROM src GROUP BY 1
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, tile ASC) AS i FROM hist
+),
+agg AS (
+  SELECT count(*) AS n_tiles, sum(x) AS total, sum(i * x) AS ix FROM ranked
+)
+SELECT CAST(n_tiles AS BIGINT) AS n_tiles, CAST(total AS BIGINT) AS total,
+       CAST(2 * ix - (n_tiles + 1) * total AS BIGINT) AS gini_num,
+       CAST(n_tiles * total AS BIGINT) AS gini_den,
+       CAST((1000 * (2 * ix - (n_tiles + 1) * total)) // (n_tiles * total)
+         AS BIGINT) AS gini_milli
+FROM agg
+"""
+
+
+REGISTRY.update({"tile_gini": (q_tile_gini, O_TILE_GINI)})
+
+
+def q_stream_gyration(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the mobility moments
+    (streaming/microbatch.py ``stream_gyration_moments``): rank-
+    interleaved maximal-disorder staging — moment sums are order-free,
+    so the final per-entity state finished with the batch DECIMAL
+    algebra must equal ``radius_of_gyration`` exactly (same oracle)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_gyration_stream_once
+
+    t = _traj(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamgyr_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_gyration_stream_once(
+            spark, src, _os.path.join(out, "ckpt")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_gyration": (q_stream_gyration, O_RADIUS_GYRATION)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1085,3 +1085,97 @@ def run_tile_first_seen_stream_once(
         ) WHERE rn = 1
         """
     )
+
+
+def stream_gyration_moments(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming radius-of-gyration state: per entity the running
+    micro-degree moment sums (n, sx, sy, sxx, syy) — sums are
+    associative and commutative, so the final state equals the batch
+    moments under ANY arrival order or batching (the strongest parity
+    class; no ordering contract). int64 state holds while an entity's
+    sxx stays under 2^63 (~4.5e3 years of 1 Hz positions at max
+    latitude); the batch operator's DECIMAL path is the overflow-scale
+    variant. Emits one update row per (entity, trigger)."""
+    import pandas as pd
+
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"), x.alias("__x"), y.alias("__y")
+    )
+
+    def kernel(key, pdf_iter, state):
+        n = sx = sy = sxx = syy = 0
+        if state.exists:
+            n, sx, sy, sxx, syy = (int(v) for v in state.get)
+        for pdf in pdf_iter:
+            xs = pdf["__x"].astype("int64")
+            ys = pdf["__y"].astype("int64")
+            n += len(pdf)
+            sx += int(xs.sum())
+            sy += int(ys.sum())
+            sxx += int((xs * xs).sum())
+            syy += int((ys * ys).sum())
+        state.update((n, sx, sy, sxx, syy))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]],
+                "n": [n], "sx": [sx], "sy": [sy], "sxx": [sxx], "syy": [syy],
+            }
+        )
+
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType="entity long, n long, sx long, sy long, sxx long, syy long",
+        stateStructType="n long, sx long, sy long, sxx long, syy long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_gyration_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str
+) -> DataFrame:
+    """Drive the streaming moments over all staged files and finish each
+    entity's FINAL state with the same DECIMAL(38,0) rational-rg^2
+    algebra as batch ``radius_of_gyration`` — byte-identical output
+    schema and values."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"gyr_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_gyration_moments(st)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT entity, CAST(n AS BIGINT) AS n_events,
+               CAST(CAST(n AS decimal(38,0))
+                    * (CAST(sxx AS decimal(38,0)) + CAST(syy AS decimal(38,0)))
+                    - CAST(sx AS decimal(38,0)) * CAST(sx AS decimal(38,0))
+                    - CAST(sy AS decimal(38,0)) * CAST(sy AS decimal(38,0))
+                 AS decimal(38,0)) AS rg2_num,
+               CAST(CAST(n AS decimal(38,0)) * CAST(n AS decimal(38,0))
+                 AS decimal(38,0)) AS rg2_den
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY entity ORDER BY n DESC) AS rn
+          FROM {name}
+        ) WHERE rn = 1
+        """
+    )

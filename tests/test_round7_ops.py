@@ -298,3 +298,42 @@ def test_snap_to_boundary_raises_on_huge_dim(spark):
     pts = spark.createDataFrame([(1, 0.5, 0.5)], "point_id long, lat double, lon double")
     with pytest.raises(ValueError, match="broadcast threshold"):
         snap_to_boundary(pts, polys, broadcast_threshold=2)
+
+
+def test_binomial_smooth_121_kernel(spark):
+    """k=1 -> 1-2-1 separable weights: a single occupied cell spreads a
+    3x3 stamp of [[1,2,1],[2,4,2],[1,2,1]]."""
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import binomial_smooth
+
+    df = spark.createDataFrame(pd.DataFrame({"lat": [10.0], "lon": [10.0]}))
+    out = {r["tile"]: r["smooth_sum"] for r in binomial_smooth(df, res=5, k=1).collect()}
+    n = 1 << 5
+    c = int(tile_key(np.array([10.0]), np.array([10.0]), 5)[0])
+    cx, cy = c // n, c % n
+    want = {}
+    for dx, wx in [(-1, 1), (0, 2), (1, 1)]:
+        for dy, wy in [(-1, 1), (0, 2), (1, 1)]:
+            want[(cx + dx) * n + (cy + dy)] = wx * wy
+    assert out == want
+
+
+def test_tile_gini_bounds(spark):
+    """Uniform occupancy -> gini 0; extreme concentration -> high gini;
+    the rational identity holds."""
+    from langtoolsosm_spark.operators.tiling import tile_gini
+
+    uni = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0, 40.0], "lon": [10.0, 40.0]})
+    )
+    r = tile_gini(uni, res=5).collect()[0]
+    assert r["gini_num"] == 0 and r["gini_milli"] == 0
+
+    skew = spark.createDataFrame(
+        pd.DataFrame({"lat": [10.0] * 99 + [40.0], "lon": [10.0] * 99 + [40.0]})
+    )
+    r = tile_gini(skew, res=5).collect()[0]
+    assert r["n_tiles"] == 2 and r["total"] == 100
+    # ranks: x=(1,99) -> num = 2*(1*1+2*99) - 3*100 = 98; den = 200
+    assert r["gini_num"] == 98 and r["gini_den"] == 200
+    assert r["gini_milli"] == 490
