@@ -1191,3 +1191,44 @@ def burst_dedup_keep(
             (F.count(F.lit(1)) - 1).alias("n_dropped"),
         )
     )
+
+
+def region_value_quantiles(
+    images: DataFrame,
+    polygons: DataFrame,
+    res: int = 8,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Per-region EXACT percentiles of image pixel counts — rank-based
+    (value at row_number ceil(p*n), ordered by (px, id)), so the answer
+    is an actual data value picked deterministically, never an
+    interpolated float — the cross-engine-safe percentile contract.
+    Returns (polygon_id, n_images, px_p50, px_p90).
+
+    Plan: the PIP join carries (id, px) only; per-polygon ranking is one
+    window keyed by polygon (regions bound the partition), then two
+    rank-equality picks in the same pass via conditional aggregation."""
+    from pyspark.sql import Window
+
+    from .pip_join import pip_join
+
+    slim = images.select(
+        F.col(id_col), F.col("lat"), F.col("lon"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"),
+    )
+    owned = pip_join(slim, polygons, res=res, unique=False, id_col=id_col)
+    w = Window.partitionBy("polygon_id").orderBy(
+        F.col("px").asc(), F.col(id_col).asc()
+    )
+    ranked = owned.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("polygon_id"))
+    )
+    # ceil(p*n) ranks, integer-exact: ceil(n/2) = (n+1) div 2,
+    # ceil(9n/10) = (9n+9) div 10
+    r50 = F.expr("CAST((`__n` + 1) div 2 AS BIGINT)")
+    r90 = F.expr("CAST((9 * `__n` + 9) div 10 AS BIGINT)")
+    return ranked.groupBy("polygon_id").agg(
+        F.max("__n").alias("n_images"),
+        F.max(F.when(F.col("__rn") == r50, F.col("px"))).alias("px_p50"),
+        F.max(F.when(F.col("__rn") == r90, F.col("px"))).alias("px_p90"),
+    )

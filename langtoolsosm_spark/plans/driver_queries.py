@@ -8361,6 +8361,46 @@ def q_stream_gyration(spark, sf_dir):
 REGISTRY.update({"stream_gyration": (q_stream_gyration, O_RADIUS_GYRATION)})
 
 
+def q_region_px_quantiles(spark, sf_dir):
+    """Per-region exact rank-based pixel-count percentiles
+    (operators/images.py ``region_value_quantiles``): the value at rank
+    ceil(p*n) ordered by (px, id) — an actual data value, never an
+    interpolated float; the cross-engine-safe percentile contract."""
+    from ..operators.images import region_value_quantiles
+
+    return region_value_quantiles(
+        _synth_images(spark, sf_dir), geo_polygons_df(spark), res=8
+    )
+
+
+O_REGION_PX_QUANTILES = (
+    f"""
+WITH img AS (
+  SELECT image_id, lat, lon, CAST(w AS BIGINT) * h AS px
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+"""
+    + " UNION ALL ".join(
+        f"""
+SELECT '{pid}' AS polygon_id, CAST(max(n) AS BIGINT) AS n_images,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN px END) AS BIGINT) AS px_p50,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN px END) AS BIGINT) AS px_p90
+FROM (
+  SELECT px,
+         row_number() OVER (ORDER BY px ASC, image_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM img WHERE {pred}
+)"""
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+)
+
+
+REGISTRY.update(
+    {"region_px_quantiles": (q_region_px_quantiles, O_REGION_PX_QUANTILES)}
+)
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:
