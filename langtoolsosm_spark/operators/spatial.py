@@ -2319,3 +2319,182 @@ def cell_hausdorff(
             F.greatest("d_ab", "d_ba").alias("d_h"),
         )
     )
+
+
+def tile_flow_divergence(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Net flow per tile — the divergence field of the OD matrix:
+    inflow, outflow, and net = in - out per tile (sources feed commuter
+    sinks; net > 0 marks attractors). Intra-tile transitions cancel by
+    definition and are excluded. Returns (tile, inflow, outflow, net).
+
+    Plan: the od_flows rollup then two histogram-sized marginal
+    aggregates merged by a full outer join on the tile key — no
+    event-scale work after the lag window."""
+    flows = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    ).filter(F.col("from_tile") != F.col("to_tile"))
+    out_m = flows.groupBy(F.col("from_tile").alias("tile")).agg(
+        F.sum("n_trips").alias("outflow")
+    )
+    in_m = flows.groupBy(F.col("to_tile").alias("tile")).agg(
+        F.sum("n_trips").alias("inflow")
+    )
+    return (
+        out_m.join(in_m, "tile", "full_outer")
+        .select(
+            "tile",
+            F.coalesce("inflow", F.lit(0)).alias("inflow"),
+            F.coalesce("outflow", F.lit(0)).alias("outflow"),
+            (
+                F.coalesce("inflow", F.lit(0)) - F.coalesce("outflow", F.lit(0))
+            ).alias("net"),
+        )
+    )
+
+
+def trip_length_hist(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Trip-displacement distribution: each consecutive transition's
+    squared cell distance d2 bucketed by its DECIMAL-DIGIT count
+    (1 -> d2 in [1,9], 2 -> [10,99], ...) — an order-of-magnitude
+    histogram whose bucketing (string length of the integer) is exact
+    and dialect-identical, where a log2/log10 float would not be.
+    Zero-displacement transitions land in bucket 0. Returns
+    (digits, n_trips, min_d2, max_d2).
+
+    One lag window + one map-side-combined groupBy on <= 20 buckets."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    ix = F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    df = (
+        events.withColumn("__ix", ix)
+        .withColumn("__iy", iy)
+        .withColumn("__px", F.lag("__ix").over(w))
+        .withColumn("__py", F.lag("__iy").over(w))
+        .filter(F.col("__px").isNotNull())
+    )
+    d2 = (
+        (F.col("__ix") - F.col("__px")) * (F.col("__ix") - F.col("__px"))
+        + (F.col("__iy") - F.col("__py")) * (F.col("__iy") - F.col("__py"))
+    )
+    digits = F.when(d2 == 0, F.lit(0)).otherwise(
+        F.length(d2.cast("string")).cast("long")
+    )
+    return (
+        df.select(d2.alias("d2"), digits.alias("digits"))
+        .groupBy("digits")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.min("d2").alias("min_d2"),
+            F.max("d2").alias("max_d2"),
+        )
+    )
+
+
+def staypoints(
+    traj: DataFrame,
+    dist_micro: int,
+    min_stay_s: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008, the classic GPS-semantics
+    primitive): walk each entity's points in time order; a segment grows
+    while every point stays within ``dist_micro`` micro-degrees of the
+    segment's ANCHOR (its first point), and the segment emits as a
+    staypoint iff it lasted at least ``min_stay_s`` seconds. The next
+    anchor is the first point that broke the radius. Anchor-based (not
+    centroid-based) on purpose: the keep decision is then an exact
+    integer compare, engine-independent, and expressible as the same
+    recursive SQL spec as ``simplify_radial``.
+
+    Sequential per entity by nature -> one bounded-group Arrow kernel
+    per entity (a track fits one task); nothing else leaves the
+    entity-key shuffle. Returns (entity, start_rn, end_rn, n_pts,
+    start_ep, end_ep, ax, ay)."""
+    if dist_micro < 1:
+        raise ValueError(f"dist_micro must be >= 1, got {dist_micro}")
+    if min_stay_s < 0:
+        raise ValueError(f"min_stay_s must be >= 0, got {min_stay_s}")
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qx = F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale))).cast("long")
+    qy = F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale))).cast("long")
+    d = traj.select(
+        F.col(entity_col).alias("entity"),
+        F.row_number().over(
+            Window.partitionBy(entity_col).orderBy(
+                F.col(ts_col), F.col(order_tiebreak)
+            )
+        ).cast("long").alias("rn"),
+        qx.alias("x"),
+        qy.alias("y"),
+        F.unix_timestamp(F.col(ts_col)).alias("ep"),
+    )
+    d2 = dist_micro * dist_micro
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values("rn")
+        xs = g["x"].to_numpy()
+        ys = g["y"].to_numpy()
+        rns = g["rn"].to_numpy()
+        eps_ = g["ep"].to_numpy()
+        ent = g["entity"].iloc[0]
+        n = len(g)
+        rows = []
+        a = 0
+        while a < n:
+            j = a + 1
+            ax, ay = int(xs[a]), int(ys[a])
+            while j < n and (int(xs[j]) - ax) ** 2 + (int(ys[j]) - ay) ** 2 <= d2:
+                j += 1
+            if int(eps_[j - 1]) - int(eps_[a]) >= min_stay_s:
+                rows.append(
+                    (ent, int(rns[a]), int(rns[j - 1]), j - a,
+                     int(eps_[a]), int(eps_[j - 1]), ax, ay)
+                )
+            a = j
+        return pd.DataFrame(
+            rows,
+            columns=["entity", "start_rn", "end_rn", "n_pts",
+                     "start_ep", "end_ep", "ax", "ay"],
+        )
+
+    ent_t = traj.schema[entity_col].dataType.simpleString()
+    return d.groupBy("entity").applyInPandas(
+        walk,
+        schema=(
+            f"entity {ent_t}, start_rn long, end_rn long, n_pts long, "
+            "start_ep long, end_ep long, ax long, ay long"
+        ),
+    )

@@ -8401,6 +8401,159 @@ REGISTRY.update(
 )
 
 
+def q_tile_flow_divergence(spark, sf_dir):
+    """OD divergence field (operators/spatial.py ``tile_flow_divergence``):
+    inflow / outflow / net per tile over the trajectory transitions —
+    net > 0 marks attractors (commuter sinks)."""
+    from ..operators.spatial import tile_flow_divergence
+
+    return tile_flow_divergence(
+        _traj(spark, sf_dir), "user_id", "ts", res=GRAV_RES,
+        order_tiebreak="event_id",
+    )
+
+
+O_TILE_FLOW_DIV = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT user_id, {_tile_sql(GRAV_RES)} AS tile,
+         lag({_tile_sql(GRAV_RES)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+flows AS (
+  SELECT prev AS from_tile, tile AS to_tile, count(*) AS n_trips
+  FROM g WHERE prev IS NOT NULL AND prev <> tile GROUP BY 1, 2
+),
+om AS (SELECT from_tile AS tile, sum(n_trips) AS outflow FROM flows GROUP BY 1),
+im AS (SELECT to_tile AS tile, sum(n_trips) AS inflow FROM flows GROUP BY 1)
+SELECT COALESCE(o.tile, i.tile) AS tile,
+       CAST(COALESCE(i.inflow, 0) AS BIGINT) AS inflow,
+       CAST(COALESCE(o.outflow, 0) AS BIGINT) AS outflow,
+       CAST(COALESCE(i.inflow, 0) - COALESCE(o.outflow, 0) AS BIGINT) AS net
+FROM om o FULL OUTER JOIN im i ON i.tile = o.tile
+"""
+
+
+REGISTRY.update(
+    {"tile_flow_divergence": (q_tile_flow_divergence, O_TILE_FLOW_DIV)}
+)
+
+
+def q_trip_length_hist(spark, sf_dir):
+    """Trip-displacement histogram (operators/spatial.py
+    ``trip_length_hist``): squared cell distances bucketed by decimal-
+    digit count — exact order-of-magnitude bucketing where a log float
+    would drift across engines."""
+    from ..operators.spatial import trip_length_hist
+
+    return trip_length_hist(
+        _traj(spark, sf_dir), "user_id", "ts", res=GRAV_RES,
+        order_tiebreak="event_id",
+    )
+
+
+_TLN = 1 << GRAV_RES
+O_TRIP_LENGTH_HIST = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT user_id,
+         LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_TLN}.0)
+             AS BIGINT), 0), {_TLN - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_TLN}.0)
+             AS BIGINT), 0), {_TLN - 1}) AS iy,
+         ts, event_id
+  FROM src
+),
+lagged AS (
+  SELECT ix, iy,
+         lag(ix) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS px,
+         lag(iy) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS py
+  FROM g
+),
+d AS (
+  SELECT (ix - px) * (ix - px) + (iy - py) * (iy - py) AS d2
+  FROM lagged WHERE px IS NOT NULL
+)
+SELECT CASE WHEN d2 = 0 THEN 0
+            ELSE CAST(length(CAST(d2 AS VARCHAR)) AS BIGINT) END AS digits,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(max(d2) AS BIGINT) AS max_d2
+FROM d GROUP BY 1
+"""
+
+
+REGISTRY.update({"trip_length_hist": (q_trip_length_hist, O_TRIP_LENGTH_HIST)})
+
+
+SP_DIST, SP_STAY = 5_000_000, 86_400
+
+
+def q_staypoints(spark, sf_dir):
+    """Stay-point detection (operators/spatial.py ``staypoints``, Li et
+    al. 2008): anchor-radius segments lasting >= 1 day within 5 deg —
+    sequential per entity (Arrow kernel), gated against a recursive-CTE
+    anchor-advance spec exactly like simplify_radial."""
+    from ..operators.spatial import staypoints
+
+    return staypoints(_traj(spark, sf_dir), SP_DIST, SP_STAY)
+
+
+O_STAYPOINTS = f"""
+WITH RECURSIVE src AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+t AS (
+  SELECT user_id AS entity,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS rn,
+         CAST(FLOOR((lon + 180.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(FLOOR((lat + 90.0) * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS y,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM src
+),
+anc AS (
+  SELECT entity, rn AS a_rn FROM t WHERE rn = 1
+  UNION ALL
+  SELECT n.entity, n.rn
+  FROM anc k
+  JOIN t q ON q.entity = k.entity AND q.rn = k.a_rn
+  JOIN t n ON n.entity = k.entity
+   AND n.rn = (
+     SELECT min(m.rn) FROM t m
+     WHERE m.entity = k.entity AND m.rn > k.a_rn
+       AND (m.x - q.x) * (m.x - q.x) + (m.y - q.y) * (m.y - q.y)
+           > {SP_DIST}::BIGINT * {SP_DIST}
+   )
+),
+seg AS (
+  SELECT entity, a_rn,
+         lead(a_rn) OVER (PARTITION BY entity ORDER BY a_rn) AS next_a
+  FROM anc
+),
+mx AS (SELECT entity, max(rn) AS mrn FROM t GROUP BY 1),
+bounds AS (
+  SELECT s.entity, s.a_rn AS start_rn,
+         COALESCE(s.next_a - 1, m.mrn) AS end_rn
+  FROM seg s JOIN mx m ON m.entity = s.entity
+)
+SELECT b.entity, b.start_rn, b.end_rn,
+       CAST(b.end_rn - b.start_rn + 1 AS BIGINT) AS n_pts,
+       p0.ep AS start_ep, p1.ep AS end_ep, p0.x AS ax, p0.y AS ay
+FROM bounds b
+JOIN t p0 ON p0.entity = b.entity AND p0.rn = b.start_rn
+JOIN t p1 ON p1.entity = b.entity AND p1.rn = b.end_rn
+WHERE p1.ep - p0.ep >= {SP_STAY}
+"""
+
+
+REGISTRY.update({"staypoints": (q_staypoints, O_STAYPOINTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -337,3 +337,48 @@ def test_tile_gini_bounds(spark):
     # ranks: x=(1,99) -> num = 2*(1*1+2*99) - 3*100 = 98; den = 200
     assert r["gini_num"] == 98 and r["gini_den"] == 200
     assert r["gini_milli"] == 490
+
+
+def test_staypoints_anchor_semantics(spark):
+    """Li et al. anchor rule: the segment grows while points stay within
+    the radius of the FIRST point; a break starts the next anchor; only
+    segments meeting the duration emit."""
+    from langtoolsosm_spark.operators.spatial import staypoints
+
+    # user 1: 3 points near (10,10) over 2000s (staypoint), then a jump
+    # to (40,40) with only 2 points over 10s (too short)
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (1, 1000, 1, 10.001, 10.001),
+        (1, 2000, 2, 10.002, 10.002),
+        (1, 3000, 3, 40.0, 40.0),
+        (1, 3010, 4, 40.001, 40.0),
+    ]
+    ev = _ev(spark, rows)
+    out = staypoints(ev, dist_micro=10_000, min_stay_s=1500).collect()
+    assert len(out) == 1
+    sp = out[0]
+    assert (sp["start_rn"], sp["end_rn"], sp["n_pts"]) == (1, 3, 3)
+    assert sp["end_ep"] - sp["start_ep"] == 2000
+    # anchor coords are the first point's micro-degree quantization
+    assert sp["ax"] == int((10.0 + 180.0) * 1e6)
+    assert sp["ay"] == int((10.0 + 90.0) * 1e6)
+
+
+def test_tile_flow_divergence_conservation(spark):
+    """Sum of nets is zero (every trip leaves one tile and enters
+    another) and intra-tile transitions are excluded."""
+    from langtoolsosm_spark.operators.spatial import tile_flow_divergence
+
+    rows = [
+        (1, 0, 0, 10.0, 10.0),
+        (1, 10, 1, 40.0, 40.0),
+        (1, 20, 2, 40.001, 40.001),  # intra-tile: excluded
+        (2, 0, 3, 10.0, 10.0),
+        (2, 10, 4, 40.0, 40.0),
+    ]
+    out = tile_flow_divergence(
+        _ev(spark, rows), "user_id", "ts", res=5, order_tiebreak="event_id"
+    ).collect()
+    assert sum(r["net"] for r in out) == 0
+    assert sum(r["inflow"] for r in out) == 2  # two cross-tile trips
