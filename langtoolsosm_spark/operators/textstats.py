@@ -398,3 +398,49 @@ def charset_stats(
             f"div length({text_col})"
         )).otherwise(F.lit(0)).alias("ascii_milli"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source contamination audit: exact bigram-set Jaccard
+    between every pair of sources — "how much does corpus A repeat
+    corpus B", the decision input for dedup-across-sources. Returns
+    (src_a, src_b, n_a, n_b, n_common, jaccard_milli) for src_a <
+    src_b, all integers (jaccard in truncated milli).
+
+    Plan: tokens stay arrays in-row; only distinct (source, bigram)
+    pairs shuffle (vocabulary-bounded), then one self-join keyed on the
+    bigram — never a doc-level cross. Source count is small by nature,
+    so the pair rollup is tiny."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+    bigrams = F.expr(
+        "transform(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "(t, i) -> concat(t, ' ', __toks[i + 1]))"
+    )
+    sb = (
+        docs.select(F.col(source_col).alias("src"), toks.alias("__toks"))
+        .select("src", F.explode(bigrams).alias("bg"))
+        .distinct()
+    )
+    sizes = sb.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = sb.select(F.col("src").alias("src_a"), "bg")
+    b = sb.select(F.col("src").alias("src_b"), "bg")
+    common = (
+        a.join(b, "bg")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("src", "src_a").withColumnRenamed("n", "n_a"), "src_a")
+        .join(sizes.withColumnRenamed("src", "src_b").withColumnRenamed("n", "n_b"), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.expr(
+                "CAST(1000 * n_common AS BIGINT) div (n_a + n_b - n_common)"
+            ).alias("jaccard_milli"),
+        )
+    )

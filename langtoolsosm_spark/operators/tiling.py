@@ -882,3 +882,92 @@ def tile_gini(
             "div (n_tiles * total)"
         ).alias("gini_milli"),
     )
+
+
+def tile_burstiness(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Temporal burstiness per tile — the Fano factor (variance-to-mean
+    ratio) of the tile's DAILY event counts over the data's full
+    calendar span, as an exact rational: with D the global number of
+    calendar days (empty days count as zero via closed-form folding,
+    the moran_i device) and x_d the per-day counts,
+
+        fano = var/mean = (D * sum x^2 - (sum x)^2) / (D * sum x)
+
+    fano >> 1 flags bursty venues (events, incidents); ~1 is Poisson
+    background. Returns (tile, n_days_active, total, fano_num,
+    fano_den, fano_milli) — integers only.
+
+    Plan: one (tile, day) histogram, one tile rollup, one single-row
+    global day-span aggregate broadcast by cross join."""
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    hist = (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            day.alias("day"),
+        )
+        .groupBy("tile", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    span = hist.agg(
+        (F.max("day") - F.min("day") + 1).alias("d_span")
+    )
+    per_tile = hist.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_days_active"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("x") * F.col("x")).alias("__sq"),
+    )
+    j = per_tile.crossJoin(F.broadcast(span))
+    num = F.col("d_span") * F.col("__sq") - F.col("total") * F.col("total")
+    den = F.col("d_span") * F.col("total")
+    return j.select(
+        "tile", "n_days_active", "total",
+        num.alias("fano_num"),
+        den.alias("fano_den"),
+        F.expr(
+            "CAST(1000 * (d_span * __sq - total * total) AS BIGINT) "
+            "div (d_span * total)"
+        ).alias("fano_milli"),
+    )
+
+
+def weekday_contrast(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Weekday-vs-weekend usage contrast per tile: counts split by the
+    arithmetic day-of-week ((epoch_days + 4) % 7, 0 = Sunday — the
+    dialect-safe spelling st_cube established) and the weekday share in
+    exact milli units. Office districts read ~1000, nightlife/leisure
+    tiles drop toward 500. Returns (tile, n_weekday, n_weekend,
+    weekday_milli); one map-side-combined groupBy."""
+    ep = F.unix_timestamp(F.col(ts_col))
+    dow = ((ep / F.lit(86400)).cast("long") + 4) % 7
+    is_we = (dow == 0) | (dow == 6)
+    return (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.when(is_we, 1).otherwise(0).alias("__we"),
+        )
+        .groupBy("tile")
+        .agg(
+            F.sum(F.lit(1) - F.col("__we")).alias("n_weekday"),
+            F.sum("__we").alias("n_weekend"),
+        )
+        .select(
+            "tile",
+            F.col("n_weekday").cast("long").alias("n_weekday"),
+            F.col("n_weekend").cast("long").alias("n_weekend"),
+            F.expr(
+                "CAST(1000 * n_weekday AS BIGINT) div (n_weekday + n_weekend)"
+            ).alias("weekday_milli"),
+        )
+    )

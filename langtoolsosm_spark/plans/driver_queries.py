@@ -8554,6 +8554,107 @@ WHERE p1.ep - p0.ep >= {SP_STAY}
 REGISTRY.update({"staypoints": (q_staypoints, O_STAYPOINTS)})
 
 
+BURSTY_RES = 7
+
+
+def q_tile_burstiness(spark, sf_dir):
+    """Temporal burstiness per tile (operators/tiling.py
+    ``tile_burstiness``): exact rational Fano factor of daily counts
+    over the global calendar span (empty days folded in closed form) —
+    bursty venues vs Poisson background."""
+    from ..operators.tiling import tile_burstiness
+
+    return tile_burstiness(_traj(spark, sf_dir), res=BURSTY_RES)
+
+
+O_TILE_BURSTINESS = f"""
+WITH {TRAJ_SRC_CTE},
+hist AS (
+  SELECT {_tile_sql(BURSTY_RES)} AS tile, ep // 86400 AS day, count(*) AS x
+  FROM src GROUP BY 1, 2
+),
+span AS (SELECT max(day) - min(day) + 1 AS d_span FROM hist),
+pt AS (
+  SELECT tile, count(*) AS nda, sum(x) AS total, sum(x * x) AS sq
+  FROM hist GROUP BY 1
+)
+SELECT tile, CAST(nda AS BIGINT) AS n_days_active,
+       CAST(total AS BIGINT) AS total,
+       CAST(d_span * sq - total * total AS BIGINT) AS fano_num,
+       CAST(d_span * total AS BIGINT) AS fano_den,
+       CAST((1000 * (d_span * sq - total * total)) // (d_span * total)
+         AS BIGINT) AS fano_milli
+FROM pt CROSS JOIN span
+"""
+
+
+REGISTRY.update({"tile_burstiness": (q_tile_burstiness, O_TILE_BURSTINESS)})
+
+
+def q_weekday_contrast(spark, sf_dir):
+    """Weekday-vs-weekend usage split per tile (operators/tiling.py
+    ``weekday_contrast``): arithmetic day-of-week, weekday share in
+    exact milli — office districts vs leisure tiles."""
+    from ..operators.tiling import weekday_contrast
+
+    return weekday_contrast(_traj(spark, sf_dir), res=BURSTY_RES)
+
+
+O_WEEKDAY_CONTRAST = f"""
+WITH {TRAJ_SRC_CTE},
+d AS (
+  SELECT {_tile_sql(BURSTY_RES)} AS tile,
+         CASE WHEN (ep // 86400 + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM src
+)
+SELECT tile, CAST(sum(1 - we) AS BIGINT) AS n_weekday,
+       CAST(sum(we) AS BIGINT) AS n_weekend,
+       CAST((1000 * sum(1 - we)) // count(*) AS BIGINT) AS weekday_milli
+FROM d GROUP BY 1
+"""
+
+
+REGISTRY.update({"weekday_contrast": (q_weekday_contrast, O_WEEKDAY_CONTRAST)})
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination audit (operators/textstats.py
+    ``source_overlap``): exact bigram-set Jaccard between every source
+    pair of the documents table — dedup-across-sources decision input."""
+    from ..operators.textstats import source_overlap
+
+    return source_overlap(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_SOURCE_OVERLAP = """
+WITH tok AS (
+  SELECT source AS src, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+sb AS (
+  SELECT DISTINCT src, t[i] || ' ' || t[i + 1] AS bg
+  FROM tok JOIN generate_series(1, 8192) AS g(i) ON i <= len(t) - 1
+),
+sizes AS (SELECT src, count(*) AS n FROM sb GROUP BY 1),
+common AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM sb a JOIN sb b ON b.bg = a.bg AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT c.src_a, c.src_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb2.n AS BIGINT) AS n_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST((1000 * c.n_common) // (sa.n + sb2.n - c.n_common) AS BIGINT)
+         AS jaccard_milli
+FROM common c
+JOIN sizes sa ON sa.src = c.src_a
+JOIN sizes sb2 ON sb2.src = c.src_b
+"""
+
+
+REGISTRY.update({"source_overlap": (q_source_overlap, O_SOURCE_OVERLAP)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

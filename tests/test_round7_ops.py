@@ -382,3 +382,45 @@ def test_tile_flow_divergence_conservation(spark):
     ).collect()
     assert sum(r["net"] for r in out) == 0
     assert sum(r["inflow"] for r in out) == 2  # two cross-tile trips
+
+
+def test_tile_burstiness_fano(spark):
+    """All events on one day in one tile, span anchored by another tile:
+    fano = (D*x^2 - x^2) / (D*x) = x*(D-1)/D exactly."""
+    from langtoolsosm_spark.operators.tiling import tile_burstiness
+
+    rows = [(1, 10, i, 10.0, 10.0) for i in range(4)]          # day 0, tile A
+    rows += [(1, 86400 * 9 + 10, 99, 40.0, 40.0)]              # day 9, tile B
+    out = {r["tile"]: r for r in tile_burstiness(_ev(spark, rows), res=5).collect()}
+    a = [r for r in out.values() if r["total"] == 4][0]
+    # D = 10 days span; x = 4 on one day: num = 10*16 - 16 = 144, den = 40
+    assert (a["fano_num"], a["fano_den"], a["fano_milli"]) == (144, 40, 3600)
+
+
+def test_weekday_contrast_split(spark):
+    from langtoolsosm_spark.operators.tiling import weekday_contrast
+
+    # epoch day 0 = Thursday (dow (0+4)%7=4, weekday);
+    # day 2 = Saturday (dow 6, weekend)
+    rows = [(1, 10, 0, 10.0, 10.0), (1, 86400 * 2 + 10, 1, 10.0, 10.0),
+            (1, 86400 * 2 + 20, 2, 10.0, 10.0)]
+    r = weekday_contrast(_ev(spark, rows), res=5).collect()[0]
+    assert (r["n_weekday"], r["n_weekend"], r["weekday_milli"]) == (1, 2, 333)
+
+
+def test_source_overlap_exact_jaccard(spark):
+    from langtoolsosm_spark.operators.textstats import source_overlap
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["the cat sat", "the cat ran", "dogs bark loud"],
+            "source": ["A", "B", "B"],
+        }
+    )
+    out = source_overlap(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # A bigrams: {the cat, cat sat}; B: {the cat, cat ran, dogs bark, bark loud}
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 4, 1)
+    assert r["jaccard_milli"] == 200
