@@ -2498,3 +2498,56 @@ def staypoints(
             "start_ep long, end_ep long, ax long, ay long"
         ),
     )
+
+
+def polygon_adjacency(
+    polygons: DataFrame,
+    id_col: str = "polygon_id",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """Topology audit: which polygons share a boundary edge — adjacency
+    by EXACT shared segments (both ring edges quantized to micro-degree
+    integers and canonicalized endpoint-order-insensitively), the
+    planar-partition sanity check behind "do admin areas tile cleanly".
+    Returns (pid_a, pid_b, n_shared_edges) with pid_a < pid_b.
+
+    Plan: rings explode to canonical segment keys (codegen arithmetic),
+    one map-side-combined distinct, one equi-join keyed on the segment —
+    adjacency never compares polygon PAIRS, only identical keys meet."""
+    segs = polygons.select(
+        F.col(id_col).alias("pid"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size({ring_col}) - 1), i -> struct("
+                f"CAST(floor({ring_col}[i].lon * 1000000.0) AS BIGINT) AS x1, "
+                f"CAST(floor({ring_col}[i].lat * 1000000.0) AS BIGINT) AS y1, "
+                f"CAST(floor({ring_col}[CAST((i + 1) % size({ring_col}) AS INT)].lon"
+                " * 1000000.0) AS BIGINT) AS x2, "
+                f"CAST(floor({ring_col}[CAST((i + 1) % size({ring_col}) AS INT)].lat"
+                " * 1000000.0) AS BIGINT) AS y2))"
+            )
+        ).alias("__i", "s"),
+    ).select(
+        "pid",
+        # canonical endpoint order: smaller (x, y) first
+        F.when(
+            (F.col("s.x1") < F.col("s.x2"))
+            | ((F.col("s.x1") == F.col("s.x2")) & (F.col("s.y1") <= F.col("s.y2"))),
+            F.struct("s.x1", "s.y1", "s.x2", "s.y2"),
+        )
+        .otherwise(
+            F.struct(
+                F.col("s.x2").alias("x1"), F.col("s.y2").alias("y1"),
+                F.col("s.x1").alias("x2"), F.col("s.y1").alias("y2"),
+            )
+        )
+        .alias("seg"),
+    ).distinct()
+    a = segs.select(F.col("pid").alias("pid_a"), "seg")
+    b = segs.select(F.col("pid").alias("pid_b"), "seg")
+    return (
+        a.join(b, "seg")
+        .filter(F.col("pid_a") < F.col("pid_b"))
+        .groupBy("pid_a", "pid_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_edges"))
+    )

@@ -8655,6 +8655,55 @@ JOIN sizes sb2 ON sb2.src = c.src_b
 REGISTRY.update({"source_overlap": (q_source_overlap, O_SOURCE_OVERLAP)})
 
 
+SYNTH_SF001_POLYGONS = os.path.join(_DATA_ROOT, "synth_sf0.01", "polygons.parquet")
+
+
+def q_polygon_adjacency(spark, sf_dir):
+    """Planar-topology audit (operators/spatial.py
+    ``polygon_adjacency``): polygon pairs sharing exact canonicalized
+    boundary edges over the synth admin set (which contains shared-edge
+    shapes by construction) — adjacency meets on segment keys, never
+    polygon pairs."""
+    from ..datagen import ensure_dataset
+    from ..operators.spatial import polygon_adjacency
+
+    synth = ensure_dataset("sf0.01")
+    return polygon_adjacency(spark.read.parquet(f"{synth}/polygons.parquet"))
+
+
+O_POLYGON_ADJACENCY = f"""
+WITH raw AS (
+  SELECT polygon_id AS pid, ring
+  FROM read_parquet('{SYNTH_SF001_POLYGONS}')
+),
+segd AS (
+  SELECT pid,
+         CAST(FLOOR(ring[i].lon * 1000000.0) AS BIGINT) AS x1,
+         CAST(FLOOR(ring[i].lat * 1000000.0) AS BIGINT) AS y1,
+         CAST(FLOOR(ring[(i % len(ring)) + 1].lon * 1000000.0) AS BIGINT) AS x2,
+         CAST(FLOOR(ring[(i % len(ring)) + 1].lat * 1000000.0) AS BIGINT) AS y2
+  FROM raw JOIN generate_series(1, 64) AS g(i) ON i <= len(ring)
+),
+segs AS (
+  SELECT DISTINCT pid,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN x1 ELSE x2 END AS cx1,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y1 ELSE y2 END AS cy1,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN x2 ELSE x1 END AS cx2,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y2 ELSE y1 END AS cy2
+  FROM segd
+)
+SELECT a.pid AS pid_a, b.pid AS pid_b,
+       CAST(count(*) AS BIGINT) AS n_shared_edges
+FROM segs a JOIN segs b
+  ON b.cx1 = a.cx1 AND b.cy1 = a.cy1 AND b.cx2 = a.cx2 AND b.cy2 = a.cy2
+ AND a.pid < b.pid
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"polygon_adjacency": (q_polygon_adjacency, O_POLYGON_ADJACENCY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -424,3 +424,25 @@ def test_source_overlap_exact_jaccard(spark):
     # A bigrams: {the cat, cat sat}; B: {the cat, cat ran, dogs bark, bark loud}
     assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 4, 1)
     assert r["jaccard_milli"] == 200
+
+
+def test_polygon_adjacency_shared_edge(spark):
+    """Two squares sharing one edge are adjacent with exactly one shared
+    canonical segment regardless of ring winding direction."""
+    from langtoolsosm_spark.operators.spatial import polygon_adjacency
+
+    # A: (0,0)-(0,1)-(1,1)-(1,0)  (ccw); B shares the x=1 edge but winds
+    # the other way, so the shared segment appears in opposite order
+    A = [{"lat": 0.0, "lon": 0.0}, {"lat": 1.0, "lon": 0.0},
+         {"lat": 1.0, "lon": 1.0}, {"lat": 0.0, "lon": 1.0}]
+    B = [{"lat": 0.0, "lon": 1.0}, {"lat": 1.0, "lon": 1.0},
+         {"lat": 1.0, "lon": 2.0}, {"lat": 0.0, "lon": 2.0}]
+    C = [{"lat": 5.0, "lon": 5.0}, {"lat": 6.0, "lon": 5.0},
+         {"lat": 6.0, "lon": 6.0}]
+    polys = spark.createDataFrame(
+        [("A", A), ("B", B), ("C", C)],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    out = polygon_adjacency(polys).collect()
+    assert len(out) == 1
+    assert (out[0]["pid_a"], out[0]["pid_b"], out[0]["n_shared_edges"]) == ("A", "B", 1)
