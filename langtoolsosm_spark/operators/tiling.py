@@ -971,3 +971,112 @@ def weekday_contrast(
             ).alias("weekday_milli"),
         )
     )
+
+
+def tile_changepoint(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Largest day-over-day activity jump per tile: consecutive-calendar
+    deltas over the (tile, day) histogram with missing days COUNTING AS
+    ZERO (a gap from 50 events to none is a -50 jump, materialized only
+    at the gap edges — two extra synthetic deltas per gap, never a dense
+    calendar). Returns (tile, jump_day, jump, prev_cnt, day_cnt) for
+    each tile's maximal |jump| (ties to the earliest day).
+
+    Plan: one histogram + one lag window keyed by tile over histogram
+    rows; gap edges come from the same lag (day distance > 1)."""
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    hist = (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            day.alias("day"),
+        )
+        .groupBy("tile", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tile").orderBy(F.col("day").asc())
+    lagged = hist.withColumn("pd", F.lag("day").over(w)).withColumn(
+        "px", F.lag("x").over(w)
+    )
+    # three delta kinds: adjacent-day (x - px), fall-to-zero at a gap's
+    # start (0 - px on day pd+1), rise-from-zero at its end (x - 0)
+    adjacent = lagged.filter(F.col("pd") == F.col("day") - 1).select(
+        "tile", F.col("day").alias("jump_day"),
+        (F.col("x") - F.col("px")).alias("jump"),
+        F.col("px").alias("prev_cnt"), F.col("x").alias("day_cnt"),
+    )
+    gap_fall = lagged.filter(
+        F.col("pd").isNotNull() & (F.col("pd") < F.col("day") - 1)
+    ).select(
+        "tile", (F.col("pd") + 1).alias("jump_day"),
+        (-F.col("px")).alias("jump"),
+        F.col("px").alias("prev_cnt"), F.lit(0).cast("long").alias("day_cnt"),
+    )
+    gap_rise = lagged.filter(
+        F.col("pd").isNotNull() & (F.col("pd") < F.col("day") - 1)
+    ).select(
+        "tile", F.col("day").alias("jump_day"),
+        F.col("x").alias("jump"),
+        F.lit(0).cast("long").alias("prev_cnt"), F.col("x").alias("day_cnt"),
+    )
+    deltas = adjacent.unionByName(gap_fall).unionByName(gap_rise)
+    best = deltas.groupBy("tile").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("jump")).alias("a"),
+                (-F.col("jump_day")).alias("nd"),
+                "jump", "prev_cnt", "day_cnt",
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "tile", (-F.col("b.nd")).alias("jump_day"), F.col("b.jump").alias("jump"),
+        F.col("b.prev_cnt").alias("prev_cnt"), F.col("b.day_cnt").alias("day_cnt"),
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-active-day streak per entity — the classic
+    gaps-and-islands pattern (day - dense_rank is constant within an
+    island), the retention/engagement headline. Returns
+    (entity, n_active_days, n_streaks, longest_streak,
+    longest_streak_start).
+
+    Plan: distinct (entity, day), one rank window keyed by entity, one
+    island rollup, one entity rollup — all on day-distinct rows."""
+    from pyspark.sql import Window
+
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    d = (
+        events.select(F.col(entity_col).alias("entity"), day.alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("entity").orderBy(F.col("day").asc())
+    grp = d.withColumn(
+        "__g", F.col("day") - F.row_number().over(w)
+    )
+    islands = grp.groupBy("entity", "__g").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start"),
+    )
+    rolled = islands.groupBy("entity").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        # longest island, ties to the earliest start (struct-max idiom)
+        F.max(F.struct(F.col("len"), (-F.col("start")).alias("ns"))).alias("__b"),
+    )
+    return rolled.select(
+        "entity", "n_active_days", "n_streaks",
+        F.col("__b.len").alias("longest_streak"),
+        (-F.col("__b.ns")).alias("longest_streak_start"),
+    )

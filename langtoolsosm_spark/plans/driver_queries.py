@@ -8704,6 +8704,94 @@ GROUP BY 1, 2
 REGISTRY.update({"polygon_adjacency": (q_polygon_adjacency, O_POLYGON_ADJACENCY)})
 
 
+def q_tile_changepoint(spark, sf_dir):
+    """Largest day-over-day jump per tile (operators/tiling.py
+    ``tile_changepoint``): consecutive-calendar deltas with gap edges
+    materialized as zero-days — the incident detector over the density
+    time series."""
+    from ..operators.tiling import tile_changepoint
+
+    return tile_changepoint(_traj(spark, sf_dir), res=BURSTY_RES)
+
+
+O_TILE_CHANGEPOINT = f"""
+WITH {TRAJ_SRC_CTE},
+hist AS (
+  SELECT {_tile_sql(BURSTY_RES)} AS tile, ep // 86400 AS day, count(*) AS x
+  FROM src GROUP BY 1, 2
+),
+lagged AS (
+  SELECT tile, day, x,
+         lag(day) OVER (PARTITION BY tile ORDER BY day) AS pd,
+         lag(x) OVER (PARTITION BY tile ORDER BY day) AS px
+  FROM hist
+),
+deltas AS (
+  SELECT tile, day AS jump_day, x - px AS jump, px AS prev_cnt, x AS day_cnt
+  FROM lagged WHERE pd = day - 1
+  UNION ALL
+  SELECT tile, pd + 1, -px, px, 0 FROM lagged
+  WHERE pd IS NOT NULL AND pd < day - 1
+  UNION ALL
+  SELECT tile, day, x, 0, x FROM lagged
+  WHERE pd IS NOT NULL AND pd < day - 1
+),
+ranked AS (
+  SELECT tile, jump_day, jump, prev_cnt, day_cnt,
+         row_number() OVER (PARTITION BY tile
+                            ORDER BY ABS(jump) DESC, jump_day ASC) AS rn
+  FROM deltas
+)
+SELECT tile, CAST(jump_day AS BIGINT) AS jump_day, CAST(jump AS BIGINT) AS jump,
+       CAST(prev_cnt AS BIGINT) AS prev_cnt, CAST(day_cnt AS BIGINT) AS day_cnt
+FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY.update({"tile_changepoint": (q_tile_changepoint, O_TILE_CHANGEPOINT)})
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Longest consecutive-active-day streaks per user
+    (operators/tiling.py ``activity_streaks``): the gaps-and-islands
+    pattern (day - row_number constant within an island) — the
+    retention/engagement headline."""
+    from ..operators.tiling import activity_streaks
+
+    return activity_streaks(_traj(spark, sf_dir))
+
+
+O_ACTIVITY_STREAKS = f"""
+WITH {TRAJ_SRC_CTE},
+d AS (SELECT DISTINCT user_id AS entity, ep // 86400 AS day FROM src),
+grp AS (
+  SELECT entity, day,
+         day - row_number() OVER (PARTITION BY entity ORDER BY day) AS g
+  FROM d
+),
+islands AS (
+  SELECT entity, g, count(*) AS len, min(day) AS start
+  FROM grp GROUP BY 1, 2
+),
+ranked AS (
+  SELECT entity, len, start,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY len DESC, start ASC) AS rn,
+         sum(len) OVER (PARTITION BY entity) AS n_active_days,
+         count(*) OVER (PARTITION BY entity) AS n_streaks
+  FROM islands
+)
+SELECT entity, CAST(n_active_days AS BIGINT) AS n_active_days,
+       CAST(n_streaks AS BIGINT) AS n_streaks,
+       CAST(len AS BIGINT) AS longest_streak,
+       CAST(start AS BIGINT) AS longest_streak_start
+FROM ranked WHERE rn = 1
+"""
+
+
+REGISTRY.update({"activity_streaks": (q_activity_streaks, O_ACTIVITY_STREAKS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -446,3 +446,25 @@ def test_polygon_adjacency_shared_edge(spark):
     out = polygon_adjacency(polys).collect()
     assert len(out) == 1
     assert (out[0]["pid_a"], out[0]["pid_b"], out[0]["n_shared_edges"]) == ("A", "B", 1)
+
+
+def test_tile_changepoint_gap_edges(spark):
+    """A 50-event day followed by a 3-day gap: the biggest |jump| is the
+    fall-to-zero on the day AFTER the burst, not the later small rise."""
+    from langtoolsosm_spark.operators.tiling import tile_changepoint
+
+    rows = [(1, 10 + i, i, 10.0, 10.0) for i in range(50)]          # day 0
+    rows += [(1, 86400 * 4 + 10, 100, 10.0, 10.0)]                  # day 4
+    r = tile_changepoint(_ev(spark, rows), res=5).collect()[0]
+    assert (r["jump_day"], r["jump"], r["prev_cnt"], r["day_cnt"]) == (1, -50, 50, 0)
+
+
+def test_activity_streaks_islands(spark):
+    from langtoolsosm_spark.operators.tiling import activity_streaks
+
+    # user 1 active on days 0,1,2, 5,6, 9 -> 3 streaks, longest 3 @ day 0
+    days = [0, 1, 2, 5, 6, 9]
+    rows = [(1, d * 86400 + 7, i, 10.0, 10.0) for i, d in enumerate(days)]
+    r = activity_streaks(_ev(spark, rows)).collect()[0]
+    assert (r["n_active_days"], r["n_streaks"]) == (6, 3)
+    assert (r["longest_streak"], r["longest_streak_start"]) == (3, 0)
