@@ -542,3 +542,29 @@ def test_graph_ops_plan_shapes(spark):
         p = _plan(df)
         assert "CartesianProduct" not in p
         assert "EvalPython" not in p
+
+
+def test_capture_bursts_scan_excludes_bytes(spark, synth_dir):
+    """Burst detection is metadata-only: the parquet scan must read
+    (phash, lat, lon), never the blob column."""
+    from langtoolsosm_spark.operators.images import capture_bursts
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    plan = _formatted(capture_bursts(images, res=8))
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    assert not any("bytes" in l for l in read_schemas)
+
+
+def test_region_image_stats_shuffles_no_blob(spark, synth_dir):
+    """The PIP/rollup carries one length per row; the blob never appears
+    past the scan (no 'bytes' column in any exchange-side projection)."""
+    from langtoolsosm_spark.operators.images import region_image_stats
+    from langtoolsosm_spark.plans.driver_queries import geo_polygons_df
+
+    images = spark.read.parquet(f"{synth_dir}/images.parquet")
+    df = region_image_stats(images, geo_polygons_df(spark), res=8)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, line
