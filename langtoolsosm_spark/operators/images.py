@@ -1207,7 +1207,11 @@ def region_value_quantiles(
 
     Plan: the PIP join carries (id, px) only; per-polygon ranking is one
     window keyed by polygon (regions bound the partition), then two
-    rank-equality picks in the same pass via conditional aggregation."""
+    rank-equality picks in the same pass via conditional aggregation.
+    Skew note: one polygon = one sort task, so a region holding most of
+    the corpus serializes — at that scale trade exactness for the
+    mergeable quantile sketches (operators/sketches.py grouped
+    quantiles); this operator is the exact-answer member of the pair."""
     from pyspark.sql import Window
 
     from .pip_join import pip_join
