@@ -2551,3 +2551,53 @@ def polygon_adjacency(
         .groupBy("pid_a", "pid_b")
         .agg(F.count(F.lit(1)).alias("n_shared_edges"))
     )
+
+
+def tile_predictability(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-origin-tile Markov predictability audit: for every origin tile
+    in the OD transition matrix, the modal next tile and the exact counts
+    a consumer needs to form the top-1 transition probability
+    (``top_n / total_n``) without any floating-point division in the
+    engine. Ties on the trip count break to the smallest destination tile
+    id so the answer is deterministic. Returns
+    (from_tile, top_to_tile, top_n, total_n, n_dest).
+
+    The reference has no mobility analogue; this extends the engine's OD
+    family (``od_flows``) the way a next-cell predictor's training audit
+    would consume it. Plan: the transition matrix itself is bounded by
+    occupied tile PAIRS (not events), so the ranking window and the
+    per-origin totals both run over histogram-sized data — one window
+    pass partitioned by from_tile after od_flows' two shuffles. At 100x
+    the event volume the matrix grows with distinct pairs only.
+    """
+    from pyspark.sql import Window
+
+    od = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    )
+    w = Window.partitionBy("from_tile")
+    rnk = Window.partitionBy("from_tile").orderBy(
+        F.col("n_trips").desc(), F.col("to_tile").asc()
+    )
+    return (
+        od.withColumn("total_n", F.sum("n_trips").over(w))
+        .withColumn("n_dest", F.count(F.lit(1)).over(w))
+        .withColumn("__r", F.row_number().over(rnk))
+        .filter(F.col("__r") == 1)
+        .select(
+            "from_tile",
+            F.col("to_tile").alias("top_to_tile"),
+            F.col("n_trips").alias("top_n"),
+            "total_n",
+            "n_dest",
+        )
+    )

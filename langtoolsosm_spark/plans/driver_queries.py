@@ -8792,6 +8792,58 @@ FROM ranked WHERE rn = 1
 REGISTRY.update({"activity_streaks": (q_activity_streaks, O_ACTIVITY_STREAKS)})
 
 
+def q_tile_predictability(spark, sf_dir):
+    """Per-origin-tile Markov predictability audit (operators/spatial.py
+    ``tile_predictability``): the modal next tile per origin plus the
+    exact counts behind the top-1 transition probability, ties to the
+    smallest destination id. Window + totals run over the occupied-pair
+    OD matrix, never the raw event stream. The oracle replays the lag
+    window, the ranking and both per-origin totals in SQL."""
+    from ..operators.spatial import tile_predictability
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__pred_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __pred_events"
+    )
+    return tile_predictability(t, "user_id", "ts", res=8, order_tiebreak="event_id")
+
+
+O_TILE_PREDICT = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+g AS (
+  SELECT user_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM t
+),
+trans AS (
+  SELECT prev AS from_tile, tile AS to_tile, count(*) AS n
+  FROM g WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT from_tile, to_tile, n,
+         row_number() OVER (PARTITION BY from_tile
+                            ORDER BY n DESC, to_tile ASC) AS rn,
+         sum(n) OVER (PARTITION BY from_tile) AS total_n,
+         count(*) OVER (PARTITION BY from_tile) AS n_dest
+  FROM trans
+)
+SELECT from_tile, to_tile AS top_to_tile, CAST(n AS BIGINT) AS top_n,
+       CAST(total_n AS BIGINT) AS total_n, CAST(n_dest AS BIGINT) AS n_dest
+FROM r WHERE rn = 1
+"""
+
+
+REGISTRY.update({"tile_predictability": (q_tile_predictability, O_TILE_PREDICT)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:
