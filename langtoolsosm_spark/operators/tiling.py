@@ -1080,3 +1080,62 @@ def activity_streaks(
         F.col("__b.len").alias("longest_streak"),
         (-F.col("__b.ns")).alias("longest_streak_start"),
     )
+
+
+def colocation_lift(
+    events: DataFrame,
+    cat_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Market-basket co-location lift between event categories, with
+    tiles as the baskets: for every unordered category pair the exact
+    contingency counts (tiles containing a, containing b, containing
+    both, total occupied tiles) plus the cross-multiplied lift as an
+    exact integer rational ``lift_num / lift_den`` =
+    (n_both * n_tiles) / (n_a * n_b) — lift > 1 means the categories
+    co-occur spatially more than independence predicts. No float math
+    in the engine; consumers divide. Returns
+    (cat_a, cat_b, n_a, n_b, n_both, n_tiles, lift_num, lift_den).
+
+    Plan: one scan -> distinct (tile, category) presence (map-side
+    partial distinct bounds the shuffle by occupied tiles x categories,
+    not events) -> per-category tile counts (category-cardinality rows,
+    broadcast) -> presence self-join on tile for the pair counts (the
+    only non-trivial shuffle, keyed by tile; per-tile fan-out is
+    C(n_cats, 2), a constant) -> one-row total folded in by crossJoin
+    (the moran_i pattern). At 100x the events the presence frame grows
+    with occupied tiles only; category counts stay a broadcast dim.
+    """
+    pres = (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.col(cat_col).alias("cat"),
+        )
+        .distinct()
+    )
+    per_cat = pres.groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat"))
+    total = pres.select("tile").distinct().agg(
+        F.count(F.lit(1)).alias("n_tiles")
+    )
+    a = pres.select("tile", F.col("cat").alias("cat_a"))
+    b = pres.select("tile", F.col("cat").alias("cat_b"))
+    both = (
+        a.join(b, "tile")
+        .filter(F.col("cat_a") < F.col("cat_b"))
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = per_cat.select(F.col("cat").alias("cat_a"), F.col("n_cat").alias("n_a"))
+    cb = per_cat.select(F.col("cat").alias("cat_b"), F.col("n_cat").alias("n_b"))
+    return (
+        both.join(F.broadcast(ca), "cat_a")
+        .join(F.broadcast(cb), "cat_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cat_a", "cat_b", "n_a", "n_b", "n_both", "n_tiles",
+            (F.col("n_both") * F.col("n_tiles")).alias("lift_num"),
+            (F.col("n_a") * F.col("n_b")).alias("lift_den"),
+        )
+    )

@@ -42,3 +42,28 @@ def test_tile_predictability_modal_and_tiebreak(spark):
     assert row["top_n"] == 2 and row["total_n"] == 4 and row["n_dest"] == 2
     # B->A occurs twice (user 1 returns to A after each B visit)
     assert out[tb]["top_to_tile"] == ta and out[tb]["total_n"] == 2
+
+
+def test_colocation_lift_exact_contingency(spark):
+    from langtoolsosm_spark.operators.tiling import colocation_lift
+
+    # 4 distinct tiles; cat 0 in tiles {T1,T2,T3}, cat 1 in {T1,T4}:
+    # n_both 1, lift = (1*4)/(3*2)
+    pts = {
+        "T1": (10.0, 10.0), "T2": (20.0, 20.0),
+        "T3": (30.0, 30.0), "T4": (40.0, 40.0),
+    }
+    rows = []
+    eid = 0
+    for tname, cat in [("T1", 0), ("T2", 0), ("T3", 0), ("T1", 1), ("T4", 1),
+                       ("T1", 0)]:  # duplicate presence must not double-count
+        lat, lon = pts[tname]
+        rows.append((cat, lat, lon, eid)); eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cat", "lat", "lon", "event_id"]))
+    out = colocation_lift(df, "cat", res=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cat_a"], r["cat_b"]) == (0, 1)
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_tiles"]) == (3, 2, 1, 4)
+    assert (r["lift_num"], r["lift_den"]) == (4, 6)
