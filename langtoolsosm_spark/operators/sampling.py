@@ -325,3 +325,33 @@ def image_shard_pack(
         F.col(id_col), "hkey", "bucket", "size_bytes",
         (F.col("bucket") * F.lit(_SCALE).cast("long") + guarded).alias("shard_id"),
     )
+
+
+def spatial_kfold(
+    df: DataFrame,
+    res: int,
+    k: int = 5,
+    salt: str = "fold0",
+    lat: str = "lat",
+    lon: str = "lon",
+    out_col: str = "fold",
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Spatially-blocked k-fold cross-validation assignment: fold =
+    md5-hash(tile at ``res``) mod ``k``, so every row of one grid cell
+    lands in the same fold — ``geo_split``'s anti-leakage guarantee
+    generalized from named train/val/test proportions to the k equal
+    folds a spatial-CV evaluation loop consumes. Sticky per cell under
+    table growth, identical at any parallelism.
+
+    Pure column expressions end to end (tile key + md5 + mod): no
+    shuffle, no UDF — at 100x the rows this is scan-side arithmetic the
+    optimizer pipelines into whatever consumes the fold column.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from .tiling import assign_tiles
+
+    tiled = assign_tiles(df, res, lat=lat, lon=lon, out=tile_col)
+    h = _hash32(F.col(tile_col), salt)
+    return tiled.withColumn(out_col, (h % k).cast("int"))

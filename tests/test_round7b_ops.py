@@ -67,3 +67,25 @@ def test_colocation_lift_exact_contingency(spark):
     assert (r["cat_a"], r["cat_b"]) == (0, 1)
     assert (r["n_a"], r["n_b"], r["n_both"], r["n_tiles"]) == (3, 2, 1, 4)
     assert (r["lift_num"], r["lift_den"]) == (4, 6)
+
+
+def test_spatial_kfold_blocked_and_balanced(spark):
+    from langtoolsosm_spark.operators.sampling import spatial_kfold
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({
+        "point_id": range(4000),
+        "lat": 35 + rng.rand(4000) * 10,
+        "lon": -5 + rng.rand(4000) * 15,
+    })
+    out = spatial_kfold(spark.createDataFrame(pdf), res=8, k=5)
+    agg = out.groupBy("tile").agg(F.countDistinct("fold").alias("nf")).collect()
+    # spatially blocked: one fold per tile
+    assert all(r["nf"] == 1 for r in agg)
+    folds = {r["fold"]: r["n"] for r in
+             out.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+    assert set(folds) <= set(range(5)) and len(folds) == 5
+    # roughly balanced (hash-uniform over ~hundreds of cells)
+    assert max(folds.values()) < 3 * min(folds.values())
+    with pytest.raises(ValueError):
+        spatial_kfold(spark.createDataFrame(pdf), res=8, k=1)
