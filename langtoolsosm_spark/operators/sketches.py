@@ -217,3 +217,78 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         "sum_scaled",
         est.alias("est_milli"),
     )
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_SALTS = ("cms0:", "cms1:", "cms2:")
+
+
+def cms_bucket(col: F.Column, salt: str, width: int = CMS_WIDTH) -> F.Column:
+    """Count-min bucket for one hash row: first 32 md5 bits of
+    (salt || value) mod ``width`` — the same engine-portable md5-prefix
+    hashing the HLL and the samplers use (no JVM-internal hash)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    mass_denom: int = 256,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with a self-scaling mass threshold:
+    report every key whose CMS estimate (min over CMS_DEPTH hash rows of
+    the bucket counter) holds at least 1/``mass_denom`` of total row
+    mass, alongside its exact count — the sketch answer and its ground
+    truth in one frame, so the CMS one-sided guarantee
+    (``cms_est >= exact_n``) is checkable row by row. The threshold
+    comparison is exact integer cross-multiplication
+    (est * mass_denom >= total). Returns
+    (key, cms_est, exact_n, total_n).
+
+    Scale story (why a sketch when the exact groupBy also runs): the
+    counter table IS the sketch — a map-side-combined groupBy over
+    (row, bucket) whose output is at most CMS_DEPTH * width rows
+    regardless of input size, mergeable across partitions/days/streams
+    by bucket-wise addition. Candidate scoring joins the (tiny,
+    broadcast) counter table CMS_DEPTH times against the distinct-key
+    frame; at 100x the events the only growing frame is the occupied-key
+    histogram. The exact count column rides along from that same
+    histogram — at true 100 TB one would drop it and keep only the
+    sketch side, which never sees a per-key shuffle.
+    """
+    key = F.col(key_col)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            cms_bucket(key, CMS_SALTS[i], width).alias("bucket"),
+        )
+        for i in range(CMS_DEPTH)
+    ])
+    hashed = df.select(key.alias("key"), rows.alias("__rows"))
+    counters = (
+        hashed.select(F.explode("__rows").alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = hashed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    total = exact.agg(F.sum("exact_n").alias("total_n"))
+    scored = exact
+    for i in range(CMS_DEPTH):
+        ci = counters.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"__b{i}"), F.col("c").alias(f"__c{i}")
+        )
+        scored = scored.withColumn(
+            f"__b{i}", cms_bucket(F.col("key"), CMS_SALTS[i], width)
+        ).join(F.broadcast(ci), f"__b{i}")
+    est = F.least(*[F.col(f"__c{i}") for i in range(CMS_DEPTH)])
+    return (
+        scored.withColumn("cms_est", est)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cms_est") * mass_denom >= F.col("total_n"))
+        .select("key", "cms_est", "exact_n", "total_n")
+    )

@@ -8915,6 +8915,58 @@ FROM t
 REGISTRY.update({"spatial_kfold": (q_spatial_kfold, O_SPATIAL_KFOLD)})
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over res-8 event tiles
+    (operators/sketches.py ``cms_heavy_hitters``): keys whose CMS
+    estimate (min over 3 md5-hash rows of 64 bucket counters) holds
+    >= 1/256 of total mass, with the exact count alongside so the
+    one-sided guarantee is checkable. The oracle rebuilds the identical
+    sketch in SQL — counters, min, and the cross-multiplied threshold."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__cms_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM __cms_events"
+    )
+    from ..operators.tiling import assign_tiles
+
+    return cms_heavy_hitters(assign_tiles(t, res=8), "tile", mass_denom=256)
+
+
+_CMS_B = {
+    i: "(" + _o_hex8(f"md5('cms{i}:' || CAST(key AS VARCHAR))", 1) + ") % 64"
+    for i in range(3)
+}
+
+O_HEAVY_HITTERS_CMS = f"""
+WITH t AS (
+  SELECT {_tile_sql(8, lat=TRAJ_LAT_SQL, lon=TRAJ_LON_SQL)} AS key FROM events
+),
+hb AS (
+  SELECT key, {_CMS_B[0]} AS b0, {_CMS_B[1]} AS b1, {_CMS_B[2]} AS b2 FROM t
+),
+c0 AS (SELECT b0 AS bucket, count(*) AS c FROM hb GROUP BY 1),
+c1 AS (SELECT b1 AS bucket, count(*) AS c FROM hb GROUP BY 1),
+c2 AS (SELECT b2 AS bucket, count(*) AS c FROM hb GROUP BY 1),
+exact AS (
+  SELECT key, b0, b1, b2, count(*) AS exact_n FROM hb GROUP BY 1, 2, 3, 4
+),
+total AS (SELECT count(*) AS total_n FROM t)
+SELECT key, CAST(least(c0.c, c1.c, c2.c) AS BIGINT) AS cms_est,
+       CAST(exact_n AS BIGINT) AS exact_n, CAST(total_n AS BIGINT) AS total_n
+FROM exact
+JOIN c0 ON c0.bucket = exact.b0
+JOIN c1 ON c1.bucket = exact.b1
+JOIN c2 ON c2.bucket = exact.b2
+CROSS JOIN total
+WHERE least(c0.c, c1.c, c2.c) * 256 >= total_n
+"""
+
+
+REGISTRY.update({"heavy_hitters_cms": (q_heavy_hitters_cms, O_HEAVY_HITTERS_CMS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -89,3 +89,20 @@ def test_spatial_kfold_blocked_and_balanced(spark):
     assert max(folds.values()) < 3 * min(folds.values())
     with pytest.raises(ValueError):
         spatial_kfold(spark.createDataFrame(pdf), res=8, k=1)
+
+
+def test_cms_heavy_hitters_guarantee_and_threshold(spark):
+    from langtoolsosm_spark.operators.sketches import cms_heavy_hitters
+
+    # 1000 rows: key 7 has 400, key 9 has 300, 300 singleton keys
+    rows = [(7,)] * 400 + [(9,)] * 300 + [(1000 + i,) for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k"]))
+    out = {r["key"]: r for r in
+           cms_heavy_hitters(df, "k", mass_denom=10).collect()}
+    # heavy keys must be reported (CMS never under-counts)
+    assert 7 in out and 9 in out
+    for r in out.values():
+        assert r["cms_est"] >= r["exact_n"]       # one-sided guarantee
+        assert r["cms_est"] * 10 >= r["total_n"]  # threshold honored
+        assert r["total_n"] == 1000
+    assert out[7]["exact_n"] == 400 and out[9]["exact_n"] == 300
