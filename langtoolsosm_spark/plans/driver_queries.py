@@ -8967,6 +8967,41 @@ WHERE least(c0.c, c1.c, c2.c) * 256 >= total_n
 REGISTRY.update({"heavy_hitters_cms": (q_heavy_hitters_cms, O_HEAVY_HITTERS_CMS)})
 
 
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram of the res-7 point-density raster over
+    occupied cells (operators/spatial.py ``semivariogram``): per squared
+    cell-distance bin, the unordered pair count and exact integer sum of
+    squared density differences (half-ring fan, each pair once). The
+    oracle replays the histogram, the 6-offset half-ring join and the
+    integer sums in SQL."""
+    from ..operators.spatial import semivariogram
+
+    return semivariogram(geo_points(spark, sf_dir), res=7, max_lag=2)
+
+
+O_SEMIVARIOGRAM = f"""
+WITH {PTS_CTE},
+h AS (
+  SELECT tile // 128 AS ix, tile % 128 AS iy, count(*) AS x
+  FROM (SELECT {_tile_sql(7)} AS tile FROM pts) GROUP BY 1, 2
+),
+offs AS (
+  SELECT CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy
+  FROM (VALUES (0, 1), (0, 2), (1, -1), (1, 0), (1, 1), (2, 0)) o(dx, dy)
+)
+SELECT CAST(dx * dx + dy * dy AS BIGINT) AS d2,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM((h1.x - h2.x) * (h1.x - h2.x)) AS BIGINT) AS sum_sq_diff
+FROM h h1
+CROSS JOIN offs
+JOIN h h2 ON h2.ix = h1.ix + dx AND h2.iy = h1.iy + dy
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"semivariogram": (q_semivariogram, O_SEMIVARIOGRAM)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -106,3 +106,23 @@ def test_cms_heavy_hitters_guarantee_and_threshold(spark):
         assert r["cms_est"] * 10 >= r["total_n"]  # threshold honored
         assert r["total_n"] == 1000
     assert out[7]["exact_n"] == 400 and out[9]["exact_n"] == 300
+
+
+def test_semivariogram_hand_grid(spark):
+    from langtoolsosm_spark.operators.spatial import semivariogram
+
+    # res 2 -> 90x90-degree cells. Occupy three cells in an L:
+    # A=(ix1,iy1) x2, B=(ix2,iy1) x1, C=(ix1,iy2) x3.
+    # d2=1 pairs: (A,B), (A,C): (2-1)^2 + (2-3)^2 = 2; d2=2 pair (B,C)... 
+    # B=(2,1), C=(1,2) -> only reachable via offset (1,-1) from C: (3-1)^2=4
+    pts = []
+    def cell(ix, iy, n):
+        # center of cell (ix, iy) at res 2: lon = -180 + (ix+.5)*90
+        for _ in range(n):
+            pts.append((-90 + (iy + 0.5) * 45, -180 + (ix + 0.5) * 90))
+    cell(1, 1, 2); cell(2, 1, 1); cell(1, 2, 3)
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["lat", "lon"]))
+    out = {r["d2"]: r for r in semivariogram(df, res=2, max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 2 and out[1]["sum_sq_diff"] == 2
+    assert out[2]["n_pairs"] == 1 and out[2]["sum_sq_diff"] == 4
+    assert 4 not in out  # no occupied pair at distance 2
