@@ -1139,3 +1139,70 @@ def colocation_lift(
             (F.col("n_a") * F.col("n_b")).alias("lift_den"),
         )
     )
+
+
+def compact_cells(
+    df: DataFrame,
+    res: int,
+    res_min: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Hierarchical cell-cover compaction (the H3 ``compactCells``
+    analogue on the quad grid): starting from the occupied cells at
+    ``res``, every complete sibling quad (all 4 children present) is
+    replaced by its parent, recursively up to ``res_min`` — the minimal
+    mixed-resolution cover of the occupied set. Exactly the index-
+    maintenance step a tile-serving layer runs so dense regions are
+    addressed by a few coarse cells while sparse fringes stay fine.
+    Returns (res, ix, iy); a cell appears at the coarsest level whose
+    whole subtree is occupied.
+
+    Plan: one map-side-combined distinct over the fact table produces
+    the level-``res`` occupied set (histogram-sized — nothing after
+    this sees a fact row). Each of the (res - res_min) bounded rounds
+    is a groupBy on the parent key (promotion = HAVING count = 4; the
+    input is distinct so the count IS the sibling count) plus one
+    broadcastable anti-join for the cells emitted at that level; the
+    shrinking frontier is localCheckpoint'd per round (the
+    shortest_paths idiom) so lineage stays flat. Round count is fixed
+    by the resolution gap, never by data size.
+    """
+    from ..functions.cells import MAX_RES
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    if not 0 <= res_min <= res:
+        raise ValueError(f"res_min must be in [0, res], got {res_min}")
+    n = 1 << res
+    cur = (
+        assign_tiles(df, res, lat=lat, lon=lon)
+        .select(
+            (F.col("tile") / F.lit(n)).cast("long").alias("ix"),
+            (F.col("tile") % F.lit(n)).alias("iy"),
+        )
+        .distinct()
+    )
+    outs = []
+    for r in range(res, res_min, -1):
+        cur = cur.localCheckpoint(eager=True)
+        px = (F.col("ix") / 2).cast("long")
+        py = (F.col("iy") / 2).cast("long")
+        promoted = (
+            cur.groupBy(px.alias("px"), py.alias("py"))
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .filter(F.col("__k") == 4)
+            .select("px", "py")
+        )
+        emitted = cur.join(
+            F.broadcast(promoted),
+            (px == F.col("px")) & (py == F.col("py")),
+            "left_anti",
+        ).select(F.lit(r).alias("res"), "ix", "iy")
+        outs.append(emitted)
+        cur = promoted.select(F.col("px").alias("ix"), F.col("py").alias("iy"))
+    outs.append(cur.select(F.lit(res_min).alias("res"), "ix", "iy"))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

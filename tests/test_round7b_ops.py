@@ -126,3 +126,33 @@ def test_semivariogram_hand_grid(spark):
     assert out[1]["n_pairs"] == 2 and out[1]["sum_sq_diff"] == 2
     assert out[2]["n_pairs"] == 1 and out[2]["sum_sq_diff"] == 4
     assert 4 not in out  # no occupied pair at distance 2
+
+
+def test_compact_cells_promotes_complete_quads(spark):
+    from langtoolsosm_spark.operators.tiling import compact_cells
+
+    # res 3 -> 8x8 cells (45 deg lon x 22.5 deg lat). Occupy the full
+    # quad {(2,2),(2,3),(3,2),(3,3)} (-> one res-2 cell (1,1)) plus the
+    # lone cell (5, 1) which must stay at res 3.
+    def center(ix, iy):
+        return (-90 + (iy + 0.5) * 22.5, -180 + (ix + 0.5) * 45.0)
+    pts = [center(2, 2), center(2, 3), center(3, 2), center(3, 3),
+           center(5, 1), center(5, 1)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["lat", "lon"]))
+    out = sorted((r["res"], r["ix"], r["iy"])
+                 for r in compact_cells(df, res=3, res_min=1).collect())
+    assert out == [(2, 1, 1), (3, 5, 1)]
+
+    # expansion invariant: uncompacting the cover reproduces the
+    # original occupied set exactly
+    occupied = {(2, 2), (2, 3), (3, 2), (3, 3), (5, 1)}
+    expanded = set()
+    for res, ix, iy in out:
+        f = 1 << (3 - res)
+        for dx in range(f):
+            for dy in range(f):
+                expanded.add((ix * f + dx, iy * f + dy))
+    assert expanded == occupied
+
+    with pytest.raises(ValueError):
+        compact_cells(df, res=3, res_min=4)
