@@ -2682,3 +2682,60 @@ def semivariogram(
             F.sum(d * d).alias("sum_sq_diff"),
         )
     )
+
+
+def dissolve_perimeter(cells: DataFrame, res: int) -> DataFrame:
+    """Dissolve audit of a rasterized polygon layer: per polygon, the
+    exact cell count, internal rook adjacencies, exposed-edge perimeter
+    (in cell-edge units: ``4 * n_cells - 2 * n_adj``) and boundary-cell
+    count (cells with fewer than 4 same-polygon neighbors) — the
+    integer-exact audit a raster dissolve / generalization stage runs to
+    validate that region merges preserved topology mass. Input is the
+    (polygon_id, tile) frame ``rasterize_polygons`` emits. Returns
+    (polygon_id, n_cells, n_adj, perimeter_edges, n_boundary).
+
+    Plan: the raster frame (histogram-sized — tiles, not points) fans
+    out over the constant 4-offset rook ring and equi-joins itself on
+    (polygon_id, neighbor coords); per-cell degrees aggregate map-side,
+    isolated cells come back via one left join against the cell set,
+    and the polygon rollup is a second map-side-combined groupBy. No
+    stage scales with anything but occupied raster cells.
+    """
+    n = 1 << res
+    c = cells.select(
+        "polygon_id",
+        (F.col("tile") / F.lit(n)).cast("long").alias("ix"),
+        (F.col("tile") % F.lit(n)).alias("iy"),
+    ).distinct()
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+            ]
+        )
+    ).alias("o")
+    fan = c.select("polygon_id", "ix", "iy", off).select(
+        "polygon_id", "ix", "iy",
+        (F.col("ix") + F.col("o.dx")).alias("jx"),
+        (F.col("iy") + F.col("o.dy")).alias("jy"),
+    )
+    other = c.select(
+        F.col("polygon_id").alias("polygon_id"),
+        F.col("ix").alias("jx"),
+        F.col("iy").alias("jy"),
+    )
+    nb = (
+        fan.join(other, ["polygon_id", "jx", "jy"])
+        .groupBy("polygon_id", "ix", "iy")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    deg = c.join(nb, ["polygon_id", "ix", "iy"], "left").select(
+        "polygon_id", F.coalesce(F.col("__d"), F.lit(0)).alias("d")
+    )
+    return deg.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum("d") / 2).cast("long").alias("n_adj"),
+        (4 * F.count(F.lit(1)) - F.sum("d")).alias("perimeter_edges"),
+        F.sum((F.col("d") < 4).cast("long")).alias("n_boundary"),
+    )

@@ -9046,6 +9046,55 @@ O_CELL_COMPACT = _o_cell_compact(8, 5)
 REGISTRY.update({"cell_compact": (q_cell_compact, O_CELL_COMPACT)})
 
 
+def q_dissolve_perimeter(spark, sf_dir):
+    """Raster dissolve audit of the shared polygon fixture at res 10
+    (operators/spatial.py ``dissolve_perimeter``): per polygon the exact
+    cell count, rook adjacencies, exposed-edge perimeter and boundary-
+    cell count. The oracle re-burns the lattice with the shared
+    predicates and replays the 4-offset neighbor join in SQL."""
+    from ..operators.spatial import dissolve_perimeter, rasterize_polygons
+
+    return dissolve_perimeter(
+        rasterize_polygons(geo_polygons_df(spark), res=10), res=10
+    )
+
+
+O_DISSOLVE_PERIMETER = (
+    "WITH " + _RASTER_CELLS_CTE + ",\nr AS MATERIALIZED ("
+    + " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, tile // 1024 AS ix, tile % 1024 AS iy "
+        f"FROM c WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + """),
+offs AS (
+  SELECT CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy
+  FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dx, dy)
+),
+nb AS (
+  SELECT a.polygon_id, a.ix, a.iy, count(*) AS d
+  FROM r a CROSS JOIN offs
+  JOIN r b ON b.polygon_id = a.polygon_id
+          AND b.ix = a.ix + dx AND b.iy = a.iy + dy
+  GROUP BY 1, 2, 3
+),
+deg AS (
+  SELECT r.polygon_id, COALESCE(nb.d, 0) AS d
+  FROM r LEFT JOIN nb
+    ON nb.polygon_id = r.polygon_id AND nb.ix = r.ix AND nb.iy = r.iy
+)
+SELECT polygon_id, CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(SUM(d) // 2 AS BIGINT) AS n_adj,
+       CAST(4 * count(*) - SUM(d) AS BIGINT) AS perimeter_edges,
+       CAST(SUM(CASE WHEN d < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary
+FROM deg GROUP BY 1
+"""
+)
+
+
+REGISTRY.update({"dissolve_perimeter": (q_dissolve_perimeter, O_DISSOLVE_PERIMETER)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

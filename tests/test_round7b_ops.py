@@ -156,3 +156,18 @@ def test_compact_cells_promotes_complete_quads(spark):
 
     with pytest.raises(ValueError):
         compact_cells(df, res=3, res_min=4)
+
+
+def test_dissolve_perimeter_hand_shapes(spark):
+    from langtoolsosm_spark.operators.spatial import dissolve_perimeter
+
+    # res 4 grid; polygon P: 2x2 block -> 4 cells, 4 adjacencies,
+    # perimeter 8, all 4 cells boundary. Polygon Q: single cell.
+    n = 16
+    cells = [("P", ix * n + iy) for ix in (3, 4) for iy in (5, 6)]
+    cells.append(("Q", 9 * n + 9))
+    df = spark.createDataFrame(pd.DataFrame(cells, columns=["polygon_id", "tile"]))
+    out = {r["polygon_id"]: r for r in dissolve_perimeter(df, res=4).collect()}
+    p, q = out["P"], out["Q"]
+    assert (p["n_cells"], p["n_adj"], p["perimeter_edges"], p["n_boundary"]) == (4, 4, 8, 4)
+    assert (q["n_cells"], q["n_adj"], q["perimeter_edges"], q["n_boundary"]) == (1, 0, 4, 1)
