@@ -9095,6 +9095,65 @@ FROM deg GROUP BY 1
 REGISTRY.update({"dissolve_perimeter": (q_dissolve_perimeter, O_DISSOLVE_PERIMETER)})
 
 
+def q_orientation_hist(spark, sf_dir):
+    """Per-image 8-octant gradient orientation histogram
+    (operators/images.py ``orientation_hist``) over a 1-in-32 sample of
+    the RAW subset: central-difference luminance gradients, octant by
+    sign/magnitude comparisons only, zero-gradient pixels excluded. The
+    oracle re-decodes the bytes in SQL and takes the differences via
+    four self-joins of the pixel table — a genuinely different
+    formulation from the kernel's slice arithmetic."""
+    from ..operators.images import orientation_hist
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 32 == 0)
+    )
+    return orientation_hist(imgs)
+
+
+O_ORIENTATION_HIST = f"""
+WITH v AS (
+  SELECT image_id, w, hex(bytes) AS hx, octet_length(bytes) AS len
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+  WHERE fmt = 'raw' AND CAST(substr(image_id, 4, 9) AS BIGINT) % 32 = 0
+),
+series AS (SELECT i FROM generate_series(0, 3100) s(i)),
+b AS (
+  SELECT image_id, w, i,
+         (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16
+       + (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1) AS bv
+  FROM v JOIN series ON i < len
+),
+lum AS MATERIALIZED (
+  SELECT image_id, (i - 9) // 3 // w AS r, (i - 9) // 3 % w AS c,
+         CAST((2126 * SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+             + 7152 * SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+             +  722 * SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END))
+              // 10000 AS BIGINT) AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3
+),
+grad AS (
+  SELECT p.image_id, e.l - w_.l AS gx, s.l - n_.l AS gy
+  FROM lum p
+  JOIN lum e  ON e.image_id = p.image_id AND e.r = p.r AND e.c = p.c + 1
+  JOIN lum w_ ON w_.image_id = p.image_id AND w_.r = p.r AND w_.c = p.c - 1
+  JOIN lum s  ON s.image_id = p.image_id AND s.r = p.r + 1 AND s.c = p.c
+  JOIN lum n_ ON n_.image_id = p.image_id AND n_.r = p.r - 1 AND n_.c = p.c
+)
+SELECT image_id,
+       CAST(CASE WHEN gy < 0 THEN 4 ELSE 0 END
+          + CASE WHEN gx < 0 THEN 2 ELSE 0 END
+          + CASE WHEN abs(gy) > abs(gx) THEN 1 ELSE 0 END AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM grad WHERE NOT (gx = 0 AND gy = 0)
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"orientation_hist": (q_orientation_hist, O_ORIENTATION_HIST)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

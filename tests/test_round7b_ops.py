@@ -171,3 +171,32 @@ def test_dissolve_perimeter_hand_shapes(spark):
     p, q = out["P"], out["Q"]
     assert (p["n_cells"], p["n_adj"], p["perimeter_edges"], p["n_boundary"]) == (4, 4, 8, 4)
     assert (q["n_cells"], q["n_adj"], q["perimeter_edges"], q["n_boundary"]) == (1, 0, 4, 1)
+
+
+def test_orientation_hist_synthetic_gradients(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import orientation_hist
+
+    # vertical luminance ramp: gy > 0 everywhere, gx = 0 -> bin 1
+    h, w = 8, 8
+    ramp = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        ramp[r, :, :] = r * 20
+    # horizontal ramp: gx > 0, gy = 0 -> bin 0
+    hramp = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(w):
+        hramp[:, c, :] = c * 20
+    flat = np.full((h, w, 3), 77, dtype=np.uint8)  # no gradient -> no rows
+    rows = [
+        ("vert", ic.encode_raw(ramp), "raw"),
+        ("horz", ic.encode_raw(hramp), "raw"),
+        ("flat", ic.encode_raw(flat), "raw"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = orientation_hist(df).collect()
+    by_img = {}
+    for r in out:
+        by_img.setdefault(r["image_id"], {})[r["bin"]] = r["n_px"]
+    assert set(by_img["vert"]) == {1} and by_img["vert"][1] == 36
+    assert set(by_img["horz"]) == {0} and by_img["horz"][0] == 36
+    assert "flat" not in by_img
