@@ -1179,3 +1179,164 @@ def run_gyration_stream_once(
         ) WHERE rn = 1
         """
     )
+
+
+def stream_staypoints(
+    stream: DataFrame,
+    dist_micro: int,
+    min_stay_s: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stateful streaming stay-point detection (the streaming half of
+    operators/spatial.py ``staypoints``): per entity, state carries the
+    OPEN anchor segment (anchor coords/rn/epoch + last-extended
+    position); each micro-batch walks its (ts, id)-sorted positions,
+    emits every segment CLOSED in that batch that met ``min_stay_s``
+    (closed = 1, exactly once, in the trigger where the radius broke)
+    plus one open-segment snapshot row per trigger (closed = 0, ``seen``
+    = points processed so far — monotone, so the final snapshot is
+    selectable downstream). ``run_staypoints_stream_once`` finishes the
+    open segment the way the batch walk finishes its trailing segment.
+
+    Ingestion contract: event-time order ACROSS micro-batches per entity
+    (same as ``stream_od_transitions``) — an out-of-order batch RAISES,
+    because an anchor walk replayed out of order is a different walk.
+    The anchor keep/break decision is the identical integer-squared
+    compare as batch, so final output is byte-equal, not approximately
+    equal.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dist_micro < 1:
+        raise ValueError(f"dist_micro must be >= 1, got {dist_micro}")
+    d2 = dist_micro * dist_micro
+    cols = [
+        "entity", "start_rn", "end_rn", "n_pts",
+        "start_ep", "end_ep", "ax", "ay", "closed", "seen",
+    ]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        ts_ns = pdf[ts_col].astype("int64").to_numpy()
+        eids = pdf[id_col].astype("int64").to_numpy()
+        eps = ts_ns // 1_000_000_000
+        xs = np.floor(
+            (pdf[lon].to_numpy() + 180.0) * float(scale)
+        ).astype(np.int64)
+        ys = np.floor(
+            (pdf[lat].to_numpy() + 90.0) * float(scale)
+        ).astype(np.int64)
+        rows = []
+        if state.exists:
+            ax, ay, a_rn, a_ep, l_rn, l_ep, l_eid, seen = (
+                int(v) for v in state.get
+            )
+            if (int(ts_ns[0] // 1_000_000_000), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {key[0]}: the "
+                    "ordered-ingestion contract is broken — a stay-point "
+                    "anchor walk replayed out of order diverges from batch"
+                )
+            has_anchor = True
+        else:
+            ax = ay = a_rn = a_ep = l_rn = l_ep = l_eid = seen = 0
+            has_anchor = False
+        ent = int(key[0])
+        for i in range(len(pdf)):
+            seen += 1
+            x, y, ep = int(xs[i]), int(ys[i]), int(eps[i])
+            if not has_anchor:
+                ax, ay, a_rn, a_ep = x, y, seen, ep
+                l_rn, l_ep = seen, ep
+                has_anchor = True
+            elif (x - ax) ** 2 + (y - ay) ** 2 <= d2:
+                l_rn, l_ep = seen, ep
+            else:
+                if l_ep - a_ep >= min_stay_s:
+                    rows.append(
+                        (ent, a_rn, l_rn, l_rn - a_rn + 1,
+                         a_ep, l_ep, ax, ay, 1, seen)
+                    )
+                ax, ay, a_rn, a_ep = x, y, seen, ep
+                l_rn, l_ep = seen, ep
+            l_eid = int(eids[i])
+        state.update((ax, ay, a_rn, a_ep, l_rn, l_ep, l_eid, seen))
+        rows.append((ent, a_rn, l_rn, l_rn - a_rn + 1, a_ep, l_ep, ax, ay, 0, seen))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col), F.col(id_col), F.col(lat), F.col(lon),
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType=(
+            "entity long, start_rn long, end_rn long, n_pts long, "
+            "start_ep long, end_ep long, ax long, ay long, "
+            "closed long, seen long"
+        ),
+        stateStructType=(
+            "ax long, ay long, a_rn long, a_ep long, "
+            "l_rn long, l_ep long, l_eid long, seen long"
+        ),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_staypoints_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    dist_micro: int,
+    min_stay_s: int,
+) -> DataFrame:
+    """Drive the streaming stay-point kernel over all staged files and
+    finish each entity's final OPEN segment exactly as the batch walk
+    finishes its trailing segment: the last open-snapshot row (max
+    ``seen``) qualifies iff it lasted ``min_stay_s``. Closed rows pass
+    through untouched — the union is byte-equal to batch
+    ``staypoints``."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"stay_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_staypoints(st, dist_micro, min_stay_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT entity, start_rn, end_rn, n_pts, start_ep, end_ep, ax, ay
+        FROM {name} WHERE closed = 1
+        UNION ALL
+        SELECT entity, start_rn, end_rn, n_pts, start_ep, end_ep, ax, ay
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY entity
+                                       ORDER BY seen DESC) AS rn2
+          FROM {name} WHERE closed = 0
+        ) WHERE rn2 = 1 AND end_ep - start_ep >= {min_stay_s}
+        """
+    )

@@ -200,3 +200,44 @@ def test_orientation_hist_synthetic_gradients(spark):
     assert set(by_img["vert"]) == {1} and by_img["vert"][1] == 36
     assert set(by_img["horz"]) == {0} and by_img["horz"][0] == 36
     assert "flat" not in by_img
+
+
+def test_stream_staypoints_parity_with_batch(spark, tmp_path):
+    import os
+    from langtoolsosm_spark.operators.spatial import staypoints
+    from langtoolsosm_spark.streaming.microbatch import run_staypoints_stream_once
+
+    rng = np.random.RandomState(7)
+    rows = []
+    eid = 0
+    ts0 = 1_700_000_000
+    for u in (1, 2):
+        t = ts0
+        # two stays separated by a jump, then a tail of wandering
+        for stay_center in ((10.0, 10.0), (30.0, 30.0)):
+            for i in range(6):
+                rows.append((u, t, eid,
+                             stay_center[0] + rng.rand() * 0.5,
+                             stay_center[1] + rng.rand() * 0.5))
+                t += 400; eid += 1
+        for i in range(4):
+            rows.append((u, t, eid, 50.0 + i * 8.0, -50.0 + i * 8.0))
+            t += 400; eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    df = _ev(spark, pdf.itertuples(index=False, name=None))
+
+    batch = sorted(tuple(r) for r in
+                   staypoints(df, dist_micro=1_000_000, min_stay_s=1000).collect())
+
+    src = str(tmp_path / "src"); os.makedirs(src)
+    spdf = df.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+    spdf["ts"] = spdf["ts"].astype("datetime64[us]")
+    n = len(spdf)
+    for i in range(3):
+        p = os.path.join(src, f"b{i}.parquet")
+        spdf.iloc[i * n // 3: (i + 1) * n // 3].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = sorted(tuple(r) for r in run_staypoints_stream_once(
+        spark, src, str(tmp_path / "ckpt"),
+        dist_micro=1_000_000, min_stay_s=1000).collect())
+    assert batch == streamed and len(batch) >= 2
