@@ -2739,3 +2739,48 @@ def dissolve_perimeter(cells: DataFrame, res: int) -> DataFrame:
         (4 * F.count(F.lit(1)) - F.sum("d")).alias("perimeter_edges"),
         F.sum((F.col("d") < 4).cast("long")).alias("n_boundary"),
     )
+
+
+def od_reciprocity(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Flow reciprocity of the OD matrix: one row per unordered tile
+    pair {a, b} (a < b, intra-tile flows excluded) with the exact trip
+    counts in each direction and their min — the balanced (reciprocated)
+    flow. Network-science consumers form the weighted reciprocity
+    sum(min)/sum(total) from the columns; the engine keeps everything
+    integer. Returns (tile_a, tile_b, n_ab, n_ba, n_recip).
+
+    Plan: the OD matrix (occupied-pair-sized) joins its own reversal on
+    the canonicalized key — a FULL OUTER self-join so one-directional
+    pairs survive with a zero reverse count; both sides shuffle on the
+    same (min, max) composite key. Nothing touches raw events after
+    ``od_flows``'s window."""
+    od = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    ).filter(F.col("from_tile") != F.col("to_tile"))
+    fwd = od.filter(F.col("from_tile") < F.col("to_tile")).select(
+        F.col("from_tile").alias("tile_a"),
+        F.col("to_tile").alias("tile_b"),
+        F.col("n_trips").alias("n_ab"),
+    )
+    rev = od.filter(F.col("from_tile") > F.col("to_tile")).select(
+        F.col("to_tile").alias("tile_a"),
+        F.col("from_tile").alias("tile_b"),
+        F.col("n_trips").alias("n_ba"),
+    )
+    j = fwd.join(rev, ["tile_a", "tile_b"], "full_outer")
+    n_ab = F.coalesce(F.col("n_ab"), F.lit(0))
+    n_ba = F.coalesce(F.col("n_ba"), F.lit(0))
+    return j.select(
+        "tile_a", "tile_b",
+        n_ab.alias("n_ab"), n_ba.alias("n_ba"),
+        F.least(n_ab, n_ba).alias("n_recip"),
+    )

@@ -9192,6 +9192,57 @@ def q_stream_staypoints(spark, sf_dir):
 REGISTRY.update({"stream_staypoints": (q_stream_staypoints, O_STAYPOINTS)})
 
 
+def q_od_reciprocity(spark, sf_dir):
+    """OD flow reciprocity per unordered tile pair (operators/spatial.py
+    ``od_reciprocity``): directional trip counts and their min via a
+    full-outer self-join of the OD matrix on the canonical key. The
+    oracle replays the lag window, both directional rollups and the
+    full-outer coalesce in SQL."""
+    from ..operators.spatial import od_reciprocity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__recip_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, event_id, {TRAJ_LAT_SQL} AS lat, "
+        f"{TRAJ_LON_SQL} AS lon FROM __recip_events"
+    )
+    return od_reciprocity(t, "user_id", "ts", res=8, order_tiebreak="event_id")
+
+
+O_OD_RECIPROCITY = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+g AS (
+  SELECT user_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM t
+),
+od AS (
+  SELECT prev AS from_tile, tile AS to_tile, count(*) AS n
+  FROM g WHERE prev IS NOT NULL AND prev <> tile GROUP BY 1, 2
+),
+fwd AS (SELECT from_tile AS tile_a, to_tile AS tile_b, n AS n_ab
+        FROM od WHERE from_tile < to_tile),
+rev AS (SELECT to_tile AS tile_a, from_tile AS tile_b, n AS n_ba
+        FROM od WHERE from_tile > to_tile)
+SELECT COALESCE(fwd.tile_a, rev.tile_a) AS tile_a,
+       COALESCE(fwd.tile_b, rev.tile_b) AS tile_b,
+       CAST(COALESCE(n_ab, 0) AS BIGINT) AS n_ab,
+       CAST(COALESCE(n_ba, 0) AS BIGINT) AS n_ba,
+       CAST(least(COALESCE(n_ab, 0), COALESCE(n_ba, 0)) AS BIGINT) AS n_recip
+FROM fwd FULL OUTER JOIN rev
+  ON fwd.tile_a = rev.tile_a AND fwd.tile_b = rev.tile_b
+"""
+
+
+REGISTRY.update({"od_reciprocity": (q_od_reciprocity, O_OD_RECIPROCITY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -241,3 +241,30 @@ def test_stream_staypoints_parity_with_batch(spark, tmp_path):
         spark, src, str(tmp_path / "ckpt"),
         dist_micro=1_000_000, min_stay_s=1000).collect())
     assert batch == streamed and len(batch) >= 2
+
+
+def test_od_reciprocity_directional_counts(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import od_reciprocity
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *b), (1, 2, 2, *a), (1, 3, 3, *b),
+        (2, 0, 4, *b), (2, 1, 5, *a), (2, 2, 6, *a),  # B->A then A->A (intra, dropped)
+        (3, 0, 7, *a), (3, 1, 8, *c),
+    ]
+    out = {(r["tile_a"], r["tile_b"]): r for r in od_reciprocity(
+        _ev(spark, rows), "user_id", "ts", res=6,
+        order_tiebreak="event_id").collect()}
+
+    def t(p):
+        return int(tile_key(np.array([p[0]]), np.array([p[1]]), 6)[0])
+    ta, tb, tc = t(a), t(b), t(c)
+    kab = (min(ta, tb), max(ta, tb))
+    r = out[kab]
+    # user 1 alternates A,B,A,B: A->B twice and B->A once; user 2 adds
+    # another B->A -> 2 trips each way
+    assert (r["n_ab"], r["n_ba"]) == (2, 2) and r["n_recip"] == 2
+    kac = (min(ta, tc), max(ta, tc))
+    r2 = out[kac]
+    assert sorted((r2["n_ab"], r2["n_ba"])) == [0, 1] and r2["n_recip"] == 0
