@@ -1206,3 +1206,65 @@ def compact_cells(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def tile_coverage_curve(
+    df: DataFrame,
+    res: int = 8,
+    deciles: int = 10,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Workload-concentration curve — the skew audit behind every
+    salting/bucketing decision: for each mass decile d, the minimum
+    number of top tiles (by row count, ties to the smaller tile id)
+    whose cumulative count reaches d/``deciles`` of all rows, plus the
+    exact count they cover. A uniform layer needs ~d% of tiles for d%
+    of mass; a skewed one reaches 50% of mass in a handful of cells —
+    this is the number that says whether ``salted_repartition`` is
+    worth its shuffle. Returns (decile, n_tiles, covered_rows,
+    total_rows) with exact integer threshold math
+    (cum * deciles >= total * d — no float division).
+
+    Plan: one map-side-combined histogram off the fact table, then a
+    single global-order window over the HISTOGRAM (occupied tiles, not
+    rows — acceptable single-partition work for the same reason the
+    quantile sketch's register sort is: it is sketch-sized), a constant
+    ``deciles``-way fan-out and a min-rank rollup.
+    """
+    if deciles < 1:
+        raise ValueError(f"deciles must be >= 1, got {deciles}")
+    from pyspark.sql import Window
+
+    hist = (
+        assign_tiles(df, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tile").asc())
+    ranked = hist.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    total = hist.agg(F.sum("n").alias("total_rows"))
+    dec = F.explode(
+        F.array(*[F.lit(i) for i in range(1, deciles + 1)])
+    ).alias("decile")
+    fan = ranked.crossJoin(F.broadcast(total)).select(
+        "rank", "cum", "total_rows", dec
+    )
+    return (
+        fan.filter(F.col("cum") * deciles >= F.col("total_rows") * F.col("decile"))
+        .groupBy("decile")
+        .agg(
+            F.min("rank").alias("n_tiles"),
+            F.min(F.struct("rank", "cum", "total_rows")).alias("__b"),
+        )
+        .select(
+            "decile", "n_tiles",
+            F.col("__b.cum").alias("covered_rows"),
+            F.col("__b.total_rows").alias("total_rows"),
+        )
+    )

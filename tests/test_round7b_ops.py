@@ -268,3 +268,22 @@ def test_od_reciprocity_directional_counts(spark):
     kac = (min(ta, tc), max(ta, tc))
     r2 = out[kac]
     assert sorted((r2["n_ab"], r2["n_ba"])) == [0, 1] and r2["n_recip"] == 0
+
+
+def test_tile_coverage_curve_hand_case(spark):
+    from langtoolsosm_spark.operators.tiling import tile_coverage_curve
+
+    # three tiles with 6/3/1 rows (total 10): 50% needs 1 tile (6 covers),
+    # 70% needs 2 (9), 100% needs all 3
+    pts = []
+    for (lat, lon), n in [((10.0, 10.0), 6), ((40.0, 40.0), 3),
+                          ((-40.0, -40.0), 1)]:
+        pts += [(lat, lon)] * n
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["lat", "lon"]))
+    out = {r["decile"]: r for r in tile_coverage_curve(df, res=6).collect()}
+    assert len(out) == 10
+    assert out[5]["n_tiles"] == 1 and out[5]["covered_rows"] == 6
+    assert out[6]["n_tiles"] == 1   # 6/10 >= 0.6
+    assert out[7]["n_tiles"] == 2 and out[7]["covered_rows"] == 9
+    assert out[10]["n_tiles"] == 3 and out[10]["covered_rows"] == 10
+    assert all(r["total_rows"] == 10 for r in out.values())
