@@ -1268,3 +1268,122 @@ def tile_coverage_curve(
             F.col("__b.total_rows").alias("total_rows"),
         )
     )
+
+
+def wait_time_hist(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-tile inter-arrival (wait-time) audit rolled into a global
+    log2-bucket histogram: within each tile, order events by epoch
+    second and bucket every successive gap by its binary digit count
+    (bucket b = length(bin(gap)), so b=1 covers {0,1}s and b>=2 covers
+    [2^(b-1), 2^b) — exact integer bucketing, no float log). The
+    histogram answers "how bursty is arrival at a cell" for
+    refresh-rate/TTL tuning. Returns (bucket, n_gaps, total_gap_s,
+    max_gap_s).
+
+    Plan: one lag window partitioned by the TILE key (narrow
+    two-column frame; partition width is bounded per cell the same way
+    every per-tile window here is — at 100x a pathologically hot cell
+    is exactly what ``salted_repartition``'s audit upstream flags) +
+    one map-side-combined groupBy on <=64 bucket keys."""
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy("tile").orderBy(*order)
+    gaps = (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+            *([F.col(order_tiebreak)] if order_tiebreak else []),
+        )
+        .withColumn("__prev", F.lag("__ep").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select((F.col("__ep") - F.col("__prev")).alias("gap"))
+    )
+    return (
+        gaps.select(F.length(F.bin(F.col("gap"))).cast("int").alias("bucket"), "gap")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("total_gap_s"),
+            F.max("gap").alias("max_gap_s"),
+        )
+    )
+
+
+def exploration_curve(
+    events: DataFrame,
+    res: int,
+    deciles: int = 10,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Population exploration curve (Song et al. 2010 novelty decay):
+    for each entity, walk its events in time order and count the
+    cumulative number of DISTINCT tiles seen; checkpoint that count at
+    each event-index decile and sum across entities. Early deciles near
+    the per-decile event budget mean explorers; a flat tail means
+    returners. Returns (decile, sum_tiles, n_entities) — exact
+    integers, decile d holds each entity's distinct-tile count after
+    its first ceil(d/``deciles``) fraction of events.
+
+    Plan: three windows over the SAME per-entity partitioning (one
+    shuffle: first-visit flag via row_number per (entity, tile),
+    event rank + running novelty sum per entity), then two map-side
+    combined groupBys (entity x decile, then decile)."""
+    if deciles < 1:
+        raise ValueError(f"deciles must be >= 1, got {deciles}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w_ent = Window.partitionBy("entity").orderBy(*order)
+    w_tile = Window.partitionBy("entity", "tile").orderBy(*order)
+    flagged = base.select(
+        "entity",
+        "__ep",
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+        F.when(F.row_number().over(w_tile) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    walked = flagged.select(
+        "entity",
+        F.row_number().over(w_ent).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("entity")).alias("n"),
+        F.sum("is_new")
+        .over(w_ent.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tiles"),
+    )
+    per_decile = (
+        walked.select(
+            "entity",
+            "cum_tiles",
+            F.expr(f"((r - 1) * {deciles}) div n").alias("__d0"),
+        )
+        .select("entity", "cum_tiles", (F.col("__d0") + 1).cast("int").alias("decile"))
+        .groupBy("entity", "decile")
+        .agg(F.max("cum_tiles").alias("tiles_at"))
+    )
+    return per_decile.groupBy("decile").agg(
+        F.sum("tiles_at").alias("sum_tiles"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )

@@ -9286,6 +9286,85 @@ FROM best JOIN fan f2 ON f2.decile = best.decile AND f2.rank = best.n_tiles
 REGISTRY.update({"tile_coverage_curve": (q_tile_coverage_curve, O_TILE_COVERAGE_CURVE)})
 
 
+def q_wait_time_hist(spark, sf_dir):
+    """Per-tile inter-arrival log2-bucket histogram (operators/tiling.py
+    ``wait_time_hist``): successive per-tile event gaps bucketed by
+    binary digit count — exact integer bucketing via length(bin(gap)),
+    identical in both engines. The oracle replays the per-tile lag
+    window and the bucket rollup in SQL."""
+    from ..operators.tiling import wait_time_hist
+
+    return wait_time_hist(_traj(spark, sf_dir), res=8, order_tiebreak="event_id")
+
+
+O_WAIT_TIME_HIST = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT {_tile_sql(8)} AS tile, ep,
+         lag(ep) OVER (PARTITION BY {_tile_sql(8)} ORDER BY ep, event_id) AS prev
+  FROM src
+),
+gaps AS (SELECT ep - prev AS gap FROM g WHERE prev IS NOT NULL)
+SELECT CAST(length(bin(gap)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS total_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s
+FROM gaps GROUP BY 1
+"""
+
+
+REGISTRY.update({"wait_time_hist": (q_wait_time_hist, O_WAIT_TIME_HIST)})
+
+
+def q_exploration_curve(spark, sf_dir):
+    """Population exploration curve (operators/tiling.py
+    ``exploration_curve``): cumulative distinct-tile counts per entity,
+    checkpointed at event-index deciles and summed across entities —
+    the novelty-decay audit. The oracle replays the first-visit flag,
+    both per-entity windows and the two rollups in SQL."""
+    from ..operators.tiling import exploration_curve
+
+    return exploration_curve(
+        _traj(spark, sf_dir), res=8, order_tiebreak="event_id"
+    )
+
+
+O_EXPLORATION_CURVE = f"""
+WITH {TRAJ_SRC_CTE},
+b AS (
+  SELECT user_id AS entity, ep, event_id, {_tile_sql(8)} AS tile FROM src
+),
+flagged AS (
+  SELECT entity, ep, event_id,
+         CASE WHEN row_number() OVER (
+           PARTITION BY entity, tile ORDER BY ep, event_id
+         ) = 1 THEN 1 ELSE 0 END AS is_new
+  FROM b
+),
+walked AS (
+  SELECT entity,
+         row_number() OVER (PARTITION BY entity ORDER BY ep, event_id) AS r,
+         count(*) OVER (PARTITION BY entity) AS n,
+         sum(is_new) OVER (
+           PARTITION BY entity ORDER BY ep, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tiles
+  FROM flagged
+),
+per_decile AS (
+  SELECT entity, CAST(((r - 1) * 10) // n + 1 AS INT) AS decile,
+         max(cum_tiles) AS tiles_at
+  FROM walked GROUP BY 1, 2
+)
+SELECT decile, CAST(sum(tiles_at) AS BIGINT) AS sum_tiles,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM per_decile GROUP BY 1
+"""
+
+
+REGISTRY.update({"exploration_curve": (q_exploration_curve, O_EXPLORATION_CURVE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

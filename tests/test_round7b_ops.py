@@ -287,3 +287,50 @@ def test_tile_coverage_curve_hand_case(spark):
     assert out[7]["n_tiles"] == 2 and out[7]["covered_rows"] == 9
     assert out[10]["n_tiles"] == 3 and out[10]["covered_rows"] == 10
     assert all(r["total_rows"] == 10 for r in out.values())
+
+
+def test_wait_time_hist_hand_gaps(spark):
+    from langtoolsosm_spark.operators.tiling import wait_time_hist
+
+    a, b = (10.0, 10.0), (40.0, 40.0)
+    # tile A gaps: 1s, 3s, 0s; tile B: one event, no gap
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *a), (1, 4, 2, *a), (2, 4, 3, *a),
+        (1, 9, 4, *b),
+    ]
+    out = {r["bucket"]: r for r in
+           wait_time_hist(_ev(spark, rows), res=6,
+                          order_tiebreak="event_id").collect()}
+    # gaps 0 and 1 -> bucket 1 (len(bin) == 1); gap 3 -> bucket 2
+    assert out[1]["n_gaps"] == 2 and out[1]["total_gap_s"] == 1
+    assert out[2]["n_gaps"] == 1 and out[2]["max_gap_s"] == 3
+    assert set(out) == {1, 2}
+
+
+def test_exploration_curve_hand_walk(spark):
+    from langtoolsosm_spark.operators.tiling import exploration_curve
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    # user 1 (5 events): A B A C B -> cum tiles 1,2,2,3,3 at deciles
+    # 1,3,5,7,9; user 2 (1 event): A -> decile 1 only
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *b), (1, 2, 2, *a),
+        (1, 3, 3, *c), (1, 4, 4, *b),
+        (2, 0, 5, *a),
+    ]
+    out = {r["decile"]: r for r in
+           exploration_curve(_ev(spark, rows), res=6,
+                             order_tiebreak="event_id").collect()}
+    assert out[1]["sum_tiles"] == 2 and out[1]["n_entities"] == 2
+    assert out[3]["sum_tiles"] == 2 and out[3]["n_entities"] == 1
+    assert out[5]["sum_tiles"] == 2
+    assert out[7]["sum_tiles"] == 3
+    assert out[9]["sum_tiles"] == 3
+    assert set(out) == {1, 3, 5, 7, 9}
+
+
+def test_exploration_curve_rejects_bad_deciles(spark):
+    from langtoolsosm_spark.operators.tiling import exploration_curve
+
+    with pytest.raises(ValueError, match="deciles"):
+        exploration_curve(_ev(spark, [(1, 0, 0, 1.0, 1.0)]), res=6, deciles=0)
