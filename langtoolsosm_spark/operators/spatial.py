@@ -2784,3 +2784,146 @@ def od_reciprocity(
         n_ab.alias("n_ab"), n_ba.alias("n_ba"),
         F.least(n_ab, n_ba).alias("n_recip"),
     )
+
+
+def quadrat_chi2(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Quadrat-count chi-square statistic for complete spatial
+    randomness (CSR), the classic first-pass clustering test: grid the
+    OCCUPIED bounding box of the point set into the res-``tile`` lattice
+    and compare per-quadrat counts against the uniform expectation
+    N/Q. With Q quadrats (bbox cells, empties included) and N points,
+
+        chi2 = sum_i (n_i - N/Q)^2 / (N/Q) = (Q * sum_i n_i^2 - N^2) / N
+
+    — all-integer numerator/denominator (empty quadrats contribute only
+    through Q), computed in DECIMAL(38,0) so N^2-scale products never
+    overflow; the single num/den division is the only float op. Returns
+    ONE row (res, n_points, n_quadrats, occupied, chi2_num, chi2_den,
+    chi2). chi2 >> Q-1 means clustered; ~Q-1 means CSR.
+
+    Plan: one map-side-combined histogram, then ONE single-row
+    aggregate over it (bbox bounds + moments together — no second scan
+    of the fact table, no lattice materialization)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    from .tiling import assign_tiles
+
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    dec = "decimal(38,0)"
+    base = hist.agg(
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("q2"),
+        F.count(F.lit(1)).alias("occ"),
+        F.min(ix).alias("x0"),
+        F.max(ix).alias("x1"),
+        F.min(iy).alias("y0"),
+        F.max(iy).alias("y1"),
+    )
+    nq = (
+        (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+    ).cast(dec)
+    num = nq * F.col("q2") - F.col("s") * F.col("s")
+    return base.select(
+        F.lit(res).alias("res"),
+        F.col("s").cast("long").alias("n_points"),
+        nq.cast("long").alias("n_quadrats"),
+        F.col("occ").alias("occupied"),
+        num.cast("double").alias("chi2_num"),
+        F.col("s").cast("double").alias("chi2_den"),
+        (num.cast("double") / F.col("s").cast("double")).alias("chi2"),
+    )
+
+
+def join_counts(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Join-count statistics (Cliff & Ord) over the binarized density
+    raster: mark each OCCUPIED res-cell black iff its count reaches the
+    occupied-cell mean (integer cross-multiply ``x * C >= N`` — no
+    float threshold), then count rook-adjacent unordered pairs by
+    color: BB (black-black), WW, BW. An excess of BB over the random
+    expectation means hot cells clump; an excess of BW means a
+    salt-and-pepper field. Adjacency is over occupied cells only (the
+    occupied-raster graph — empty neighbors are not observations).
+    Returns ONE row (res, n_black, n_white, n_pairs, bb, ww, bw).
+
+    Plan: map-side-combined histogram -> single-row stats crossJoin
+    (broadcast, the moran_i pattern) to mark colors -> one 2-offset
+    (E, N) equi-join of the tiny marked histogram with itself -> two
+    single-row aggregates."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    from .tiling import assign_tiles
+
+    hist = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = hist.agg(
+        F.sum("x").alias("tot"), F.count(F.lit(1)).alias("occ")
+    )
+    marked = hist.crossJoin(F.broadcast(stats)).select(
+        "tile",
+        (F.col("x") * F.col("occ") >= F.col("tot")).cast("long").alias("black"),
+    )
+    colors = marked.agg(
+        F.sum("black").alias("n_black"),
+        F.sum(F.lit(1) - F.col("black")).alias("n_white"),
+    )
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((1, 0), (0, 1))
+            ]
+        )
+    ).alias("o")
+    fan = (
+        marked.select("tile", "black", off)
+        .select(
+            ((ix + F.col("o.dx")) * F.lit(n) + (iy + F.col("o.dy"))).alias("ntile"),
+            (ix + F.col("o.dx")).alias("nx"),
+            (iy + F.col("o.dy")).alias("ny"),
+            F.col("black").alias("b1"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+    )
+    pairs = fan.join(marked, fan["ntile"] == marked["tile"], "inner").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(F.col("b1") * F.col("black")), F.lit(0)).alias("bb"),
+        F.coalesce(
+            F.sum((F.lit(1) - F.col("b1")) * (F.lit(1) - F.col("black"))),
+            F.lit(0),
+        ).alias("ww"),
+    )
+    return colors.crossJoin(pairs).select(
+        F.lit(res).alias("res"),
+        F.col("n_black").cast("long").alias("n_black"),
+        F.col("n_white").cast("long").alias("n_white"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("bb").cast("long").alias("bb"),
+        F.col("ww").cast("long").alias("ww"),
+        (F.col("n_pairs") - F.col("bb") - F.col("ww")).cast("long").alias("bw"),
+    )

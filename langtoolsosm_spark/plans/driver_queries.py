@@ -9365,6 +9365,92 @@ FROM per_decile GROUP BY 1
 REGISTRY.update({"exploration_curve": (q_exploration_curve, O_EXPLORATION_CURVE)})
 
 
+QUADRAT_RES = 8
+
+
+def q_quadrat_chi2(spark, sf_dir):
+    """Quadrat-count CSR chi-square over the occupied bbox lattice
+    (operators/spatial.py ``quadrat_chi2``): all-integer numerator and
+    denominator from one histogram aggregate; the oracle replays the
+    histogram, bbox bounds and the closed-form chi2 in SQL."""
+    from ..operators.spatial import quadrat_chi2
+
+    return quadrat_chi2(geo_points(spark, sf_dir), res=QUADRAT_RES)
+
+
+O_QUADRAT_CHI2 = f"""
+WITH {PTS_CTE},
+hist AS (SELECT {_tile_sql(8)} AS tile, count(*) AS x FROM pts GROUP BY 1),
+base AS (
+  SELECT CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q2,
+         count(*) AS occ,
+         min(tile // 256) AS x0, max(tile // 256) AS x1,
+         min(tile % 256) AS y0, max(tile % 256) AS y1
+  FROM hist
+),
+alg AS (
+  SELECT occ, s,
+         CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS HUGEINT) AS nq,
+         CAST((x1 - x0 + 1) * (y1 - y0 + 1) AS HUGEINT) * q2 - s * s AS num_i
+  FROM base
+)
+SELECT 8 AS res, CAST(s AS BIGINT) AS n_points,
+       CAST(nq AS BIGINT) AS n_quadrats, occ AS occupied,
+       CAST(num_i AS DOUBLE) AS chi2_num, CAST(s AS DOUBLE) AS chi2_den,
+       CAST(num_i AS DOUBLE) / CAST(s AS DOUBLE) AS chi2
+FROM alg
+"""
+
+
+REGISTRY.update({"quadrat_chi2": (q_quadrat_chi2, O_QUADRAT_CHI2)})
+
+
+def q_join_counts(spark, sf_dir):
+    """Cliff-Ord join-count statistics over the binarized density
+    raster (operators/spatial.py ``join_counts``): occupied cells
+    marked black by the integer cross-multiplied occupied-mean
+    threshold, rook pairs counted by color. The oracle replays the
+    histogram, the marking and the 2-offset pair join in SQL."""
+    from ..operators.spatial import join_counts
+
+    return join_counts(geo_points(spark, sf_dir), res=QUADRAT_RES)
+
+
+O_JOIN_COUNTS = f"""
+WITH {PTS_CTE},
+hist AS (SELECT {_tile_sql(8)} AS tile, count(*) AS x FROM pts GROUP BY 1),
+stats AS (SELECT sum(x) AS tot, count(*) AS occ FROM hist),
+marked AS (
+  SELECT tile, CASE WHEN x * occ >= tot THEN 1 ELSE 0 END AS black
+  FROM hist, stats
+),
+colors AS (
+  SELECT sum(black) AS n_black, sum(1 - black) AS n_white FROM marked
+),
+fan AS (
+  SELECT (tile // 256 + dx) * 256 + (tile % 256 + dy) AS ntile, black AS b1
+  FROM marked, (VALUES (1, 0), (0, 1)) o(dx, dy)
+  WHERE tile // 256 + dx BETWEEN 0 AND 255
+    AND tile % 256 + dy BETWEEN 0 AND 255
+),
+pairs AS (
+  SELECT count(*) AS n_pairs,
+         COALESCE(sum(f.b1 * m.black), 0) AS bb,
+         COALESCE(sum((1 - f.b1) * (1 - m.black)), 0) AS ww
+  FROM fan f JOIN marked m ON f.ntile = m.tile
+)
+SELECT 8 AS res, CAST(n_black AS BIGINT) AS n_black,
+       CAST(n_white AS BIGINT) AS n_white,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(bb AS BIGINT) AS bb, CAST(ww AS BIGINT) AS ww,
+       CAST(n_pairs - bb - ww AS BIGINT) AS bw
+FROM colors, pairs
+"""
+
+
+REGISTRY.update({"join_counts": (q_join_counts, O_JOIN_COUNTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

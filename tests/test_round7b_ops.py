@@ -334,3 +334,67 @@ def test_exploration_curve_rejects_bad_deciles(spark):
 
     with pytest.raises(ValueError, match="deciles"):
         exploration_curve(_ev(spark, [(1, 0, 0, 1.0, 1.0)]), res=6, deciles=0)
+
+
+def test_quadrat_chi2_hand_grid(spark):
+    from langtoolsosm_spark.operators.spatial import quadrat_chi2
+
+    # res 1 -> 2x2 global lattice; put 4 points in one cell, 0 elsewhere
+    # inside a 2x2 occupied bbox: need occupied corners to span the bbox.
+    # Points: 3 in (west,south) cell, 1 in (east,north) cell ->
+    # bbox = full 2x2 -> Q = 4? No: ix span {0,1}, iy span {0,1} -> Q=4.
+    pdf = pd.DataFrame(
+        [(1, -10.0, -10.0), (2, -11.0, -11.0), (3, -12.0, -12.0),
+         (4, 10.0, 10.0)],
+        columns=["point_id", "lat", "lon"],
+    )
+    row = quadrat_chi2(spark.createDataFrame(pdf), res=1).collect()[0]
+    # N=4, Q=4, sum_sq = 9 + 1 = 10 -> chi2 = (4*10 - 16)/4 = 6.0
+    assert row["n_points"] == 4 and row["n_quadrats"] == 4
+    assert row["occupied"] == 2
+    assert row["chi2_num"] == 24.0 and row["chi2_den"] == 4.0
+    assert row["chi2"] == 6.0
+
+
+def test_quadrat_chi2_uniform_is_zero(spark):
+    from langtoolsosm_spark.operators.spatial import quadrat_chi2
+
+    # one point per cell of the 2x2 lattice -> chi2 = 0 exactly
+    pdf = pd.DataFrame(
+        [(1, -10.0, -10.0), (2, -10.0, 10.0), (3, 10.0, -10.0),
+         (4, 10.0, 10.0)],
+        columns=["point_id", "lat", "lon"],
+    )
+    row = quadrat_chi2(spark.createDataFrame(pdf), res=1).collect()[0]
+    assert row["chi2"] == 0.0 and row["n_quadrats"] == 4
+
+
+def test_join_counts_hand_colors(spark):
+    from langtoolsosm_spark.operators.spatial import join_counts
+
+    # res 2 (4x4 lattice, 90/4=22.5 deg lat cells, 90 deg lon cells).
+    # Build a horizontal strip of 3 adjacent occupied cells (same iy,
+    # consecutive ix) with counts 4, 4, 1 -> mean = 3 -> B B W.
+    # Pairs: (B,B) and (B,W) -> bb=1, ww=0, bw=1, n_pairs=2.
+    rows = []
+    pid = 0
+    for lon, cnt in [(-170.0, 4), (-80.0, 4), (10.0, 1)]:
+        for _ in range(cnt):
+            pid += 1
+            rows.append((pid, 10.0, lon))
+    pdf = pd.DataFrame(rows, columns=["point_id", "lat", "lon"])
+    row = join_counts(spark.createDataFrame(pdf), res=2).collect()[0]
+    assert row["n_black"] == 2 and row["n_white"] == 1
+    assert row["n_pairs"] == 2
+    assert row["bb"] == 1 and row["ww"] == 0 and row["bw"] == 1
+
+
+def test_join_counts_rejects_bad_res(spark):
+    from langtoolsosm_spark.operators.spatial import join_counts, quadrat_chi2
+
+    pdf = pd.DataFrame([(1, 0.0, 0.0)], columns=["point_id", "lat", "lon"])
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="res"):
+        join_counts(df, res=-1)
+    with pytest.raises(ValueError, match="res"):
+        quadrat_chi2(df, res=99)
