@@ -1387,3 +1387,69 @@ def exploration_curve(
         F.sum("tiles_at").alias("sum_tiles"),
         F.count(F.lit(1)).alias("n_entities"),
     )
+
+
+def daily_motifs(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Daily mobility-motif census (Schneider et al. 2013): reduce each
+    (entity, UTC-day) tile walk to its motif class — distinct tiles
+    visited, tile-to-tile transitions taken, and whether the day
+    returned home (first tile == last tile) — then count entity-days
+    per class. The handful of dominant classes ("stay put",
+    "commute-and-return", "tour") is the population's routine
+    signature. Returns (n_tiles, n_transitions, home_return,
+    n_entity_days, total_events) — exact integers.
+
+    Plan: one lag window per (entity, day) partition (bounded by a
+    day's events), ONE groupBy producing every per-day feature in a
+    single pass (first/last tile via lexicographic struct min/max on
+    the unique (ep, tiebreak) key — no second window), then a
+    map-side-combined rollup on the tiny motif-class key."""
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    ).withColumn("day", F.expr("__ep div 86400"))
+    w = Window.partitionBy("entity", "day").orderBy(*order)
+    key = [F.col("__ep"), *([F.col(order_tiebreak)] if order_tiebreak else [])]
+    stepped = base.withColumn("__prev", F.lag("tile").over(w))
+    per_day = stepped.groupBy("entity", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("tile").alias("n_tiles"),
+        F.sum(
+            F.when(
+                F.col("__prev").isNotNull() & (F.col("__prev") != F.col("tile")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_transitions"),
+        F.min(F.struct(*key, F.col("tile"))).alias("__first"),
+        F.max(F.struct(*key, F.col("tile"))).alias("__last"),
+    )
+    return (
+        per_day.select(
+            "n_tiles",
+            "n_transitions",
+            (F.col("__first.tile") == F.col("__last.tile"))
+            .cast("long")
+            .alias("home_return"),
+            "n_events",
+        )
+        .groupBy("n_tiles", "n_transitions", "home_return")
+        .agg(
+            F.count(F.lit(1)).alias("n_entity_days"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )

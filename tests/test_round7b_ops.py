@@ -398,3 +398,29 @@ def test_join_counts_rejects_bad_res(spark):
         join_counts(df, res=-1)
     with pytest.raises(ValueError, match="res"):
         quadrat_chi2(df, res=99)
+
+
+def test_daily_motifs_hand_days(spark):
+    from langtoolsosm_spark.operators.tiling import daily_motifs
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    day = 86400
+    rows = [
+        # user 1 day 0: A B A  -> 2 tiles, 2 transitions, return
+        (1, 0, 0, *a), (1, 10, 1, *b), (1, 20, 2, *a),
+        # user 1 day 1: A B C -> 3 tiles, 2 transitions, no return
+        (1, day, 3, *a), (1, day + 1, 4, *b), (1, day + 2, 5, *c),
+        # user 2 day 0: A A   -> 1 tile, 0 transitions, return
+        (2, 0, 6, *a), (2, 5, 7, *a),
+    ]
+    out = {
+        (r["n_tiles"], r["n_transitions"], r["home_return"]): r
+        for r in daily_motifs(_ev(spark, rows), res=6,
+                              order_tiebreak="event_id").collect()
+    }
+    assert out[(2, 2, 1)]["n_entity_days"] == 1
+    assert out[(2, 2, 1)]["total_events"] == 3
+    assert out[(3, 2, 0)]["n_entity_days"] == 1
+    assert out[(1, 0, 1)]["n_entity_days"] == 1
+    assert out[(1, 0, 1)]["total_events"] == 2
+    assert len(out) == 3
