@@ -278,3 +278,48 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def local_bridges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Local bridges (Granovetter weak ties) of the undirected graph
+    induced by the edge list: edges whose endpoints share NO common
+    neighbor — every triangle-free edge has span > 2, so removing it
+    lengthens its endpoints' connection. On an OD tile graph these are
+    the corridor links whose loss actually disconnects neighborhoods
+    (a triangle-supported edge has a 2-hop detour). Returns
+    (a, b, deg_a, deg_b) with a < b, one row per local bridge.
+
+    Plan: canonicalize + dedup the pair set, count each edge's common
+    neighbors with the same degree-bounded wedge join as
+    ``triangle_counts`` (adjacency joined to itself on the shared
+    endpoint), then one anti-join to keep support-0 edges and a
+    broadcast-friendly degree enrichment — never an all-pairs product.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    supported = (
+        e.join(adj.select(F.col("u").alias("a"), "w"), "a")
+        .join(adj.select(F.col("u").alias("b"), "w"), ["b", "w"])
+        .select("a", "b")
+        .distinct()
+    )
+    bridges = e.join(supported, ["a", "b"], "left_anti")
+    return (
+        bridges.join(deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select("a", "b", "deg_a", "deg_b")
+    )

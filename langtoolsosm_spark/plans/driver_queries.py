@@ -9503,6 +9503,61 @@ FROM per_day GROUP BY 1, 2, 3
 REGISTRY.update({"daily_motifs": (q_daily_motifs, O_DAILY_MOTIFS)})
 
 
+def q_local_bridges(spark, sf_dir):
+    """Granovetter local bridges of the OD tile graph
+    (operators/graphs.py ``local_bridges``): canonical edges with zero
+    common neighbors, enriched with endpoint degrees — the same graph
+    fixture as ``tile_pagerank``. The oracle replays the canonical edge
+    set, a NOT EXISTS common-neighbor probe and the degree joins."""
+    from pyspark.sql import Window
+
+    from ..functions.cells import tile_key_col
+    from ..operators.graphs import local_bridges
+
+    t = _traj(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    g = (
+        t.withColumn("__tile", tile_key_col(F.col("lat"), F.col("lon"), PR_RES))
+        .withColumn("__prev", F.lag("__tile").over(w))
+        .filter(F.col("__prev").isNotNull() & (F.col("__prev") != F.col("__tile")))
+        .select(F.col("__prev").alias("src"), F.col("__tile").alias("dst"))
+    )
+    return local_bridges(g)
+
+
+O_LOCAL_BRIDGES = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT user_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+ed AS (
+  SELECT DISTINCT least(prev, tile) AS a, greatest(prev, tile) AS b
+  FROM g WHERE prev IS NOT NULL AND prev <> tile
+),
+adj AS (SELECT a AS u, b AS w FROM ed UNION ALL SELECT b, a FROM ed),
+deg AS (SELECT u AS node, count(*) AS deg FROM adj GROUP BY 1),
+br AS (
+  SELECT a, b FROM ed e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj x JOIN adj y ON x.w = y.w
+    WHERE x.u = e.a AND y.u = e.b
+  )
+)
+SELECT br.a, br.b, CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b
+FROM br JOIN deg da ON da.node = br.a JOIN deg db ON db.node = br.b
+"""
+
+
+REGISTRY.update({"local_bridges": (q_local_bridges, O_LOCAL_BRIDGES)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -424,3 +424,19 @@ def test_daily_motifs_hand_days(spark):
     assert out[(1, 0, 1)]["n_entity_days"] == 1
     assert out[(1, 0, 1)]["total_events"] == 2
     assert len(out) == 3
+
+
+def test_local_bridges_hand_graph(spark):
+    from langtoolsosm_spark.operators.graphs import local_bridges
+
+    # triangle 1-2-3 plus pendant chain 3-4, 4-5; duplicate/reversed
+    # edges must not matter. Bridges: (3,4) and (4,5); triangle edges
+    # all have a common neighbor.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 3), (4, 5)],
+        "src long, dst long",
+    )
+    out = {(r["a"], r["b"]): r for r in local_bridges(edges).collect()}
+    assert set(out) == {(3, 4), (4, 5)}
+    assert out[(3, 4)]["deg_a"] == 3 and out[(3, 4)]["deg_b"] == 2
+    assert out[(4, 5)]["deg_b"] == 1
