@@ -9558,6 +9558,42 @@ FROM br JOIN deg da ON da.node = br.a JOIN deg db ON db.node = br.b
 REGISTRY.update({"local_bridges": (q_local_bridges, O_LOCAL_BRIDGES)})
 
 
+def q_stream_dwell(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful dwell kernel
+    (streaming/microbatch.py ``stream_dwell``): the trajectory fixture
+    staged as 3 TIME-ORDERED files (ordered-ingestion contract, mtime
+    fixes trigger order); each segment emits exactly once when its
+    closing event arrives, the post-stream rollup is gated against the
+    SAME oracle as batch ``dwell_time``."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_dwell_stream_once
+
+    t = _traj(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamdwell_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_dwell_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=DWELL_RES
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_dwell": (q_stream_dwell, O_DWELL_TIME)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1340,3 +1340,120 @@ def run_staypoints_stream_once(
         ) WHERE rn2 = 1 AND end_ep - start_ep >= {min_stay_s}
         """
     )
+
+
+def stream_dwell(
+    stream: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful streaming dwell segmentation (the streaming half of
+    operators/tiling.py ``dwell_time``): per entity, state carries the
+    last event's (epoch, tile); every new event CLOSES the previous
+    segment and emits (tile, entity, gap) — the segment's start tile
+    and exact epoch-second duration — including segments that span
+    micro-batch boundaries. ``run_dwell_stream_once`` rolls the
+    emitted segments into the batch operator's exact output.
+
+    Tile assignment uses the numpy ``tile_key`` twin of the batch
+    ``tile_key_col`` (bit-identical, property-tested), so final output
+    is byte-equal to batch, not approximately equal.
+
+    Ingestion contract: event-time order ACROSS micro-batches per
+    entity (same as ``stream_staypoints``) — an out-of-order batch
+    RAISES, because a dwell segment replayed out of order is a
+    different segment."""
+    import pandas as pd
+
+    from ..functions.cells import tile_key
+
+    cols = ["tile", "entity", "gap"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        tiles = tile_key(pdf[lat].to_numpy(), pdf[lon].to_numpy(), res)
+        ent = int(key[0])
+        if state.exists:
+            l_ep, l_tile, l_eid = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {ent}: the "
+                    "ordered-ingestion contract is broken — a dwell "
+                    "segment replayed out of order diverges from batch"
+                )
+            has_prev = True
+        else:
+            l_ep = l_tile = l_eid = 0
+            has_prev = False
+        rows = []
+        for i in range(len(pdf)):
+            ep, tile = int(eps[i]), int(tiles[i])
+            if has_prev:
+                rows.append((l_tile, ent, ep - l_ep))
+            l_ep, l_tile, l_eid = ep, tile, int(eids[i])
+            has_prev = True
+        state.update((l_ep, l_tile, l_eid))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col), F.col(id_col), F.col(lat), F.col(lon),
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, entity long, gap long",
+        stateStructType="l_ep long, l_tile long, l_eid long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_dwell_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    res: int,
+) -> DataFrame:
+    """Drive the streaming dwell kernel over all staged files and roll
+    the emitted (tile, entity, gap) segments into exactly the batch
+    ``dwell_time`` shape: (tile, total_dwell_s, n_segments,
+    n_entities). Every segment is emitted exactly once (when the next
+    event closes it), so the rollup is byte-equal to batch."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"dwell_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_dwell(st, res)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT tile, sum(gap) AS total_dwell_s,
+               count(*) AS n_segments,
+               count(DISTINCT entity) AS n_entities
+        FROM {name} GROUP BY tile
+        """
+    )

@@ -440,3 +440,61 @@ def test_local_bridges_hand_graph(spark):
     assert set(out) == {(3, 4), (4, 5)}
     assert out[(3, 4)]["deg_a"] == 3 and out[(3, 4)]["deg_b"] == 2
     assert out[(4, 5)]["deg_b"] == 1
+
+
+def test_stream_dwell_parity_and_contract(spark, tmp_path):
+    from langtoolsosm_spark.operators.tiling import dwell_time
+    from langtoolsosm_spark.streaming.microbatch import run_dwell_stream_once
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    rows = [
+        (1, 0, 0, *a), (1, 100, 1, *b),   # batch 0
+        (1, 250, 2, *b), (2, 260, 3, *c),  # batch 1 (cross-batch seg)
+        (1, 400, 4, *c), (2, 500, 5, *c),  # batch 2
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    for i in range(3):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = run_dwell_stream_once(
+        spark, str(src), str(tmp_path / "ckpt"), res=6
+    )
+    batch = dwell_time(
+        spark.createDataFrame(pdf), res=6, order_tiebreak="event_id"
+    )
+    s = {r["tile"]: r for r in streamed.collect()}
+    bt = {r["tile"]: r for r in batch.collect()}
+    assert set(s) == set(bt)
+    for t in bt:
+        assert s[t]["total_dwell_s"] == bt[t]["total_dwell_s"]
+        assert s[t]["n_segments"] == bt[t]["n_segments"]
+        assert s[t]["n_entities"] == bt[t]["n_entities"]
+
+
+def test_stream_dwell_rejects_out_of_order(spark, tmp_path):
+    from langtoolsosm_spark.streaming.microbatch import run_dwell_stream_once
+
+    a = (10.0, 10.0)
+    pdf = pd.DataFrame(
+        [(1, 100, 0, *a), (1, 50, 1, *a)],  # second batch goes BACK in time
+        columns=["user_id", "epoch", "event_id", "lat", "lon"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+    src = tmp_path / "src"
+    src.mkdir()
+    import os
+    for i in range(2):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i : i + 1].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    with pytest.raises(Exception, match="out-of-order|StreamingQueryException"):
+        run_dwell_stream_once(
+            spark, str(src), str(tmp_path / "ckpt"), res=6
+        ).collect()
