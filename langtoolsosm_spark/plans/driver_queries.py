@@ -9594,6 +9594,64 @@ def q_stream_dwell(spark, sf_dir):
 REGISTRY.update({"stream_dwell": (q_stream_dwell, O_DWELL_TIME)})
 
 
+def q_knn_classify(spark, sf_dir):
+    """kNN majority-vote classifier over the feature dim
+    (operators/knn.py ``knn_join`` + one vote rollup): each query point
+    takes the modal label of its 5 nearest features, ties to the
+    smaller label — the baseline geo-ML spatial classifier, exactly the
+    reference's nearest-name enrichment (SURVEY.md kNN ranking) with a
+    vote instead of rank 1. The oracle replays the quadratic kNN spec,
+    the vote rollup and the (votes DESC, label ASC) argmax in SQL."""
+    from ..operators.knn import knn_join
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 97 == 0)
+    feats = geo_features(spark, sf_dir)
+    knn = knn_join(
+        pts, feats, k=5, res=7, point_id="point_id", feature_id="id"
+    ).select("point_id", (F.col("neighbor_id") % 5).alias("label"))
+    votes = knn.groupBy("point_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy("point_id").agg(
+        F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("__b")
+    )
+    return best.select(
+        "point_id",
+        (-F.col("__b.nl")).cast("long").alias("label"),
+        F.col("__b.votes").cast("long").alias("votes"),
+    )
+
+
+O_KNN_CLASSIFY = f"""
+WITH {PTS_CTE}, {FEATS_CTE},
+q AS (SELECT * FROM pts WHERE point_id % 97 = 0),
+d AS (
+  SELECT q.point_id, f.id AS neighbor_id,
+         row_number() OVER (PARTITION BY q.point_id ORDER BY
+           (q.lat - f.lat) * (q.lat - f.lat)
+             + (q.lon - f.lon) * (q.lon - f.lon) ASC,
+           f.id ASC) AS rank
+  FROM q CROSS JOIN feats f
+),
+v AS (
+  SELECT point_id, neighbor_id % 5 AS label, count(*) AS votes
+  FROM d WHERE rank <= 5 GROUP BY 1, 2
+),
+r AS (
+  SELECT point_id, label, votes,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM v
+)
+SELECT point_id, CAST(label AS BIGINT) AS label,
+       CAST(votes AS BIGINT) AS votes
+FROM r WHERE rn = 1
+"""
+
+
+REGISTRY.update({"knn_classify": (q_knn_classify, O_KNN_CLASSIFY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

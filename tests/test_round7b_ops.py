@@ -498,3 +498,28 @@ def test_stream_dwell_rejects_out_of_order(spark, tmp_path):
         run_dwell_stream_once(
             spark, str(src), str(tmp_path / "ckpt"), res=6
         ).collect()
+
+
+def test_knn_classify_vote_and_tiebreak(spark):
+    # replicate the registry composition on a hand case: 1 query point,
+    # 5 features with labels 0,0,1,1,2 at increasing distance -> labels
+    # 0 and 1 tie at 2 votes -> smaller label (0) wins.
+    from pyspark.sql import functions as F
+    from langtoolsosm_spark.operators.knn import knn_join
+
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "point_id long, lat double, lon double")
+    feats = spark.createDataFrame(
+        [(10, 0.0, 0.1), (15, 0.0, 0.2), (11, 0.0, 0.3),
+         (16, 0.0, 0.4), (12, 0.0, 0.5), (13, 0.0, 9.0)],
+        "id long, lat double, lon double",
+    )
+    knn = knn_join(pts, feats, k=5, res=7, point_id="point_id",
+                   feature_id="id").select(
+        "point_id", (F.col("neighbor_id") % 5).alias("label")
+    )
+    votes = knn.groupBy("point_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    best = votes.groupBy("point_id").agg(
+        F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("b")
+    ).select("point_id", (-F.col("b.nl")).alias("label"), F.col("b.votes").alias("votes"))
+    row = best.collect()[0]
+    assert row["label"] == 0 and row["votes"] == 2
