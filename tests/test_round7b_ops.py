@@ -523,3 +523,44 @@ def test_knn_classify_vote_and_tiebreak(spark):
     ).select("point_id", (-F.col("b.nl")).alias("label"), F.col("b.votes").alias("votes"))
     row = best.collect()[0]
     assert row["label"] == 0 and row["votes"] == 2
+
+
+def test_bilinear_interp_exact_center_and_quarter(spark):
+    from langtoolsosm_spark.operators.spatial import bilinear_interp
+
+    # res 1, 2x2 lattice, cells are 180x90 deg. Load cell (0,0) with 8
+    # points and cell (1,0) with 4. Query exactly at the midpoint
+    # between the two cell centers (lon = 0 boundary, lat at the cell
+    # (.,0) center row) -> bilinear = (8+4)/2 = 6.
+    rows = [(i, -45.0, -90.0) for i in range(8)]
+    rows += [(100 + i, -45.0, 90.0) for i in range(4)]
+    fact = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "lat", "lon"])
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame([(1, -45.0, 0.0), (2, -45.0, -90.0)],
+                     columns=["id", "lat", "lon"])
+    )
+    out = {r["id"]: r for r in
+           bilinear_interp(fact, qs, res=1, s_bits=16).collect()}
+    assert out[1]["val"] == 6.0                       # halfway blend
+    assert out[2]["val"] == 8.0                       # exactly on a center
+    assert out[1]["val_den"] == (1 << 32)
+    assert out[1]["val_num"] == 6 * (1 << 32)
+
+
+def test_bilinear_interp_edge_clamps_to_zero(spark):
+    from langtoolsosm_spark.operators.spatial import bilinear_interp
+
+    # occupied cell only at the south-west; a query in the north-east
+    # cell has all four corner cells unoccupied or off-lattice — the
+    # value is exactly 0, never an error (and the off-lattice corner
+    # indices at the globe edge are masked, not joined).
+    fact = spark.createDataFrame(
+        pd.DataFrame([(1, -45.0, -90.0)], columns=["point_id", "lat", "lon"])
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame([(1, 89.9, 179.9)], columns=["id", "lat", "lon"])
+    )
+    row = bilinear_interp(fact, qs, res=1, s_bits=16).collect()[0]
+    assert row["val"] == 0.0 and row["val_num"] == 0
