@@ -1287,3 +1287,82 @@ def orientation_hist(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         kernel, schema="image_id string, bin long, n_px long"
     )
+
+
+def image_coverage_gap(
+    events: DataFrame,
+    images: DataFrame,
+    res: int,
+    min_events: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Imagery-acquisition queue: res-cells with at least ``min_events``
+    trajectory events but ZERO images, ranked by how isolated the gap
+    is — ``covered_neighbors`` counts the rook-adjacent cells that DO
+    hold imagery (4 = a pinhole in otherwise covered area, 0 = an
+    imagery desert). The "collect here next" primitive a curation
+    pipeline runs after every ingest. Returns
+    (tile, n_events, covered_neighbors).
+
+    Plan: two map-side-combined histograms (events, images), one
+    anti-join on the cell key, then a 4-offset fan of the (small) gap
+    set left-joined against the image histogram — never touches raw
+    rows twice, and both fact scans prune to (lat, lon)."""
+    if min_events < 1:
+        raise ValueError(f"min_events must be >= 1, got {min_events}")
+    from .tiling import assign_tiles
+
+    n = 1 << res
+    ev_hist = (
+        assign_tiles(events.select(lat, lon), res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= min_events)
+    )
+    img_hist = (
+        assign_tiles(images.select(lat, lon), res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    gaps = ev_hist.join(img_hist, "tile", "left_anti")
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+            ]
+        )
+    ).alias("o")
+    fan = gaps.select("tile", "n_events", off).select(
+        "tile",
+        "n_events",
+        ((ix + F.col("o.dx")) * F.lit(n) + (iy + F.col("o.dy"))).alias("ntile"),
+        (ix + F.col("o.dx")).alias("nx"),
+        (iy + F.col("o.dy")).alias("ny"),
+    )
+    valid = (
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+    joined = (
+        fan.withColumn("__ok", valid.cast("long"))
+        .join(
+            img_hist.select(F.col("tile").alias("ntile")).withColumn(
+                "__hit", F.lit(1)
+            ),
+            "ntile",
+            "left",
+        )
+        .select(
+            "tile",
+            "n_events",
+            (F.col("__ok") * F.coalesce(F.col("__hit"), F.lit(0))).alias("cov"),
+        )
+    )
+    return joined.groupBy("tile").agg(
+        F.max("n_events").alias("n_events"),
+        F.sum("cov").alias("covered_neighbors"),
+    )

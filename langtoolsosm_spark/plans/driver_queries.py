@@ -9703,6 +9703,56 @@ FROM j GROUP BY 1
 REGISTRY.update({"bilinear_interp": (q_bilinear_interp, O_BILINEAR)})
 
 
+def q_image_coverage_gap(spark, sf_dir):
+    """Imagery-acquisition queue (operators/images.py
+    ``image_coverage_gap``): res-10 cells with >= 2 trajectory events and
+    zero images, ranked by covered rook neighbors. Events follow the
+    tier; the image table is the PINNED sf0.01 synth fixture on both
+    sides (same contract as every image-op oracle). The oracle replays
+    both histograms, the anti-join and the neighbor fan in SQL."""
+    from ..operators.images import image_coverage_gap
+
+    return image_coverage_gap(
+        _traj(spark, sf_dir), _synth_images(spark, sf_dir), res=10,
+        min_events=2,
+    )
+
+
+O_IMAGE_COVERAGE_GAP = f"""
+WITH {TRAJ_SRC_CTE},
+ev AS (
+  SELECT {_tile_sql(10)} AS tile, count(*) AS n_events
+  FROM src GROUP BY 1 HAVING count(*) >= 2
+),
+img AS (
+  SELECT {_tile_sql(10)} AS tile, count(*) AS n_images
+  FROM read_parquet('{SYNTH_SF001_IMAGES}') GROUP BY 1
+),
+gaps AS (
+  SELECT e.tile, e.n_events FROM ev e
+  WHERE NOT EXISTS (SELECT 1 FROM img i WHERE i.tile = e.tile)
+),
+fan AS (
+  SELECT g.tile, g.n_events,
+         CASE WHEN g.tile // 1024 + dx BETWEEN 0 AND 1023
+                   AND g.tile % 1024 + dy BETWEEN 0 AND 1023
+                   AND EXISTS (
+                     SELECT 1 FROM img i
+                     WHERE i.tile = (g.tile // 1024 + dx) * 1024
+                                    + (g.tile % 1024 + dy)
+                   )
+              THEN 1 ELSE 0 END AS cov
+  FROM gaps g, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+)
+SELECT tile, CAST(max(n_events) AS BIGINT) AS n_events,
+       CAST(sum(cov) AS BIGINT) AS covered_neighbors
+FROM fan GROUP BY 1
+"""
+
+
+REGISTRY.update({"image_coverage_gap": (q_image_coverage_gap, O_IMAGE_COVERAGE_GAP)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -564,3 +564,47 @@ def test_bilinear_interp_edge_clamps_to_zero(spark):
     )
     row = bilinear_interp(fact, qs, res=1, s_bits=16).collect()[0]
     assert row["val"] == 0.0 and row["val_num"] == 0
+
+
+def test_image_coverage_gap_hand_lattice(spark):
+    from langtoolsosm_spark.operators.images import image_coverage_gap
+    from langtoolsosm_spark.functions.cells import tile_key
+
+    # res 2: three event cells in a row; images cover the middle one
+    # and one neighbor of the first. Gap cells = first and third.
+    ev_rows = []
+    eid = 0
+    for lon, cnt in [(-170.0, 3), (-80.0, 2), (10.0, 2)]:
+        for _ in range(cnt):
+            eid += 1
+            ev_rows.append((eid, 10.0, lon))
+    events = spark.createDataFrame(
+        pd.DataFrame(ev_rows, columns=["event_id", "lat", "lon"])
+    )
+    # image in the middle cell and one ABOVE the first cell
+    images = spark.createDataFrame(
+        pd.DataFrame([(1, 10.0, -80.0), (2, 60.0, -170.0)],
+                     columns=["image_id", "lat", "lon"])
+    )
+    out = {r["tile"]: r for r in
+           image_coverage_gap(events, images, res=2, min_events=2).collect()}
+
+    def t(lat, lon):
+        return int(tile_key(np.array([lat]), np.array([lon]), 2)[0])
+
+    first, third = t(10.0, -170.0), t(10.0, 10.0)
+    assert set(out) == {first, third}
+    # first gap cell: neighbors covered = middle? no (not adjacent at
+    # res 2: cells are 90 deg wide; -170 and -80 ARE adjacent columns)
+    assert out[first]["n_events"] == 3
+    assert out[first]["covered_neighbors"] == 2  # middle cell + above
+    assert out[third]["covered_neighbors"] == 1  # middle cell only
+
+
+def test_image_coverage_gap_rejects_bad_min(spark):
+    from langtoolsosm_spark.operators.images import image_coverage_gap
+
+    df = spark.createDataFrame(pd.DataFrame([(0, 0.0, 0.0)],
+                                            columns=["x", "lat", "lon"]))
+    with pytest.raises(ValueError, match="min_events"):
+        image_coverage_gap(df, df, res=2, min_events=0)
