@@ -1366,3 +1366,37 @@ def image_coverage_gap(
         F.max("n_events").alias("n_events"),
         F.sum("cov").alias("covered_neighbors"),
     )
+
+
+def tile_dup_rate(
+    images: DataFrame,
+    res: int,
+    hash_col: str = "phash",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell exact-duplicate pressure audit: for every res-cell with
+    imagery, the image count, the distinct perceptual-hash count and
+    the duplicate share in exact milli units (1000 * dups div n — no
+    float ratio). The per-REGION complement of the global
+    ``images_dedup`` pass: cells with high dup_milli are where a
+    crawler loops or a landmark floods the corpus, and where
+    ``tile_cap_sample`` thinning pays first. Returns
+    (tile, n_images, n_distinct, dup_milli).
+
+    Plan: ONE map-side-combined groupBy on the cell key (count +
+    count-distinct on the hash) — scan prunes to (hash, lat, lon)."""
+    from .tiling import assign_tiles
+
+    return (
+        assign_tiles(images.select(hash_col, lat, lon), res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct(hash_col).alias("n_distinct"),
+            F.expr(
+                f"CAST(1000 * (count(1) - count(DISTINCT {hash_col})) AS BIGINT)"
+                " div count(1)"
+            ).alias("dup_milli"),
+        )
+    )

@@ -9753,6 +9753,68 @@ FROM fan GROUP BY 1
 REGISTRY.update({"image_coverage_gap": (q_image_coverage_gap, O_IMAGE_COVERAGE_GAP)})
 
 
+def q_tile_dup_rate(spark, sf_dir):
+    """Per-cell exact-duplicate pressure audit over the pinned image
+    fixture (operators/images.py ``tile_dup_rate``): count, distinct
+    pHash and milli dup share per res-5 cell. The oracle replays the
+    one-pass rollup in SQL."""
+    from ..operators.images import tile_dup_rate
+
+    return tile_dup_rate(_synth_images(spark, sf_dir), res=5)
+
+
+O_TILE_DUP_RATE = f"""
+WITH img AS (
+  SELECT phash, {_tile_sql(5)} AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+)
+SELECT tile, CAST(count(*) AS BIGINT) AS n_images,
+       CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct,
+       CAST(1000 * (count(*) - count(DISTINCT phash)) AS BIGINT)
+         // count(*) AS dup_milli
+FROM img GROUP BY 1
+"""
+
+
+REGISTRY.update({"tile_dup_rate": (q_tile_dup_rate, O_TILE_DUP_RATE)})
+
+
+def q_stream_wait_time(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful inter-arrival
+    kernel (streaming/microbatch.py ``stream_wait_time``): the
+    trajectory fixture staged as 3 TIME-ORDERED files; every per-cell
+    gap emits exactly once when its closing event arrives, the
+    post-stream bucket rollup is gated against the SAME oracle as batch
+    ``wait_time_hist``."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_wait_time_stream_once
+
+    t = _traj(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamwait_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_wait_time_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_wait_time": (q_stream_wait_time, O_WAIT_TIME_HIST)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

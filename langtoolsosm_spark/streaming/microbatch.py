@@ -1457,3 +1457,114 @@ def run_dwell_stream_once(
         FROM {name} GROUP BY tile
         """
     )
+
+
+def stream_wait_time(
+    stream: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful streaming inter-arrival tracker (the streaming half of
+    operators/tiling.py ``wait_time_hist``): keyed by the res-cell
+    (computed with the batch ``tile_key_col`` twin, bit-identical),
+    state carries the cell's last (epoch, id); every event emits the
+    gap to its predecessor IN THAT CELL — including gaps spanning
+    micro-batch boundaries. ``run_wait_time_stream_once`` rolls the
+    gaps into the batch operator's exact log2-bucket histogram.
+
+    Ingestion contract: event-time order ACROSS micro-batches per cell
+    (implied by globally time-ordered staging) — an out-of-order batch
+    RAISES."""
+    import pandas as pd
+
+    from ..functions.cells import tile_key_col
+
+    cols = ["tile", "gap"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        tile = int(key[0])
+        if state.exists:
+            l_ep, l_eid = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for tile {tile}: the "
+                    "ordered-ingestion contract is broken — an "
+                    "inter-arrival gap replayed out of order diverges "
+                    "from batch"
+                )
+            has_prev = True
+        else:
+            l_ep = l_eid = 0
+            has_prev = False
+        rows = []
+        for i in range(len(pdf)):
+            ep = int(eps[i])
+            if has_prev:
+                rows.append((tile, ep - l_ep))
+            l_ep, l_eid = ep, int(eids[i])
+            has_prev = True
+        state.update((l_ep, l_eid))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        F.col(ts_col), F.col(id_col),
+    )
+    return keyed.groupBy("tile").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, gap long",
+        stateStructType="l_ep long, l_eid long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_wait_time_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    res: int,
+) -> DataFrame:
+    """Drive the streaming wait-time kernel over all staged files and
+    roll the emitted gaps into exactly the batch ``wait_time_hist``
+    shape: (bucket, n_gaps, total_gap_s, max_gap_s) with the same
+    length(bin(gap)) integer bucketing."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"wait_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_wait_time(st, res)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT CAST(length(bin(gap)) AS INT) AS bucket,
+               count(*) AS n_gaps,
+               sum(gap) AS total_gap_s,
+               max(gap) AS max_gap_s
+        FROM {name} GROUP BY 1
+        """
+    )

@@ -608,3 +608,51 @@ def test_image_coverage_gap_rejects_bad_min(spark):
                                             columns=["x", "lat", "lon"]))
     with pytest.raises(ValueError, match="min_events"):
         image_coverage_gap(df, df, res=2, min_events=0)
+
+
+def test_tile_dup_rate_hand_counts(spark):
+    from langtoolsosm_spark.operators.images import tile_dup_rate
+
+    rows = [
+        (1, 111, 10.0, 10.0), (2, 111, 10.0, 10.0), (3, 222, 10.0, 10.0),
+        (4, 333, -40.0, -40.0),
+    ]
+    img = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash", "lat", "lon"])
+    )
+    out = {r["n_images"]: r for r in tile_dup_rate(img, res=5).collect()}
+    assert out[3]["n_distinct"] == 2 and out[3]["dup_milli"] == 333
+    assert out[1]["n_distinct"] == 1 and out[1]["dup_milli"] == 0
+
+
+def test_stream_wait_time_parity_with_batch(spark, tmp_path):
+    import os
+    from langtoolsosm_spark.operators.tiling import wait_time_hist
+    from langtoolsosm_spark.streaming.microbatch import run_wait_time_stream_once
+
+    a, b = (10.0, 10.0), (40.0, 40.0)
+    rows = [
+        (1, 0, 0, *a), (2, 1, 1, *a),    # batch 0: gap 1 in A
+        (1, 5, 2, *a), (1, 6, 3, *b),    # batch 1: gap 4 in A (cross-batch)
+        (2, 9, 4, *b), (1, 20, 5, *a),   # batch 2: gap 3 in B, 15 in A
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {r["bucket"]: r for r in run_wait_time_stream_once(
+        spark, str(src), str(tmp_path / "ckpt"), res=6
+    ).collect()}
+    batch = {r["bucket"]: r for r in wait_time_hist(
+        spark.createDataFrame(pdf), res=6, order_tiebreak="event_id"
+    ).collect()}
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert streamed[k]["n_gaps"] == batch[k]["n_gaps"]
+        assert streamed[k]["total_gap_s"] == batch[k]["total_gap_s"]
+        assert streamed[k]["max_gap_s"] == batch[k]["max_gap_s"]
