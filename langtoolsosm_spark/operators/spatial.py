@@ -3019,3 +3019,82 @@ def bilinear_interp(
         F.lit(den).cast("long").alias("val_den"),
         (F.sum("wc").cast("double") / F.lit(float(den))).alias("val"),
     )
+
+
+def od_topk(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    k: int,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k destination sparsification of the OD matrix: for every
+    origin cell keep its k strongest destination cells (ties to the
+    smaller tile id) — the standard per-key top-k that turns a dense
+    flow matrix into the routing-table-sized summary a serving layer
+    actually ships. Intra-cell dwell transitions are excluded (they
+    are not routes). Returns (from_tile, to_tile, n_trips, rank).
+
+    Plan: reuses ``od_flows``' single entity-window pass + tile-pair
+    rollup, then ONE rank window partitioned by origin over the
+    already-aggregated matrix (bounded by occupied pairs, never raw
+    events)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    od = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    ).filter(F.col("from_tile") != F.col("to_tile"))
+    w = Window.partitionBy("from_tile").orderBy(
+        F.col("n_trips").desc(), F.col("to_tile").asc()
+    )
+    return (
+        od.select(
+            "from_tile", "to_tile", "n_trips",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def od_backbone(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    share_den: int = 10,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-origin backbone extraction: keep the OD edges that carry at
+    least 1/``share_den`` of their origin cell's outbound trips
+    (integer cross-multiply ``share_den * n >= origin_total`` — no
+    float share), the simple deterministic cousin of the disparity
+    filter: what remains is each cell's structural corridor set,
+    independent of the cell's absolute volume. Intra-cell transitions
+    excluded. Returns (from_tile, to_tile, n_trips, origin_trips).
+
+    Plan: ``od_flows`` rollup + ONE sum window per origin over the
+    aggregated matrix; the filter is a codegen'd integer compare."""
+    if share_den < 1:
+        raise ValueError(f"share_den must be >= 1, got {share_den}")
+    from pyspark.sql import Window
+
+    od = od_flows(
+        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+        order_tiebreak=order_tiebreak,
+    ).filter(F.col("from_tile") != F.col("to_tile"))
+    w = Window.partitionBy("from_tile")
+    return (
+        od.select(
+            "from_tile", "to_tile", "n_trips",
+            F.sum("n_trips").over(w).alias("origin_trips"),
+        )
+        .filter(F.col("n_trips") * share_den >= F.col("origin_trips"))
+    )

@@ -9815,6 +9815,79 @@ def q_stream_wait_time(spark, sf_dir):
 REGISTRY.update({"stream_wait_time": (q_stream_wait_time, O_WAIT_TIME_HIST)})
 
 
+OD_SPARSE_CTE = f"""g AS (
+  SELECT user_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+od AS (
+  SELECT prev AS from_tile, tile AS to_tile, count(*) AS n_trips
+  FROM g WHERE prev IS NOT NULL AND prev <> tile GROUP BY 1, 2
+)"""
+
+
+def q_od_topk(spark, sf_dir):
+    """Per-origin top-3 destination sparsification (operators/spatial.py
+    ``od_topk``): the routing-table summary of the OD matrix with
+    deterministic (n DESC, tile ASC) ranking. The oracle replays the
+    lag window, the pair rollup and the rank window in SQL."""
+    from ..operators.spatial import od_topk
+
+    return od_topk(
+        _traj(spark, sf_dir), "user_id", "ts", k=3, res=8,
+        order_tiebreak="event_id",
+    )
+
+
+O_OD_TOPK = f"""
+WITH {TRAJ_SRC_CTE},
+{OD_SPARSE_CTE},
+r AS (
+  SELECT from_tile, to_tile, CAST(n_trips AS BIGINT) AS n_trips,
+         CAST(row_number() OVER (
+           PARTITION BY from_tile ORDER BY n_trips DESC, to_tile ASC
+         ) AS INT) AS rank
+  FROM od
+)
+SELECT from_tile, to_tile, n_trips, rank FROM r WHERE rank <= 3
+"""
+
+
+REGISTRY.update({"od_topk": (q_od_topk, O_OD_TOPK)})
+
+
+def q_od_backbone(spark, sf_dir):
+    """Per-origin corridor backbone (operators/spatial.py
+    ``od_backbone``): OD edges carrying >= 1/10 of their origin's
+    outbound trips via integer cross-multiply. The oracle replays the
+    rollup and the per-origin sum window in SQL."""
+    from ..operators.spatial import od_backbone
+
+    return od_backbone(
+        _traj(spark, sf_dir), "user_id", "ts", share_den=10, res=8,
+        order_tiebreak="event_id",
+    )
+
+
+O_OD_BACKBONE = f"""
+WITH {TRAJ_SRC_CTE},
+{OD_SPARSE_CTE},
+s AS (
+  SELECT from_tile, to_tile, CAST(n_trips AS BIGINT) AS n_trips,
+         CAST(sum(n_trips) OVER (PARTITION BY from_tile) AS BIGINT)
+           AS origin_trips
+  FROM od
+)
+SELECT from_tile, to_tile, n_trips, origin_trips
+FROM s WHERE n_trips * 10 >= origin_trips
+"""
+
+
+REGISTRY.update({"od_backbone": (q_od_backbone, O_OD_BACKBONE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -656,3 +656,53 @@ def test_stream_wait_time_parity_with_batch(spark, tmp_path):
         assert streamed[k]["n_gaps"] == batch[k]["n_gaps"]
         assert streamed[k]["total_gap_s"] == batch[k]["total_gap_s"]
         assert streamed[k]["max_gap_s"] == batch[k]["max_gap_s"]
+
+
+def test_od_topk_rank_and_tiebreak(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import od_topk
+
+    a, b, c, d = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0), (60.0, 60.0)
+    # from A: ->B x2, ->C x2 (tie, smaller tile first), ->D x1
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *b), (1, 2, 2, *a), (1, 3, 3, *b),
+        (2, 0, 4, *a), (2, 1, 5, *c), (2, 2, 6, *a), (2, 3, 7, *c),
+        (3, 0, 8, *a), (3, 1, 9, *d),
+    ]
+    out = od_topk(_ev(spark, rows), "user_id", "ts", k=2, res=6,
+                  order_tiebreak="event_id").collect()
+
+    def t(p):
+        return int(tile_key(np.array([p[0]]), np.array([p[1]]), 6)[0])
+
+    ta = t(a)
+    mine = sorted([(r["rank"], r["to_tile"]) for r in out
+                   if r["from_tile"] == ta])
+    tb, tc = t(b), t(c)
+    assert mine == [(1, min(tb, tc)), (2, max(tb, tc))]
+    # k=2 drops D; the back-transitions B->A etc. still rank for B/C
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_od_backbone_share_filter(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import od_backbone
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    # origin A: 9 trips to B, 1 to C -> with share_den=5 only B stays
+    rows = []
+    eid = 0
+    for i in range(9):
+        rows += [(i, 0, eid, *a), (i, 1, eid + 1, *b)]
+        eid += 2
+    rows += [(99, 0, eid, *a), (99, 1, eid + 1, *c)]
+    out = od_backbone(_ev(spark, rows), "user_id", "ts", share_den=5,
+                      res=6, order_tiebreak="event_id").collect()
+
+    def t(p):
+        return int(tile_key(np.array([p[0]]), np.array([p[1]]), 6)[0])
+
+    from_a = [r for r in out if r["from_tile"] == t(a)]
+    assert len(from_a) == 1
+    assert from_a[0]["to_tile"] == t(b)
+    assert from_a[0]["n_trips"] == 9 and from_a[0]["origin_trips"] == 10
