@@ -3098,3 +3098,85 @@ def od_backbone(
         )
         .filter(F.col("n_trips") * share_den >= F.col("origin_trips"))
     )
+
+
+def trip_segments(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    max_gap_s: int,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Gap-based trip segmentation: each entity's event stream splits
+    into trips wherever the inter-event gap exceeds ``max_gap_s`` (the
+    dual of ``staypoints`` — silence, not stillness, ends a trip); per
+    trip it emits exact-integer point count, epoch span, distinct-cell
+    count and net displacement squared in micro-degree units
+    ((x_last - x_first)^2 + (y_last - y_first)^2 — sub-2^63 since
+    micro-degree spans are < 4*10^8). Returns (entity, trip_id,
+    n_points, start_ep, end_ep, duration_s, n_tiles, disp2) with
+    trip_id the 1-based per-entity trip ordinal.
+
+    Plan: two windows over the SAME per-entity partitioning (lag for
+    the gap flag, running sum for the trip ordinal — one shuffle), then
+    ONE groupBy on (entity, trip) computing every feature in a single
+    pass (endpoint coords via lexicographic struct min/max on the
+    unique (ep, tiebreak) key)."""
+    if max_gap_s < 1:
+        raise ValueError(f"max_gap_s must be >= 1, got {max_gap_s}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__x"),
+        F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__y"),
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    flagged = base.withColumn("__prev", F.lag("__ep").over(w)).withColumn(
+        "__new",
+        (
+            F.col("__prev").isNull()
+            | ((F.col("__ep") - F.col("__prev")) > max_gap_s)
+        ).cast("long"),
+    )
+    walked = flagged.withColumn(
+        "trip_id",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    key = [F.col("__ep"), *([F.col(order_tiebreak)] if order_tiebreak else [])]
+    per = walked.groupBy("entity", "trip_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("__ep").alias("start_ep"),
+        F.max("__ep").alias("end_ep"),
+        F.countDistinct("tile").alias("n_tiles"),
+        F.min(F.struct(*key, F.col("__x"), F.col("__y"))).alias("__f"),
+        F.max(F.struct(*key, F.col("__x"), F.col("__y"))).alias("__l"),
+    )
+    dx = F.col("__l.__x") - F.col("__f.__x")
+    dy = F.col("__l.__y") - F.col("__f.__y")
+    return per.select(
+        "entity",
+        "trip_id",
+        "n_points",
+        "start_ep",
+        "end_ep",
+        (F.col("end_ep") - F.col("start_ep")).alias("duration_s"),
+        "n_tiles",
+        (dx * dx + dy * dy).alias("disp2"),
+    )

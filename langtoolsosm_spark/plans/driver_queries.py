@@ -9860,13 +9860,13 @@ REGISTRY.update({"od_topk": (q_od_topk, O_OD_TOPK)})
 
 def q_od_backbone(spark, sf_dir):
     """Per-origin corridor backbone (operators/spatial.py
-    ``od_backbone``): OD edges carrying >= 1/10 of their origin's
+    ``od_backbone``): OD edges carrying >= 1/50 of their origin's
     outbound trips via integer cross-multiply. The oracle replays the
     rollup and the per-origin sum window in SQL."""
     from ..operators.spatial import od_backbone
 
     return od_backbone(
-        _traj(spark, sf_dir), "user_id", "ts", share_den=10, res=8,
+        _traj(spark, sf_dir), "user_id", "ts", share_den=50, res=8,
         order_tiebreak="event_id",
     )
 
@@ -9881,11 +9881,73 @@ s AS (
   FROM od
 )
 SELECT from_tile, to_tile, n_trips, origin_trips
-FROM s WHERE n_trips * 10 >= origin_trips
+FROM s WHERE n_trips * 50 >= origin_trips
 """
 
 
 REGISTRY.update({"od_backbone": (q_od_backbone, O_OD_BACKBONE)})
+
+
+TRIP_GAP_S = 14_400
+
+
+def q_trip_segments(spark, sf_dir):
+    """Gap-based trip segmentation (operators/spatial.py
+    ``trip_segments``): per-entity trips split at 4-hour silences, with
+    exact micro-degree net displacement. The oracle replays the lag
+    flag, the running trip ordinal, the full-frame endpoint windows and
+    the per-trip rollup in SQL."""
+    from ..operators.spatial import trip_segments
+
+    return trip_segments(
+        _traj(spark, sf_dir), "user_id", "ts", max_gap_s=TRIP_GAP_S,
+        res=8, order_tiebreak="event_id",
+    )
+
+
+O_TRIP_SEGMENTS = f"""
+WITH {TRAJ_SRC_CTE},
+b AS (
+  SELECT user_id AS entity, ep, event_id,
+         CAST(floor((lon + 180.0) * 1000000.0) AS BIGINT) AS x,
+         CAST(floor((lat + 90.0) * 1000000.0) AS BIGINT) AS y,
+         {_tile_sql(8)} AS tile
+  FROM src
+),
+w1 AS (
+  SELECT *, lag(ep) OVER (PARTITION BY entity ORDER BY ep, event_id) AS prev
+  FROM b
+),
+w2 AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR ep - prev > {TRIP_GAP_S}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY entity ORDER BY ep, event_id
+                    ROWS UNBOUNDED PRECEDING) AS trip_id
+  FROM w1
+),
+w3 AS (
+  SELECT entity, trip_id, ep, tile, x, y,
+         first_value(x) OVER tw AS fx, first_value(y) OVER tw AS fy,
+         last_value(x) OVER tw AS lx, last_value(y) OVER tw AS ly
+  FROM w2
+  WINDOW tw AS (
+    PARTITION BY entity, trip_id ORDER BY ep, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+SELECT entity, CAST(trip_id AS BIGINT) AS trip_id,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(min(ep) AS BIGINT) AS start_ep,
+       CAST(max(ep) AS BIGINT) AS end_ep,
+       CAST(max(ep) - min(ep) AS BIGINT) AS duration_s,
+       CAST(count(DISTINCT tile) AS BIGINT) AS n_tiles,
+       CAST(max((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy)) AS BIGINT)
+         AS disp2
+FROM w3 GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"trip_segments": (q_trip_segments, O_TRIP_SEGMENTS)})
 
 
 # The external driver's correctness artifact is positionally capped at the

@@ -706,3 +706,33 @@ def test_od_backbone_share_filter(spark):
     assert len(from_a) == 1
     assert from_a[0]["to_tile"] == t(b)
     assert from_a[0]["n_trips"] == 9 and from_a[0]["origin_trips"] == 10
+
+
+def test_trip_segments_split_and_displacement(spark):
+    from langtoolsosm_spark.operators.spatial import trip_segments
+
+    a, b = (10.0, 10.0), (10.0, 11.0)  # 1 deg lon apart -> dx = 1e6
+    rows = [
+        (1, 0, 0, *a), (1, 100, 1, *b),          # trip 1: A->B
+        (1, 100 + 7200, 2, *a),                   # gap 7200 > 3600 -> trip 2
+        (2, 0, 3, *a),                            # single-point trip
+    ]
+    out = {(r["entity"], r["trip_id"]): r for r in trip_segments(
+        _ev(spark, rows), "user_id", "ts", max_gap_s=3600, res=6,
+        order_tiebreak="event_id",
+    ).collect()}
+    t1 = out[(1, 1)]
+    assert t1["n_points"] == 2 and t1["duration_s"] == 100
+    assert t1["disp2"] == 1_000_000 ** 2
+    t2 = out[(1, 2)]
+    assert t2["n_points"] == 1 and t2["disp2"] == 0 and t2["duration_s"] == 0
+    assert out[(2, 1)]["n_points"] == 1
+    assert len(out) == 3
+
+
+def test_trip_segments_rejects_bad_gap(spark):
+    from langtoolsosm_spark.operators.spatial import trip_segments
+
+    with pytest.raises(ValueError, match="max_gap_s"):
+        trip_segments(_ev(spark, [(1, 0, 0, 1.0, 1.0)]), "user_id", "ts",
+                      max_gap_s=0)
