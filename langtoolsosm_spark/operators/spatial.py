@@ -3180,3 +3180,132 @@ def trip_segments(
         "n_tiles",
         (dx * dx + dy * dy).alias("disp2"),
     )
+
+
+def speed_outliers(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    vmax_micro: int,
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """GPS teleport detector — the standard trajectory-cleaning pass:
+    flag every consecutive per-entity segment whose implied speed
+    exceeds ``vmax_micro`` micro-degrees/second, using the exact
+    integer cross-multiplied test ``dist2 > (vmax * dt)^2`` (squared
+    micro-degree distance vs squared budget — no sqrt, no division; a
+    zero-dt move of nonzero distance is infinite speed and flags).
+    The squared budget is computed in DECIMAL(38,0) since
+    (vmax * dt)^2 overflows int64 for long gaps. Returns the flagged
+    segments (entity, start_ep, end_ep, dt_s, dist2) — the rows a
+    curation pipeline quarantines before any mobility statistic.
+
+    Plan: ONE lag window over the entity partitioning (narrow frame)
+    and a codegen'd integer filter — no joins, no second scan."""
+    if vmax_micro < 1:
+        raise ValueError(f"vmax_micro must be >= 1, got {vmax_micro}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__x"),
+        F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__y"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    seg = (
+        base.withColumn("__pep", F.lag("__ep").over(w))
+        .withColumn("__px", F.lag("__x").over(w))
+        .withColumn("__py", F.lag("__y").over(w))
+        .filter(F.col("__pep").isNotNull())
+    )
+    dx = F.col("__x") - F.col("__px")
+    dy = F.col("__y") - F.col("__py")
+    dist2 = dx * dx + dy * dy
+    dt = F.col("__ep") - F.col("__pep")
+    dec = "decimal(38,0)"
+    budget = (F.lit(vmax_micro) * dt).cast(dec)
+    return (
+        seg.withColumn("dist2", dist2)
+        .withColumn("dt_s", dt)
+        .filter(F.col("dist2").cast(dec) > budget * budget)
+        .select(
+            "entity",
+            F.col("__pep").alias("start_ep"),
+            F.col("__ep").alias("end_ep"),
+            "dt_s",
+            "dist2",
+        )
+    )
+
+
+def geofence_dwell(
+    events: DataFrame,
+    polygons: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-polygon dwell accounting — the geofence complement of the
+    per-cell ``dwell_time``: each consecutive per-entity segment's
+    exact epoch-second duration is attributed to the polygon containing
+    the segment's START point (the same start-attribution convention),
+    via the hierarchical boundary-band PIP join. Points outside every
+    fence contribute nothing; with overlapping fences a segment counts
+    toward each containing polygon (fences are zones, not a
+    partition). Returns (polygon_id, total_dwell_s, n_segments,
+    n_entities).
+
+    Plan: one lag window on the entity key to build segments, then the
+    standard pip_join (broadcast cover + refine) on the segment-start
+    coordinates and one map-side-combined rollup on polygon_id."""
+    from pyspark.sql import Window
+
+    from .pip_join import pip_join
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    seg = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+            F.col(lat).alias("lat"),
+            F.col(lon).alias("lon"),
+            *([F.col(order_tiebreak)] if order_tiebreak else []),
+        )
+        .withColumn(
+            "__next",
+            F.lead("__ep").over(
+                Window.partitionBy("entity").orderBy(
+                    F.col("__ep").asc(),
+                    *([F.col(order_tiebreak).asc()] if order_tiebreak else []),
+                )
+            ),
+        )
+        .filter(F.col("__next").isNotNull())
+        .withColumn("__seg_id", F.monotonically_increasing_id())
+    )
+    fenced = pip_join(
+        seg, polygons, res=res, id_col="__seg_id", lat="lat", lon="lon"
+    )
+    return fenced.groupBy("polygon_id").agg(
+        F.sum(F.col("__next") - F.col("__ep")).alias("total_dwell_s"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.countDistinct("entity").alias("n_entities"),
+    )

@@ -9950,6 +9950,90 @@ FROM w3 GROUP BY 1, 2
 REGISTRY.update({"trip_segments": (q_trip_segments, O_TRIP_SEGMENTS)})
 
 
+VMAX_MICRO = 2000
+
+
+def q_speed_outliers(spark, sf_dir):
+    """GPS teleport detection (operators/spatial.py ``speed_outliers``):
+    segments whose implied speed exceeds 2000 micro-deg/s under the
+    exact cross-multiplied dist2 > (vmax*dt)^2 test. The oracle replays
+    the lag window and the HUGEINT budget compare in SQL."""
+    from ..operators.spatial import speed_outliers
+
+    return speed_outliers(
+        _traj(spark, sf_dir), "user_id", "ts", vmax_micro=VMAX_MICRO,
+        order_tiebreak="event_id",
+    )
+
+
+O_SPEED_OUTLIERS = f"""
+WITH {TRAJ_SRC_CTE},
+b AS (
+  SELECT user_id AS entity, ep, event_id,
+         CAST(floor((lon + 180.0) * 1000000.0) AS BIGINT) AS x,
+         CAST(floor((lat + 90.0) * 1000000.0) AS BIGINT) AS y
+  FROM src
+),
+s AS (
+  SELECT entity, ep, x, y,
+         lag(ep) OVER w AS pep, lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM b WINDOW w AS (PARTITION BY entity ORDER BY ep, event_id)
+),
+f AS (
+  SELECT entity, pep AS start_ep, ep AS end_ep, ep - pep AS dt_s,
+         (x - px) * (x - px) + (y - py) * (y - py) AS dist2
+  FROM s WHERE pep IS NOT NULL
+)
+SELECT entity, start_ep, end_ep, CAST(dt_s AS BIGINT) AS dt_s,
+       CAST(dist2 AS BIGINT) AS dist2
+FROM f
+WHERE CAST(dist2 AS HUGEINT)
+      > CAST({VMAX_MICRO} * dt_s AS HUGEINT) * ({VMAX_MICRO} * dt_s)
+"""
+
+
+REGISTRY.update({"speed_outliers": (q_speed_outliers, O_SPEED_OUTLIERS)})
+
+
+def q_geofence_dwell(spark, sf_dir):
+    """Per-polygon dwell accounting (operators/spatial.py
+    ``geofence_dwell``): consecutive-segment durations attributed to
+    the fence containing the segment start, via the hierarchical PIP
+    cover. The oracle replays the lead window and each polygon's
+    half-open predicates (empty fences omitted on both sides)."""
+    from ..operators.spatial import geofence_dwell
+
+    return geofence_dwell(
+        _traj(spark, sf_dir), geo_polygons_df(spark), "user_id", "ts",
+        res=8, order_tiebreak="event_id",
+    )
+
+
+O_GEOFENCE_DWELL = (
+    f"""
+WITH {TRAJ_SRC_CTE},
+s AS (
+  SELECT user_id AS entity, ep, lat, lon,
+         lead(ep) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM src
+),
+seg AS (SELECT * FROM s WHERE nxt IS NOT NULL)
+"""
+    + " UNION ALL ".join(
+        f"""
+SELECT '{pid}' AS polygon_id,
+       CAST(sum(nxt - ep) AS BIGINT) AS total_dwell_s,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+FROM seg WHERE {pred} HAVING count(*) > 0"""
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+)
+
+
+REGISTRY.update({"geofence_dwell": (q_geofence_dwell, O_GEOFENCE_DWELL)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

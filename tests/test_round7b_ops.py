@@ -736,3 +736,44 @@ def test_trip_segments_rejects_bad_gap(spark):
     with pytest.raises(ValueError, match="max_gap_s"):
         trip_segments(_ev(spark, [(1, 0, 0, 1.0, 1.0)]), "user_id", "ts",
                       max_gap_s=0)
+
+
+def test_speed_outliers_teleport_and_zero_dt(spark):
+    from langtoolsosm_spark.operators.spatial import speed_outliers
+
+    # segment 1: 1 deg (1e6 micro) in 1000 s -> speed 1000 micro/s,
+    # under vmax 2000 -> clean. segment 2: same distance in 1 s ->
+    # 1e6 micro/s -> flagged. segment 3: zero dt, nonzero move -> flagged.
+    rows = [
+        (1, 0, 0, 10.0, 10.0), (1, 1000, 1, 10.0, 11.0),
+        (1, 1001, 2, 10.0, 12.0),
+        (2, 0, 3, 10.0, 10.0), (2, 0, 4, 10.0, 11.0),
+    ]
+    out = speed_outliers(_ev(spark, rows), "user_id", "ts",
+                         vmax_micro=2000, order_tiebreak="event_id").collect()
+    got = {(r["entity"], r["start_ep"], r["end_ep"]) for r in out}
+    assert got == {(1, 1000, 1001), (2, 0, 0)}
+    for r in out:
+        assert r["dist2"] == 1_000_000 ** 2
+
+
+def test_geofence_dwell_start_attribution(spark):
+    from langtoolsosm_spark.operators.spatial import geofence_dwell
+
+    polys = spark.createDataFrame(
+        [("P1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                 {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    # user 1: inside -> outside (100 s, attributed to P1), then
+    # outside -> inside (50 s, NOT attributed); trailing point ignored
+    rows = [
+        (1, 0, 0, 5.0, 5.0), (1, 100, 1, 50.0, 50.0), (1, 150, 2, 5.0, 5.0),
+    ]
+    out = geofence_dwell(_ev(spark, rows), polys, "user_id", "ts",
+                         res=6, order_tiebreak="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["polygon_id"] == "P1"
+    assert r["total_dwell_s"] == 100 and r["n_segments"] == 1
+    assert r["n_entities"] == 1
