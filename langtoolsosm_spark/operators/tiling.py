@@ -1453,3 +1453,98 @@ def daily_motifs(
             F.sum("n_events").alias("total_events"),
         )
     )
+
+
+def pyramid_gaps(
+    df: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Pyramid-completeness audit — the complement of ``compact_cells``:
+    parents at res-1 whose quad is PARTIALLY occupied (1-3 of 4
+    children hold rows). A serving pyramid renders these parents from
+    incomplete child sets, so they are exactly the cells where a
+    mosaic shows seams or a rollup under-counts. Returns
+    (parent_tile, n_children, n_rows) for partial parents only.
+
+    Plan: one map-side-combined child histogram, one arithmetic parent
+    key (pure codegen, no join) and one rollup on the parent — output
+    bounded by occupied parents."""
+    if res < 1:
+        raise ValueError(f"res must be >= 1 (parents live at res-1), got {res}")
+    n = 1 << res
+    half = n >> 1
+    hist = (
+        assign_tiles(df, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    parent = (
+        F.expr(f"(tile div {n}) div 2") * F.lit(half)
+        + F.expr(f"(tile % {n}) div 2")
+    )
+    per = hist.groupBy(parent.alias("parent_tile")).agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.sum("n").alias("n_rows"),
+    )
+    return per.filter((F.col("n_children") >= 1) & (F.col("n_children") <= 3))
+
+
+def visit_regularity(
+    events: DataFrame,
+    res: int,
+    min_gaps: int = 2,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per (entity, cell) visit-rhythm audit: the exact integer moments
+    of the entity's inter-visit gaps at that cell — n gaps, their sum,
+    and the scaled population variance numerator
+    ``n * sum(g^2) - (sum g)^2`` (variance = var_num / n^2; var_num = 0
+    means metronome-regular visits, the commuter signature;
+    cross-multiplied, so no float and merge-order independent).
+    Computed in DECIMAL(38,0) and emitted as BIGINT (fixture spans keep
+    every moment far below 2^63; at larger spans widen the output to
+    the decimal). Returns (entity, tile, n_gaps, sum_gap, var_num)
+    for pairs with at least ``min_gaps`` gaps.
+
+    Plan: one lag window over the (entity, cell) partitioning, then one
+    map-side-combined rollup on the same key — the shuffle is shared
+    between the two."""
+    if min_gaps < 1:
+        raise ValueError(f"min_gaps must be >= 1, got {min_gaps}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w = Window.partitionBy("entity", "tile").orderBy(*order)
+    gaps = (
+        base.withColumn("__prev", F.lag("__ep").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select("entity", "tile", (F.col("__ep") - F.col("__prev")).alias("g"))
+    )
+    dec = "decimal(38,0)"
+    per = gaps.groupBy("entity", "tile").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("sum_gap"),
+        F.sum((F.col("g") * F.col("g")).cast(dec)).alias("__sq"),
+    )
+    var_num = (
+        F.col("n_gaps").cast(dec) * F.col("__sq")
+        - F.col("sum_gap").cast(dec) * F.col("sum_gap").cast(dec)
+    )
+    return per.filter(F.col("n_gaps") >= min_gaps).select(
+        "entity", "tile", "n_gaps", "sum_gap",
+        var_num.cast("long").alias("var_num"),
+    )

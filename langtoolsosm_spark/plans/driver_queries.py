@@ -10034,6 +10034,75 @@ FROM seg WHERE {pred} HAVING count(*) > 0"""
 REGISTRY.update({"geofence_dwell": (q_geofence_dwell, O_GEOFENCE_DWELL)})
 
 
+def q_pyramid_gaps(spark, sf_dir):
+    """Pyramid-completeness audit over the pinned image fixture
+    (operators/tiling.py ``pyramid_gaps``): res-5 parents with 1-3
+    occupied res-6 children. The oracle replays the child histogram,
+    the arithmetic parent key and the partial-quad filter in SQL."""
+    from ..operators.tiling import pyramid_gaps
+
+    return pyramid_gaps(_synth_images(spark, sf_dir), res=6)
+
+
+O_PYRAMID_GAPS = f"""
+WITH img AS (
+  SELECT {_tile_sql(6)} AS tile, count(*) AS n
+  FROM read_parquet('{SYNTH_SF001_IMAGES}') GROUP BY 1
+),
+per AS (
+  SELECT ((tile // 64) // 2) * 32 + ((tile % 64) // 2) AS parent_tile,
+         count(*) AS n_children, sum(n) AS n_rows
+  FROM img GROUP BY 1
+)
+SELECT parent_tile, CAST(n_children AS BIGINT) AS n_children,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM per WHERE n_children BETWEEN 1 AND 3
+"""
+
+
+REGISTRY.update({"pyramid_gaps": (q_pyramid_gaps, O_PYRAMID_GAPS)})
+
+
+def q_visit_regularity(spark, sf_dir):
+    """Per (entity, cell) visit-rhythm moments (operators/tiling.py
+    ``visit_regularity``): exact cross-multiplied gap variance
+    numerator per pair with >= 2 gaps. The oracle replays the
+    per-pair lag window and the moment rollup in SQL (HUGEINT ->
+    BIGINT, fixture-bounded)."""
+    from ..operators.tiling import visit_regularity
+
+    return visit_regularity(
+        _traj(spark, sf_dir), res=6, min_gaps=2, order_tiebreak="event_id"
+    )
+
+
+O_VISIT_REGULARITY = f"""
+WITH {TRAJ_SRC_CTE},
+b AS (
+  SELECT user_id AS entity, ep, event_id, {_tile_sql(6)} AS tile FROM src
+),
+g AS (
+  SELECT entity, tile, ep - lag(ep) OVER (
+    PARTITION BY entity, tile ORDER BY ep, event_id
+  ) AS gap
+  FROM b
+),
+per AS (
+  SELECT entity, tile, count(*) AS n_gaps, sum(gap) AS sum_gap,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sq
+  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+)
+SELECT entity, tile, CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(sum_gap AS BIGINT) AS sum_gap,
+       CAST(CAST(n_gaps AS HUGEINT) * sq
+            - CAST(sum_gap AS HUGEINT) * sum_gap AS BIGINT) AS var_num
+FROM per WHERE n_gaps >= 2
+"""
+
+
+REGISTRY.update({"visit_regularity": (q_visit_regularity, O_VISIT_REGULARITY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

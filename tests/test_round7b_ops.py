@@ -777,3 +777,43 @@ def test_geofence_dwell_start_attribution(spark):
     assert r["polygon_id"] == "P1"
     assert r["total_dwell_s"] == 100 and r["n_segments"] == 1
     assert r["n_entities"] == 1
+
+
+def test_pyramid_gaps_partial_quads(spark):
+    from langtoolsosm_spark.operators.tiling import pyramid_gaps
+
+    # res 2: parent quads are 2x2 child blocks. Fill one full quad
+    # (children (0,0),(0,1),(1,0),(1,1)) and one partial (child (2,0)
+    # only). Full quad must NOT appear.
+    # child cell centers at res 2: cell k covers 90 deg lon each.
+    rows = [
+        (1, -67.5, -157.5), (2, -22.5, -157.5),   # iy 0,1 ix 0
+        (3, -67.5, -45.0), (4, -22.5, -45.0),     # ix 1
+        (5, -67.5, 22.5),                          # ix 2, iy 0 (partial)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "lat", "lon"])
+    )
+    out = pyramid_gaps(df, res=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_children"] == 1 and out[0]["n_rows"] == 1
+    # parent of child (ix=2, iy=0) at half=2: (2//2)*2 + 0 = 2
+    assert out[0]["parent_tile"] == 2
+
+
+def test_visit_regularity_metronome_vs_irregular(spark):
+    from langtoolsosm_spark.operators.tiling import visit_regularity
+
+    a, b = (10.0, 10.0), (40.0, 40.0)
+    rows = [
+        # user 1 at A: visits at 0,100,200,300 -> gaps 100,100,100 -> var 0
+        (1, 0, 0, *a), (1, 100, 1, *a), (1, 200, 2, *a), (1, 300, 3, *a),
+        # user 2 at B: 0, 10, 40 -> gaps 10,30 -> var_num = 2*1000 - 1600
+        (2, 0, 4, *b), (2, 10, 5, *b), (2, 40, 6, *b),
+    ]
+    out = {r["entity"]: r for r in visit_regularity(
+        _ev(spark, rows), res=6, min_gaps=2, order_tiebreak="event_id"
+    ).collect()}
+    assert out[1]["var_num"] == 0 and out[1]["n_gaps"] == 3
+    assert out[1]["sum_gap"] == 300
+    assert out[2]["var_num"] == 2 * (100 + 900) - 40 * 40
