@@ -1548,3 +1548,41 @@ def visit_regularity(
         "entity", "tile", "n_gaps", "sum_gap",
         var_num.cast("long").alias("var_num"),
     )
+
+
+def kanon_cells(
+    events: DataFrame,
+    res: int,
+    k: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """k-anonymity release audit for mobility rollups: every
+    (cell, epoch-hour) cohort whose distinct-entity count is below
+    ``k`` — the rows that would re-identify users if the per-cell-hour
+    histogram were published, and therefore the exact suppression list
+    a release pipeline must drop or generalize (coarser cell / wider
+    hour) before export. Returns (tile, hour, n_entities, n_events)
+    for violating cohorts only.
+
+    Plan: ONE map-side-combined groupBy on the (cell, hour) key with a
+    distinct-entity count (standard two-phase expand) and a codegen'd
+    filter — output bounded by violating cohorts."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hour = F.expr(f"unix_timestamp({ts_col}) div 3600")
+    return (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            hour.alias("hour"),
+            F.col(entity_col).alias("entity"),
+        )
+        .groupBy("tile", "hour")
+        .agg(
+            F.countDistinct("entity").alias("n_entities"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .filter(F.col("n_entities") < k)
+    )

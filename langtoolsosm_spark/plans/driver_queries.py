@@ -10103,6 +10103,80 @@ FROM per WHERE n_gaps >= 2
 REGISTRY.update({"visit_regularity": (q_visit_regularity, O_VISIT_REGULARITY)})
 
 
+def q_kanon_cells(spark, sf_dir):
+    """k-anonymity release audit (operators/tiling.py ``kanon_cells``):
+    (cell, epoch-hour) cohorts with fewer than 3 distinct entities —
+    the suppression list for publishing the mobility histogram. The
+    oracle replays the cohort rollup and the threshold filter in SQL."""
+    from ..operators.tiling import kanon_cells
+
+    return kanon_cells(_traj(spark, sf_dir), res=6, k=3)
+
+
+O_KANON_CELLS = f"""
+WITH {TRAJ_SRC_CTE}
+SELECT {_tile_sql(6)} AS tile, ep // 3600 AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM src GROUP BY 1, 2 HAVING count(DISTINCT user_id) < 3
+"""
+
+
+REGISTRY.update({"kanon_cells": (q_kanon_cells, O_KANON_CELLS)})
+
+
+def q_dup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size census over the pinned image fixture
+    (operators/dedup.py composition): pHash banding -> connected
+    components -> per-cluster size -> size histogram, the curation
+    dashboard's "how pathological is duplication" number. The oracle
+    replays the quadratic pair spec and the recursive closure, then
+    both rollups."""
+    from ..operators.dedup import dedup_clusters, hamming_band_pairs
+    from ..operators.tiling import assign_tiles
+
+    img = assign_tiles(
+        _synth_images(spark, sf_dir).select("image_id", "phash", "lat", "lon"),
+        res=5,
+    ).select("image_id", "phash", "tile")
+    pairs = hamming_band_pairs(
+        img, id_col="image_id", hash_col="phash", max_hamming=6,
+        block_cols=("tile",),
+    )
+    cl = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+O_DUP_CLUSTER_SIZES = f"""
+WITH RECURSIVE img AS (
+  SELECT image_id, phash, {_tile_sql(5)} AS tile
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+p AS (
+  SELECT a.image_id AS a, b.image_id AS b
+  FROM img a JOIN img b USING (tile)
+  WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 6
+),
+e AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+),
+m AS (SELECT id, min(x) AS cluster_id FROM r GROUP BY id),
+s AS (SELECT cluster_id, count(*) AS cluster_size FROM m GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM s GROUP BY 1
+"""
+
+
+REGISTRY.update({"dup_cluster_sizes": (q_dup_cluster_sizes, O_DUP_CLUSTER_SIZES)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -817,3 +817,44 @@ def test_visit_regularity_metronome_vs_irregular(spark):
     assert out[1]["var_num"] == 0 and out[1]["n_gaps"] == 3
     assert out[1]["sum_gap"] == 300
     assert out[2]["var_num"] == 2 * (100 + 900) - 40 * 40
+
+
+def test_kanon_cells_threshold(spark):
+    from langtoolsosm_spark.operators.tiling import kanon_cells
+
+    a, b = (10.0, 10.0), (40.0, 40.0)
+    rows = [
+        # cell A hour 0: 3 entities -> k=3 satisfied, suppressed rows none
+        (1, 0, 0, *a), (2, 10, 1, *a), (3, 20, 2, *a),
+        # cell B hour 0: 2 entities, 3 events -> violates k=3
+        (1, 30, 3, *b), (2, 40, 4, *b), (2, 50, 5, *b),
+        # cell A hour 1: 1 entity -> violates
+        (1, 3600, 6, *a),
+    ]
+    out = kanon_cells(_ev(spark, rows), res=6, k=3).collect()
+    got = {(r["hour"], r["n_entities"], r["n_events"]) for r in out}
+    assert got == {(0, 2, 3), (1, 1, 1)}
+    with pytest.raises(ValueError, match="k must"):
+        kanon_cells(_ev(spark, rows), res=6, k=1)
+
+
+def test_dup_cluster_sizes_histogram(spark):
+    from langtoolsosm_spark.operators.dedup import (
+        dedup_clusters, hamming_band_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # one triangle cluster (identical hashes) + one pair, same tile block
+    img = spark.createDataFrame(
+        [(1, 7, 0), (2, 7, 0), (3, 7, 0), (10, 1 << 20, 0),
+         (11, 1 << 20, 0), (99, 63 << 40, 0)],
+        "image_id long, phash long, tile long",
+    )
+    pairs = hamming_band_pairs(img, id_col="image_id", hash_col="phash",
+                               max_hamming=2, block_cols=("tile",))
+    cl = dedup_clusters(pairs, id_a="id_a", id_b="id_b")
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = {r["cluster_size"]: r["n_clusters"] for r in
+           sizes.groupBy("cluster_size").agg(
+               F.count(F.lit(1)).alias("n_clusters")).collect()}
+    assert out == {3: 1, 2: 1}
