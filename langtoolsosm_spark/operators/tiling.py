@@ -1355,6 +1355,12 @@ def exploration_curve(
         tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
         *([F.col(order_tiebreak)] if order_tiebreak else []),
     )
+    # one shuffle for BOTH windows and the (entity, decile) rollup:
+    # HashPartitioning(entity) satisfies the (entity, tile) window's
+    # clustered distribution (subset key), so pinning the exchange to
+    # the entity key up front removes the (entity, tile) exchange the
+    # planner would otherwise insert (3 exchanges -> 2, plan-asserted)
+    base = base.repartition(F.col("entity"))
     w_ent = Window.partitionBy("entity").orderBy(*order)
     w_tile = Window.partitionBy("entity", "tile").orderBy(*order)
     flagged = base.select(

@@ -858,3 +858,15 @@ def test_dup_cluster_sizes_histogram(spark):
            sizes.groupBy("cluster_size").agg(
                F.count(F.lit(1)).alias("n_clusters")).collect()}
     assert out == {3: 1, 2: 1}
+
+
+def test_exploration_curve_single_entity_exchange(spark):
+    # the (entity, tile) window must reuse the entity exchange (subset
+    # key satisfies the clustered distribution): 2 exchanges total
+    # (entity + final decile rollup), not 3.
+    from langtoolsosm_spark.operators.tiling import exploration_curve
+
+    rows = [(1, i, i, 10.0 + i, 10.0) for i in range(6)]
+    df = exploration_curve(_ev(spark, rows), res=6, order_tiebreak="event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
