@@ -1592,3 +1592,60 @@ def kanon_cells(
         )
         .filter(F.col("n_entities") < k)
     )
+
+
+def balanced_ranges(
+    df: DataFrame,
+    res: int,
+    buckets: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Equal-mass range-partition planner — the number every 100 TB
+    ingest needs before writing range-clustered files: walking the
+    cell histogram in tile-key order, emit for each of ``buckets``
+    cumulative-mass targets the first cell where cum * buckets >=
+    total * k (exact integer thresholds, the ``tile_coverage_curve``
+    device on the KEY order instead of the mass order). Feeding these
+    cut cells to a range repartitioner yields partitions within one
+    cell of equal row mass regardless of skew. Returns
+    (bucket, cut_tile, cum_rows, total_rows).
+
+    Plan: one map-side-combined histogram, one global-order window
+    over the HISTOGRAM (sketch-sized, same justification as
+    tile_coverage_curve), a constant ``buckets``-way fan and a
+    min-rank rollup."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from pyspark.sql import Window
+
+    hist = (
+        assign_tiles(df, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("tile").asc())
+    ranked = hist.select(
+        "tile",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    total = hist.agg(F.sum("n").alias("total_rows"))
+    ks = F.explode(
+        F.array(*[F.lit(i) for i in range(1, buckets + 1)])
+    ).alias("bucket")
+    fan = ranked.crossJoin(F.broadcast(total)).select(
+        "tile", "cum", "total_rows", ks
+    )
+    return (
+        fan.filter(F.col("cum") * buckets >= F.col("total_rows") * F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.min(F.struct("tile", "cum", "total_rows")).alias("__b"))
+        .select(
+            "bucket",
+            F.col("__b.tile").alias("cut_tile"),
+            F.col("__b.cum").alias("cum_rows"),
+            F.col("__b.total_rows").alias("total_rows"),
+        )
+    )

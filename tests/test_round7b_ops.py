@@ -870,3 +870,30 @@ def test_exploration_curve_single_entity_exchange(spark):
     df = exploration_curve(_ev(spark, rows), res=6, order_tiebreak="event_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
+
+
+def test_balanced_ranges_equal_mass_cuts(spark):
+    from langtoolsosm_spark.operators.tiling import balanced_ranges
+
+    # 4 cells in tile order with masses 1, 5, 1, 1 (total 8), 4 buckets:
+    # targets 2,4,6,8 -> cuts at cum 6,6,6,8 -> cells 2,2,2,4
+    rows = []
+    pid = 0
+    cells = [(-67.5, -157.5, 1), (-67.5, -112.5, 5),
+             (-67.5, -67.5, 1), (-67.5, -22.5, 1)]
+    for lat, lon, cnt in cells:
+        for _ in range(cnt):
+            pid += 1
+            rows.append((pid, lat, lon))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "lat", "lon"])
+    )
+    out = {r["bucket"]: r for r in balanced_ranges(df, res=3, buckets=4).collect()}
+    tiles = sorted({r["cut_tile"] for r in out.values()})
+    # buckets 1..3 all cut at the heavy second cell, bucket 4 at the last
+    assert out[1]["cut_tile"] == out[2]["cut_tile"] == out[3]["cut_tile"]
+    assert out[1]["cum_rows"] == 6
+    assert out[4]["cum_rows"] == 8 and out[4]["total_rows"] == 8
+    assert len(tiles) == 2
+    with pytest.raises(ValueError, match="buckets"):
+        balanced_ranges(df, res=3, buckets=0)
