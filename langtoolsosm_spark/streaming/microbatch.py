@@ -1568,3 +1568,119 @@ def run_wait_time_stream_once(
         FROM {name} GROUP BY 1
         """
     )
+
+
+def stream_speed_outliers(
+    stream: DataFrame,
+    vmax_micro: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stateful streaming GPS teleport detector (the streaming half of
+    operators/spatial.py ``speed_outliers``): per entity, state carries
+    the last event's (epoch, x, y); each event closes a segment and
+    emits it iff the exact integer test dist2 > (vmax * dt)^2 flags it
+    — Python ints are unbounded so the squared budget needs no decimal
+    staging. Emits (entity, start_ep, end_ep, dt_s, dist2) exactly
+    once per flagged segment, byte-equal to batch.
+
+    Ingestion contract: event-time order ACROSS micro-batches per
+    entity (same as ``stream_dwell``) — an out-of-order batch RAISES."""
+    import numpy as np
+    import pandas as pd
+
+    if vmax_micro < 1:
+        raise ValueError(f"vmax_micro must be >= 1, got {vmax_micro}")
+    cols = ["entity", "start_ep", "end_ep", "dt_s", "dist2"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        xs = np.floor((pdf[lon].to_numpy() + 180.0) * float(scale)).astype(
+            np.int64
+        )
+        ys = np.floor((pdf[lat].to_numpy() + 90.0) * float(scale)).astype(
+            np.int64
+        )
+        ent = int(key[0])
+        if state.exists:
+            l_ep, l_x, l_y, l_eid = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {ent}: the "
+                    "ordered-ingestion contract is broken — a speed "
+                    "segment replayed out of order diverges from batch"
+                )
+            has_prev = True
+        else:
+            l_ep = l_x = l_y = l_eid = 0
+            has_prev = False
+        rows = []
+        for i in range(len(pdf)):
+            ep, x, y = int(eps[i]), int(xs[i]), int(ys[i])
+            if has_prev:
+                dt = ep - l_ep
+                d2 = (x - l_x) ** 2 + (y - l_y) ** 2
+                if d2 > (vmax_micro * dt) ** 2:
+                    rows.append((ent, l_ep, ep, dt, d2))
+            l_ep, l_x, l_y, l_eid = ep, x, y, int(eids[i])
+            has_prev = True
+        state.update((l_ep, l_x, l_y, l_eid))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col), F.col(id_col), F.col(lat), F.col(lon),
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType=(
+            "entity long, start_ep long, end_ep long, dt_s long, dist2 long"
+        ),
+        stateStructType="l_ep long, l_x long, l_y long, l_eid long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_speed_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    vmax_micro: int,
+) -> DataFrame:
+    """Drive the streaming teleport detector over all staged files; the
+    emitted rows ARE the batch ``speed_outliers`` output (no rollup
+    needed — flagged segments emit exactly once)."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"speed_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_speed_outliers(st, vmax_micro)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT entity, start_ep, end_ep, dt_s, dist2 FROM {name}"
+    )

@@ -897,3 +897,37 @@ def test_balanced_ranges_equal_mass_cuts(spark):
     assert len(tiles) == 2
     with pytest.raises(ValueError, match="buckets"):
         balanced_ranges(df, res=3, buckets=0)
+
+
+def test_stream_speed_parity_with_batch(spark, tmp_path):
+    import os
+    from langtoolsosm_spark.operators.spatial import speed_outliers
+    from langtoolsosm_spark.streaming.microbatch import run_speed_stream_once
+
+    a, b = (10.0, 10.0), (10.0, 11.0)
+    rows = [
+        (1, 0, 0, *a), (1, 1000, 1, *b),     # clean (1000 micro/s)
+        (1, 1001, 2, *a), (2, 0, 3, *a),     # teleport (cross-batch)
+        (2, 1, 4, *b), (1, 2000, 5, *b),     # teleport for 2; clean for 1
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {(r["entity"], r["start_ep"], r["end_ep"]): r for r in
+                run_speed_stream_once(spark, str(src), str(tmp_path / "ckpt"),
+                                      vmax_micro=2000).collect()}
+    batch = {(r["entity"], r["start_ep"], r["end_ep"]): r for r in
+             speed_outliers(spark.createDataFrame(pdf), "user_id", "ts",
+                            vmax_micro=2000,
+                            order_tiebreak="event_id").collect()}
+    assert streamed.keys() == batch.keys() and len(batch) >= 2
+    for k in batch:
+        assert streamed[k]["dist2"] == batch[k]["dist2"]
+        assert streamed[k]["dt_s"] == batch[k]["dt_s"]
