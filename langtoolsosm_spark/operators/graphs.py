@@ -299,6 +299,11 @@ def local_bridges(
     endpoint), then one anti-join to keep support-0 edges and a
     broadcast-friendly degree enrichment — never an all-pairs product.
     """
+    # the canonical edge set is referenced five times downstream (two
+    # adjacency directions, the wedge probe, the anti-join left side,
+    # the degree rollup); pruned subtrees defeat exchange reuse, so
+    # without truncating lineage every reference replays the upstream
+    # edge derivation (plan-audited: 10 scans -> 1)
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -306,6 +311,7 @@ def local_bridges(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("w"))
