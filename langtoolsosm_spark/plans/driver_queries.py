@@ -10247,6 +10247,67 @@ def q_stream_speed(spark, sf_dir):
 REGISTRY.update({"stream_speed": (q_stream_speed, O_SPEED_OUTLIERS)})
 
 
+def q_region_terms(spark, sf_dir):
+    """Per-region distinctive caption vocabulary: the pinned image
+    fixture PIP-joined to the polygon dim, then the generic integer
+    tf-idf ranker (operators/textstats.py ``distinctive_terms``) keyed
+    by polygon_id — tf counts term hits across the whole region, df
+    counts REGIONS containing the term, score = tf * 1e6 div df. The
+    reference's per-object wikidata label ranking, lifted to a spatial
+    corpus audit. The oracle replays each polygon's half-open
+    predicates, the token unnest and the ranking in SQL."""
+    from ..operators.pip_join import pip_join
+    from ..operators.textstats import distinctive_terms
+
+    img = _synth_images(spark, sf_dir).select("image_id", "caption", "lat", "lon")
+    fenced = pip_join(img, geo_polygons_df(spark), res=8, id_col="image_id")
+    return distinctive_terms(
+        fenced.select("polygon_id", "caption"),
+        k=5, id_col="polygon_id", text_col="caption",
+    )
+
+
+O_REGION_TERMS = (
+    f"""
+WITH img AS (
+  SELECT caption, lat, lon FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+regioned AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, caption FROM img WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + """
+),
+terms AS (
+  SELECT polygon_id,
+         unnest(regexp_extract_all(lower(caption), '[a-z]+')) AS term
+  FROM regioned
+),
+tf AS (
+  SELECT polygon_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.polygon_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score,
+         row_number() OVER (
+           PARTITION BY tf.polygon_id
+           ORDER BY tf.tf * 1000000 // dfreq.df DESC, tf.term ASC
+         ) AS rnk
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT polygon_id, CAST(rnk AS INT) AS rnk, term, tf, df, score
+FROM scored WHERE rnk <= 5
+"""
+)
+
+
+REGISTRY.update({"region_terms": (q_region_terms, O_REGION_TERMS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

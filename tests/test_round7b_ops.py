@@ -931,3 +931,32 @@ def test_stream_speed_parity_with_batch(spark, tmp_path):
     for k in batch:
         assert streamed[k]["dist2"] == batch[k]["dist2"]
         assert streamed[k]["dt_s"] == batch[k]["dt_s"]
+
+
+def test_region_terms_composition(spark):
+    from langtoolsosm_spark.operators.pip_join import pip_join
+    from langtoolsosm_spark.operators.textstats import distinctive_terms
+
+    polys = spark.createDataFrame(
+        [("P1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                 {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}]),
+         ("P2", [{"lat": 20.0, "lon": 0.0}, {"lat": 20.0, "lon": 10.0},
+                 {"lat": 30.0, "lon": 10.0}, {"lat": 30.0, "lon": 0.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    img = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "old castle gate", 5.0, 5.0),
+             (2, "castle wall", 5.0, 6.0),
+             (3, "modern bridge", 25.0, 5.0)],
+            columns=["image_id", "caption", "lat", "lon"],
+        )
+    )
+    fenced = pip_join(img, polys, res=6, id_col="image_id")
+    out = distinctive_terms(fenced.select("polygon_id", "caption"), k=2,
+                            id_col="polygon_id", text_col="caption").collect()
+    top = {(r["polygon_id"], r["rnk"]): r for r in out}
+    # P1: 'castle' tf=2 df=1 -> top; P2: 'bridge'/'modern' tf=1 df=1
+    assert top[("P1", 1)]["term"] == "castle"
+    assert top[("P1", 1)]["tf"] == 2 and top[("P1", 1)]["df"] == 1
+    assert top[("P2", 1)]["term"] in ("bridge", "modern")
