@@ -97,6 +97,9 @@ def triangle_counts(
     graphs the standard degree-ordering refinement applies but is
     unnecessary under a degree cap.
     """
+    # the canonical pair set feeds three join sides (wedge left, wedge
+    # right, closure probe); pruned subtrees defeat exchange reuse, so
+    # truncate lineage once — the frame is bounded by distinct pairs
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -104,6 +107,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e_ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     wedges = e_ab.join(
@@ -137,6 +141,7 @@ def clustering_coefficients(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
