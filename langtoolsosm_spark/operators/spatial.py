@@ -1852,19 +1852,28 @@ def zone_concurrency(
     output is tie-order independent. State per zone is the running
     int — bounded, streaming-friendly.
     """
-    e_in = visits.select(
+    # ONE scan of the (possibly expensive) upstream: fan each visit to
+    # its two endpoint rows with an inline explode instead of a
+    # two-projection union, which would replay the whole visits lineage
+    # twice (plan-audited)
+    ev = visits.select(
         F.col(zone_col).alias("zone"),
-        F.unix_timestamp(F.col(enter_col)).alias("ts"),
-        F.lit(1).alias("delta"),
-    )
-    e_out = visits.select(
-        F.col(zone_col).alias("zone"),
-        F.coalesce(
-            F.unix_timestamp(F.col(exit_col)), F.lit(horizon_epoch).cast("long")
-        ).alias("ts"),
-        F.lit(-1).alias("delta"),
-    )
-    ev = e_in.unionByName(e_out)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.unix_timestamp(F.col(enter_col)).alias("ts"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.coalesce(
+                        F.unix_timestamp(F.col(exit_col)),
+                        F.lit(horizon_epoch).cast("long"),
+                    ).alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("__e"),
+    ).select("zone", F.col("__e.ts").alias("ts"), F.col("__e.delta").alias("delta"))
     from pyspark.sql import Window
 
     # Collapse to ONE net-delta row per (zone, ts) before the window —
