@@ -2771,10 +2771,17 @@ def od_reciprocity(
     pairs survive with a zero reverse count; both sides shuffle on the
     same (min, max) composite key. Nothing touches raw events after
     ``od_flows``'s window."""
-    od = od_flows(
-        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
-        order_tiebreak=order_tiebreak,
-    ).filter(F.col("from_tile") != F.col("to_tile"))
+    # both join sides derive from the same OD rollup; without lineage
+    # truncation each side replays the raw-event lag window
+    # (plan-audited) — the rollup is occupied-pair-sized, safe to pin
+    od = (
+        od_flows(
+            events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+            order_tiebreak=order_tiebreak,
+        )
+        .filter(F.col("from_tile") != F.col("to_tile"))
+        .localCheckpoint(eager=True)
+    )
     fwd = od.filter(F.col("from_tile") < F.col("to_tile")).select(
         F.col("from_tile").alias("tile_a"),
         F.col("to_tile").alias("tile_b"),
