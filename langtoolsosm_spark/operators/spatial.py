@@ -2347,10 +2347,16 @@ def tile_flow_divergence(
     Plan: the od_flows rollup then two histogram-sized marginal
     aggregates merged by a full outer join on the tile key — no
     event-scale work after the lag window."""
-    flows = od_flows(
-        events, entity_col, ts_col, res=res, lat=lat, lon=lon,
-        order_tiebreak=order_tiebreak,
-    ).filter(F.col("from_tile") != F.col("to_tile"))
+    # both marginals derive from the same rollup; pin it so the raw
+    # lag window runs once, not once per marginal (plan-audited)
+    flows = (
+        od_flows(
+            events, entity_col, ts_col, res=res, lat=lat, lon=lon,
+            order_tiebreak=order_tiebreak,
+        )
+        .filter(F.col("from_tile") != F.col("to_tile"))
+        .localCheckpoint(eager=True)
+    )
     out_m = flows.groupBy(F.col("from_tile").alias("tile")).agg(
         F.sum("n_trips").alias("outflow")
     )
