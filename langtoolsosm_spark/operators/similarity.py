@@ -816,8 +816,15 @@ def _pq_artifacts(
     driver-side .first() per call) and re-run pq_train from scratch, so
     the training lineage was recomputed several times per query."""
     sub = _subvectors(emb, m, id_col, vec_col)
-    cents = pq_train(emb, m, k_codes, iters, id_col, vec_col, _sub=sub)
-    codes = _pq_assign(sub, cents, id_col)
+    # pin both artifacts: the codebook is m*k rows and the code table is
+    # the m-nibbles-per-vector frame PQ exists to keep in memory; left
+    # lazy, every downstream reference (ADC scan, rescore shortlist,
+    # IVF-PQ probe) replays the Lloyd training lineage from the raw
+    # embedding scan (plan-audited: up to 18 fact scans per query)
+    cents = pq_train(
+        emb, m, k_codes, iters, id_col, vec_col, _sub=sub
+    ).localCheckpoint(eager=True)
+    codes = _pq_assign(sub, cents, id_col).localCheckpoint(eager=True)
     return sub, cents, codes
 
 
