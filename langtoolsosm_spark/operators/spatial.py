@@ -2297,7 +2297,9 @@ def cell_hausdorff(
                 f"cells (> max_cells={max_cells}); the per-pair join is "
                 "quadratic in footprint — coarsen res or pre-thin"
             )
-    p = pairs.select("a", "b")
+    # both Hausdorff directions join the candidate set; pin it so an
+    # expensive upstream (typically co_visitation) runs once, not twice
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
     ca = cells.select(
         F.col("entity").alias("a"), F.col("ix").alias("ax"), F.col("iy").alias("ay")
     )
