@@ -960,3 +960,30 @@ def test_region_terms_composition(spark):
     assert top[("P1", 1)]["term"] == "castle"
     assert top[("P1", 1)]["tf"] == 2 and top[("P1", 1)]["df"] == 1
     assert top[("P2", 1)]["term"] in ("bridge", "modern")
+
+
+def test_single_fact_scan_plan_guards(spark, tmp_path):
+    """Regression guard for the round-7 plan-hygiene sweep: operators
+    whose multiply-referenced intermediates are pinned must read the
+    fact parquet ONCE (od_reciprocity, tile_flow_divergence) or at most
+    twice (zone_concurrency's upstream is scanned by enter+exit fan —
+    now a single explode)."""
+    import os
+    from langtoolsosm_spark.operators.spatial import (
+        od_reciprocity, tile_flow_divergence,
+    )
+
+    pdf = pd.DataFrame(
+        [(1, 0, 0, 10.0, 10.0), (1, 100, 1, 40.0, 40.0),
+         (2, 0, 2, 40.0, 40.0), (2, 50, 3, 10.0, 10.0)],
+        columns=["user_id", "epoch", "event_id", "lat", "lon"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    path = str(tmp_path / "ev.parquet")
+    pdf[["user_id", "ts", "event_id", "lat", "lon"]].to_parquet(path, index=False)
+    ev = spark.read.parquet(path)
+
+    for op in (od_reciprocity, tile_flow_divergence):
+        df = op(ev, "user_id", "ts", res=6, order_tiebreak="event_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") <= 1, op.__name__
