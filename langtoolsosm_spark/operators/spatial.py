@@ -3338,3 +3338,68 @@ def geofence_dwell(
         F.count(F.lit(1)).alias("n_segments"),
         F.countDistinct("entity").alias("n_entities"),
     )
+
+
+def curve_locality(
+    points: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Space-filling-curve locality audit — the number that justifies
+    Hilbert-clustered compaction over row-major: for every rook-adjacent
+    pair of OCCUPIED cells, the absolute key distance under (a) the
+    row-major cell id and (b) the order-``res`` Hilbert key, summed.
+    Physically-adjacent cells far apart in key space end up in different
+    files, so a bbox scan touches more files; the ordering with the
+    smaller sum prunes tighter. Returns ONE row
+    (res, n_pairs, rowmajor_dist, hilbert_dist) — exact integers.
+
+    Plan: one distinct-cell pass (map-side combined), lineage pinned
+    (the cell set feeds the fan AND the join probe), a 2-offset (E, N)
+    fan and one equi-join of the tiny cell frame with itself, then a
+    single-row aggregate."""
+    if not 1 <= res <= 13:
+        raise ValueError(f"res must be in [1, 13], got {res}")
+    n = 1 << res
+
+    def gidx(col, off, span):
+        g = F.floor((F.col(col) + F.lit(off)) / F.lit(span) * F.lit(float(n)))
+        return F.least(F.greatest(g, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    cells = with_hilbert(
+        points.select(
+            gidx(lon, 180.0, 360.0).alias("ix"),
+            gidx(lat, 90.0, 180.0).alias("iy"),
+        ).distinct(),
+        res,
+    ).select(
+        "ix", "iy",
+        (F.col("ix") * F.lit(n) + F.col("iy")).alias("rkey"),
+        "hkey",
+    ).localCheckpoint(eager=True)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((1, 0), (0, 1))
+            ]
+        )
+    ).alias("o")
+    fan = cells.select("ix", "iy", "rkey", "hkey", off).select(
+        (F.col("ix") + F.col("o.dx")).alias("nx"),
+        (F.col("iy") + F.col("o.dy")).alias("ny"),
+        F.col("rkey").alias("r1"),
+        F.col("hkey").alias("h1"),
+    )
+    nbr = cells.select(
+        F.col("ix").alias("nx"), F.col("iy").alias("ny"),
+        F.col("rkey").alias("r2"), F.col("hkey").alias("h2"),
+    )
+    pairs = fan.join(nbr, ["nx", "ny"], "inner")
+    return pairs.agg(
+        F.lit(res).alias("res"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).alias("rowmajor_dist"),
+        F.sum(F.abs(F.col("h1") - F.col("h2"))).alias("hilbert_dist"),
+    )

@@ -10308,6 +10308,62 @@ FROM scored WHERE rnk <= 5
 REGISTRY.update({"region_terms": (q_region_terms, O_REGION_TERMS)})
 
 
+def q_curve_locality(spark, sf_dir):
+    """Space-filling-curve locality audit (operators/spatial.py
+    ``curve_locality``): rook-pair key distances under row-major vs
+    Hilbert ordering of the occupied res-8 cells — the measured
+    justification for Hilbert-clustered snapshot compaction. The
+    oracle chains the same per-level Hilbert expression text as
+    ``hilbert_encode`` over the distinct-cell CTE."""
+    from ..operators.spatial import curve_locality
+
+    return curve_locality(geo_points(spark, sf_dir), res=HILBERT_RES)
+
+
+def _o_curve_locality(res: int) -> str:
+    from ..functions.cells import hilbert_level_exprs
+
+    n = 1 << res
+    ctes = [
+        f"base AS (SELECT DISTINCT\n"
+        f"  CAST(least(greatest(floor((lon + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS ix,\n"
+        f"  CAST(least(greatest(floor((lat + 90.0) / 180.0 * {n}.0), 0), {n - 1}) AS BIGINT) AS iy\n"
+        f"  FROM pts)",
+        "h0 AS (SELECT ix, iy, ix AS x, iy AS y, 0 AS d FROM base)",
+    ]
+    lvl = 0
+    s = n >> 1
+    while s > 0:
+        dinc, xn, yn = hilbert_level_exprs(s, n, "x", "y")
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT ix, iy, {xn} AS x, {yn} AS y, "
+            f"d + {dinc} AS d FROM h{lvl})"
+        )
+        lvl += 1
+        s >>= 1
+    return f"""WITH {PTS_CTE},
+{",".join(ctes)},
+cells AS (SELECT ix, iy, ix * {n} + iy AS rkey, d AS hkey FROM h{lvl}),
+fan AS (
+  SELECT ix + dx AS nx, iy + dy AS ny, rkey AS r1, hkey AS h1
+  FROM cells, (VALUES (1, 0), (0, 1)) o(dx, dy)
+),
+pairs AS (
+  SELECT f.r1, f.h1, c.rkey AS r2, c.hkey AS h2
+  FROM fan f JOIN cells c ON c.ix = f.nx AND c.iy = f.ny
+)
+SELECT {res} AS res, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(r1 - r2)) AS BIGINT) AS rowmajor_dist,
+       CAST(sum(abs(h1 - h2)) AS BIGINT) AS hilbert_dist
+FROM pairs"""
+
+
+O_CURVE_LOCALITY = _o_curve_locality(HILBERT_RES)
+
+
+REGISTRY.update({"curve_locality": (q_curve_locality, O_CURVE_LOCALITY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

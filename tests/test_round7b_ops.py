@@ -987,3 +987,25 @@ def test_single_fact_scan_plan_guards(spark, tmp_path):
         df = op(ev, "user_id", "ts", res=6, order_tiebreak="event_id")
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") <= 1, op.__name__
+
+
+def test_curve_locality_hilbert_beats_rowmajor(spark):
+    from langtoolsosm_spark.operators.spatial import curve_locality
+
+    # a dense block of cells: Hilbert adjacent-pair key distance must be
+    # strictly smaller than row-major (which pays 2^res per E-neighbor)
+    rows = []
+    pid = 0
+    for i in range(8):
+        for j in range(8):
+            pid += 1
+            rows.append((pid, -89.0 + i * (180.0 / 64), -179.0 + j * (360.0 / 64)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["point_id", "lat", "lon"])
+    )
+    row = curve_locality(df, res=6).collect()[0]
+    assert row["n_pairs"] == 2 * 8 * 7
+    assert row["hilbert_dist"] < row["rowmajor_dist"]
+    assert row["hilbert_dist"] >= row["n_pairs"]  # every pair >= 1 apart
+    with pytest.raises(ValueError, match="res"):
+        curve_locality(df, res=0)
