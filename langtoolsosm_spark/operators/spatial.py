@@ -3403,3 +3403,55 @@ def curve_locality(
         F.sum(F.abs(F.col("r1") - F.col("r2"))).alias("rowmajor_dist"),
         F.sum(F.abs(F.col("h1") - F.col("h2"))).alias("hilbert_dist"),
     )
+
+
+def geo_decontaminate(
+    points: DataFrame,
+    eval_regions: DataFrame,
+    res: int = 8,
+    id_col: str = "point_id",
+    entity_col: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Geographic decontamination report — the spatial member of the
+    decontamination family (5-gram text / pHash image / embedding
+    cosine): training points falling inside any EVAL holdout region leak
+    location-correlated labels, so they must be dropped before training
+    a geo model evaluated there. Returns one row per eval region
+    (region, n_removed, n_entities_removed) plus the ``__kept__``
+    summary row (n_removed = surviving points) — the audit a curation
+    run logs next to the drop.
+
+    Plan: ONE hierarchical boundary-band PIP join (broadcast cover +
+    refine) for the per-region counts; the kept count is derived as
+    total − distinct-removed via two single-row aggregates — the fact
+    table scans twice (count + PIP), never more; overlapping regions
+    count a point in each region but once in the kept arithmetic."""
+    from .pip_join import pip_join
+
+    hits = pip_join(
+        points.select(
+            F.col(id_col).alias("__pid"),
+            *([F.col(entity_col).alias("__ent")] if entity_col else []),
+            F.col(lat).alias("lat"),
+            F.col(lon).alias("lon"),
+        ),
+        eval_regions,
+        res=res,
+        id_col="__pid",
+    ).localCheckpoint(eager=True)
+    per_region = hits.groupBy(F.col("polygon_id").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        (
+            F.countDistinct("__ent") if entity_col else F.lit(0).cast("long")
+        ).alias("n_entities_removed"),
+    )
+    total = points.agg(F.count(F.lit(1)).alias("n_total"))
+    removed = hits.agg(F.countDistinct("__pid").alias("n_rm"))
+    kept = total.crossJoin(removed).select(
+        F.lit("__kept__").alias("region"),
+        (F.col("n_total") - F.col("n_rm")).alias("n_removed"),
+        F.lit(0).cast("long").alias("n_entities_removed"),
+    )
+    return per_region.unionByName(kept)

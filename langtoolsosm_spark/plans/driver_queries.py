@@ -10364,6 +10364,49 @@ O_CURVE_LOCALITY = _o_curve_locality(HILBERT_RES)
 REGISTRY.update({"curve_locality": (q_curve_locality, O_CURVE_LOCALITY)})
 
 
+def q_geo_decontaminate(spark, sf_dir):
+    """Geographic decontamination report (operators/spatial.py
+    ``geo_decontaminate``): trajectory points inside each eval holdout
+    polygon (the spatial leak family member beside 5-gram/pHash/
+    embedding decontamination) plus the __kept__ summary row. The
+    oracle replays each polygon's half-open predicates and the
+    distinct-removed kept arithmetic."""
+    from ..operators.spatial import geo_decontaminate
+
+    t = _traj(spark, sf_dir).withColumnRenamed("event_id", "point_id")
+    return geo_decontaminate(
+        t, geo_polygons_df(spark), res=8, id_col="point_id",
+        entity_col="user_id",
+    )
+
+
+O_GEO_DECONTAMINATE = (
+    f"""
+WITH {TRAJ_SRC_CTE},
+pts2 AS (SELECT event_id AS point_id, user_id, lat, lon FROM src)
+"""
+    + " UNION ALL ".join(
+        f"""
+SELECT '{pid}' AS region, CAST(count(*) AS BIGINT) AS n_removed,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities_removed
+FROM pts2 WHERE {pred} HAVING count(*) > 0"""
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + f"""
+UNION ALL
+SELECT '__kept__' AS region,
+       CAST((SELECT count(*) FROM pts2)
+            - (SELECT count(*) FROM pts2
+               WHERE {" OR ".join(POLY_PRED_SQL.values())}) AS BIGINT)
+         AS n_removed,
+       CAST(0 AS BIGINT) AS n_entities_removed
+"""
+)
+
+
+REGISTRY.update({"geo_decontaminate": (q_geo_decontaminate, O_GEO_DECONTAMINATE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1009,3 +1009,26 @@ def test_curve_locality_hilbert_beats_rowmajor(spark):
     assert row["hilbert_dist"] >= row["n_pairs"]  # every pair >= 1 apart
     with pytest.raises(ValueError, match="res"):
         curve_locality(df, res=0)
+
+
+def test_geo_decontaminate_counts_and_kept(spark):
+    from langtoolsosm_spark.operators.spatial import geo_decontaminate
+
+    polys = spark.createDataFrame(
+        [("E1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                 {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 7, 5.0, 5.0), (2, 7, 6.0, 6.0), (3, 8, 5.0, 5.0),
+             (4, 9, 50.0, 50.0)],
+            columns=["point_id", "user_id", "lat", "lon"],
+        )
+    )
+    out = {r["region"]: r for r in geo_decontaminate(
+        pts, polys, res=6, id_col="point_id", entity_col="user_id"
+    ).collect()}
+    assert out["E1"]["n_removed"] == 3
+    assert out["E1"]["n_entities_removed"] == 2
+    assert out["__kept__"]["n_removed"] == 1
