@@ -1649,3 +1649,42 @@ def balanced_ranges(
             F.col("__b.total_rows").alias("total_rows"),
         )
     )
+
+
+def user_cohorts(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604_800,
+) -> DataFrame:
+    """Cohort retention triangle — the standard activation/retention
+    audit over any event stream: entities grouped by their first active
+    period (epoch-week by default), then for each (cohort, periods
+    since activation) the distinct entities still active. Read row-wise
+    it is the classic retention triangle; column 0 is cohort size.
+    Returns (cohort_period, periods_since, n_active) — exact integers.
+
+    Plan: one (entity, period) distinct pass, an entity-keyed min
+    window OVER THE SAME partitioning as the distinct's exchange (no
+    extra shuffle), then one map-side-combined rollup on the tiny
+    (cohort, delta) key."""
+    if period_s < 1:
+        raise ValueError(f"period_s must be >= 1, got {period_s}")
+    from pyspark.sql import Window
+
+    active = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.expr(f"unix_timestamp({ts_col}) div {period_s}").alias("period"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("entity")
+    cohorted = active.withColumn("cohort", F.min("period").over(w))
+    return (
+        cohorted.groupBy(
+            F.col("cohort").alias("cohort_period"),
+            (F.col("period") - F.col("cohort")).alias("periods_since"),
+        )
+        .agg(F.countDistinct("entity").alias("n_active"))
+    )

@@ -1032,3 +1032,21 @@ def test_geo_decontaminate_counts_and_kept(spark):
     assert out["E1"]["n_removed"] == 3
     assert out["E1"]["n_entities_removed"] == 2
     assert out["__kept__"]["n_removed"] == 1
+
+
+def test_user_cohorts_retention_triangle(spark):
+    from langtoolsosm_spark.operators.tiling import user_cohorts
+
+    wk = 604_800
+    rows = [
+        # user 1: weeks 0, 1, 3 ; user 2: weeks 0, 3 ; user 3: week 1
+        (1, 10, 0, 0.0, 0.0), (1, wk + 5, 1, 0.0, 0.0),
+        (1, 3 * wk + 2, 2, 0.0, 0.0),
+        (2, 20, 3, 0.0, 0.0), (2, 3 * wk + 9, 4, 0.0, 0.0),
+        (3, wk + 50, 5, 0.0, 0.0),
+    ]
+    out = {(r["cohort_period"], r["periods_since"]): r["n_active"]
+           for r in user_cohorts(_ev(spark, rows), "user_id", "ts").collect()}
+    assert out[(0, 0)] == 2 and out[(0, 1)] == 1 and out[(0, 3)] == 2
+    assert out[(1, 0)] == 1
+    assert (0, 2) not in out
