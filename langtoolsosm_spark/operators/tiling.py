@@ -1688,3 +1688,36 @@ def user_cohorts(
         )
         .agg(F.countDistinct("entity").alias("n_active"))
     )
+
+
+def tile_diversity(
+    events: DataFrame,
+    res: int,
+    type_col: str = "event_type",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell activity-mix diversity as the exact rational Simpson
+    index: simpson_num / simpson_den = sum of squared per-type counts
+    over the squared total — 1 means a single-use cell, 1/k means k
+    perfectly balanced types (the integer-exact stand-in for type
+    entropy, same contract as ``visit_concentration``). Returns
+    (tile, n_events, n_types, simpson_num, simpson_den).
+
+    Plan: one (cell, type) histogram, one map-side-combined cell
+    rollup over it — the shuffle key of the second agg is a prefix of
+    the first's, so the exchange is reused."""
+    hist = (
+        events.select(
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+            F.col(type_col).alias("t"),
+        )
+        .groupBy("tile", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return hist.groupBy("tile").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("simpson_num"),
+        (F.sum("cnt") * F.sum("cnt")).alias("simpson_den"),
+    )

@@ -10438,6 +10438,41 @@ FROM cohorted GROUP BY 1, 2
 REGISTRY.update({"user_cohorts": (q_user_cohorts, O_USER_COHORTS)})
 
 
+def q_tile_diversity(spark, sf_dir):
+    """Per-cell activity-mix Simpson diversity (operators/tiling.py
+    ``tile_diversity``): exact rational over the (cell, event_type)
+    histogram. The oracle replays both rollups in SQL."""
+    from ..operators.tiling import tile_diversity
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__div_events")
+    t = spark.sql(
+        f"SELECT event_type, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __div_events"
+    )
+    return tile_diversity(t, res=7)
+
+
+O_TILE_DIVERSITY = f"""
+WITH t AS (
+  SELECT event_type, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+hist AS (
+  SELECT {_tile_sql(7)} AS tile, event_type AS ty, count(*) AS cnt
+  FROM t GROUP BY 1, 2
+)
+SELECT tile, CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt * cnt) AS BIGINT) AS simpson_num,
+       CAST(sum(cnt) * sum(cnt) AS BIGINT) AS simpson_den
+FROM hist GROUP BY 1
+"""
+
+
+REGISTRY.update({"tile_diversity": (q_tile_diversity, O_TILE_DIVERSITY)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1050,3 +1050,19 @@ def test_user_cohorts_retention_triangle(spark):
     assert out[(0, 0)] == 2 and out[(0, 1)] == 1 and out[(0, 3)] == 2
     assert out[(1, 0)] == 1
     assert (0, 2) not in out
+
+
+def test_tile_diversity_simpson_hand(spark):
+    from langtoolsosm_spark.operators.tiling import tile_diversity
+
+    rows = pd.DataFrame(
+        [("a", 10.0, 10.0), ("a", 10.0, 10.0), ("b", 10.0, 10.0),
+         ("c", -40.0, -40.0)],
+        columns=["event_type", "lat", "lon"],
+    )
+    out = {r["n_events"]: r for r in
+           tile_diversity(spark.createDataFrame(rows), res=6).collect()}
+    # cell 1: counts {a:2, b:1} -> num 5, den 9; cell 2: single type 1/1
+    assert out[3]["simpson_num"] == 5 and out[3]["simpson_den"] == 9
+    assert out[3]["n_types"] == 2
+    assert out[1]["simpson_num"] == 1 and out[1]["simpson_den"] == 1
