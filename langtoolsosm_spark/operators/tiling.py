@@ -1721,3 +1721,33 @@ def tile_diversity(
         F.sum(F.col("cnt") * F.col("cnt")).alias("simpson_num"),
         (F.sum("cnt") * F.sum("cnt")).alias("simpson_den"),
     )
+
+
+def coverage_growth(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Coverage-growth curve — the ingest dashboard's "are we still
+    discovering new places" number: per epoch-day, how many res-cells
+    were seen for the FIRST time that day, plus the running cumulative.
+    A flattening curve says the crawl saturated its region; a jump
+    says a new feed came online. Returns (day, new_tiles, cum_tiles).
+
+    Plan: reuses the ``tile_first_seen`` rollup (one histogram pass),
+    then a day rollup and one global-order cumulative window over the
+    DAY series (calendar-sized, the sketch-window justification)."""
+    per_tile = tile_first_seen(events, res, ts_col=ts_col, lat=lat, lon=lon)
+    from pyspark.sql import Window
+
+    days = per_tile.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_tiles")
+    )
+    w = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return days.select(
+        "day", "new_tiles", F.sum("new_tiles").over(w).alias("cum_tiles")
+    )

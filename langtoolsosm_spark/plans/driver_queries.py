@@ -10473,6 +10473,71 @@ FROM hist GROUP BY 1
 REGISTRY.update({"tile_diversity": (q_tile_diversity, O_TILE_DIVERSITY)})
 
 
+def q_coverage_growth(spark, sf_dir):
+    """Coverage-growth curve (operators/tiling.py ``coverage_growth``):
+    first-seen cells per day + running cumulative. The oracle replays
+    the first-seen rollup, the day census and the cumulative window."""
+    from ..operators.tiling import coverage_growth
+
+    return coverage_growth(_traj(spark, sf_dir), res=8)
+
+
+O_COVERAGE_GROWTH = f"""
+WITH {TRAJ_SRC_CTE},
+per_tile AS (
+  SELECT {_tile_sql(8)} AS tile, min(ep // 86400) AS first_day
+  FROM src GROUP BY 1
+),
+days AS (
+  SELECT first_day AS day, count(*) AS new_tiles FROM per_tile GROUP BY 1
+)
+SELECT day, CAST(new_tiles AS BIGINT) AS new_tiles,
+       CAST(sum(new_tiles) OVER (ORDER BY day ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tiles
+FROM days
+"""
+
+
+REGISTRY.update({"coverage_growth": (q_coverage_growth, O_COVERAGE_GROWTH)})
+
+
+def q_stream_cohorts(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful cohort tracker
+    (streaming/microbatch.py ``stream_cohorts``): 3 TIME-ORDERED staged
+    files; each (entity, period) emits exactly once with its cohort —
+    gated against the SAME oracle as batch ``user_cohorts``."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_cohorts_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    out = tempfile.mkdtemp(prefix="streamcohort_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = ev.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_cohorts_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), period_s=604_800
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_cohorts": (q_stream_cohorts, O_USER_COHORTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

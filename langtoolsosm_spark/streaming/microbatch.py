@@ -1684,3 +1684,110 @@ def run_speed_stream_once(
     return spark.sql(
         f"SELECT entity, start_ep, end_ep, dt_s, dist2 FROM {name}"
     )
+
+
+def stream_cohorts(
+    stream: DataFrame,
+    period_s: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stateful streaming cohort tracker (the streaming half of
+    operators/tiling.py ``user_cohorts``): per entity, state carries
+    (cohort = first active period, last emitted period); because the
+    ordered-ingestion contract guarantees per-entity event-time order,
+    a NEW active period is exactly an event whose period exceeds the
+    last emitted one — each (entity, period) emits exactly once with
+    its cohort attached, across micro-batch boundaries.
+    ``run_cohorts_stream_once`` rolls the emissions into the batch
+    operator's exact retention triangle."""
+    import pandas as pd
+
+    if period_s < 1:
+        raise ValueError(f"period_s must be >= 1, got {period_s}")
+    cols = ["entity", "cohort", "period"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        ent = int(key[0])
+        if state.exists:
+            cohort, last_p, l_ep, l_eid = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {ent}: the "
+                    "ordered-ingestion contract is broken — a cohort "
+                    "walk replayed out of order diverges from batch"
+                )
+            has_state = True
+        else:
+            cohort = last_p = l_ep = l_eid = 0
+            has_state = False
+        rows = []
+        for i in range(len(pdf)):
+            p = int(eps[i]) // period_s
+            if not has_state:
+                cohort, last_p = p, p
+                rows.append((ent, cohort, p))
+                has_state = True
+            elif p > last_p:
+                rows.append((ent, cohort, p))
+                last_p = p
+            l_ep, l_eid = int(eps[i]), int(eids[i])
+        state.update((cohort, last_p, l_ep, l_eid))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"), F.col(ts_col), F.col(id_col)
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType="entity long, cohort long, period long",
+        stateStructType="cohort long, last_p long, l_ep long, l_eid long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_cohorts_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    period_s: int,
+) -> DataFrame:
+    """Drive the streaming cohort tracker over all staged files and
+    roll the (entity, cohort, period) emissions into exactly the batch
+    ``user_cohorts`` shape: (cohort_period, periods_since, n_active)."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"cohort_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_cohorts(st, period_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT cohort AS cohort_period, period - cohort AS periods_since,
+               count(DISTINCT entity) AS n_active
+        FROM {name} GROUP BY 1, 2
+        """
+    )

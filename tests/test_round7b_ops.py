@@ -1066,3 +1066,50 @@ def test_tile_diversity_simpson_hand(spark):
     assert out[3]["simpson_num"] == 5 and out[3]["simpson_den"] == 9
     assert out[3]["n_types"] == 2
     assert out[1]["simpson_num"] == 1 and out[1]["simpson_den"] == 1
+
+
+def test_coverage_growth_curve(spark):
+    from langtoolsosm_spark.operators.tiling import coverage_growth
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    day = 86400
+    rows = [
+        (1, 0, 0, *a), (1, 10, 1, *b),          # day 0: 2 new cells
+        (1, day, 2, *a),                         # day 1: nothing new
+        (2, 2 * day, 3, *c),                     # day 2: 1 new cell
+    ]
+    out = {r["day"]: r for r in coverage_growth(_ev(spark, rows), res=6).collect()}
+    assert out[0]["new_tiles"] == 2 and out[0]["cum_tiles"] == 2
+    assert 1 not in out
+    assert out[2]["new_tiles"] == 1 and out[2]["cum_tiles"] == 3
+
+
+def test_stream_cohorts_parity_with_batch(spark, tmp_path):
+    import os
+    from langtoolsosm_spark.operators.tiling import user_cohorts
+    from langtoolsosm_spark.streaming.microbatch import run_cohorts_stream_once
+
+    wk = 604_800
+    rows = [
+        (1, 10, 0, 0.0, 0.0), (2, 20, 1, 0.0, 0.0),
+        (1, wk + 5, 2, 0.0, 0.0), (3, wk + 50, 3, 0.0, 0.0),
+        (1, 3 * wk + 2, 4, 0.0, 0.0), (2, 3 * wk + 9, 5, 0.0, 0.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id"]]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {(r["cohort_period"], r["periods_since"]): r["n_active"]
+                for r in run_cohorts_stream_once(
+                    spark, str(src), str(tmp_path / "ckpt"), 604_800).collect()}
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id")
+    batch = {(r["cohort_period"], r["periods_since"]): r["n_active"]
+             for r in user_cohorts(ev, "user_id", "ts").collect()}
+    assert streamed == batch and len(batch) >= 3
