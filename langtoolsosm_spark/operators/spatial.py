@@ -3455,3 +3455,96 @@ def geo_decontaminate(
         F.lit(0).cast("long").alias("n_entities_removed"),
     )
     return per_region.unionByName(kept)
+
+
+def trip_circuity(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    max_gap_s: int,
+    order_tiebreak: str | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-trip circuity under the L1 (Manhattan) metric — how much
+    longer the travelled path is than the straight connection, fully
+    integer-exact (L2 would need a sqrt per segment; L1 keeps the whole
+    statistic in BIGINT arithmetic and preserves the ranking for the
+    detour-audit use case). Trips split at ``max_gap_s`` silences, the
+    ``trip_segments`` rule. Returns (entity, trip_id, n_points,
+    path_l1, disp_l1, circuity_milli) for trips that moved
+    (disp_l1 > 0), with circuity_milli = 1000 * path div disp >= 1000.
+
+    Plan: the same single entity-window pass as ``trip_segments`` (lag
+    coords + gap flag + running trip ordinal share one shuffle) and one
+    groupBy with struct min/max endpoints."""
+    if max_gap_s < 1:
+        raise ValueError(f"max_gap_s must be >= 1, got {max_gap_s}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__x"),
+        F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("__y"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    stepped = (
+        base.withColumn("__pep", F.lag("__ep").over(w))
+        .withColumn("__px", F.lag("__x").over(w))
+        .withColumn("__py", F.lag("__y").over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__pep").isNull()
+                | ((F.col("__ep") - F.col("__pep")) > max_gap_s)
+            ).cast("long"),
+        )
+        .withColumn(
+            "trip_id",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    step_l1 = F.when(
+        (F.col("__new") == 0) & F.col("__px").isNotNull(),
+        F.abs(F.col("__x") - F.col("__px")) + F.abs(F.col("__y") - F.col("__py")),
+    ).otherwise(F.lit(0))
+    key = [F.col("__ep"), *([F.col(order_tiebreak)] if order_tiebreak else [])]
+    per = (
+        stepped.withColumn("__step", step_l1)
+        .groupBy("entity", "trip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("__step").alias("path_l1"),
+            F.min(F.struct(*key, F.col("__x"), F.col("__y"))).alias("__f"),
+            F.max(F.struct(*key, F.col("__x"), F.col("__y"))).alias("__l"),
+        )
+    )
+    disp = F.abs(F.col("__l.__x") - F.col("__f.__x")) + F.abs(
+        F.col("__l.__y") - F.col("__f.__y")
+    )
+    return (
+        per.withColumn("disp_l1", disp)
+        .filter(F.col("disp_l1") > 0)
+        .select(
+            "entity",
+            "trip_id",
+            "n_points",
+            "path_l1",
+            "disp_l1",
+            F.expr("CAST(1000 * path_l1 AS BIGINT) div disp_l1").alias(
+                "circuity_milli"
+            ),
+        )
+    )

@@ -1751,3 +1751,41 @@ def coverage_growth(
     return days.select(
         "day", "new_tiles", F.sum("new_tiles").over(w).alias("cum_tiles")
     )
+
+
+def stay_home_index(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stay-at-home index per entity: the share of the entity's events
+    falling in its modal (home) cell, in exact milli units (1000 *
+    home_count div total — no float ratio; ties to the smaller cell id,
+    the ``user_home_tile`` convention). The population distribution of
+    this number is the standard mobility-reduction dashboard metric.
+    Returns (entity, home_tile, n_events, home_events, home_milli).
+
+    Plan: one (entity, cell) histogram, one struct-max rollup on the
+    entity key — the second exchange key is a prefix of the first's, so
+    the planner reuses the exchange."""
+    hist = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        )
+        .groupBy("entity", "tile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = hist.groupBy("entity").agg(
+        F.sum("cnt").alias("n_events"),
+        F.max(F.struct(F.col("cnt"), (-F.col("tile")).alias("nt"))).alias("__b"),
+    )
+    return best.select(
+        "entity",
+        (-F.col("__b.nt")).alias("home_tile"),
+        "n_events",
+        F.col("__b.cnt").alias("home_events"),
+        F.expr("CAST(1000 * __b.cnt AS BIGINT) div n_events").alias("home_milli"),
+    )

@@ -1113,3 +1113,40 @@ def test_stream_cohorts_parity_with_batch(spark, tmp_path):
     batch = {(r["cohort_period"], r["periods_since"]): r["n_active"]
              for r in user_cohorts(ev, "user_id", "ts").collect()}
     assert streamed == batch and len(batch) >= 3
+
+
+def test_stay_home_index_modal_share(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import stay_home_index
+
+    a, b = (10.0, 10.0), (40.0, 40.0)
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *a), (1, 2, 2, *b),   # home A, 2/3
+        (2, 0, 3, *b),                                  # home B, 1/1
+    ]
+    out = {r["entity"]: r for r in
+           stay_home_index(_ev(spark, rows), res=6).collect()}
+    ta = int(tile_key(np.array([a[0]]), np.array([a[1]]), 6)[0])
+    assert out[1]["home_tile"] == ta
+    assert out[1]["home_events"] == 2 and out[1]["home_milli"] == 666
+    assert out[2]["home_milli"] == 1000
+
+
+def test_trip_circuity_l1_detour(spark):
+    from langtoolsosm_spark.operators.spatial import trip_circuity
+
+    # trip: (10,10) -> (10,11) -> (11,11): path L1 = 2e6,
+    # displacement L1 = |1e6| + |1e6| = 2e6 -> circuity 1000.
+    # trip 2 (same user after gap): (10,10) -> (10,11) -> (10,10) ->
+    # (10,11): path 3e6, disp 1e6 -> 3000.
+    rows = [
+        (1, 0, 0, 10.0, 10.0), (1, 10, 1, 10.0, 11.0), (1, 20, 2, 11.0, 11.0),
+        (1, 10_000, 3, 10.0, 10.0), (1, 10_010, 4, 10.0, 11.0),
+        (1, 10_020, 5, 10.0, 10.0), (1, 10_030, 6, 10.0, 11.0),
+    ]
+    out = {r["trip_id"]: r for r in trip_circuity(
+        _ev(spark, rows), "user_id", "ts", max_gap_s=3600,
+        order_tiebreak="event_id",
+    ).collect()}
+    assert out[1]["circuity_milli"] == 1000 and out[1]["path_l1"] == 2_000_000
+    assert out[2]["circuity_milli"] == 3000 and out[2]["disp_l1"] == 1_000_000
