@@ -3548,3 +3548,69 @@ def trip_circuity(
             ),
         )
     )
+
+
+def region_buffer_cells(
+    polygons: DataFrame,
+    res: int,
+    k: int = 1,
+    collect_threshold: int = 64,
+) -> DataFrame:
+    """Raster buffering — the engine's polygon-buffer analogue of the
+    GIS ST_Buffer, done grid-native: dilate each polygon's rasterized
+    footprint (center-inside rule, ``rasterize_polygons``) by Chebyshev
+    radius ``k`` and report footprint vs buffer-ring cell counts. The
+    ring is the "near the zone but not in it" band every geofence alert
+    and edge-effect correction needs, exact at cell granularity.
+    Returns (polygon_id, n_inside, n_buffer).
+
+    Plan: one rasterize pass (pinned — the footprint feeds the
+    (2k+1)^2 fan AND the anti-join probe), a bounded offset fan of
+    FOOTPRINT cells only (never the lattice), one distinct and one
+    anti-join, all on cell-count-sized frames."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n = 1 << res
+    fp = (
+        rasterize_polygons(polygons, res, collect_threshold=collect_threshold)
+        .select("polygon_id", "tile")
+        .localCheckpoint(eager=True)
+    )
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in range(-k, k + 1)
+                for dy in range(-k, k + 1)
+            ]
+        )
+    ).alias("o")
+    dil = (
+        fp.select("polygon_id", "tile", off)
+        .select(
+            "polygon_id",
+            (ix + F.col("o.dx")).alias("nx"),
+            (iy + F.col("o.dy")).alias("ny"),
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+        .select(
+            "polygon_id",
+            (F.col("nx") * F.lit(n) + F.col("ny")).alias("tile"),
+        )
+        .distinct()
+    )
+    ring = dil.join(fp, ["polygon_id", "tile"], "left_anti")
+    inside = fp.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_inside"))
+    buf = ring.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_buffer"))
+    return inside.join(buf, "polygon_id", "left").select(
+        "polygon_id",
+        "n_inside",
+        F.coalesce("n_buffer", F.lit(0)).cast("long").alias("n_buffer"),
+    )

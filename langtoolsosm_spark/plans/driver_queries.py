@@ -10634,6 +10634,57 @@ FROM per WHERE disp_l1 > 0
 REGISTRY.update({"trip_circuity": (q_trip_circuity, O_TRIP_CIRCUITY)})
 
 
+def q_region_buffer(spark, sf_dir):
+    """Raster polygon buffering (operators/spatial.py
+    ``region_buffer_cells``): footprint vs Chebyshev-2 buffer-ring cell
+    counts at res 10 over the shared polygon fixture (scale path:
+    collect_threshold=0 forces per-polygon applyInPandas rasterize).
+    The oracle replays the center-inside burn over the full lattice,
+    the 25-offset dilation and the anti-join in SQL."""
+    from ..operators.spatial import region_buffer_cells
+
+    return region_buffer_cells(
+        geo_polygons_df(spark), res=10, k=2, collect_threshold=0
+    )
+
+
+O_REGION_BUFFER = (
+    "WITH " + _RASTER_CELLS_CTE + """,
+fp AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, tile FROM c WHERE {pred}".format(
+            pid=pid, pred=pred
+        )
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + f"""
+),
+dil AS (
+  SELECT DISTINCT polygon_id,
+         (tile // 1024 + dx) * 1024 + (tile % 1024 + dy) AS tile2
+  FROM fp, (VALUES (-2, -2), (-2, -1), (-2, 0), (-2, 1), (-2, 2), (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2), (0, -2), (0, -1), (0, 0), (0, 1), (0, 2), (1, -2), (1, -1), (1, 0), (1, 1), (1, 2), (2, -2), (2, -1), (2, 0), (2, 1), (2, 2)) o(dx, dy)
+  WHERE tile // 1024 + dx BETWEEN 0 AND 1023
+    AND tile % 1024 + dy BETWEEN 0 AND 1023
+),
+ring AS (
+  SELECT d.polygon_id, d.tile2 FROM dil d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fp WHERE fp.polygon_id = d.polygon_id AND fp.tile = d.tile2
+  )
+),
+inside AS (SELECT polygon_id, count(*) AS n_inside FROM fp GROUP BY 1),
+buf AS (SELECT polygon_id, count(*) AS n_buffer FROM ring GROUP BY 1)
+SELECT i.polygon_id, CAST(i.n_inside AS BIGINT) AS n_inside,
+       CAST(COALESCE(b.n_buffer, 0) AS BIGINT) AS n_buffer
+FROM inside i LEFT JOIN buf b ON b.polygon_id = i.polygon_id
+"""
+)
+
+
+REGISTRY.update({"region_buffer": (q_region_buffer, O_REGION_BUFFER)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1150,3 +1150,20 @@ def test_trip_circuity_l1_detour(spark):
     ).collect()}
     assert out[1]["circuity_milli"] == 1000 and out[1]["path_l1"] == 2_000_000
     assert out[2]["circuity_milli"] == 3000 and out[2]["disp_l1"] == 1_000_000
+
+
+def test_region_buffer_ring_counts(spark):
+    from langtoolsosm_spark.operators.spatial import region_buffer_cells
+
+    # a box covering exactly a 4x2 block of res-3 cells (cells are
+    # 22.5 lat x 45 lon): footprint 8 cells, k=1 ring = 6x4 - 8 = 16.
+    polys = spark.createDataFrame(
+        [("B1", [{"lat": -45.0, "lon": -90.0}, {"lat": -45.0, "lon": 0.0},
+                 {"lat": 45.0, "lon": 0.0}, {"lat": 45.0, "lon": -90.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    row = region_buffer_cells(polys, res=3, k=1).collect()[0]
+    assert row["n_inside"] == 8
+    assert row["n_buffer"] == 16
+    with pytest.raises(ValueError, match="k must"):
+        region_buffer_cells(polys, res=3, k=0)
