@@ -3550,24 +3550,12 @@ def trip_circuity(
     )
 
 
-def region_buffer_cells(
-    polygons: DataFrame,
-    res: int,
-    k: int = 1,
-    collect_threshold: int = 64,
-) -> DataFrame:
-    """Raster buffering — the engine's polygon-buffer analogue of the
-    GIS ST_Buffer, done grid-native: dilate each polygon's rasterized
-    footprint (center-inside rule, ``rasterize_polygons``) by Chebyshev
-    radius ``k`` and report footprint vs buffer-ring cell counts. The
-    ring is the "near the zone but not in it" band every geofence alert
-    and edge-effect correction needs, exact at cell granularity.
-    Returns (polygon_id, n_inside, n_buffer).
-
-    Plan: one rasterize pass (pinned — the footprint feeds the
-    (2k+1)^2 fan AND the anti-join probe), a bounded offset fan of
-    FOOTPRINT cells only (never the lattice), one distinct and one
-    anti-join, all on cell-count-sized frames."""
+def _footprint_and_ring(
+    polygons: DataFrame, res: int, k: int, collect_threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared buffer machinery: the rasterized footprint (pinned — it
+    feeds the offset fan AND the anti-join probe) and its Chebyshev-k
+    dilation ring, both as (polygon_id, tile) frames."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     if k < 1:
@@ -3607,6 +3595,77 @@ def region_buffer_cells(
         .distinct()
     )
     ring = dil.join(fp, ["polygon_id", "tile"], "left_anti")
+    return fp, ring
+
+
+def near_miss_visits(
+    events: DataFrame,
+    polygons: DataFrame,
+    res: int,
+    k: int = 1,
+    collect_threshold: int = 64,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Near-miss traffic audit: events landing in a zone's Chebyshev-k
+    buffer RING versus inside the zone itself — the "walked past the
+    geofence" number that sizes alert radii and quantifies boundary
+    leakage of a zone definition. Cell-granular (an event counts by its
+    cell, the rasterize center-inside rule). Returns
+    (polygon_id, inside_events, ring_events, ring_milli) with
+    ring_milli = 1000 * ring div (inside + ring), 0-row zones omitted.
+
+    Plan: the shared pinned footprint/ring frames, ONE map-side
+    combined event histogram, and two cell-key equi-joins of that
+    histogram against the small cell frames — the fact table scans
+    once."""
+    from .tiling import assign_tiles
+
+    fp, ring = _footprint_and_ring(polygons, res, k, collect_threshold)
+    hist = (
+        assign_tiles(events.select(lat, lon), res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    inside = fp.join(hist, "tile").groupBy("polygon_id").agg(
+        F.sum("n").alias("inside_events")
+    )
+    near = ring.join(hist, "tile").groupBy("polygon_id").agg(
+        F.sum("n").alias("ring_events")
+    )
+    j = inside.join(near, "polygon_id", "full_outer").select(
+        "polygon_id",
+        F.coalesce("inside_events", F.lit(0)).cast("long").alias("inside_events"),
+        F.coalesce("ring_events", F.lit(0)).cast("long").alias("ring_events"),
+    )
+    return j.filter(F.col("inside_events") + F.col("ring_events") > 0).select(
+        "polygon_id", "inside_events", "ring_events",
+        F.expr(
+            "CAST(1000 * ring_events AS BIGINT) div (inside_events + ring_events)"
+        ).alias("ring_milli"),
+    )
+
+
+def region_buffer_cells(
+    polygons: DataFrame,
+    res: int,
+    k: int = 1,
+    collect_threshold: int = 64,
+) -> DataFrame:
+    """Raster buffering — the engine's polygon-buffer analogue of the
+    GIS ST_Buffer, done grid-native: dilate each polygon's rasterized
+    footprint (center-inside rule, ``rasterize_polygons``) by Chebyshev
+    radius ``k`` and report footprint vs buffer-ring cell counts. The
+    ring is the "near the zone but not in it" band every geofence alert
+    and edge-effect correction needs, exact at cell granularity.
+    Returns (polygon_id, n_inside, n_buffer).
+
+    Plan: one rasterize pass (pinned — the footprint feeds the
+    (2k+1)^2 fan AND the anti-join probe), a bounded offset fan of
+    FOOTPRINT cells only (never the lattice), one distinct and one
+    anti-join, all on cell-count-sized frames."""
+    fp, ring = _footprint_and_ring(polygons, res, k, collect_threshold)
     inside = fp.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_inside"))
     buf = ring.groupBy("polygon_id").agg(F.count(F.lit(1)).alias("n_buffer"))
     return inside.join(buf, "polygon_id", "left").select(

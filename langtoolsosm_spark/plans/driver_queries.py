@@ -10685,6 +10685,76 @@ FROM inside i LEFT JOIN buf b ON b.polygon_id = i.polygon_id
 REGISTRY.update({"region_buffer": (q_region_buffer, O_REGION_BUFFER)})
 
 
+def q_near_miss(spark, sf_dir):
+    """Near-miss traffic audit (operators/spatial.py
+    ``near_miss_visits``): trajectory events in each zone's Chebyshev-2
+    res-10 buffer ring vs inside, exact milli share. The oracle reuses
+    the lattice burn + dilation CTEs and joins the event-cell
+    histogram."""
+    from ..operators.spatial import near_miss_visits
+
+    return near_miss_visits(
+        _traj(spark, sf_dir), geo_polygons_df(spark), res=10, k=2,
+        collect_threshold=0,
+    )
+
+
+_NEAR_OFFSETS = ", ".join(
+    f"({dx}, {dy})" for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+)
+O_NEAR_MISS = (
+    "WITH " + _RASTER_CELLS_CTE + """,
+fp AS (
+"""
+    + " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, tile FROM c WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + f"""
+),
+dil AS (
+  SELECT DISTINCT polygon_id,
+         (tile // 1024 + dx) * 1024 + (tile % 1024 + dy) AS tile2
+  FROM fp, (VALUES {{offs}}) o(dx, dy)
+  WHERE tile // 1024 + dx BETWEEN 0 AND 1023
+    AND tile % 1024 + dy BETWEEN 0 AND 1023
+),
+ring AS (
+  SELECT d.polygon_id, d.tile2 AS tile FROM dil d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fp WHERE fp.polygon_id = d.polygon_id AND fp.tile = d.tile2
+  )
+),
+src AS (
+  SELECT {{lat}} AS lat, {{lon}} AS lon FROM events
+),
+hist AS (SELECT {{tile}} AS tile, count(*) AS n FROM src GROUP BY 1),
+i AS (
+  SELECT fp.polygon_id, sum(h.n) AS inside_events
+  FROM fp JOIN hist h ON h.tile = fp.tile GROUP BY 1
+),
+r AS (
+  SELECT ring.polygon_id, sum(h.n) AS ring_events
+  FROM ring JOIN hist h ON h.tile = ring.tile GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(i.polygon_id, r.polygon_id) AS polygon_id,
+         CAST(COALESCE(i.inside_events, 0) AS BIGINT) AS inside_events,
+         CAST(COALESCE(r.ring_events, 0) AS BIGINT) AS ring_events
+  FROM i FULL OUTER JOIN r ON i.polygon_id = r.polygon_id
+)
+SELECT polygon_id, inside_events, ring_events,
+       CAST(1000 * ring_events AS BIGINT) // (inside_events + ring_events)
+         AS ring_milli
+FROM j WHERE inside_events + ring_events > 0
+""".format(offs=_NEAR_OFFSETS, lat=TRAJ_LAT_SQL, lon=TRAJ_LON_SQL,
+           tile=_tile_sql(10))
+)
+
+
+REGISTRY.update({"near_miss": (q_near_miss, O_NEAR_MISS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

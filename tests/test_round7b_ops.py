@@ -1167,3 +1167,24 @@ def test_region_buffer_ring_counts(spark):
     assert row["n_buffer"] == 16
     with pytest.raises(ValueError, match="k must"):
         region_buffer_cells(polys, res=3, k=0)
+
+
+def test_near_miss_visits_ring_vs_inside(spark):
+    from langtoolsosm_spark.operators.spatial import near_miss_visits
+
+    # res 3 box = 4x2 cells (22.5 x 45 deg). Inside event at (0, -45);
+    # ring event one cell east of the box at (0, 22.5); far event excluded.
+    polys = spark.createDataFrame(
+        [("B1", [{"lat": -45.0, "lon": -90.0}, {"lat": -45.0, "lon": 0.0},
+                 {"lat": 45.0, "lon": 0.0}, {"lat": 45.0, "lon": -90.0}])],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 0.0, -45.0), (2, 0.0, 22.5), (3, 0.0, 160.0)],
+            columns=["event_id", "lat", "lon"],
+        )
+    )
+    row = near_miss_visits(ev, polys, res=3, k=1).collect()[0]
+    assert row["inside_events"] == 1 and row["ring_events"] == 1
+    assert row["ring_milli"] == 500
