@@ -1175,3 +1175,93 @@ def ivf_pq_ann_rescored(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dot")
     )
+
+
+def semantic_drift(
+    emb: DataFrame,
+    res: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lat: str = "lat",
+    lon: str = "lon",
+    q_scale: int = 1000,
+) -> DataFrame:
+    """Semantic-terrain smoothness: for every rook-adjacent pair of
+    occupied cells, the L1 distance between the cells' MEAN embeddings
+    as the exact cross-multiplied rational
+
+        drift_num = sum_dim |s1_d * n2 - s2_d * n1|,  drift_den = n1 * n2
+
+    over round(x * q_scale) integer-quantized components (the engine's
+    standard embedding quantization — float vector means are
+    aggregation-order dependent; integer sums are not). High drift
+    between neighbors marks semantic boundaries (land-use edges, domain
+    shifts); a smooth field says embeddings respect geography. Returns
+    (tile_a, tile_b, n_a, n_b, drift_num, drift_den).
+
+    Plan: one posexplode pass to (cell, dim) integer sums (map-side
+    combined; 64 x occupied-cells output), the frame pinned (it feeds
+    both pair sides), a 2-offset rook fan and one equi-join on
+    (cell, dim) — never a vector shuffle, never a float sum."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import tile_key_col
+
+    res_n = 1 << res
+    flat = emb.select(
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "tile", "dim",
+        F.round(F.col("x").cast("double") * q_scale).cast("long").alias("xq"),
+    )
+    sums = (
+        flat.groupBy("tile", "dim")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("nv"))
+        .localCheckpoint(eager=True)
+    )
+    ix = (F.col("tile") / F.lit(res_n)).cast("long")
+    iy = F.col("tile") % F.lit(res_n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in ((1, 0), (0, 1))
+            ]
+        )
+    ).alias("o")
+    fan = sums.select("tile", "dim", "s", "nv", off).select(
+        ((ix + F.col("o.dx")) * F.lit(res_n) + (iy + F.col("o.dy"))).alias("ntile"),
+        (ix + F.col("o.dx")).alias("nx"),
+        (iy + F.col("o.dy")).alias("ny"),
+        F.col("tile").alias("tile_a"),
+        "dim",
+        F.col("s").alias("s1"),
+        F.col("nv").alias("n1"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < res_n)
+        & (F.col("ny") >= 0) & (F.col("ny") < res_n)
+    )
+    nbr = sums.select(
+        F.col("tile").alias("ntile"),
+        "dim",
+        F.col("s").alias("s2"),
+        F.col("nv").alias("n2"),
+    )
+    pairs = fan.join(nbr, ["ntile", "dim"], "inner")
+    return (
+        pairs.groupBy(
+            F.col("tile_a"), F.col("ntile").alias("tile_b")
+        )
+        .agg(
+            F.max("n1").alias("n_a"),
+            F.max("n2").alias("n_b"),
+            F.sum(
+                F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1"))
+            ).alias("drift_num"),
+        )
+        .select(
+            "tile_a", "tile_b", "n_a", "n_b", "drift_num",
+            (F.col("n_a") * F.col("n_b")).alias("drift_den"),
+        )
+    )

@@ -1188,3 +1188,23 @@ def test_near_miss_visits_ring_vs_inside(spark):
     row = near_miss_visits(ev, polys, res=3, k=1).collect()[0]
     assert row["inside_events"] == 1 and row["ring_events"] == 1
     assert row["ring_milli"] == 500
+
+
+def test_semantic_drift_hand_cells(spark):
+    from langtoolsosm_spark.operators.similarity import semantic_drift
+
+    # res 1 (2x2 lattice): two E-adjacent cells. Cell A holds vectors
+    # [1,0] and [1,0] (mean [1,0]); cell B holds [0,1] (mean [0,1]).
+    # drift_num = |2000*1 - 0*2| + |0*1 - 1000*2| = 4000, den = 2.
+    rows = [
+        (1, [1.0, 0.0], -45.0, -90.0), (2, [1.0, 0.0], -45.0, -90.0),
+        (3, [0.0, 1.0], -45.0, 90.0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lat double, lon double"
+    )
+    out = semantic_drift(emb, res=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 2 and r["n_b"] == 1
+    assert r["drift_num"] == 4000 and r["drift_den"] == 2
