@@ -1265,3 +1265,55 @@ def semantic_drift(
             (F.col("n_a") * F.col("n_b")).alias("drift_den"),
         )
     )
+
+
+def semantic_outliers(
+    emb: DataFrame,
+    res: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lat: str = "lat",
+    lon: str = "lon",
+    q_scale: int = 1000,
+) -> DataFrame:
+    """Semantic outlier cells — the global complement of
+    ``semantic_drift``: each occupied cell's L1 deviation of its mean
+    embedding from the corpus mean, as the exact cross-multiplied
+    rational sum_dim |s_c * N - S_g * n_c| over (n_c * N). The cells a
+    curation pass inspects first: imagery that does not look like its
+    geography (sensor faults, mislabeled batches, spam uploads).
+    Returns (tile, nv, anom_num, anom_den).
+
+    Plan: the same pinned (cell, dim) integer-sum frame, one
+    dim-rollup for the global sums (broadcast single-dim frame), one
+    equi-join on dim and a cell rollup — no vector shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..functions.cells import tile_key_col
+
+    flat = emb.select(
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    ).select(
+        "tile", "dim",
+        F.round(F.col("x").cast("double") * q_scale).cast("long").alias("xq"),
+    )
+    sums = (
+        flat.groupBy("tile", "dim")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("nv"))
+        .localCheckpoint(eager=True)
+    )
+    glob = sums.groupBy("dim").agg(
+        F.sum("s").alias("sg"), F.sum("nv").alias("ng")
+    )
+    j = sums.join(F.broadcast(glob), "dim")
+    return (
+        j.groupBy("tile")
+        .agg(
+            F.max("nv").alias("nv"),
+            F.sum(
+                F.abs(F.col("s") * F.col("ng") - F.col("sg") * F.col("nv"))
+            ).alias("anom_num"),
+            F.max(F.col("nv") * F.col("ng")).alias("anom_den"),
+        )
+    )

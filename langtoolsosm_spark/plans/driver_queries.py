@@ -10815,6 +10815,52 @@ FROM pairs GROUP BY 1, 2
 REGISTRY.update({"semantic_drift": (q_semantic_drift, O_SEMANTIC_DRIFT)})
 
 
+def q_semantic_outliers(spark, sf_dir):
+    """Semantic outlier cells (operators/similarity.py
+    ``semantic_outliers``): per-cell L1 deviation of the mean embedding
+    from the corpus mean, exact cross-multiplied integers. The oracle
+    replays the flatten, both sum levels and the rational rollup."""
+    from ..operators.similarity import semantic_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("__outlier_emb")
+    t = spark.sql(
+        f"SELECT vec_id, embedding, {EMB_LAT_SQL} AS lat, "
+        f"{EMB_LON_SQL} AS lon FROM __outlier_emb"
+    )
+    return semantic_outliers(t, res=6)
+
+
+O_SEMANTIC_OUTLIERS = f"""
+WITH src AS (
+  SELECT vec_id, embedding, {EMB_LAT_SQL} AS lat, {EMB_LON_SQL} AS lon
+  FROM embeddings
+),
+flat AS (
+  SELECT {_tile_sql(6)} AS tile, CAST(i - 1 AS INT) AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0)
+              AS BIGINT) AS xq
+  FROM src JOIN generate_series(1, 8192) AS t(i) ON i <= len(embedding)
+),
+sums AS (
+  SELECT tile, dim, CAST(sum(xq) AS BIGINT) AS s, count(*) AS nv
+  FROM flat GROUP BY 1, 2
+),
+gl AS (
+  SELECT dim, CAST(sum(s) AS BIGINT) AS sg, CAST(sum(nv) AS BIGINT) AS ng
+  FROM sums GROUP BY 1
+)
+SELECT m.tile, CAST(max(m.nv) AS BIGINT) AS nv,
+       CAST(sum(abs(m.s * g.ng - g.sg * m.nv)) AS BIGINT) AS anom_num,
+       CAST(max(m.nv * g.ng) AS BIGINT) AS anom_den
+FROM sums m JOIN gl g ON g.dim = m.dim
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"semantic_outliers": (q_semantic_outliers, O_SEMANTIC_OUTLIERS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1208,3 +1208,21 @@ def test_semantic_drift_hand_cells(spark):
     r = out[0]
     assert r["n_a"] == 2 and r["n_b"] == 1
     assert r["drift_num"] == 4000 and r["drift_den"] == 2
+
+
+def test_semantic_outliers_global_deviation(spark):
+    from langtoolsosm_spark.operators.similarity import semantic_outliers
+
+    # cells A (2 vectors of [1,0]) and B (1 vector of [0,1]): global
+    # sums S=[2000,1000], N=3. A: |2000*3-2000*2| + |0*3-1000*2| = 4000;
+    # B: |0*3-2000*1| + |1000*3-1000*1| = 4000; dens 2*3=6 and 1*3=3.
+    rows = [
+        (1, [1.0, 0.0], -45.0, -90.0), (2, [1.0, 0.0], -45.0, -90.0),
+        (3, [0.0, 1.0], -45.0, 90.0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lat double, lon double"
+    )
+    out = {r["nv"]: r for r in semantic_outliers(emb, res=1).collect()}
+    assert out[2]["anom_num"] == 4000 and out[2]["anom_den"] == 6
+    assert out[1]["anom_num"] == 4000 and out[1]["anom_den"] == 3
