@@ -3673,3 +3673,70 @@ def region_buffer_cells(
         "n_inside",
         F.coalesce("n_buffer", F.lit(0)).cast("long").alias("n_buffer"),
     )
+
+
+def bbox_hilbert_ranges(
+    spark,
+    res: int,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+) -> DataFrame:
+    """Scan-pruning planner for Hilbert-clustered storage: the minimal
+    set of CONTIGUOUS Hilbert-key ranges covering a bbox at ``res`` —
+    exactly the ranges a reader pushes against per-file hkey min/max
+    stats after ``compact_table``'s Hilbert rewrite (few long ranges ==
+    few files touched; ``curve_locality`` measures why this beats
+    row-major). Returns (range_start, range_end, n_cells), one row per
+    maximal run of consecutive keys.
+
+    Plan: the bbox'd lattice is GENERATED (one spark.range — never
+    4^res global cells), keyed by the unrolled Hilbert expressions
+    (codegen, no shuffle), then one gaps-and-islands pass: a global
+    key-order window over the BBOX-SIZED key set (the sketch-window
+    justification of tile_coverage_curve) and a range rollup."""
+    import math
+
+    if lat0 > lat1 or lon0 > lon1:
+        raise ValueError(
+            f"bbox_hilbert_ranges: inverted bbox ({lat0},{lat1},{lon0},{lon1})"
+        )
+    if not 1 <= res <= 13:
+        raise ValueError(f"res must be in [1, 13], got {res}")
+    n = 1 << res
+
+    def cell(v: float, off: float, span: float) -> int:
+        return max(0, min(n - 1, math.floor((v + off) / span * n)))
+
+    ix0, ix1 = cell(lon0, 180.0, 360.0), cell(lon1, 180.0, 360.0)
+    iy0, iy1 = cell(lat0, 90.0, 180.0), cell(lat1, 90.0, 180.0)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    lattice = spark.range(nx * ny).select(
+        (F.lit(ix0) + F.col("id") % nx).alias("ix"),
+        (F.lit(iy0) + (F.col("id") / nx).cast("long")).alias("iy"),
+    )
+    keyed = with_hilbert(lattice, res).select("hkey")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("hkey").asc())
+    flagged = keyed.withColumn(
+        "__new",
+        F.when(
+            F.col("hkey") - F.lag("hkey").over(w) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "__rid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("__rid")
+        .agg(
+            F.min("hkey").alias("range_start"),
+            F.max("hkey").alias("range_end"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select("range_start", "range_end", "n_cells")
+    )

@@ -1226,3 +1226,29 @@ def test_semantic_outliers_global_deviation(spark):
     out = {r["nv"]: r for r in semantic_outliers(emb, res=1).collect()}
     assert out[2]["anom_num"] == 4000 and out[2]["anom_den"] == 6
     assert out[1]["anom_num"] == 4000 and out[1]["anom_den"] == 3
+
+
+def test_bbox_hilbert_ranges_cover_and_merge(spark):
+    from langtoolsosm_spark.operators.spatial import bbox_hilbert_ranges
+
+    # whole globe at res 2 -> ONE contiguous range [0, 15] (the curve
+    # visits every cell exactly once)
+    out = bbox_hilbert_ranges(spark, res=2, lat0=-90.0, lat1=89.9,
+                              lon0=-180.0, lon1=179.9).collect()
+    assert len(out) == 1
+    assert out[0]["range_start"] == 0 and out[0]["range_end"] == 15
+    assert out[0]["n_cells"] == 16
+
+    # a half-lattice bbox must cover exactly its cell count with
+    # disjoint, sorted, gap-separated ranges
+    rows = bbox_hilbert_ranges(spark, res=3, lat0=-90.0, lat1=89.9,
+                               lon0=-180.0, lon1=-1.0).collect()
+    total = sum(r["n_cells"] for r in rows)
+    assert total == 4 * 8
+    spans = sorted((r["range_start"], r["range_end"]) for r in rows)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 + 1 < s2  # maximal runs: gaps strictly separate ranges
+        assert e1 - s1 >= 0
+    with pytest.raises(ValueError, match="inverted"):
+        bbox_hilbert_ranges(spark, res=3, lat0=10.0, lat1=0.0,
+                            lon0=0.0, lon1=1.0)
