@@ -3740,3 +3740,94 @@ def bbox_hilbert_ranges(
         )
         .select("range_start", "range_end", "n_cells")
     )
+
+
+def dbscan_clusters(
+    points: DataFrame,
+    radius: float,
+    min_pts: int,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Full DBSCAN (Ester et al. 1996) — the proper upgrade of
+    ``geo_clusters``' single-linkage: a point is CORE iff its
+    radius-``r`` neighborhood (including itself) holds at least
+    ``min_pts`` points; clusters are the connected components of the
+    core-core neighbor graph; a non-core point within ``r`` of a core
+    becomes a BORDER member of that core's cluster (ties to the
+    smallest cluster id — the deterministic stand-in for DBSCAN's
+    visit-order dependence); everything else is NOISE (cluster_id -1).
+    Returns (point_id, cluster_id, role) with role 0=core, 1=border,
+    2=noise.
+
+    Plan: ONE cell-blocked ``distance_join`` pair set pinned (it feeds
+    the degree count, the core-core edge filter and the border probe),
+    the dedup family's pointer-jumping min-label propagation over the
+    CORE subgraph only, then two broadcast-sized joins — noise never
+    enters any join beyond the degree count."""
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    from .dedup import dedup_clusters
+
+    pairs = (
+        distance_join(
+            points,
+            points.select(
+                F.col(id_col).alias("id"),
+                F.col(lat).alias("lat"),
+                F.col(lon).alias("lon"),
+            ),
+            radius, res=res, point_id=id_col, point_lat=lat, point_lon=lon,
+        )
+        .filter(F.col("point_id") != F.col("neighbor_id"))
+        .select("point_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    deg = pairs.groupBy("point_id").agg(F.count(F.lit(1)).alias("nn"))
+    core = deg.filter(F.col("nn") + 1 >= min_pts).select("point_id")
+    core_b = core.withColumnRenamed("point_id", "neighbor_id")
+    core_pairs = (
+        pairs.join(core, "point_id")
+        .join(core_b, "neighbor_id")
+        .filter(F.col("point_id") < F.col("neighbor_id"))
+    )
+    labels = dedup_clusters(core_pairs, "point_id", "neighbor_id",
+                            max_iter=max_iter)
+    core_lab = core.join(
+        labels.withColumnRenamed("doc_id", "point_id"), "point_id", "left"
+    ).select(
+        "point_id",
+        F.coalesce(F.col("cluster_id"), F.col("point_id")).alias("cluster_id"),
+    ).localCheckpoint(eager=True)
+    all_pts = points.select(F.col(id_col).alias("point_id"))
+    border = (
+        pairs.join(
+            core_lab.select(
+                F.col("point_id").alias("neighbor_id"),
+                F.col("cluster_id").alias("__cl"),
+            ),
+            "neighbor_id",
+        )
+        .join(core, "point_id", "left_anti")
+        .groupBy("point_id")
+        .agg(F.min("__cl").alias("cluster_id"))
+    )
+    core_rows = core_lab.select(
+        "point_id", "cluster_id", F.lit(0).cast("int").alias("role")
+    )
+    border_rows = border.select(
+        "point_id", "cluster_id", F.lit(1).cast("int").alias("role")
+    )
+    noise_rows = (
+        all_pts.join(core, "point_id", "left_anti")
+        .join(border.select("point_id"), "point_id", "left_anti")
+        .select(
+            "point_id",
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(2).cast("int").alias("role"),
+        )
+    )
+    return core_rows.unionByName(border_rows).unionByName(noise_rows)

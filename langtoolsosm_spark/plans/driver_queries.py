@@ -10916,6 +10916,72 @@ O_HILBERT_RANGES = _o_hilbert_ranges()
 REGISTRY.update({"hilbert_ranges": (q_hilbert_ranges, O_HILBERT_RANGES)})
 
 
+def q_dbscan(spark, sf_dir):
+    """Full DBSCAN at radius 0.05, min_pts 3 (operators/spatial.py
+    ``dbscan_clusters``): core/border/noise over the geo_clusters
+    fixture (same hot-band exclusion — the oracle's recursive closure
+    carries component^2 rows and the core subgraph must stay bounded at
+    sf0.1). The oracle replays the quadratic neighbor count, the
+    core-core closure, the min-cluster border assignment and the noise
+    remainder."""
+    from ..operators.spatial import dbscan_clusters
+
+    pts = geo_points(spark, sf_dir).filter(
+        (F.col("point_id") % 13 == 0) & (F.col("point_id") % 5 != 0)
+    )
+    return dbscan_clusters(pts, radius=0.05, min_pts=3)
+
+
+O_DBSCAN = f"""
+WITH RECURSIVE {PTS_CTE},
+q AS (SELECT point_id, lat, lon FROM pts
+      WHERE point_id % 13 = 0 AND point_id % 5 != 0),
+p AS (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM q a JOIN q b
+    ON (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= 0.05 * 0.05
+  WHERE a.point_id <> b.point_id
+),
+deg AS (SELECT pa AS point_id, count(*) AS nn FROM p GROUP BY 1),
+core AS (SELECT point_id FROM deg WHERE nn + 1 >= 3),
+ce AS (
+  SELECT pa AS a, pb AS b FROM p
+  WHERE pa IN (SELECT point_id FROM core)
+    AND pb IN (SELECT point_id FROM core)
+),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM ce
+  UNION
+  SELECT r.id, ce.b FROM r JOIN ce ON ce.a = r.x
+),
+lbl AS (SELECT id, min(x) AS cluster_id FROM r GROUP BY id),
+core_lab AS (
+  SELECT c.point_id, coalesce(lbl.cluster_id, c.point_id) AS cluster_id
+  FROM core c LEFT JOIN lbl ON lbl.id = c.point_id
+),
+border AS (
+  SELECT p.pa AS point_id, min(cl.cluster_id) AS cluster_id
+  FROM p JOIN core_lab cl ON cl.point_id = p.pb
+  WHERE p.pa NOT IN (SELECT point_id FROM core)
+  GROUP BY 1
+)
+SELECT point_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       0 AS role FROM core_lab
+UNION ALL
+SELECT point_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       1 AS role FROM border
+UNION ALL
+SELECT q.point_id, CAST(-1 AS BIGINT) AS cluster_id, 2 AS role
+FROM q
+WHERE q.point_id NOT IN (SELECT point_id FROM core)
+  AND q.point_id NOT IN (SELECT point_id FROM border)
+"""
+
+
+REGISTRY.update({"dbscan": (q_dbscan, O_DBSCAN)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

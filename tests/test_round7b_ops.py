@@ -1252,3 +1252,25 @@ def test_bbox_hilbert_ranges_cover_and_merge(spark):
     with pytest.raises(ValueError, match="inverted"):
         bbox_hilbert_ranges(spark, res=3, lat0=10.0, lat1=0.0,
                             lon0=0.0, lon1=1.0)
+
+
+def test_dbscan_core_border_noise(spark):
+    from langtoolsosm_spark.operators.spatial import dbscan_clusters
+
+    # dense triple (1,2,3) within r of each other -> all core (minPts 3);
+    # point 4 within r of point 3 only -> border; point 9 isolated -> noise.
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 0.00, 0.00), (2, 0.01, 0.00), (3, 0.00, 0.01),
+             (4, 0.00, 0.045), (9, 5.0, 5.0)],
+            columns=["point_id", "lat", "lon"],
+        )
+    )
+    out = {r["point_id"]: r for r in
+           dbscan_clusters(pts, radius=0.04, min_pts=3).collect()}
+    assert out[1]["role"] == 0 and out[1]["cluster_id"] == 1
+    assert out[2]["role"] == 0 and out[3]["role"] == 0
+    assert out[4]["role"] == 1 and out[4]["cluster_id"] == 1
+    assert out[9]["role"] == 2 and out[9]["cluster_id"] == -1
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan_clusters(pts, radius=0.04, min_pts=0)
