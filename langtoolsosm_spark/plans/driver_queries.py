@@ -10982,6 +10982,71 @@ WHERE q.point_id NOT IN (SELECT point_id FROM core)
 REGISTRY.update({"dbscan": (q_dbscan, O_DBSCAN)})
 
 
+def q_kdist_hist(spark, sf_dir):
+    """k-distance (eps-tuning / k-coverage) histogram: each query
+    point's distance to its 3rd-nearest feature, integer-quantized
+    (floor(d2 * 1e9)) and bucketed by binary digit count — the knee
+    plot behind every DBSCAN radius choice and the facility-coverage
+    audit. The k-th neighbor comes from the exact ``knn_join``; its
+    distance is recomputed JVM-side from joined coordinates with the
+    SAME expression tree the oracle runs (the Arrow kernel's float is
+    never compared). Returns (bucket, n_points, max_d2q)."""
+    from ..operators.knn import knn_join
+
+    pts = geo_points(spark, sf_dir).filter(F.col("point_id") % 97 == 0)
+    feats = geo_features(spark, sf_dir)
+    kth = knn_join(
+        pts, feats, k=3, res=7, point_id="point_id", feature_id="id"
+    ).filter(F.col("rank") == 3).select("point_id", "neighbor_id")
+    j = (
+        kth.join(pts.select("point_id", F.col("lat").alias("plat"),
+                            F.col("lon").alias("plon")), "point_id")
+        .join(feats.select(F.col("id").alias("neighbor_id"),
+                           F.col("lat").alias("flat"),
+                           F.col("lon").alias("flon")), "neighbor_id")
+    )
+    d2 = (
+        (F.col("plat") - F.col("flat")) * (F.col("plat") - F.col("flat"))
+        + (F.col("plon") - F.col("flon")) * (F.col("plon") - F.col("flon"))
+    )
+    q = F.floor(d2 * F.lit(1000000000.0)).cast("long")
+    return (
+        j.select(F.length(F.bin(q)).cast("int").alias("bucket"),
+                 q.alias("d2q"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.max("d2q").alias("max_d2q"))
+    )
+
+
+O_KDIST_HIST = f"""
+WITH {PTS_CTE}, {FEATS_CTE},
+q AS (SELECT * FROM pts WHERE point_id % 97 = 0),
+d AS (
+  SELECT q.point_id, f.id AS neighbor_id, q.lat AS plat, q.lon AS plon,
+         f.lat AS flat, f.lon AS flon,
+         row_number() OVER (PARTITION BY q.point_id ORDER BY
+           (q.lat - f.lat) * (q.lat - f.lat)
+             + (q.lon - f.lon) * (q.lon - f.lon) ASC,
+           f.id ASC) AS rank
+  FROM q CROSS JOIN feats f
+),
+kth AS (
+  SELECT CAST(floor(((plat - flat) * (plat - flat)
+               + (plon - flon) * (plon - flon)) * 1000000000.0) AS BIGINT)
+           AS d2q
+  FROM d WHERE rank = 3
+)
+SELECT CAST(length(bin(d2q)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(d2q) AS BIGINT) AS max_d2q
+FROM kth GROUP BY 1
+"""
+
+
+REGISTRY.update({"kdist_hist": (q_kdist_hist, O_KDIST_HIST)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1274,3 +1274,23 @@ def test_dbscan_core_border_noise(spark):
     assert out[9]["role"] == 2 and out[9]["cluster_id"] == -1
     with pytest.raises(ValueError, match="min_pts"):
         dbscan_clusters(pts, radius=0.04, min_pts=0)
+
+
+def test_kdist_hist_composition(spark):
+    from pyspark.sql import functions as F
+    from langtoolsosm_spark.operators.knn import knn_join
+
+    # 1 query point, features at lon 0.1/0.2/0.3/9: 3rd NN at 0.3 ->
+    # d2 = 0.09, q = 9e7, bucket = len(bin(q)).
+    pts = spark.createDataFrame([(1, 0.0, 0.0)],
+                                "point_id long, lat double, lon double")
+    feats = spark.createDataFrame(
+        [(10, 0.0, 0.1), (11, 0.0, 0.2), (12, 0.0, 0.3), (13, 0.0, 9.0)],
+        "id long, lat double, lon double",
+    )
+    kth = knn_join(pts, feats, k=3, res=7, point_id="point_id",
+                   feature_id="id").filter(F.col("rank") == 3)
+    row = kth.collect()[0]
+    assert row["neighbor_id"] == 12
+    q = int(0.3 * 0.3 * 1e9)  # floor exact here
+    assert len(bin(q)) - 2 == q.bit_length()
