@@ -3831,3 +3831,80 @@ def dbscan_clusters(
         )
     )
     return core_rows.unionByName(border_rows).unionByName(noise_rows)
+
+
+def cluster_moments(
+    points: DataFrame,
+    radius: float,
+    res: int | None = None,
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cluster shape census: exact central second moments and the
+    elongation octant of every ``geo_clusters`` component — is a
+    cluster a blob, a north-south corridor, a diagonal coastline? The
+    principal-axis angle satisfies 2θ = atan2(2·Cxy, Cxx − Cyy); its
+    OCTANT needs only the signs of A = Cxx − Cyy and B = 2·Cxy and the
+    |A| vs |B| compare — pure integer arithmetic, no atan2 float.
+    Moments are computed on per-cluster RE-CENTERED micro-degree
+    coordinates (x − min_x per cluster), so n·Sxx − Sx² stays far below
+    2^63 at any corpus size with bounded cluster extent. Returns
+    (cluster_id, n, cxx_num, cyy_num, cxy_num, octant) where
+    C·· = ···_num / n² and octant ∈ [0, 8) indexes the 2θ sector.
+
+    Plan: one ``geo_clusters`` pass (labels pinned), one min rollup per
+    cluster joined back (both cluster-count-sized), one moment
+    aggregate; the octant is a codegen'd CASE."""
+    labels = geo_clusters(
+        points, radius, res=res, id_col=id_col, lat=lat, lon=lon
+    ).localCheckpoint(eager=True)
+    coords = points.select(
+        F.col(id_col).alias("point_id"),
+        F.floor((F.col(lon) + F.lit(180.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("x"),
+        F.floor((F.col(lat) + F.lit(90.0)) * F.lit(float(scale)))
+        .cast("long")
+        .alias("y"),
+    ).join(labels, "point_id")
+    mins = coords.groupBy("cluster_id").agg(
+        F.min("x").alias("mx"), F.min("y").alias("my")
+    )
+    c = coords.join(mins, "cluster_id").select(
+        "cluster_id",
+        (F.col("x") - F.col("mx")).alias("dx"),
+        (F.col("y") - F.col("my")).alias("dy"),
+    )
+    m = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    cxx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cxy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    a = cxx - cyy
+    b = F.lit(2) * cxy
+    octant = (
+        F.when((a >= 0) & (b >= 0) & (b <= a), F.lit(0))
+        .when((a >= 0) & (b >= 0), F.lit(1))
+        .when((a < 0) & (b >= 0) & (b > -a), F.lit(2))
+        .when((a < 0) & (b >= 0), F.lit(3))
+        .when((a < 0) & (b < 0) & (-b <= -a), F.lit(4))
+        .when((a < 0) & (b < 0), F.lit(5))
+        .when((a >= 0) & (b < 0) & (-b > a), F.lit(6))
+        .otherwise(F.lit(7))
+    )
+    return m.select(
+        "cluster_id",
+        "n",
+        cxx.alias("cxx_num"),
+        cyy.alias("cyy_num"),
+        cxy.alias("cxy_num"),
+        octant.cast("int").alias("octant"),
+    )

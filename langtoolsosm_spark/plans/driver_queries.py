@@ -11047,6 +11047,87 @@ FROM kth GROUP BY 1
 REGISTRY.update({"kdist_hist": (q_kdist_hist, O_KDIST_HIST)})
 
 
+def q_cluster_moments(spark, sf_dir):
+    """Cluster shape census (operators/spatial.py ``cluster_moments``):
+    exact central second moments + integer elongation octant per
+    geo_clusters component (same bounded fixture). The oracle replays
+    the closure, the per-cluster re-centering and the moment/octant
+    arithmetic."""
+    from ..operators.spatial import cluster_moments
+
+    pts = geo_points(spark, sf_dir).filter(
+        (F.col("point_id") % 13 == 0) & (F.col("point_id") % 5 != 0)
+    )
+    return cluster_moments(pts, radius=0.05)
+
+
+O_CLUSTER_MOMENTS = f"""
+WITH RECURSIVE {PTS_CTE},
+q AS (SELECT point_id, lat, lon,
+             CAST(floor((lon + 180.0) * 1000000.0) AS BIGINT) AS x,
+             CAST(floor((lat + 90.0) * 1000000.0) AS BIGINT) AS y
+      FROM pts WHERE point_id % 13 = 0 AND point_id % 5 != 0),
+p AS (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM q a JOIN q b
+    ON (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+       <= 0.05 * 0.05
+  WHERE a.point_id < b.point_id
+),
+e AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+r(id, x) AS (
+  SELECT DISTINCT a, a FROM e
+  UNION
+  SELECT r.id, e.b FROM r JOIN e ON e.a = r.x
+),
+lbl AS (SELECT id, min(x) AS cluster_id FROM r GROUP BY id),
+lab AS (
+  SELECT q.point_id, coalesce(lbl.cluster_id, q.point_id) AS cluster_id,
+         q.x, q.y
+  FROM q LEFT JOIN lbl ON lbl.id = q.point_id
+),
+mins AS (SELECT cluster_id, min(x) AS mx, min(y) AS my FROM lab GROUP BY 1),
+c AS (
+  SELECT l.cluster_id, l.x - m.mx AS dx, l.y - m.my AS dy
+  FROM lab l JOIN mins m ON m.cluster_id = l.cluster_id
+),
+mom AS (
+  SELECT cluster_id, count(*) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM c GROUP BY 1
+),
+alg AS (
+  SELECT cluster_id, CAST(n AS BIGINT) AS n,
+         n * sxx - sx * sx AS cxx,
+         n * syy - sy * sy AS cyy,
+         n * sxy - sx * sy AS cxy
+  FROM mom
+)
+SELECT cluster_id, n,
+       CAST(cxx AS BIGINT) AS cxx_num, CAST(cyy AS BIGINT) AS cyy_num,
+       CAST(cxy AS BIGINT) AS cxy_num,
+       CAST(CASE
+         WHEN cxx - cyy >= 0 AND 2 * cxy >= 0 AND 2 * cxy <= cxx - cyy THEN 0
+         WHEN cxx - cyy >= 0 AND 2 * cxy >= 0 THEN 1
+         WHEN cxx - cyy < 0 AND 2 * cxy >= 0
+              AND 2 * cxy > -(cxx - cyy) THEN 2
+         WHEN cxx - cyy < 0 AND 2 * cxy >= 0 THEN 3
+         WHEN cxx - cyy < 0 AND 2 * cxy < 0
+              AND -(2 * cxy) <= -(cxx - cyy) THEN 4
+         WHEN cxx - cyy < 0 AND 2 * cxy < 0 THEN 5
+         WHEN cxx - cyy >= 0 AND 2 * cxy < 0 AND -(2 * cxy) > cxx - cyy THEN 6
+         ELSE 7
+       END AS INT) AS octant
+FROM alg
+"""
+
+
+REGISTRY.update({"cluster_moments": (q_cluster_moments, O_CLUSTER_MOMENTS)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1294,3 +1294,27 @@ def test_kdist_hist_composition(spark):
     assert row["neighbor_id"] == 12
     q = int(0.3 * 0.3 * 1e9)  # floor exact here
     assert len(bin(q)) - 2 == q.bit_length()
+
+
+def test_cluster_moments_line_orientation(spark):
+    from langtoolsosm_spark.operators.spatial import cluster_moments
+
+    # three points on a horizontal (E-W) line, close together -> one
+    # cluster; Cyy = 0, Cxx > 0 -> A > 0, B = 0 -> octant 0 (E-W axis).
+    pts = spark.createDataFrame(
+        pd.DataFrame([(1, 0.0, 0.00), (2, 0.0, 0.01), (3, 0.0, 0.02)],
+                     columns=["point_id", "lat", "lon"])
+    )
+    out = cluster_moments(pts, radius=0.02).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3 and r["cyy_num"] == 0 and r["cxy_num"] == 0
+    assert r["cxx_num"] > 0 and r["octant"] == 0
+
+    # vertical (N-S) line -> Cxx = 0, Cyy > 0 -> A < 0, B = 0 -> octant 3
+    pts2 = spark.createDataFrame(
+        pd.DataFrame([(1, 0.00, 0.0), (2, 0.01, 0.0), (3, 0.02, 0.0)],
+                     columns=["point_id", "lat", "lon"])
+    )
+    r2 = cluster_moments(pts2, radius=0.02).collect()[0]
+    assert r2["cxx_num"] == 0 and r2["cyy_num"] > 0 and r2["octant"] == 3
