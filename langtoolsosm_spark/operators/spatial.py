@@ -3908,3 +3908,58 @@ def cluster_moments(
         cxy.alias("cxy_num"),
         octant.cast("int").alias("octant"),
     )
+
+
+def cellset_jaccard(
+    events: DataFrame,
+    pairs: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Home-range overlap: exact Jaccard of two entities' visited-cell
+    sets for each candidate pair — the set-overlap sibling of
+    ``cell_hausdorff`` (distance says "how far apart do they roam";
+    Jaccard says "how much of the same ground do they share"), the
+    co-traveler / duplicate-device signal. Returns
+    (a, b, n_a, n_b, n_inter, jacc_milli) with jacc_milli =
+    1000 * inter div (n_a + n_b - inter) — exact integers.
+
+    Plan: one distinct (entity, cell) pass pinned (it feeds sizes and
+    both intersection sides), one equi-join of the pair list against
+    each side on the CELL key via the entity join, one rollup —
+    bounded by candidate pairs x footprints, never all entity pairs."""
+    cells = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = cells.groupBy("entity").agg(F.count(F.lit(1)).alias("nc"))
+    p = pairs.select("a", "b")
+    inter = (
+        p.join(cells.select(F.col("entity").alias("a"), "tile"), "a")
+        .join(cells.select(F.col("entity").alias("b"), "tile"), ["b", "tile"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        p.join(sizes.select(F.col("entity").alias("a"),
+                            F.col("nc").alias("n_a")), "a")
+        .join(sizes.select(F.col("entity").alias("b"),
+                           F.col("nc").alias("n_b")), "b")
+        .join(inter, ["a", "b"], "left")
+        .select(
+            "a", "b", "n_a", "n_b",
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+        )
+    )
+    return j.select(
+        "a", "b", "n_a", "n_b", "n_inter",
+        F.expr(
+            "CAST(1000 * n_inter AS BIGINT) div (n_a + n_b - n_inter)"
+        ).alias("jacc_milli"),
+    )

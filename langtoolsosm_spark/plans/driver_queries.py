@@ -11128,6 +11128,69 @@ FROM alg
 REGISTRY.update({"cluster_moments": (q_cluster_moments, O_CLUSTER_MOMENTS)})
 
 
+def q_cellset_jaccard(spark, sf_dir):
+    """Home-range Jaccard overlap (operators/spatial.py
+    ``cellset_jaccard``): exact visited-cell-set intersection for the
+    co-visitation candidate pairs — the set sibling of cell_hausdorff,
+    same fixture. The oracle replays the distinct cell sets, the pair
+    intersection and the milli ratio."""
+    from ..operators.spatial import cellset_jaccard
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+    return cellset_jaccard(t, pairs, res=HAUS_RES)
+
+
+O_CELLSET_JACCARD = f"""
+WITH {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_HKN}.0)
+            AS BIGINT), 0), {_HKN - 1}) * {_HKN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_HKN}.0)
+            AS BIGINT), 0), {_HKN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+pairs AS (
+  SELECT x.entity AS a, y.entity AS b
+  FROM pres x JOIN pres y
+    ON x.tile = y.tile AND x.day = y.day AND x.entity < y.entity
+  GROUP BY 1, 2
+  HAVING count(DISTINCT x.day) >= {KCORE_MIN}
+),
+cells AS (
+  SELECT DISTINCT user_id AS entity,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_HN}.0)
+            AS BIGINT), 0), {_HN - 1}) * {_HN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_HN}.0)
+            AS BIGINT), 0), {_HN - 1}) AS tile
+  FROM src
+),
+sizes AS (SELECT entity, count(*) AS nc FROM cells GROUP BY 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS n_inter
+  FROM pairs p
+  JOIN cells ca ON ca.entity = p.a
+  JOIN cells cb ON cb.entity = p.b AND cb.tile = ca.tile
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, CAST(sa.nc AS BIGINT) AS n_a, CAST(sb.nc AS BIGINT) AS n_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(CAST(1000 * COALESCE(i.n_inter, 0) AS BIGINT)
+            // CAST(sa.nc + sb.nc - COALESCE(i.n_inter, 0) AS BIGINT)
+            AS BIGINT) AS jacc_milli
+FROM pairs p
+JOIN sizes sa ON sa.entity = p.a
+JOIN sizes sb ON sb.entity = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+REGISTRY.update({"cellset_jaccard": (q_cellset_jaccard, O_CELLSET_JACCARD)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

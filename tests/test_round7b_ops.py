@@ -1318,3 +1318,28 @@ def test_cluster_moments_line_orientation(spark):
     )
     r2 = cluster_moments(pts2, radius=0.02).collect()[0]
     assert r2["cxx_num"] == 0 and r2["cyy_num"] > 0 and r2["octant"] == 3
+
+
+def test_cellset_jaccard_overlap(spark):
+    from langtoolsosm_spark.operators.spatial import cellset_jaccard
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    # entity 1 visits {A, B}; entity 2 visits {B, C}; inter = {B}
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *b),
+        (2, 0, 2, *b), (2, 1, 3, *c),
+    ]
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = cellset_jaccard(_ev(spark, rows), pairs, res=6).collect()
+    r = out[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_inter"] == 1
+    assert r["jacc_milli"] == 333
+
+
+def test_cellset_jaccard_disjoint_pair(spark):
+    from langtoolsosm_spark.operators.spatial import cellset_jaccard
+
+    rows = [(1, 0, 0, 10.0, 10.0), (2, 0, 1, -40.0, -40.0)]
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    r = cellset_jaccard(_ev(spark, rows), pairs, res=6).collect()[0]
+    assert r["n_inter"] == 0 and r["jacc_milli"] == 0
