@@ -3963,3 +3963,68 @@ def cellset_jaccard(
             "CAST(1000 * n_inter AS BIGINT) div (n_a + n_b - n_inter)"
         ).alias("jacc_milli"),
     )
+
+
+def trip_od(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    max_gap_s: int,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Trip-level origin-destination matrix: one (origin, destination)
+    row per gap-split TRIP (first cell -> last cell), not per
+    consecutive step — the event-level ``od_flows`` says which cells
+    touch; this says where journeys actually start and end, the matrix
+    a transit planner wants. Stationary trips (origin == destination)
+    are excluded. Returns (from_tile, to_tile, n_trips, n_entities).
+
+    Plan: the trip_segments walk (one entity-keyed window shuffle:
+    lag gap flag + running ordinal), ONE groupBy per (entity, trip)
+    taking endpoint cells via lexicographic struct min/max on the
+    unique (ep, tiebreak) key, then a map-side-combined matrix
+    rollup."""
+    if max_gap_s < 1:
+        raise ValueError(f"max_gap_s must be >= 1, got {max_gap_s}")
+    from pyspark.sql import Window
+
+    order = [F.col("__ep").asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_timestamp(F.col(ts_col)).alias("__ep"),
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        *([F.col(order_tiebreak)] if order_tiebreak else []),
+    )
+    w = Window.partitionBy("entity").orderBy(*order)
+    walked = base.withColumn("__prev", F.lag("__ep").over(w)).withColumn(
+        "trip_id",
+        F.sum(
+            (
+                F.col("__prev").isNull()
+                | ((F.col("__ep") - F.col("__prev")) > max_gap_s)
+            ).cast("long")
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    key = [F.col("__ep"), *([F.col(order_tiebreak)] if order_tiebreak else [])]
+    per = walked.groupBy("entity", "trip_id").agg(
+        F.min(F.struct(*key, F.col("tile"))).alias("__f"),
+        F.max(F.struct(*key, F.col("tile"))).alias("__l"),
+    )
+    return (
+        per.select(
+            "entity",
+            F.col("__f.tile").alias("from_tile"),
+            F.col("__l.tile").alias("to_tile"),
+        )
+        .filter(F.col("from_tile") != F.col("to_tile"))
+        .groupBy("from_tile", "to_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct("entity").alias("n_entities"),
+        )
+    )

@@ -11191,6 +11191,56 @@ LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 REGISTRY.update({"cellset_jaccard": (q_cellset_jaccard, O_CELLSET_JACCARD)})
 
 
+def q_trip_od(spark, sf_dir):
+    """Trip-level OD matrix (operators/spatial.py ``trip_od``): one
+    origin->destination row per 4-hour-gap trip, stationary trips
+    excluded. The oracle replays the trip walk, the endpoint frames and
+    the matrix rollup."""
+    from ..operators.spatial import trip_od
+
+    return trip_od(
+        _traj(spark, sf_dir), "user_id", "ts", max_gap_s=TRIP_GAP_S,
+        res=8, order_tiebreak="event_id",
+    )
+
+
+O_TRIP_OD = f"""
+WITH {TRAJ_SRC_CTE},
+b AS (
+  SELECT user_id AS entity, ep, event_id, {_tile_sql(8)} AS tile FROM src
+),
+w1 AS (
+  SELECT *, lag(ep) OVER (PARTITION BY entity ORDER BY ep, event_id) AS prev
+  FROM b
+),
+w2 AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR ep - prev > {TRIP_GAP_S}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY entity ORDER BY ep, event_id
+                    ROWS UNBOUNDED PRECEDING) AS trip_id
+  FROM w1
+),
+w3 AS (
+  SELECT entity, trip_id,
+         first_value(tile) OVER tw AS ft, last_value(tile) OVER tw AS lt
+  FROM w2
+  WINDOW tw AS (
+    PARTITION BY entity, trip_id ORDER BY ep, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+),
+per AS (
+  SELECT DISTINCT entity, trip_id, ft AS from_tile, lt AS to_tile FROM w3
+)
+SELECT from_tile, to_tile, CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+FROM per WHERE from_tile <> to_tile GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"trip_od": (q_trip_od, O_TRIP_OD)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

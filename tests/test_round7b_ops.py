@@ -1343,3 +1343,28 @@ def test_cellset_jaccard_disjoint_pair(spark):
     pairs = spark.createDataFrame([(1, 2)], "a long, b long")
     r = cellset_jaccard(_ev(spark, rows), pairs, res=6).collect()[0]
     assert r["n_inter"] == 0 and r["jacc_milli"] == 0
+
+
+def test_trip_od_endpoints_only(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import trip_od
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    rows = [
+        # trip 1 user 1: A -> B -> C  => one (A, C) row, B invisible
+        (1, 0, 0, *a), (1, 10, 1, *b), (1, 20, 2, *c),
+        # trip 2 user 1 (after gap): stationary at A => excluded
+        (1, 10_000, 3, *a), (1, 10_010, 4, *a),
+        # user 2: A -> C
+        (2, 0, 5, *a), (2, 10, 6, *c),
+    ]
+    out = trip_od(_ev(spark, rows), "user_id", "ts", max_gap_s=3600,
+                  res=6, order_tiebreak="event_id").collect()
+
+    def t(p):
+        return int(tile_key(np.array([p[0]]), np.array([p[1]]), 6)[0])
+
+    assert len(out) == 1
+    r = out[0]
+    assert r["from_tile"] == t(a) and r["to_tile"] == t(c)
+    assert r["n_trips"] == 2 and r["n_entities"] == 2
