@@ -1400,3 +1400,78 @@ def tile_dup_rate(
             ).alias("dup_milli"),
         )
     )
+
+
+def tile_medoid(
+    images: DataFrame,
+    res: int,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_per_tile: int = 10_000,
+) -> DataFrame:
+    """Per-cell representative picker: the pHash MEDOID of each cell's
+    images — the image minimizing the total Hamming distance to its
+    cell-mates (ties to the smaller id) — which is exactly "the most
+    typical photo here", the deterministic thumbnail/cover choice for a
+    map tile. Returns (tile, medoid_id, n_images, sum_hamming).
+
+    Plan: cell-blocked all-pairs Hamming WITHIN each cell (the
+    images_dedup banding pattern — never across cells), one rollup per
+    (cell, candidate) and a struct-min argmin per cell. Per-cell work
+    is occupancy^2, so a counted gate raises past ``max_per_tile`` (the
+    co_visitation loud-guard pattern; pre-thin with tile_cap_sample)."""
+    if max_per_tile is not None and max_per_tile < 1:
+        raise ValueError(f"max_per_tile must be >= 1, got {max_per_tile}")
+    from .tiling import assign_tiles
+
+    img = (
+        assign_tiles(
+            images.select(id_col, hash_col, lat, lon), res, lat=lat, lon=lon
+        )
+        .select(
+            F.col(id_col).alias("id"), F.col(hash_col).alias("h"), "tile"
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_per_tile is not None:
+        worst = (
+            img.groupBy("tile").agg(F.count(F.lit(1)).alias("nc"))
+            .filter(F.col("nc") > max_per_tile)
+            .orderBy(F.col("nc").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            raise ValueError(
+                f"tile_medoid: cell {r['tile']} holds {r['nc']} images "
+                f"(> max_per_tile={max_per_tile}); within-cell work is "
+                "occupancy^2 — coarsen res or pre-thin with tile_cap_sample"
+            )
+    other = img.select(
+        "tile", F.col("id").alias("oid"), F.col("h").alias("oh")
+    )
+    pairs = img.join(other, "tile").filter(F.col("id") != F.col("oid"))
+    ham = pairs.select(
+        "tile", "id",
+        F.bit_count(F.col("h").bitwiseXOR(F.col("oh"))).alias("d"),
+    )
+    cand = ham.groupBy("tile", "id").agg(F.sum("d").alias("sum_ham"))
+    sizes = img.groupBy("tile").agg(F.count(F.lit(1)).alias("n_images"))
+    # singleton cells never enter the pair join: their medoid is their
+    # only image with sum_hamming 0
+    singles = (
+        img.join(sizes.filter(F.col("n_images") == 1), "tile")
+        .select("tile", F.col("id").alias("medoid_id"),
+                "n_images", F.lit(0).cast("long").alias("sum_hamming"))
+    )
+    best = (
+        cand.groupBy("tile")
+        .agg(F.min(F.struct(F.col("sum_ham"), F.col("id"))).alias("__b"))
+        .join(sizes, "tile")
+        .select(
+            "tile", F.col("__b.id").alias("medoid_id"), "n_images",
+            F.col("__b.sum_ham").alias("sum_hamming"),
+        )
+    )
+    return best.unionByName(singles)

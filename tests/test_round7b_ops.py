@@ -1368,3 +1368,32 @@ def test_trip_od_endpoints_only(spark):
     r = out[0]
     assert r["from_tile"] == t(a) and r["to_tile"] == t(c)
     assert r["n_trips"] == 2 and r["n_entities"] == 2
+
+
+def test_tile_medoid_argmin_and_singleton(spark):
+    from langtoolsosm_spark.operators.images import tile_medoid
+
+    # one cell with hashes 0b0000, 0b0001, 0b0111: sums = 1+3, 1+2, 3+2
+    # -> medoid is 0b0001 (sum 3); plus a singleton cell.
+    rows = [
+        (1, 0b0000, 10.0, 10.0), (2, 0b0001, 10.0, 10.0),
+        (3, 0b0111, 10.0, 10.0),
+        (9, 0b1010, -40.0, -40.0),
+    ]
+    img = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash", "lat", "lon"])
+    )
+    out = {r["n_images"]: r for r in tile_medoid(img, res=5).collect()}
+    assert out[3]["medoid_id"] == 2 and out[3]["sum_hamming"] == 3
+    assert out[1]["medoid_id"] == 9 and out[1]["sum_hamming"] == 0
+
+
+def test_tile_medoid_occupancy_gate(spark):
+    from langtoolsosm_spark.operators.images import tile_medoid
+
+    rows = [(i, i, 10.0, 10.0) for i in range(5)]
+    img = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash", "lat", "lon"])
+    )
+    with pytest.raises(ValueError, match="occupancy"):
+        tile_medoid(img, res=5, max_per_tile=3)
