@@ -1791,3 +1791,134 @@ def run_cohorts_stream_once(
         FROM {name} GROUP BY 1, 2
         """
     )
+
+
+def stream_trip_od(
+    stream: DataFrame,
+    max_gap_s: int,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful streaming trip-endpoint extractor (the streaming half of
+    operators/spatial.py ``trip_od``): per entity, state carries the
+    OPEN trip's (origin cell, last cell, last epoch); a gap beyond
+    ``max_gap_s`` CLOSES the trip — its (from, to) emits exactly once
+    (closed = 1) — and every trigger also emits one open-trip snapshot
+    (closed = 0, monotone ``seen``) so ``run_trip_od_stream_once`` can
+    finish the final open trip the way batch finishes its trailing
+    trip. Cells come from the numpy ``tile_key`` twin (bit-identical to
+    batch). Ordered-ingestion contract as everywhere: an out-of-order
+    batch RAISES."""
+    import pandas as pd
+
+    from ..functions.cells import tile_key
+
+    if max_gap_s < 1:
+        raise ValueError(f"max_gap_s must be >= 1, got {max_gap_s}")
+    cols = ["entity", "from_tile", "to_tile", "closed", "seen"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        tiles = tile_key(pdf[lat].to_numpy(), pdf[lon].to_numpy(), res)
+        ent = int(key[0])
+        if state.exists:
+            o_tile, l_tile, l_ep, l_eid, seen = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {ent}: the "
+                    "ordered-ingestion contract is broken — a trip walk "
+                    "replayed out of order diverges from batch"
+                )
+            has_trip = True
+        else:
+            o_tile = l_tile = l_ep = l_eid = seen = 0
+            has_trip = False
+        rows = []
+        for i in range(len(pdf)):
+            ep, tile = int(eps[i]), int(tiles[i])
+            seen += 1
+            if has_trip and ep - l_ep > max_gap_s:
+                rows.append((ent, o_tile, l_tile, 1, seen))
+                has_trip = False
+            if not has_trip:
+                o_tile = tile
+                has_trip = True
+            l_tile, l_ep, l_eid = tile, ep, int(eids[i])
+        state.update((o_tile, l_tile, l_ep, l_eid, seen))
+        rows.append((ent, o_tile, l_tile, 0, seen))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col), F.col(id_col), F.col(lat), F.col(lon),
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType=(
+            "entity long, from_tile long, to_tile long, closed long, seen long"
+        ),
+        stateStructType=(
+            "o_tile long, l_tile long, l_ep long, l_eid long, seen long"
+        ),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_trip_od_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    max_gap_s: int,
+    res: int,
+) -> DataFrame:
+    """Drive the streaming trip extractor over all staged files, finish
+    each entity's final OPEN trip (max ``seen`` snapshot), and roll the
+    endpoints into exactly the batch ``trip_od`` shape — stationary
+    trips excluded."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"tripod_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_trip_od(st, max_gap_s, res)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        WITH trips AS (
+          SELECT entity, from_tile, to_tile FROM {name} WHERE closed = 1
+          UNION ALL
+          SELECT entity, from_tile, to_tile FROM (
+            SELECT *, row_number() OVER (PARTITION BY entity
+                                         ORDER BY seen DESC) AS rn2
+            FROM {name} WHERE closed = 0
+          ) WHERE rn2 = 1
+        )
+        SELECT from_tile, to_tile, count(*) AS n_trips,
+               count(DISTINCT entity) AS n_entities
+        FROM trips WHERE from_tile <> to_tile GROUP BY 1, 2
+        """
+    )

@@ -1397,3 +1397,36 @@ def test_tile_medoid_occupancy_gate(spark):
     )
     with pytest.raises(ValueError, match="occupancy"):
         tile_medoid(img, res=5, max_per_tile=3)
+
+
+def test_stream_trip_od_parity_with_batch(spark, tmp_path):
+    import os
+    from langtoolsosm_spark.operators.spatial import trip_od
+    from langtoolsosm_spark.streaming.microbatch import run_trip_od_stream_once
+
+    a, b, c = (10.0, 10.0), (40.0, 40.0), (-40.0, -40.0)
+    rows = [
+        (1, 0, 0, *a), (1, 10, 1, *b),            # batch 0
+        (1, 20, 2, *c), (2, 0, 3, *a),            # batch 1 (trip spans)
+        (1, 10_000, 4, *b), (2, 30, 5, *c),       # batch 2: gap opens
+    ]                                              # trip 2 for user 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    pdf = pdf[["user_id", "ts", "event_id", "lat", "lon"]]
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        p = str(src / f"b{i}.parquet")
+        pdf.iloc[i * 2 : i * 2 + 2].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {(r["from_tile"], r["to_tile"]): (r["n_trips"], r["n_entities"])
+                for r in run_trip_od_stream_once(
+                    spark, str(src), str(tmp_path / "ckpt"),
+                    max_gap_s=3600, res=6).collect()}
+    batch = {(r["from_tile"], r["to_tile"]): (r["n_trips"], r["n_entities"])
+             for r in trip_od(spark.createDataFrame(pdf), "user_id", "ts",
+                              max_gap_s=3600, res=6,
+                              order_tiebreak="event_id").collect()}
+    assert streamed == batch and len(batch) >= 1
+    assert sum(v[0] for v in batch.values()) == 2  # both A->C trips
