@@ -1789,3 +1789,77 @@ def stay_home_index(
         F.col("__b.cnt").alias("home_events"),
         F.expr("CAST(1000 * __b.cnt AS BIGINT) div n_events").alias("home_milli"),
     )
+
+
+def dist_transform(
+    df: DataFrame,
+    res: int,
+    max_d: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Bounded Chebyshev distance transform of the occupancy raster:
+    for every cell within ``max_d`` rings of an occupied cell, the
+    exact distance to the NEAREST occupied cell (0 for occupied cells
+    themselves) — the proximity raster behind "how far is anywhere
+    from coverage", the service-area complement of ``coverage_gaps``.
+    Cells farther than ``max_d`` are absent (unbounded transforms don't
+    exist at 4^res scale; widen max_d deliberately). Returns
+    (tile, dist, n_sources) where n_sources counts the occupied cells
+    attaining that minimum.
+
+    Plan: one map-side-combined occupancy pass, a (2*max_d+1)^2 offset
+    fan of OCCUPIED cells only (each row carries its Chebyshev ring),
+    one min-struct rollup per target cell — no lattice materialization,
+    no joins."""
+    if not 1 <= max_d <= 8:
+        raise ValueError(f"max_d must be in [1, 8], got {max_d}")
+    n = 1 << res
+    occ = (
+        assign_tiles(df, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("tile")
+    )
+    ix = (F.col("tile") / F.lit(n)).cast("long")
+    iy = F.col("tile") % F.lit(n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(max(abs(dx), abs(dy))).alias("d"),
+                )
+                for dx in range(-max_d, max_d + 1)
+                for dy in range(-max_d, max_d + 1)
+            ]
+        )
+    ).alias("o")
+    fan = occ.select("tile", off).select(
+        (ix + F.col("o.dx")).alias("nx"),
+        (iy + F.col("o.dy")).alias("ny"),
+        F.col("o.d").alias("d"),
+    ).filter(
+        (F.col("nx") >= 0) & (F.col("nx") < n)
+        & (F.col("ny") >= 0) & (F.col("ny") < n)
+    )
+    counted = (
+        fan.select(
+            (F.col("nx") * F.lit(n) + F.col("ny")).alias("tile"), "d"
+        )
+        .groupBy("tile", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ONE fan pass: the (tile, d) histogram is rolled up once; the
+    # per-tile minimum falls out of a struct-min over the tiny
+    # histogram rows (d <= max_d distinct values per tile)
+    return (
+        counted.groupBy("tile")
+        .agg(F.min(F.struct(F.col("d"), F.col("cnt"))).alias("__b"))
+        .select(
+            "tile",
+            F.col("__b.d").cast("int").alias("dist"),
+            F.col("__b.cnt").alias("n_sources"),
+        )
+    )

@@ -11318,6 +11318,40 @@ def q_stream_trip_od(spark, sf_dir):
 REGISTRY.update({"stream_trip_od": (q_stream_trip_od, O_TRIP_OD)})
 
 
+def q_dist_transform(spark, sf_dir):
+    """Bounded Chebyshev distance transform (operators/tiling.py
+    ``dist_transform``): distance to the nearest occupied res-8 cell
+    within 3 rings, plus the attaining-source count. The oracle replays
+    the occupancy pass, the 49-offset ring fan and the (d, cnt)
+    struct-min in SQL."""
+    from ..operators.tiling import dist_transform
+
+    return dist_transform(geo_points(spark, sf_dir), res=8, max_d=3)
+
+
+O_DIST_TRANSFORM = """
+WITH {PTS_CTE},
+occ AS (SELECT {tile} AS tile FROM pts GROUP BY 1),
+fan AS (
+  SELECT (tile // 256 + dx) * 256 + (tile % 256 + dy) AS tile2, d
+  FROM occ, (VALUES (-3, -3, 3), (-3, -2, 3), (-3, -1, 3), (-3, 0, 3), (-3, 1, 3), (-3, 2, 3), (-3, 3, 3), (-2, -3, 3), (-2, -2, 2), (-2, -1, 2), (-2, 0, 2), (-2, 1, 2), (-2, 2, 2), (-2, 3, 3), (-1, -3, 3), (-1, -2, 2), (-1, -1, 1), (-1, 0, 1), (-1, 1, 1), (-1, 2, 2), (-1, 3, 3), (0, -3, 3), (0, -2, 2), (0, -1, 1), (0, 0, 0), (0, 1, 1), (0, 2, 2), (0, 3, 3), (1, -3, 3), (1, -2, 2), (1, -1, 1), (1, 0, 1), (1, 1, 1), (1, 2, 2), (1, 3, 3), (2, -3, 3), (2, -2, 2), (2, -1, 2), (2, 0, 2), (2, 1, 2), (2, 2, 2), (2, 3, 3), (3, -3, 3), (3, -2, 3), (3, -1, 3), (3, 0, 3), (3, 1, 3), (3, 2, 3), (3, 3, 3)) o(dx, dy, d)
+  WHERE tile // 256 + dx BETWEEN 0 AND 255
+    AND tile % 256 + dy BETWEEN 0 AND 255
+),
+counted AS (SELECT tile2 AS tile, d, count(*) AS cnt FROM fan GROUP BY 1, 2),
+r AS (
+  SELECT tile, d, cnt,
+         row_number() OVER (PARTITION BY tile ORDER BY d ASC, cnt ASC) AS rn
+  FROM counted
+)
+SELECT tile, CAST(d AS INT) AS dist, CAST(cnt AS BIGINT) AS n_sources
+FROM r WHERE rn = 1
+""".format(PTS_CTE=PTS_CTE, tile=_tile_sql(8))
+
+
+REGISTRY.update({"dist_transform": (q_dist_transform, O_DIST_TRANSFORM)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

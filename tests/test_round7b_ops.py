@@ -1430,3 +1430,21 @@ def test_stream_trip_od_parity_with_batch(spark, tmp_path):
                               order_tiebreak="event_id").collect()}
     assert streamed == batch and len(batch) >= 1
     assert sum(v[0] for v in batch.values()) == 2  # both A->C trips
+
+
+def test_dist_transform_rings(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import dist_transform
+
+    # single occupied cell at res 3: ring distances 0..2 around it
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, 10.0, 10.0)], columns=["point_id", "lat", "lon"])
+    )
+    out = {r["tile"]: r for r in dist_transform(df, res=3, max_d=2).collect()}
+    t0 = int(tile_key(np.array([10.0]), np.array([10.0]), 3)[0])
+    assert out[t0]["dist"] == 0 and out[t0]["n_sources"] == 1
+    dists = sorted(r["dist"] for r in out.values())
+    assert dists.count(0) == 1 and dists.count(1) == 8 and dists.count(2) == 16
+    assert all(r["n_sources"] == 1 for r in out.values())
+    with pytest.raises(ValueError, match="max_d"):
+        dist_transform(df, res=3, max_d=0)
