@@ -4028,3 +4028,53 @@ def trip_od(
             F.countDistinct("entity").alias("n_entities"),
         )
     )
+
+
+def tile_rose(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    res: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-cell movement rose — the flow-FIELD version of
+    ``direction_rose``: each consecutive displacement is attributed to
+    the cell it STARTS in and lands in one of 8 octants via the same
+    three exact comparisons (``4*(dlat>=0) + 2*(dlon>=0) +
+    (|dlat|>|dlon|)`` — no atan2 float anywhere). The per-cell octant
+    histogram is the arrow-map every traffic visualization draws, and
+    its dominant octant is the cell's prevailing flow direction.
+    Returns (tile, octant, n_moves, n_entities).
+
+    One lag window (entity-key shuffle of narrow columns) + one
+    map-side-combined groupBy on (cell, octant) — key space bounded by
+    occupied cells x 8."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    df = (
+        events.withColumn("__dlat", F.col(lat) - F.lag(lat).over(w))
+        .withColumn("__dlon", F.col(lon) - F.lag(lon).over(w))
+        .withColumn("__ptile", F.lag(
+            tile_key_col(F.col(lat), F.col(lon), res)
+        ).over(w))
+        .filter(F.col("__dlat").isNotNull())
+    )
+    octant = (
+        F.when(F.col("__dlat") >= 0, 4).otherwise(0)
+        + F.when(F.col("__dlon") >= 0, 2).otherwise(0)
+        + F.when(F.abs("__dlat") > F.abs("__dlon"), 1).otherwise(0)
+    )
+    return (
+        df.withColumn("__oct", octant)
+        .groupBy(F.col("__ptile").alias("tile"), F.col("__oct").alias("octant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.countDistinct(entity_col).alias("n_entities"),
+        )
+    )

@@ -11352,6 +11352,45 @@ FROM r WHERE rn = 1
 REGISTRY.update({"dist_transform": (q_dist_transform, O_DIST_TRANSFORM)})
 
 
+def q_tile_rose(spark, sf_dir):
+    """Per-cell movement rose (operators/spatial.py ``tile_rose``):
+    octant histogram of displacements by starting cell — the arrow-map
+    field. The oracle replays the lag window, the three-comparison
+    octant code and the rollup."""
+    from ..operators.spatial import tile_rose
+
+    return tile_rose(
+        _traj(spark, sf_dir), "user_id", "ts", res=8,
+        order_tiebreak="event_id",
+    )
+
+
+O_TILE_ROSE = f"""
+WITH {TRAJ_SRC_CTE},
+s AS (
+  SELECT user_id,
+         lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon,
+         lag({_tile_sql(8)}) OVER w AS tile
+  FROM src WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, tile,
+         (CASE WHEN dlat >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN dlon >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN abs(dlat) > abs(dlon) THEN 1 ELSE 0 END) AS octant
+  FROM s WHERE dlat IS NOT NULL
+)
+SELECT tile, CAST(octant AS INT) AS octant,
+       CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM m GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"tile_rose": (q_tile_rose, O_TILE_ROSE)})
+
+
 # The external driver's correctness artifact is positionally capped at the
 # FIRST 50 dict entries (round-3 artifact keys == list(REGISTRY)[:50],
 # verified). The rotation policy is CODE, not prose:

@@ -1448,3 +1448,23 @@ def test_dist_transform_rings(spark):
     assert all(r["n_sources"] == 1 for r in out.values())
     with pytest.raises(ValueError, match="max_d"):
         dist_transform(df, res=3, max_d=0)
+
+
+def test_tile_rose_start_attribution(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import tile_rose
+
+    a, b = (10.0, 10.0), (10.0, 40.0)
+    rows = [
+        (1, 0, 0, *a), (1, 1, 1, *b),   # east move starting in A
+        (2, 0, 2, *b), (2, 1, 3, *a),   # west move starting in B
+    ]
+    out = {(r["tile"], r["octant"]): r for r in tile_rose(
+        _ev(spark, rows), "user_id", "ts", res=6, order_tiebreak="event_id"
+    ).collect()}
+    ta = int(tile_key(np.array([a[0]]), np.array([a[1]]), 6)[0])
+    tb = int(tile_key(np.array([b[0]]), np.array([b[1]]), 6)[0])
+    # east move: dlat=0 (>=0 -> 4), dlon>0 (2), |dlat|<|dlon| -> 6
+    assert out[(ta, 6)]["n_moves"] == 1
+    # west move: dlat=0 -> 4, dlon<0 -> 0, -> 4
+    assert out[(tb, 4)]["n_moves"] == 1 and out[(tb, 4)]["n_entities"] == 1
