@@ -1863,3 +1863,93 @@ def dist_transform(
             F.col("__b.cnt").alias("n_sources"),
         )
     )
+
+
+def voronoi_assign(
+    points: DataFrame,
+    seeds: DataFrame,
+    res: int,
+    max_d: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+    seed_lat: str = "lat",
+    seed_lon: str = "lon",
+) -> DataFrame:
+    """Discrete Voronoi allocation of the activity raster among
+    facility cells: every occupied point cell within ``max_d``
+    Chebyshev rings of a seed cell is assigned to its NEAREST seed
+    cell (ties to the smaller seed id) together with the cell's point
+    mass — the rasterized nearest-facility partition behind
+    service-area balancing, the cell-granular analogue of the
+    reference's nearest-named-feature lookup (LangToolsOSM enriches
+    each entity from its closest candidate; here whole cells are
+    allocated). Cells farther than ``max_d`` from every seed stay
+    unassigned and are absent from the result (pair with
+    ``dist_transform`` to audit them).
+
+    Returns (tile, n_points, seed_tile, dist).
+
+    Plan: two map-side-combined occupancy passes (points and seeds),
+    a (2*max_d+1)^2 offset fan of SEED cells only carrying
+    (seed_tile, ring), one lexicographic struct-min per covered cell,
+    and one cell-granular join against the point histogram — no
+    lattice materialization, no point-level shuffle; both join sides
+    are bounded by the occupied-cell count (<= 4^res), not the row
+    count, so the shape is unchanged at 10^12 points."""
+    if not 1 <= max_d <= 8:
+        raise ValueError(f"max_d must be in [1, 8], got {max_d}")
+    n = 1 << res
+    seed_cells = (
+        assign_tiles(seeds, res, lat=seed_lat, lon=seed_lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(F.col("tile").alias("seed_tile"))
+    )
+    pts = (
+        assign_tiles(points, res, lat=lat, lon=lon)
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    ix = (F.col("seed_tile") / F.lit(n)).cast("long")
+    iy = F.col("seed_tile") % F.lit(n)
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(max(abs(dx), abs(dy))).alias("d"),
+                )
+                for dx in range(-max_d, max_d + 1)
+                for dy in range(-max_d, max_d + 1)
+            ]
+        )
+    ).alias("o")
+    fan = (
+        seed_cells.select("seed_tile", off)
+        .select(
+            (ix + F.col("o.dx")).alias("nx"),
+            (iy + F.col("o.dy")).alias("ny"),
+            F.col("o.d").alias("d"),
+            "seed_tile",
+        )
+        .filter(
+            (F.col("nx") >= 0) & (F.col("nx") < n)
+            & (F.col("ny") >= 0) & (F.col("ny") < n)
+        )
+    )
+    best = (
+        fan.select(
+            (F.col("nx") * F.lit(n) + F.col("ny")).alias("tile"),
+            "d",
+            "seed_tile",
+        )
+        .groupBy("tile")
+        .agg(F.min(F.struct(F.col("d"), F.col("seed_tile"))).alias("__b"))
+        .select(
+            "tile",
+            F.col("__b.seed_tile").alias("seed_tile"),
+            F.col("__b.d").cast("int").alias("dist"),
+        )
+    )
+    return pts.join(best, "tile").select("tile", "n_points", "seed_tile", "dist")

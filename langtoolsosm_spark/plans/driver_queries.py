@@ -11598,3 +11598,49 @@ REGISTRY = {
     **{k: REGISTRY[k] for k in _DRIVER_WINDOW},
     **{k: v for k, v in REGISTRY.items() if k not in set(_DRIVER_WINDOW)},
 }
+
+
+def q_voronoi_assign(spark, sf_dir):
+    """Discrete Voronoi allocation of the activity raster among
+    facility cells (operators/tiling.py ``voronoi_assign``): each
+    occupied point cell within 3 rings of a customer-feature cell is
+    assigned to its nearest seed cell (ties to the smaller id) with its
+    point mass. The oracle replays both occupancy passes, the 49-offset
+    seed fan and the (d, seed) struct-min in SQL."""
+    from ..operators.tiling import voronoi_assign
+
+    return voronoi_assign(
+        geo_points(spark, sf_dir), geo_features(spark, sf_dir), res=8, max_d=3
+    )
+
+
+_VOR_FAN = ", ".join(
+    f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+    for dx in range(-3, 4)
+    for dy in range(-3, 4)
+)
+
+O_VORONOI_ASSIGN = f"""
+WITH {PTS_CTE}, {FEATS_CTE},
+sc AS (SELECT {_tile_sql(8)} AS seed_tile FROM feats GROUP BY 1),
+ph AS (SELECT {_tile_sql(8)} AS tile, count(*) AS n_points FROM pts GROUP BY 1),
+fan AS (
+  SELECT (seed_tile // 256 + dx) * 256 + (seed_tile % 256 + dy) AS tile,
+         d, seed_tile
+  FROM sc, (VALUES {_VOR_FAN}) o(dx, dy, d)
+  WHERE seed_tile // 256 + dx BETWEEN 0 AND 255
+    AND seed_tile % 256 + dy BETWEEN 0 AND 255
+),
+r AS (
+  SELECT tile, seed_tile, d,
+         row_number() OVER (PARTITION BY tile ORDER BY d ASC, seed_tile ASC)
+           AS rn
+  FROM fan
+)
+SELECT ph.tile, CAST(n_points AS BIGINT) AS n_points,
+       r.seed_tile, CAST(d AS INT) AS dist
+FROM ph JOIN r ON r.tile = ph.tile AND rn = 1
+"""
+
+
+REGISTRY.update({"voronoi_assign": (q_voronoi_assign, O_VORONOI_ASSIGN)})

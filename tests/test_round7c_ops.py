@@ -1,0 +1,61 @@
+"""Round-7 fifth-session operator units: discrete Voronoi allocation,
+streaming CMS heavy hitters, cross-document duplicate spans, region
+medoid images."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pts(spark, rows, cols=("point_id", "lat", "lon")):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=list(cols)))
+
+
+def test_voronoi_assign_nearest_and_tiebreak(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import voronoi_assign
+
+    def t(lat, lon, res=4):
+        return int(tile_key(np.array([lat]), np.array([lon]), res)[0])
+
+    # two seeds four cells apart on the lon axis at res 4 (cells are
+    # 22.5 x 11.25 deg): ix 5 and ix 9; points in between split by
+    # Chebyshev distance, the midpoint cell ties and takes the smaller
+    # seed tile id
+    s1, s2 = (5.0, -56.0), (5.0, 30.0)
+    seeds = _pts(spark, [(1, *s1), (2, *s2)], cols=("id", "lat", "lon"))
+    pts = _pts(
+        spark,
+        [
+            (10, *s1),          # on seed 1: dist 0
+            (11, 5.0, -33.0),   # 1 cell east of s1: dist 1 vs 3
+            (12, 5.0, -33.0),   # same cell — mass 2
+            (13, 5.0, -10.0),   # midpoint cell (ix 7): dist 2 vs 2 tie
+            (14, 5.0, 80.0),    # ix 11: dist 2 east of s2
+        ],
+    )
+    out = {r["tile"]: r for r in voronoi_assign(pts, seeds, res=4, max_d=3).collect()}
+    t1, t2 = t(*s1), t(*s2)
+    assert out[t1]["seed_tile"] == t1 and out[t1]["dist"] == 0
+    mid_e = out[t(5.0, -33.0)]
+    assert mid_e["seed_tile"] == t1 and mid_e["dist"] == 1 and mid_e["n_points"] == 2
+    tie = out[t(5.0, -10.0)]
+    assert tie["dist"] == 2 and tie["seed_tile"] == min(t1, t2)
+    far = out[t(5.0, 80.0)]
+    assert far["seed_tile"] == t2 and far["dist"] == 2
+    with pytest.raises(ValueError, match="max_d"):
+        voronoi_assign(pts, seeds, res=4, max_d=0)
+
+
+def test_voronoi_assign_unreachable_absent(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import voronoi_assign
+
+    seeds = _pts(spark, [(1, 5.0, -56.0)], cols=("id", "lat", "lon"))
+    pts = _pts(spark, [(10, 5.0, -56.0), (11, -60.0, 150.0)])
+    out = voronoi_assign(pts, seeds, res=4, max_d=2).collect()
+    assert len(out) == 1  # the far cell is beyond max_d and absent
+    assert out[0]["tile"] == int(
+        tile_key(np.array([5.0]), np.array([-56.0]), 4)[0]
+    )
