@@ -276,6 +276,20 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = hashed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_n"))
+    return cms_score(exact, counters, mass_denom, width)
+
+
+def cms_score(
+    exact: DataFrame,
+    counters: DataFrame,
+    mass_denom: int = 256,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Score a (key, exact_n) histogram against a prebuilt CMS counter
+    table (row, bucket, c) — the shared back half of
+    ``cms_heavy_hitters``, also fed by the streaming kernel's final
+    counter states (streaming/microbatch.py ``stream_cms_hitters``),
+    so batch and stream provably share the threshold semantics."""
     total = exact.agg(F.sum("exact_n").alias("total_n"))
     scored = exact
     for i in range(CMS_DEPTH):

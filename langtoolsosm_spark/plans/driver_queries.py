@@ -11644,3 +11644,41 @@ FROM ph JOIN r ON r.tile = ph.tile AND rn = 1
 
 
 REGISTRY.update({"voronoi_assign": (q_voronoi_assign, O_VORONOI_ASSIGN)})
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful count-min sketch
+    (streaming/microbatch.py ``stream_cms_hitters``): 3 staged files;
+    sketch counters and key counts are pure additive state, so the
+    final heavy-hitter frame matches batch ``cms_heavy_hitters`` under
+    any batching — gated against the SAME oracle (20th parity kernel)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_cms_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__scms_events")
+    pdf = spark.sql(
+        f"SELECT event_id, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __scms_events"
+    ).toPandas().sort_values("event_id", kind="mergesort")
+    out = tempfile.mkdtemp(prefix="streamcms_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_cms_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=8, mass_denom=256
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_heavy_hitters": (q_stream_heavy_hitters, O_HEAVY_HITTERS_CMS)})

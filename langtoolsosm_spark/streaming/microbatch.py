@@ -1922,3 +1922,109 @@ def run_trip_od_stream_once(
         FROM trips WHERE from_tile <> to_tile GROUP BY 1, 2
         """
     )
+
+
+def stream_cms_hitters(
+    stream: DataFrame, res: int, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Streaming count-min sketch + hot-key counts as ONE stateful
+    operator (applyInPandasWithState): every event fans into
+    CMS_DEPTH counter-cell increments (kind i, bucket) plus one exact
+    key increment (kind CMS_DEPTH, tile); each group's state is a
+    single additive counter. Addition is commutative and associative,
+    so the final states equal batch ``cms_heavy_hitters``'s counter
+    table and key histogram under ANY arrival order or batching — the
+    strongest parity class (like stream_tile_first_seen). The sketch
+    side holds at most CMS_DEPTH * width groups REGARDLESS of event
+    rate; the key side is bounded by occupied cells. Emits one running
+    (kind, id, n) row per touched group per trigger; heavy-hitter
+    extraction happens once over final states via the SAME
+    ``cms_score`` back half the batch operator uses."""
+    import pandas as pd
+
+    from ..operators.sketches import CMS_DEPTH, CMS_SALTS, CMS_WIDTH, cms_bucket
+
+    key = F.col("tile")
+    fan = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("kind"),
+                    cms_bucket(key, CMS_SALTS[i], CMS_WIDTH).alias("id"),
+                )
+                for i in range(CMS_DEPTH)
+            ],
+            F.struct(F.lit(CMS_DEPTH).alias("kind"), key.alias("id")),
+        )
+    ).alias("g")
+    keyed = (
+        assign_tiles(stream, res=res, lat=lat, lon=lon)
+        .select(fan)
+        .select("g.kind", "g.id")
+    )
+
+    def kernel(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n = int(n) + len(pdf)
+        state.update((int(n),))
+        yield pd.DataFrame({"kind": [key[0]], "id": [key[1]], "n": [int(n)]})
+
+    return keyed.groupBy("kind", "id").applyInPandasWithState(
+        kernel,
+        outputStructType="kind int, id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_cms_stream_once(
+    spark: SparkSession,
+    points_dir: str,
+    checkpoint: str,
+    res: int,
+    mass_denom: int = 256,
+) -> DataFrame:
+    """Drive the streaming CMS over all staged files (one per trigger),
+    take each group's FINAL (monotone) counter, and score heavy hitters
+    with the batch operator's own ``cms_score`` — the exact schema and
+    values of batch ``cms_heavy_hitters``."""
+    from ..operators.sketches import CMS_DEPTH, cms_score
+
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"cms_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_cms_hitters(st, res=res)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fin = spark.sql(
+        f"""
+        SELECT kind, id, n FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY kind, id ORDER BY n DESC
+          ) AS rn FROM {name}
+        ) WHERE rn = 1
+        """
+    ).localCheckpoint(eager=True)
+    exact = fin.filter(F.col("kind") == CMS_DEPTH).select(
+        F.col("id").alias("key"), F.col("n").alias("exact_n")
+    )
+    counters = fin.filter(F.col("kind") < CMS_DEPTH).select(
+        F.col("kind").cast("int").alias("row"),
+        F.col("id").alias("bucket"),
+        F.col("n").alias("c"),
+    )
+    return cms_score(exact, counters, mass_denom)

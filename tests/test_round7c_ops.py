@@ -59,3 +59,38 @@ def test_voronoi_assign_unreachable_absent(spark):
     assert out[0]["tile"] == int(
         tile_key(np.array([5.0]), np.array([-56.0]), 4)[0]
     )
+
+
+def test_stream_cms_parity_any_order(spark, tmp_path):
+    from langtoolsosm_spark.operators.sketches import cms_heavy_hitters
+    from langtoolsosm_spark.operators.tiling import assign_tiles
+    from langtoolsosm_spark.streaming.microbatch import run_cms_stream_once
+
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-60, 60, 400)
+    lon = np.where(rng.rand(400) < 0.6, 10.0, rng.uniform(-170, 170, 400))
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    # MAXIMALLY disordered staging: interleave by row index mod 4
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        p = src / f"b{i}.parquet"
+        pdf.iloc[i::4].to_parquet(p, index=False)
+        import os
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {
+        r["key"]: (r["cms_est"], r["exact_n"], r["total_n"])
+        for r in run_cms_stream_once(
+            spark, str(src), str(tmp_path / "ckpt"), res=6, mass_denom=64
+        ).collect()
+    }
+    batch = {
+        r["key"]: (r["cms_est"], r["exact_n"], r["total_n"])
+        for r in cms_heavy_hitters(
+            assign_tiles(spark.createDataFrame(pdf), res=6), "tile",
+            mass_denom=64,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) >= 1
+    # the hot cell is reported and the CMS one-sided bound holds
+    assert all(est >= ex for est, ex, _ in batch.values())
