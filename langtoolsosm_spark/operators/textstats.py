@@ -444,3 +444,55 @@ def source_overlap(
             ).alias("jaccard_milli"),
         )
     )
+
+
+def dup_spans(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicate-span coverage — the exact-substring
+    dedup signal (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for every doc with at least ``k`` space
+    tokens, how many of its k-token windows occur verbatim in ANOTHER
+    document, plus dup_milli = 1000 * n_dup // n_windows. Within-doc
+    repeats are ``ngram_repetition``'s job; a window counts here only
+    when >= 2 DISTINCT docs contain it. Returns
+    (id, n_windows, n_dup_windows, dup_milli); docs shorter than ``k``
+    tokens are absent.
+
+    Plan: split -> sequence -> transform (WholeStageCodegen) fans each
+    doc into its windows with no Python; ONE shuffle on the window key
+    builds the per-(window, doc) histogram, a count-over-window marks
+    shared windows on the same partitioning (no second exchange), and
+    one doc-keyed rollup finishes. The window STRING is the key for
+    oracle exactness — at 100 TB swap it for xxhash64(window): same
+    plan shape, 8-byte shuffle keys, collisions only merge spans."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = F.split(F.col(text_col), " ")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + d) for d in range(k)]
+        ),
+    )
+    w = docs.filter(F.size(toks) >= k).select(
+        F.col(id_col), F.explode(wins).alias("__win")
+    )
+    g = w.groupBy("__win", id_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    g2 = g.withColumn(
+        "__nd", F.count(F.lit(1)).over(Window.partitionBy("__win"))
+    )
+    return (
+        g2.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").alias("n_windows"),
+            F.sum(
+                F.when(F.col("__nd") >= 2, F.col("__cnt")).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_milli", F.expr("div(1000 * n_dup_windows, n_windows)")
+        )
+    )

@@ -11682,3 +11682,38 @@ def q_stream_heavy_hitters(spark, sf_dir):
 
 
 REGISTRY.update({"stream_heavy_hitters": (q_stream_heavy_hitters, O_HEAVY_HITTERS_CMS)})
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document duplicate 8-token span coverage
+    (operators/textstats.py ``dup_spans``): the exact-substring dedup
+    signal over the documents table. The oracle replays the window
+    fan-out, the shared-window marking and the per-doc rollup with
+    DuckDB list functions."""
+    from ..operators.textstats import dup_spans
+
+    return dup_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8)
+
+
+O_DUP_SPANS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+  FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+  WHERE len(toks) >= 8
+),
+g AS (SELECT win, doc_id, count(*) AS cnt FROM w GROUP BY 1, 2),
+g2 AS (
+  SELECT doc_id, cnt, count(*) OVER (PARTITION BY win) AS nd FROM g
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST((1000 * sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END))
+            // sum(cnt) AS BIGINT) AS dup_milli
+FROM g2 GROUP BY 1
+"""
+
+
+REGISTRY.update({"dup_spans": (q_dup_spans, O_DUP_SPANS)})

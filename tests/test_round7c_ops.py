@@ -94,3 +94,30 @@ def test_stream_cms_parity_any_order(spark, tmp_path):
     assert streamed == batch and len(batch) >= 1
     # the hot cell is reported and the CMS one-sided bound holds
     assert all(est >= ex for est, ex, _ in batch.values())
+
+
+def test_dup_spans_cross_doc_only(spark):
+    from langtoolsosm_spark.operators.textstats import dup_spans
+
+    shared = "a b c d"  # the 4-token span docs 1 and 2 share
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"x {shared} y",       # 3 windows, 1 shared
+                    f"{shared} z q",       # 3 windows, 1 shared
+                    "a b c a b c a b c",   # self-repeats only: 0 dup
+                    "p q",                 # too short: absent
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in dup_spans(docs, k=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_milli"] == 333
+    assert out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0 and out[3]["n_windows"] == 6
+    with pytest.raises(ValueError, match="k must"):
+        dup_spans(docs, k=1)
