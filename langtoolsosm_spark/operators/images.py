@@ -1435,43 +1435,89 @@ def tile_medoid(
         )
         .localCheckpoint(eager=True)
     )
-    if max_per_tile is not None:
+    return _medoid_by_key(img, "tile", max_per_tile, "tile_medoid")
+
+
+def _medoid_by_key(
+    img: DataFrame, key: str, max_per_key, opname: str
+) -> DataFrame:
+    """Shared medoid core over a pinned (key, id, h) frame: blocked
+    all-pairs Hamming WITHIN each key group, one rollup per
+    (key, candidate) and a struct-min argmin per key — the back half of
+    ``tile_medoid`` (cell keys) and ``region_medoid`` (polygon keys).
+    Per-group work is occupancy^2, so a counted gate raises past
+    ``max_per_key``."""
+    if max_per_key is not None:
         worst = (
-            img.groupBy("tile").agg(F.count(F.lit(1)).alias("nc"))
-            .filter(F.col("nc") > max_per_tile)
+            img.groupBy(key).agg(F.count(F.lit(1)).alias("nc"))
+            .filter(F.col("nc") > max_per_key)
             .orderBy(F.col("nc").desc()).limit(1).collect()
         )
         if worst:
             r = worst[0]
             raise ValueError(
-                f"tile_medoid: cell {r['tile']} holds {r['nc']} images "
-                f"(> max_per_tile={max_per_tile}); within-cell work is "
-                "occupancy^2 — coarsen res or pre-thin with tile_cap_sample"
+                f"{opname}: group {r[key]} holds {r['nc']} images "
+                f"(> {max_per_key}); within-group work is occupancy^2 — "
+                "coarsen the key or pre-thin with tile_cap_sample"
             )
     other = img.select(
-        "tile", F.col("id").alias("oid"), F.col("h").alias("oh")
+        key, F.col("id").alias("oid"), F.col("h").alias("oh")
     )
-    pairs = img.join(other, "tile").filter(F.col("id") != F.col("oid"))
+    pairs = img.join(other, key).filter(F.col("id") != F.col("oid"))
     ham = pairs.select(
-        "tile", "id",
+        key, "id",
         F.bit_count(F.col("h").bitwiseXOR(F.col("oh"))).alias("d"),
     )
-    cand = ham.groupBy("tile", "id").agg(F.sum("d").alias("sum_ham"))
-    sizes = img.groupBy("tile").agg(F.count(F.lit(1)).alias("n_images"))
-    # singleton cells never enter the pair join: their medoid is their
+    cand = ham.groupBy(key, "id").agg(F.sum("d").alias("sum_ham"))
+    sizes = img.groupBy(key).agg(F.count(F.lit(1)).alias("n_images"))
+    # singleton groups never enter the pair join: their medoid is their
     # only image with sum_hamming 0
     singles = (
-        img.join(sizes.filter(F.col("n_images") == 1), "tile")
-        .select("tile", F.col("id").alias("medoid_id"),
+        img.join(sizes.filter(F.col("n_images") == 1), key)
+        .select(key, F.col("id").alias("medoid_id"),
                 "n_images", F.lit(0).cast("long").alias("sum_hamming"))
     )
     best = (
-        cand.groupBy("tile")
+        cand.groupBy(key)
         .agg(F.min(F.struct(F.col("sum_ham"), F.col("id"))).alias("__b"))
-        .join(sizes, "tile")
+        .join(sizes, key)
         .select(
-            "tile", F.col("__b.id").alias("medoid_id"), "n_images",
+            key, F.col("__b.id").alias("medoid_id"), "n_images",
             F.col("__b.sum_ham").alias("sum_hamming"),
         )
     )
     return best.unionByName(singles)
+
+
+def region_medoid(
+    images: DataFrame,
+    polygons: DataFrame,
+    res: int = 8,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    max_per_region: int = 10_000,
+) -> DataFrame:
+    """Per-REGION representative picker: the pHash medoid of each
+    polygon's PIP-joined images (ties to the smaller id) — "the most
+    typical photo of this administrative area", the region-cover twin
+    of ``tile_medoid`` and the image-side use of the engine's central
+    PIP machinery. Non-unique ownership: an image inside two
+    overlapping polygons is a candidate in both. Returns
+    (polygon_id, medoid_id, n_images, sum_hamming).
+
+    Plan: the hierarchical-cover PIP join carries only (id, phash);
+    the pinned ownership frame then feeds the shared quadratic-blocked
+    medoid core (``_medoid_by_key``), gated by ``max_per_region``."""
+    from .pip_join import pip_join
+
+    slim = images.select(F.col(id_col), "lat", "lon", F.col(hash_col))
+    owned = (
+        pip_join(slim, polygons, res=res, unique=False, id_col=id_col)
+        .select(
+            "polygon_id",
+            F.col(id_col).alias("id"),
+            F.col(hash_col).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _medoid_by_key(owned, "polygon_id", max_per_region, "region_medoid")

@@ -11717,3 +11717,58 @@ FROM g2 GROUP BY 1
 
 
 REGISTRY.update({"dup_spans": (q_dup_spans, O_DUP_SPANS)})
+
+
+def q_region_medoid(spark, sf_dir):
+    """Per-region pHash medoid (operators/images.py ``region_medoid``):
+    the most-typical image of each polygon's PIP-joined set, ties to
+    the smaller id. The oracle replays each polygon's half-open
+    predicates, the within-region quadratic Hamming sums and the
+    (sum, id) argmin in SQL."""
+    from ..operators.images import region_medoid
+
+    return region_medoid(
+        _synth_images(spark, sf_dir), geo_polygons_df(spark), res=8
+    )
+
+
+O_REGION_MEDOID = (
+    f"""
+WITH img AS (
+  SELECT image_id AS id, phash AS h, lat, lon
+  FROM read_parquet('{SYNTH_SF001_IMAGES}')
+),
+owned AS (
+"""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{pid}' AS polygon_id, id, h FROM img WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + """
+),
+sizes AS (SELECT polygon_id, count(*) AS n_images FROM owned GROUP BY 1),
+cand AS (
+  SELECT a.polygon_id, a.id,
+         CAST(sum(bit_count(xor(a.h, b.h))) AS BIGINT) AS sum_ham
+  FROM owned a
+  JOIN owned b ON a.polygon_id = b.polygon_id AND a.id <> b.id
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT polygon_id, id, sum_ham,
+         row_number() OVER (PARTITION BY polygon_id
+                            ORDER BY sum_ham ASC, id ASC) AS rn
+  FROM cand
+)
+SELECT b.polygon_id, b.id AS medoid_id,
+       CAST(s.n_images AS BIGINT) AS n_images, b.sum_ham AS sum_hamming
+FROM best b JOIN sizes s ON s.polygon_id = b.polygon_id WHERE b.rn = 1
+UNION ALL
+SELECT o.polygon_id, o.id AS medoid_id, CAST(1 AS BIGINT) AS n_images,
+       CAST(0 AS BIGINT) AS sum_hamming
+FROM owned o JOIN sizes s ON s.polygon_id = o.polygon_id AND s.n_images = 1
+"""
+)
+
+
+REGISTRY.update({"region_medoid": (q_region_medoid, O_REGION_MEDOID)})

@@ -121,3 +121,37 @@ def test_dup_spans_cross_doc_only(spark):
     assert out[3]["n_dup_windows"] == 0 and out[3]["n_windows"] == 6
     with pytest.raises(ValueError, match="k must"):
         dup_spans(docs, k=1)
+
+
+def test_region_medoid_pip_and_gate(spark):
+    from langtoolsosm_spark.operators.images import region_medoid
+
+    polys = spark.createDataFrame(
+        [
+            ("P1", [{"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 10.0},
+                    {"lat": 10.0, "lon": 10.0}, {"lat": 10.0, "lon": 0.0}]),
+            ("P2", [{"lat": 40.0, "lon": 40.0}, {"lat": 40.0, "lon": 50.0},
+                    {"lat": 50.0, "lon": 50.0}, {"lat": 50.0, "lon": 40.0}]),
+        ],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    imgs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b", "c", "d"],
+                "lat": [5.0, 5.0, 5.0, 45.0],
+                "lon": [5.0, 5.0, 5.0, 45.0],
+                # a and b are near-identical; c is far: medoid must be
+                # the smaller of {a, b}
+                "phash": [0, 1, (1 << 40) - 1, 7],
+            }
+        )
+    )
+    out = {r["polygon_id"]: r for r in region_medoid(imgs, polys, res=6).collect()}
+    # sums: a -> d(a,b)=1 + d(a,c)=40 = 41; b -> 1 + 39 = 40 (c's low
+    # bit matches b's): b is the medoid
+    assert out["P1"]["medoid_id"] == "b" and out["P1"]["n_images"] == 3
+    assert out["P1"]["sum_hamming"] == 40
+    assert out["P2"]["medoid_id"] == "d" and out["P2"]["sum_hamming"] == 0
+    with pytest.raises(ValueError, match="occupancy"):
+        region_medoid(imgs, polys, res=6, max_per_region=2)
