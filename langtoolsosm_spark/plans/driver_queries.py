@@ -11772,3 +11772,50 @@ FROM owned o JOIN sizes s ON s.polygon_id = o.polygon_id AND s.n_images = 1
 
 
 REGISTRY.update({"region_medoid": (q_region_medoid, O_REGION_MEDOID)})
+
+
+def q_line_density(spark, sf_dir):
+    """Segment line-density raster (operators/spatial.py
+    ``line_density``): every res-8 cell crossed by a trajectory
+    segment, with traversal + entity counts. The oracle replays the lag
+    window, the integer-interpolated cell walk (generate_series over
+    the Chebyshev span) and the per-segment distinct in SQL."""
+    from ..operators.spatial import line_density
+
+    return line_density(
+        _traj(spark, sf_dir), "user_id", "ts", res=8,
+        order_tiebreak="event_id",
+    )
+
+
+O_LINE_DENSITY = f"""
+WITH {TRAJ_SRC_CTE},
+g AS (
+  SELECT user_id, ts, event_id, {_tile_sql(8)} AS tile,
+         lag({_tile_sql(8)}) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM src
+),
+seg AS (
+  SELECT user_id, ts, event_id,
+         prev // 256 AS x0, prev % 256 AS y0,
+         tile // 256 AS x1, tile % 256 AS y1,
+         greatest(abs(tile // 256 - prev // 256),
+                  abs(tile % 256 - prev % 256)) AS s
+  FROM g WHERE prev IS NOT NULL
+),
+cells AS (
+  SELECT DISTINCT user_id, ts, event_id,
+         CASE WHEN s = 0 THEN x0 ELSE (x0*(s-i) + x1*i) // s END AS cx,
+         CASE WHEN s = 0 THEN y0 ELSE (y0*(s-i) + y1*i) // s END AS cy
+  FROM seg, UNNEST(generate_series(0, s)) t(i)
+)
+SELECT cx * 256 + cy AS tile,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM cells GROUP BY 1
+"""
+
+
+REGISTRY.update({"line_density": (q_line_density, O_LINE_DENSITY)})

@@ -155,3 +155,37 @@ def test_region_medoid_pip_and_gate(spark):
     assert out["P2"]["medoid_id"] == "d" and out["P2"]["sum_hamming"] == 0
     with pytest.raises(ValueError, match="occupancy"):
         region_medoid(imgs, polys, res=6, max_per_region=2)
+
+
+def _ev(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    return spark.createDataFrame(pdf).select(
+        "user_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+        "event_id", "lat", "lon",
+    )
+
+
+def test_line_density_crosses_intermediate_cells(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.spatial import line_density
+
+    # one horizontal move spanning 3 cells at res 4 (cells 22.5 deg):
+    # ix 5 -> ix 8 passes ix 6 and 7 even with no ping there
+    rows = [(1, 0, 0, 5.0, -56.0), (1, 1, 1, 5.0, 16.0)]
+    out = {r["tile"]: r for r in line_density(
+        _ev(spark, rows), "user_id", "ts", res=4, order_tiebreak="event_id"
+    ).collect()}
+    tiles = {
+        int(tile_key(np.array([5.0]), np.array([lo]), 4)[0])
+        for lo in (-56.0, -33.0, -10.0, 16.0)
+    }
+    assert set(out) == tiles and len(out) == 4
+    assert all(r["n_segments"] == 1 and r["n_entities"] == 1 for r in out.values())
+
+    # same-cell jitter: one cell, counted once per segment
+    rows2 = [(2, 0, 2, 5.0, -56.0), (2, 1, 3, 5.1, -56.1)]
+    out2 = line_density(
+        _ev(spark, rows2), "user_id", "ts", res=4, order_tiebreak="event_id"
+    ).collect()
+    assert len(out2) == 1 and out2[0]["n_segments"] == 1
