@@ -1317,3 +1317,44 @@ def semantic_outliers(
             F.max(F.col("nv") * F.col("ng")).alias("anom_den"),
         )
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding", q_scale: int = 1000
+) -> DataFrame:
+    """Per-dimension moment statistics of the embedding corpus — the
+    whitening / feature-scaling pre-pass every ANN and clustering
+    family assumes: count, exact integer sum, variance NUMERATOR
+    n * sum(x^2) - sum(x)^2 (divide by n^2 for the population
+    variance), and min/max, all over round(x * q_scale) quantized
+    components (the engine's standard embedding quantization — float
+    moment sums are aggregation-order dependent; integer sums are
+    not). A zero var_num flags a dead dimension; extreme max/min flag
+    clipping. Returns (dim, n, s, var_num, min_q, max_q).
+
+    Plan: one posexplode pass to a map-side-combined per-dim rollup —
+    output is dim-bounded (one row per dimension) regardless of corpus
+    size; no joins, no vector shuffle."""
+    from pyspark.sql import functions as F
+
+    flat = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double") * q_scale).cast("long").alias("xq"),
+    )
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("s"),
+            F.sum(F.col("xq") * F.col("xq")).alias("__sq"),
+            F.min("xq").alias("min_q"),
+            F.max("xq").alias("max_q"),
+        )
+        .select(
+            "dim", "n", "s",
+            (F.col("n") * F.col("__sq") - F.col("s") * F.col("s")).alias(
+                "var_num"
+            ),
+            "min_q", "max_q",
+        )
+    )

@@ -11819,3 +11819,34 @@ FROM cells GROUP BY 1
 
 
 REGISTRY.update({"line_density": (q_line_density, O_LINE_DENSITY)})
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension whitening statistics (operators/similarity.py
+    ``embedding_dim_stats``): exact integer count/sum/variance-numerator
+    and min/max per embedding dimension. The oracle replays the flatten
+    and the moment algebra in SQL."""
+    from ..operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+O_EMBEDDING_DIM_STATS = """
+WITH flat AS (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0)
+              AS BIGINT) AS xq
+  FROM embeddings JOIN generate_series(1, 8192) AS t(i)
+    ON i <= len(embedding)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(xq) AS BIGINT) AS s,
+       CAST(count(*) * sum(xq * xq) - sum(xq) * sum(xq) AS BIGINT)
+         AS var_num,
+       CAST(min(xq) AS BIGINT) AS min_q, CAST(max(xq) AS BIGINT) AS max_q
+FROM flat GROUP BY 1
+"""
+
+
+REGISTRY.update({"embedding_dim_stats": (q_embedding_dim_stats, O_EMBEDDING_DIM_STATS)})

@@ -189,3 +189,19 @@ def test_line_density_crosses_intermediate_cells(spark):
         _ev(spark, rows2), "user_id", "ts", res=4, order_tiebreak="event_id"
     ).collect()
     assert len(out2) == 1 and out2[0]["n_segments"] == 1
+
+
+def test_embedding_dim_stats_moments(spark):
+    from langtoolsosm_spark.operators.similarity import embedding_dim_stats
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, 3.0]), (3, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
+    d0 = out[0]
+    assert d0["n"] == 3 and d0["s"] == 0 and d0["var_num"] == 0  # dead dim
+    d1 = out[1]
+    # xq = 1000, 3000, 2000: n*sq - s^2 = 3*14e6 - 36e6 = 6e6
+    assert d1["s"] == 6000 and d1["var_num"] == 6_000_000
+    assert d1["min_q"] == 1000 and d1["max_q"] == 3000
