@@ -11850,3 +11850,51 @@ FROM flat GROUP BY 1
 
 
 REGISTRY.update({"embedding_dim_stats": (q_embedding_dim_stats, O_EMBEDDING_DIM_STATS)})
+
+
+def q_msd_curve(spark, sf_dir):
+    """Step-lag MSD curve (operators/spatial.py ``msd_curve``):
+    per-entity exact integer squared-displacement sums at lags 1..4.
+    The oracle replays the micro-degree quantization, the four lead
+    windows and the rollup in SQL."""
+    from ..operators.spatial import msd_curve
+
+    return msd_curve(
+        _traj(spark, sf_dir), "user_id", "ts", max_lag=4,
+        order_tiebreak="event_id",
+    )
+
+
+O_MSD_CURVE = f"""
+WITH {TRAJ_SRC_CTE},
+q AS (
+  SELECT user_id AS entity, ts, event_id,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS y
+  FROM src
+),
+l AS (
+  SELECT entity, 1 AS lag_k,
+         lead(x, 1) OVER w1 - x AS dx, lead(y, 1) OVER w1 - y AS dy
+  FROM q WINDOW w1 AS (PARTITION BY entity ORDER BY ts, event_id)
+  UNION ALL
+  SELECT entity, 2 AS lag_k,
+         lead(x, 2) OVER w2 - x AS dx, lead(y, 2) OVER w2 - y AS dy
+  FROM q WINDOW w2 AS (PARTITION BY entity ORDER BY ts, event_id)
+  UNION ALL
+  SELECT entity, 3 AS lag_k,
+         lead(x, 3) OVER w3 - x AS dx, lead(y, 3) OVER w3 - y AS dy
+  FROM q WINDOW w3 AS (PARTITION BY entity ORDER BY ts, event_id)
+  UNION ALL
+  SELECT entity, 4 AS lag_k,
+         lead(x, 4) OVER w4 - x AS dx, lead(y, 4) OVER w4 - y AS dy
+  FROM q WINDOW w4 AS (PARTITION BY entity ORDER BY ts, event_id)
+)
+SELECT entity, CAST(lag_k AS INT) AS lag_k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sum_disp2
+FROM l WHERE dx IS NOT NULL GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"msd_curve": (q_msd_curve, O_MSD_CURVE)})

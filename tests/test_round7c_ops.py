@@ -205,3 +205,19 @@ def test_embedding_dim_stats_moments(spark):
     # xq = 1000, 3000, 2000: n*sq - s^2 = 3*14e6 - 36e6 = 6e6
     assert d1["s"] == 6000 and d1["var_num"] == 6_000_000
     assert d1["min_q"] == 1000 and d1["max_q"] == 3000
+
+
+def test_msd_curve_ballistic_walker(spark):
+    from langtoolsosm_spark.operators.spatial import msd_curve
+
+    # straight-line walker, 1 micro-deg east per step: MSD(k) = k^2
+    rows = [(1, i, i, 0.0, i * 1e-6) for i in range(6)]
+    out = {r["lag_k"]: r for r in msd_curve(
+        _ev(spark, rows), "user_id", "ts", max_lag=3,
+        order_tiebreak="event_id",
+    ).collect()}
+    assert out[1]["n_pairs"] == 5 and out[1]["sum_disp2"] == 5 * 1
+    assert out[2]["n_pairs"] == 4 and out[2]["sum_disp2"] == 4 * 4
+    assert out[3]["n_pairs"] == 3 and out[3]["sum_disp2"] == 3 * 9
+    with pytest.raises(ValueError, match="max_lag"):
+        msd_curve(_ev(spark, rows), "user_id", "ts", max_lag=0)
