@@ -334,3 +334,59 @@ def local_bridges(
         .join(deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b")), "b")
         .select("a", "b", "deg_a", "deg_b")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman 2002) as ONE
+    row of exact integer sufficient statistics: with M edges and
+    endpoint degrees (j, k) per edge,
+
+        r = r_num / r_den,  r_num = 4*M*sum(jk) - sum(j+k)^2,
+                            r_den = 2*M*sum(j^2+k^2) - sum(j+k)^2
+
+    (the edge-symmetric Pearson correlation; r > 0 means hubs attach
+    to hubs). Input must be a canonical edge list (a < b, distinct) —
+    what co_visitation emits. Degrees and sums are integers end to
+    end, so the statistic is aggregation-order independent; the caller
+    divides. Returns (n_edges, sum_prod, sum_deg, sum_sq, r_num,
+    r_den).
+
+    Plan: the edge list is pinned once (it feeds the degree histogram
+    and both joins); two hash joins keyed by node attach endpoint
+    degrees; one global map-side-combined rollup — no quadratic work
+    beyond what the input already paid."""
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    j = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("da") * F.col("db")).alias("sum_prod"),
+        F.sum(F.col("da") + F.col("db")).alias("sum_deg"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db")).alias(
+            "sum_sq"
+        ),
+    )
+    return agg.select(
+        "n_edges", "sum_prod", "sum_deg", "sum_sq",
+        (
+            4 * F.col("n_edges") * F.col("sum_prod")
+            - F.col("sum_deg") * F.col("sum_deg")
+        ).alias("r_num"),
+        (
+            2 * F.col("n_edges") * F.col("sum_sq")
+            - F.col("sum_deg") * F.col("sum_deg")
+        ).alias("r_den"),
+    )

@@ -11898,3 +11898,70 @@ FROM l WHERE dx IS NOT NULL GROUP BY 1, 2
 
 
 REGISTRY.update({"msd_curve": (q_msd_curve, O_MSD_CURVE)})
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graphs.py
+    ``degree_assortativity``) of the co-visitation graph — do social
+    hubs co-locate with hubs? Exact integer Newman-r pieces. The oracle
+    replays the pair gate, the degree histogram and the moment algebra
+    in SQL."""
+    from ..operators.graphs import degree_assortativity
+    from ..operators.tiling import co_visitation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__assort_events")
+    t = spark.sql(
+        f"SELECT user_id, ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __assort_events"
+    )
+    pairs = co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+    return degree_assortativity(pairs)
+
+
+O_DEGREE_ASSORT = f"""
+WITH src AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+e AS MATERIALIZED (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+),
+d AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY 1
+),
+m AS (
+  SELECT count(*) AS n_edges,
+         sum(da.deg * db.deg) AS sum_prod,
+         sum(da.deg + db.deg) AS sum_deg,
+         sum(da.deg * da.deg + db.deg * db.deg) AS sum_sq
+  FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(sum_prod AS BIGINT) AS sum_prod,
+       CAST(sum_deg AS BIGINT) AS sum_deg,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(4 * n_edges * sum_prod - sum_deg * sum_deg AS BIGINT) AS r_num,
+       CAST(2 * n_edges * sum_sq - sum_deg * sum_deg AS BIGINT) AS r_den
+FROM m
+"""
+
+
+REGISTRY.update({"degree_assortativity": (q_degree_assortativity, O_DEGREE_ASSORT)})

@@ -221,3 +221,23 @@ def test_msd_curve_ballistic_walker(spark):
     assert out[3]["n_pairs"] == 3 and out[3]["sum_disp2"] == 3 * 9
     with pytest.raises(ValueError, match="max_lag"):
         msd_curve(_ev(spark, rows), "user_id", "ts", max_lag=0)
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from langtoolsosm_spark.operators.graphs import degree_assortativity
+
+    # star K_{1,3}: perfectly disassortative (r = -1)
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a long, b long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    # degrees: hub 3, leaves 1; per edge (3,1): sp=9, sd=12, ss=30
+    assert r["n_edges"] == 3 and r["sum_prod"] == 9 and r["sum_deg"] == 12
+    assert r["r_num"] == 4 * 3 * 9 - 144 == -36
+    assert r["r_den"] == 2 * 3 * 30 - 144 == 36
+    assert r["r_num"] == -r["r_den"]  # r = -1 exactly
+
+    # triangle: all degrees equal -> r_den = 0 (degenerate, caller's div)
+    tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
+    rt = degree_assortativity(tri).collect()[0]
+    assert rt["r_num"] == 0 and rt["r_den"] == 0
