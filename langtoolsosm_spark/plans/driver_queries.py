@@ -11965,3 +11965,38 @@ FROM m
 
 
 REGISTRY.update({"degree_assortativity": (q_degree_assortativity, O_DEGREE_ASSORT)})
+
+
+def q_stream_line_density(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the stateful segment
+    rasterizer (streaming/microbatch.py ``stream_line_density``): 3
+    TIME-ORDERED staged files; every segment's cell walk emits exactly
+    once when its end ping arrives — gated against the SAME oracle as
+    batch ``line_density`` (21st parity kernel)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_line_density_stream_once
+
+    t = _traj(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="streamlinedens_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        n = len(pdf)
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_line_density_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_line_density": (q_stream_line_density, O_LINE_DENSITY)})

@@ -2028,3 +2028,117 @@ def run_cms_stream_once(
         F.col("n").alias("c"),
     )
     return cms_score(exact, counters, mass_denom)
+
+
+def stream_line_density(
+    stream: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stateful streaming segment rasterizer (the streaming half of
+    operators/spatial.py ``line_density``): per entity, state carries
+    the LAST ping's (cell, epoch, event id); each new ping closes a
+    segment and emits that segment's integer-interpolated cells exactly
+    once, already per-segment deduped — the same
+    ((x0*(s-i) + x1*i) div s) walk as batch, via the numpy
+    ``tile_key`` twin. No trailing state to flush: a segment closes
+    the moment its end ping arrives. Ordered-ingestion contract as
+    everywhere: an out-of-order batch RAISES."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.cells import tile_key
+
+    n = 1 << res
+    cols = ["entity", "tile"]
+
+    def kernel(key, pdf_iter, state):
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=cols).astype("int64")
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        eps = pdf[ts_col].astype("int64").to_numpy() // 1_000_000_000
+        eids = pdf[id_col].astype("int64").to_numpy()
+        tiles = tile_key(pdf[lat].to_numpy(), pdf[lon].to_numpy(), res)
+        ent = int(key[0])
+        if state.exists:
+            prev, l_ep, l_eid = (int(v) for v in state.get)
+            if (int(eps[0]), int(eids[0])) <= (l_ep, l_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for entity {ent}: the "
+                    "ordered-ingestion contract is broken — a segment "
+                    "walk replayed out of order diverges from batch"
+                )
+            has = True
+        else:
+            prev, has = 0, False
+        rows = []
+        for i in range(len(pdf)):
+            t = int(tiles[i])
+            if has:
+                x0, y0 = prev // n, prev % n
+                x1, y1 = t // n, t % n
+                s = max(abs(x1 - x0), abs(y1 - y0))
+                if s == 0:
+                    cells = [prev]
+                else:
+                    ii = np.arange(s + 1, dtype=np.int64)
+                    cx = (x0 * (s - ii) + x1 * ii) // s
+                    cy = (y0 * (s - ii) + y1 * ii) // s
+                    cells = np.unique(cx * n + cy).tolist()
+                rows.extend((ent, int(c)) for c in cells)
+            prev, has = t, True
+        state.update((prev, int(eps[-1]), int(eids[-1])))
+        yield pd.DataFrame(rows, columns=cols)
+
+    keyed = stream.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col), F.col(id_col), F.col(lat), F.col(lon),
+    )
+    return keyed.groupBy("entity").applyInPandasWithState(
+        kernel,
+        outputStructType="entity long, tile long",
+        stateStructType="l_tile long, l_ep long, l_eid long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_line_density_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str, res: int
+) -> DataFrame:
+    """Drive the streaming segment rasterizer over all staged files and
+    roll the emitted (segment, cell) rows into exactly the batch
+    ``line_density`` shape."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"linedens_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_line_density(st, res=res)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT tile, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+        FROM {name} GROUP BY 1
+        """
+    )

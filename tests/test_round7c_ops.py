@@ -241,3 +241,51 @@ def test_degree_assortativity_star_vs_clique(spark):
     tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "a long, b long")
     rt = degree_assortativity(tri).collect()[0]
     assert rt["r_num"] == 0 and rt["r_den"] == 0
+
+
+def test_stream_line_density_parity_and_order_guard(spark, tmp_path):
+    import os
+
+    from langtoolsosm_spark.operators.spatial import line_density
+    from langtoolsosm_spark.streaming.microbatch import (
+        run_line_density_stream_once,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        lat0, lon0 = 40.0, 0.0
+        for step in range(12):
+            lat0 += rng.uniform(-2, 2)
+            lon0 += rng.uniform(-4, 4)
+            rows.append((u, step * 100, eid, lat0, lon0))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    staged = pdf.sort_values(["ts", "event_id"], kind="mergesort")[
+        ["user_id", "ts", "event_id", "lat", "lon"]
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(staged)
+    for i in range(3):
+        p = src / f"b{i}.parquet"
+        staged.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {
+        r["tile"]: (r["n_segments"], r["n_entities"])
+        for r in run_line_density_stream_once(
+            spark, str(src), str(tmp_path / "ckpt"), res=6
+        ).collect()
+    }
+    batch = {
+        r["tile"]: (r["n_segments"], r["n_entities"])
+        for r in line_density(
+            _ev(spark, [tuple(r) for r in pdf[
+                ["user_id", "epoch", "event_id", "lat", "lon"]
+            ].itertuples(index=False)]),
+            "user_id", "ts", res=6, order_tiebreak="event_id",
+        ).collect()
+    }
+    assert streamed == batch and len(batch) >= 3
