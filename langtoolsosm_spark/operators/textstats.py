@@ -52,17 +52,25 @@ def quality_metrics(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _lang_score_cols(text_col: str):
+    """One marker-count Column per language (shared by lang_id and
+    doc_scorecard so both stay single-scan)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    return {
+        lang: sum(
+            (_count_occurrences(t, m) for m in markers), F.lit(0).cast("long")
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language score per language + argmax guess (greatest()
     with deterministic first-wins tie-break by fixed language order)."""
-    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
-    scores = {
-        lang: sum(
-            (_count_occurrences(t, m) for m in markers), F.lit(0).cast("long")
-        ).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    }
-    df = docs.select(F.col(id_col), *scores.values())
+    scores = _lang_score_cols(text_col)
+    df = docs.select(
+        F.col(id_col), *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     guess = F.lit("unk")
@@ -93,15 +101,9 @@ def regex_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def ngram_repetition(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Within-document n-gram repetition ratio — the Gopher-style quality
-    filter that catches boilerplate/looping text: rep_milli =
-    1000 * (n_ngrams - n_distinct) // n_ngrams over space-token n-grams
-    (0 when the doc has fewer than ``n`` tokens). Pure column arithmetic
-    (split -> sequence -> transform -> array_distinct): WholeStageCodegen,
-    no shuffle, and the oracle replays it with list functions."""
+def _ngram_total_distinct(text_col: str, n: int):
+    """(n_ngrams, n_distinct) Columns for space-token n-grams (shared by
+    ngram_repetition and doc_scorecard)."""
     toks = F.split(F.col(text_col), " ")
     total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
     grams = F.transform(
@@ -115,6 +117,19 @@ def ngram_repetition(
     distinct = F.when(
         total > 0, F.size(F.array_distinct(grams)).cast("long")
     ).otherwise(F.lit(0).cast("long"))
+    return total, distinct
+
+
+def ngram_repetition(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document n-gram repetition ratio — the Gopher-style quality
+    filter that catches boilerplate/looping text: rep_milli =
+    1000 * (n_ngrams - n_distinct) // n_ngrams over space-token n-grams
+    (0 when the doc has fewer than ``n`` tokens). Pure column arithmetic
+    (split -> sequence -> transform -> array_distinct): WholeStageCodegen,
+    no shuffle, and the oracle replays it with list functions."""
+    total, distinct = _ngram_total_distinct(text_col, n)
     base = docs.select(
         F.col(id_col), total.alias("n_ngrams"), distinct.alias("n_distinct")
     )
@@ -495,4 +510,69 @@ def dup_spans(
         .withColumn(
             "dup_milli", F.expr("div(1000 * n_dup_windows, n_windows)")
         )
+    )
+
+
+def doc_scorecard(
+    docs: DataFrame,
+    n_rep: int = 3,
+    k_dup: int = 8,
+    min_tokens: int = 20,
+    rep_max_milli: int = 200,
+    dup_max_milli: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation scorecard — every per-document quality signal the
+    engine computes, in ONE frame with the final keep decision: token
+    count, within-doc n-gram repetition (Gopher boilerplate), CROSS-doc
+    duplicate-span coverage (Lee et al.), and the marker-word language
+    guess. keep = tokens >= min_tokens AND rep_milli <= rep_max_milli
+    AND dup_milli <= dup_max_milli — the integer-exact filter a corpus
+    build applies before packing (``corpus_prep``'s decision surface,
+    made auditable per doc). Returns (id, tokens, rep_milli, dup_milli,
+    guess, keep). Docs shorter than ``k_dup`` tokens have no dup
+    windows: dup_milli 0.
+
+    Plan: tokens, repetition and the language guess are pure codegen
+    over ONE scan; only the cross-doc dup signal needs its window-key
+    shuffle (a second scan), joined back by doc id. No Python, no
+    quadratic work."""
+    toks_expr = F.size(F.split(F.col(text_col), " ")).cast("long")
+    total, distinct = _ngram_total_distinct(text_col, n_rep)
+    scores = _lang_score_cols(text_col)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*scores.values())
+    guess = F.lit("unk")
+    for lang in reversed(langs):  # earlier langs win ties
+        guess = F.when((scores[lang] == best) & (best > 0), lang).otherwise(guess)
+    base = (
+        docs.select(
+            F.col(id_col),
+            toks_expr.alias("tokens"),
+            total.alias("__ng"),
+            distinct.alias("__nd"),
+            guess.alias("guess"),
+        )
+        .withColumn(
+            "rep_milli",
+            F.when(F.col("__ng") > 0, F.expr("div(1000 * (__ng - __nd), __ng)"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__ng", "__nd")
+    )
+    dup = dup_spans(docs, k=k_dup, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("dup_milli")
+    )
+    out = base.join(dup, id_col, "left").withColumn(
+        "dup_milli", F.coalesce(F.col("dup_milli"), F.lit(0)).cast("long")
+    )
+    return out.select(
+        id_col, "tokens", "rep_milli", "dup_milli", "guess",
+        (
+            (F.col("tokens") >= min_tokens)
+            & (F.col("rep_milli") <= rep_max_milli)
+            & (F.col("dup_milli") <= dup_max_milli)
+        ).alias("keep"),
     )

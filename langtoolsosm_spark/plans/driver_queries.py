@@ -12000,3 +12000,72 @@ def q_stream_line_density(spark, sf_dir):
 
 
 REGISTRY.update({"stream_line_density": (q_stream_line_density, O_LINE_DENSITY)})
+
+
+def q_doc_scorecard(spark, sf_dir):
+    """Curation scorecard (operators/textstats.py ``doc_scorecard``):
+    tokens + repetition + cross-doc dup coverage + language guess +
+    the integer-exact keep decision, one row per document. The oracle
+    composes the doc_repetition, lang_id and dup_spans replays and the
+    threshold rule in SQL."""
+    from ..operators.textstats import doc_scorecard
+
+    return doc_scorecard(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_DOC_SCORECARD = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS tokens,
+         CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END
+              AS BIGINT) AS n_ngrams,
+         CAST(CASE WHEN len(toks) >= 3
+              THEN len(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              ELSE 0 END AS BIGINT) AS n_distinct,
+         {s_en}, {s_es}, {s_fr}, {s_de}
+  FROM d
+),
+scored AS (
+  SELECT doc_id, tokens,
+         CAST(CASE WHEN n_ngrams > 0
+              THEN (1000 * (n_ngrams - n_distinct)) // n_ngrams
+              ELSE 0 END AS BIGINT) AS rep_milli,
+         CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unk'
+              WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+              WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+              WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+              ELSE 'de' END AS guess
+  FROM base
+),
+w AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+  FROM d, UNNEST(generate_series(1, len(toks) - 7)) AS t(i)
+  WHERE len(toks) >= 8
+),
+g AS (SELECT win, doc_id, count(*) AS cnt FROM w GROUP BY 1, 2),
+g2 AS (
+  SELECT doc_id, cnt, count(*) OVER (PARTITION BY win) AS nd FROM g
+),
+dupm AS (
+  SELECT doc_id,
+         CAST((1000 * sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END))
+              // sum(cnt) AS BIGINT) AS dup_milli
+  FROM g2 GROUP BY 1
+)
+SELECT s.doc_id, s.tokens, s.rep_milli,
+       COALESCE(m.dup_milli, 0) AS dup_milli, s.guess,
+       (s.tokens >= 20 AND s.rep_milli <= 200
+        AND COALESCE(m.dup_milli, 0) <= 500) AS keep
+FROM scored s LEFT JOIN dupm m ON m.doc_id = s.doc_id
+""".format(
+    s_en=_o_lang_score("en", [" the ", " a "]),
+    s_es=_o_lang_score("es", [" el ", " la "]),
+    s_fr=_o_lang_score("fr", [" le ", " la "]),
+    s_de=_o_lang_score("de", [" der ", " die "]),
+)
+
+
+REGISTRY.update({"doc_scorecard": (q_doc_scorecard, O_DOC_SCORECARD)})

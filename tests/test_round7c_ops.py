@@ -289,3 +289,30 @@ def test_stream_line_density_parity_and_order_guard(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) >= 3
+
+
+def test_doc_scorecard_keep_rule(spark):
+    from langtoolsosm_spark.operators.textstats import doc_scorecard
+
+    long_ok = " ".join(f"w{i}" for i in range(30))
+    loopy = " ".join(["spam ham"] * 20)          # heavy 3-gram repetition
+    # doc 4 shares only doc 1's first 10 tokens: 3 of each doc's
+    # windows are cross-doc duplicates — under the 500-milli cap
+    partial = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(
+        f"z{i}" for i in range(20)
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [long_ok, loopy, "too short", partial],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in doc_scorecard(docs).collect()}
+    assert out[1]["keep"] and out[1]["tokens"] == 30
+    assert not out[2]["keep"] and out[2]["rep_milli"] > 200
+    assert not out[3]["keep"] and out[3]["dup_milli"] == 0  # short: no windows
+    # 3 shared windows of 23 each -> 130 milli: both survive the cap
+    assert out[1]["dup_milli"] == 130 and out[4]["dup_milli"] == 130
+    assert out[4]["keep"]
