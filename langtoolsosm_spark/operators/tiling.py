@@ -1953,3 +1953,68 @@ def voronoi_assign(
         )
     )
     return pts.join(best, "tile").select("tile", "n_points", "seed_tile", "dist")
+
+
+def majority_pyramid(
+    df: DataFrame,
+    cat_col: str,
+    res_hi: int,
+    res_lo: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Categorical-raster pyramid by MAJORITY rule — the land-use /
+    class-map downsampling path (``tile_pyramid`` sums counts; a class
+    raster must vote instead): the res_hi base assigns each occupied
+    cell its modal category from raw rows, then each coarser level's
+    cell takes the majority of its CHILD CELLS' modes (one vote per
+    occupied child; ties to the lexicographically smaller category —
+    the deterministic stand-in for GDAL's visit order). Returns the
+    res_lo level: (tile, mode, n_children, n_votes) where n_children
+    counts occupied child cells one level up.
+
+    Plan: one map-side-combined (cell, cat) histogram, one struct-min
+    argmax per level, and parent-index arithmetic between levels —
+    every frame is bounded by occupied cells, the promotion rounds are
+    res_hi - res_lo fixed metadata-free aggregations (no joins)."""
+    if not 0 <= res_lo < res_hi:
+        raise ValueError(
+            f"need 0 <= res_lo < res_hi, got res_lo={res_lo} res_hi={res_hi}"
+        )
+
+    def _mode(votes: DataFrame, n: int):
+        return (
+            votes.groupBy("tile")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("votes")).alias("nv"), F.col("mode").alias("c")
+                    )
+                ).alias("__b"),
+                F.sum("votes").alias("n_children"),
+            )
+            .select(
+                "tile",
+                F.col("__b.c").alias("mode"),
+                "n_children",
+                (-F.col("__b.nv")).alias("n_votes"),
+            )
+        )
+
+    base = (
+        assign_tiles(df.select(cat_col, lat, lon), res_hi, lat=lat, lon=lon)
+        .groupBy("tile", F.col(cat_col).alias("mode"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    cur = _mode(base, 1 << res_hi)
+    for r in range(res_hi, res_lo, -1):
+        n, m = 1 << r, 1 << (r - 1)
+        parent = (
+            ((F.col("tile") / n).cast("long") / 2).cast("long") * m
+            + ((F.col("tile") % n) / 2).cast("long")
+        )
+        votes = cur.select(parent.alias("tile"), "mode").groupBy(
+            "tile", "mode"
+        ).agg(F.count(F.lit(1)).alias("votes"))
+        cur = _mode(votes, m)
+    return cur

@@ -12069,3 +12069,61 @@ FROM scored s LEFT JOIN dupm m ON m.doc_id = s.doc_id
 
 
 REGISTRY.update({"doc_scorecard": (q_doc_scorecard, O_DOC_SCORECARD)})
+
+
+def q_majority_pyramid(spark, sf_dir):
+    """Categorical majority pyramid res 8 -> 6 (operators/tiling.py
+    ``majority_pyramid``): modal event_type per base cell, then
+    majority-of-child-modes promotion, ties to the smaller category.
+    The oracle unrolls both promotion rounds in SQL."""
+    from ..operators.tiling import majority_pyramid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__majpyr_events")
+    t = spark.sql(
+        f"SELECT event_type, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __majpyr_events"
+    )
+    return majority_pyramid(t, "event_type", res_hi=8, res_lo=6)
+
+
+def _o_mode_level(src: str) -> str:
+    return f"""(
+  SELECT tile, mode, n_children, n_votes FROM (
+    SELECT tile, mode, votes AS n_votes,
+           sum(votes) OVER (PARTITION BY tile) AS n_children,
+           row_number() OVER (PARTITION BY tile
+                              ORDER BY votes DESC, mode ASC) AS rn
+    FROM {src}
+  ) WHERE rn = 1
+)"""
+
+
+O_MAJORITY_PYRAMID = f"""
+WITH src AS (
+  SELECT event_type, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+h8 AS (
+  SELECT {_tile_sql(8)} AS tile, event_type AS mode, count(*) AS votes
+  FROM src GROUP BY 1, 2
+),
+m8 AS {_o_mode_level("h8")},
+v7 AS (
+  SELECT (tile // 256 // 2) * 128 + (tile % 256) // 2 AS tile, mode,
+         count(*) AS votes
+  FROM m8 GROUP BY 1, 2
+),
+m7 AS {_o_mode_level("v7")},
+v6 AS (
+  SELECT (tile // 128 // 2) * 64 + (tile % 128) // 2 AS tile, mode,
+         count(*) AS votes
+  FROM m7 GROUP BY 1, 2
+),
+m6 AS {_o_mode_level("v6")}
+SELECT tile, mode, CAST(n_children AS BIGINT) AS n_children,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM m6
+"""
+
+
+REGISTRY.update({"majority_pyramid": (q_majority_pyramid, O_MAJORITY_PYRAMID)})

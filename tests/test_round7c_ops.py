@@ -316,3 +316,36 @@ def test_doc_scorecard_keep_rule(spark):
     # 3 shared windows of 23 each -> 130 milli: both survive the cap
     assert out[1]["dup_milli"] == 130 and out[4]["dup_milli"] == 130
     assert out[4]["keep"]
+
+
+def test_majority_pyramid_votes_and_ties(spark):
+    from langtoolsosm_spark.functions.cells import tile_key
+    from langtoolsosm_spark.operators.tiling import majority_pyramid
+
+    # res 2 -> 1: one res-1 cell holds 4 res-2 children. Children get
+    # modes B, B, A, A (tie at the parent) -> parent mode 'A' (smaller)
+    cells = [
+        (5.0, -125.0), (5.0, -35.0),    # (ix,iy) = (0,2), (1,2)
+        (50.0, -125.0), (50.0, -35.0),  # (0,3), (1,3) — same res-1 parent
+    ]
+    rows = []
+    # child 0/1: B wins 2-1 over A; child 2/3: A wins
+    for lat, lon in cells[:2]:
+        rows += [("B", lat, lon), ("B", lat, lon), ("A", lat, lon)]
+    for lat, lon in cells[2:]:
+        rows += [("A", lat, lon), ("A", lat, lon), ("B", lat, lon)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "lat", "lon"])
+    )
+    out = majority_pyramid(df, "event_type", res_hi=2, res_lo=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["mode"] == "A"  # 2-2 tie, lexicographic min
+    assert r["n_children"] == 4 and r["n_votes"] == 2
+    # parent index check: all four points share the res-1 cell
+    t1 = {int(x) for x in tile_key(
+        np.array([c[0] for c in cells]), np.array([c[1] for c in cells]), 1
+    )}
+    assert r["tile"] in t1 and len(t1) == 1
+    with pytest.raises(ValueError, match="res_lo"):
+        majority_pyramid(df, "event_type", res_hi=2, res_lo=2)
