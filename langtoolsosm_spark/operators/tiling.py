@@ -2018,3 +2018,91 @@ def majority_pyramid(
         ).agg(F.count(F.lit(1)).alias("votes"))
         cur = _mode(votes, m)
     return cur
+
+
+def tile_autocov(
+    df: DataFrame,
+    res: int,
+    max_lag: int = 3,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell temporal autocovariance of the DAILY count series at
+    lags 1..max_lag — the rhythm detector (weekly commuting beats,
+    one-off bursts) behind ``tile_burstiness``'s blind spot: burstiness
+    sees dispersion, autocovariance sees PERIOD. Missing days are real
+    zeros; they never materialize — with the global day span
+    [d0, d1], D = d1 - d0 + 1 and per tile/lag
+
+        cov_num = (D-k) * sum_t(c_t * c_{t+k}) - head_sum * tail_sum,
+        cov_den = (D-k)^2
+
+    where head/tail are the lag-aligned marginal sums (days <= d1-k /
+    >= d0+k): the exact integer numerator of the standard aligned-
+    segment covariance estimator, zeros contributing only through the
+    span arithmetic. Returns (tile, lag_k, n_terms, sum_prod,
+    head_sum, tail_sum, cov_num).
+
+    Plan: ONE (cell, day) histogram pinned (it feeds the lag self-join
+    twice and both marginals), a broadcast 2-value span frame, one
+    lag-offset equi-join, three cell-keyed rollups stitched by left
+    joins over the occupied-cell x lag base — per-cell work is linear
+    in occupied days, never in the day span."""
+    if not 1 <= max_lag <= 16:
+        raise ValueError(f"max_lag must be in [1, 16], got {max_lag}")
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    h = (
+        assign_tiles(df.select(ts_col, lat, lon), res, lat=lat, lon=lon)
+        .select("tile", day.alias("day"))
+        .groupBy("tile", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    span = h.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias(
+        "lag_k"
+    )
+    hk = h.select("tile", "day", "c", ks)
+    prod = (
+        hk.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("b.tile") == F.col("a.tile"))
+            & (F.col("b.day") == F.col("a.day") + F.col("a.lag_k")),
+        )
+        .groupBy(F.col("a.tile").alias("tile"), F.col("a.lag_k").alias("lag_k"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("sum_prod"))
+    )
+    withspan = hk.crossJoin(F.broadcast(span))
+    head = (
+        withspan.filter(F.col("day") <= F.col("d1") - F.col("lag_k"))
+        .groupBy("tile", "lag_k")
+        .agg(F.sum("c").alias("head_sum"))
+    )
+    tail = (
+        withspan.filter(F.col("day") >= F.col("d0") + F.col("lag_k"))
+        .groupBy("tile", "lag_k")
+        .agg(F.sum("c").alias("tail_sum"))
+    )
+    base = h.select("tile").distinct().select("tile", ks).crossJoin(
+        F.broadcast(span)
+    )
+    out = (
+        base.join(prod, ["tile", "lag_k"], "left")
+        .join(head, ["tile", "lag_k"], "left")
+        .join(tail, ["tile", "lag_k"], "left")
+        .select(
+            "tile",
+            "lag_k",
+            (F.col("d1") - F.col("d0") + 1 - F.col("lag_k")).alias("n_terms"),
+            F.coalesce(F.col("sum_prod"), F.lit(0)).alias("sum_prod"),
+            F.coalesce(F.col("head_sum"), F.lit(0)).alias("head_sum"),
+            F.coalesce(F.col("tail_sum"), F.lit(0)).alias("tail_sum"),
+        )
+    )
+    return out.withColumn(
+        "cov_num",
+        F.col("n_terms") * F.col("sum_prod")
+        - F.col("head_sum") * F.col("tail_sum"),
+    )

@@ -12127,3 +12127,61 @@ FROM m6
 
 
 REGISTRY.update({"majority_pyramid": (q_majority_pyramid, O_MAJORITY_PYRAMID)})
+
+
+def q_tile_autocov(spark, sf_dir):
+    """Per-cell daily-count autocovariance at lags 1..3
+    (operators/tiling.py ``tile_autocov``): exact integer aligned-
+    segment covariance numerators over the 30-day fixture span, missing
+    days as algebraic zeros. The oracle replays the histogram, the lag
+    join and both marginals in SQL."""
+    from ..operators.tiling import tile_autocov
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__acov_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __acov_events"
+    )
+    return tile_autocov(t, res=7, max_lag=3)
+
+
+O_TILE_AUTOCOV = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+h AS (SELECT {_tile_sql(7)} AS tile, day, count(*) AS c FROM src GROUP BY 1, 2),
+g AS (SELECT min(day) AS d0, max(day) AS d1 FROM h),
+ks AS (SELECT k FROM (VALUES (1), (2), (3)) t(k)),
+prod AS (
+  SELECT a.tile, k AS lag_k, sum(a.c * b.c) AS sum_prod
+  FROM h a CROSS JOIN ks JOIN h b ON b.tile = a.tile AND b.day = a.day + k
+  GROUP BY 1, 2
+),
+hd AS (
+  SELECT tile, k AS lag_k, sum(c) AS head_sum
+  FROM h CROSS JOIN ks CROSS JOIN g WHERE day <= d1 - k GROUP BY 1, 2
+),
+tl AS (
+  SELECT tile, k AS lag_k, sum(c) AS tail_sum
+  FROM h CROSS JOIN ks CROSS JOIN g WHERE day >= d0 + k GROUP BY 1, 2
+),
+base AS (SELECT DISTINCT tile FROM h)
+SELECT base.tile, CAST(k AS INT) AS lag_k,
+       CAST(d1 - d0 + 1 - k AS BIGINT) AS n_terms,
+       CAST(COALESCE(sum_prod, 0) AS BIGINT) AS sum_prod,
+       CAST(COALESCE(head_sum, 0) AS BIGINT) AS head_sum,
+       CAST(COALESCE(tail_sum, 0) AS BIGINT) AS tail_sum,
+       CAST((d1 - d0 + 1 - k) * COALESCE(sum_prod, 0)
+            - COALESCE(head_sum, 0) * COALESCE(tail_sum, 0) AS BIGINT)
+         AS cov_num
+FROM base CROSS JOIN ks CROSS JOIN g
+LEFT JOIN prod ON prod.tile = base.tile AND prod.lag_k = k
+LEFT JOIN hd ON hd.tile = base.tile AND hd.lag_k = k
+LEFT JOIN tl ON tl.tile = base.tile AND tl.lag_k = k
+"""
+
+
+REGISTRY.update({"tile_autocov": (q_tile_autocov, O_TILE_AUTOCOV)})

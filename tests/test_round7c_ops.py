@@ -349,3 +349,24 @@ def test_majority_pyramid_votes_and_ties(spark):
     assert r["tile"] in t1 and len(t1) == 1
     with pytest.raises(ValueError, match="res_lo"):
         majority_pyramid(df, "event_type", res_hi=2, res_lo=2)
+
+
+def test_tile_autocov_periodic_vs_flat(spark):
+    from langtoolsosm_spark.operators.tiling import tile_autocov
+
+    # one cell, 6-day span: alternating 2,0,2,0,2,0 (period 2) — lag 2
+    # covariance positive, lag 1 negative
+    rows = []
+    for d in (0, 2, 4):
+        rows += [(d * 86400 + 1, 10.0, 10.0)] * 2
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["epoch", "lat", "lon"])
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "lat", "lon")
+    out = {r["lag_k"]: r for r in tile_autocov(df, res=4, max_lag=2).collect()}
+    # span d0=0, d1=4 -> D=5. lag1: n=4, prod=0, head=c0..c3=4, tail=c1..c4=4
+    assert out[1]["n_terms"] == 4 and out[1]["sum_prod"] == 0
+    assert out[1]["cov_num"] == 4 * 0 - 4 * 4 == -16
+    # lag2: n=3, prod = c0*c2 + c2*c4 = 8, head = c0+c1+c2 = 4, tail = 4
+    assert out[2]["sum_prod"] == 8 and out[2]["cov_num"] == 3 * 8 - 16 == 8
+    with pytest.raises(ValueError, match="max_lag"):
+        tile_autocov(df, res=4, max_lag=0)
