@@ -2106,3 +2106,54 @@ def tile_autocov(
         F.col("n_terms") * F.col("sum_prod")
         - F.col("head_sum") * F.col("tail_sum"),
     )
+
+
+def tile_trend(
+    df: DataFrame,
+    res: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    q_scale: int = 1000,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell temporal TREND of a measure — the OLS slope of
+    quantized value against event day as an exact rational:
+
+        slope = slope_num / slope_den,
+        slope_num = n * sum(t*y) - sum(t) * sum(y),
+        slope_den = n * sum(t^2) - sum(t)^2
+
+    over y = round(value * q_scale) integers and t = epoch day (the
+    slope is shift-invariant in t, so raw epoch days are used; with
+    day ~ 2e4, y <= ~1e6 and per-cell n <= ~1e6 every term stays under
+    2^63 — widen to DECIMAL only past that). A positive slope is a
+    heating cell, negative a cooling one; ``tile_changepoint`` finds
+    WHERE a shift happens, this ranks cells by sustained drift.
+    Returns (tile, n_events, sum_t, sum_y, slope_num, slope_den).
+
+    Plan: one map-side-combined five-sum rollup per cell — no joins,
+    no second scan, merge-order independent (integer sums)."""
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    yq = F.round(F.col(value_col).cast("double") * q_scale).cast("long")
+    base = assign_tiles(
+        df.select(value_col, ts_col, lat, lon), res, lat=lat, lon=lon
+    ).select("tile", day.alias("t"), yq.alias("y"))
+    agg = base.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("t").alias("sum_t"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("t") * F.col("y")).alias("__sty"),
+        F.sum(F.col("t") * F.col("t")).alias("__stt"),
+    )
+    return agg.select(
+        "tile", "n_events", "sum_t", "sum_y",
+        (
+            F.col("n_events") * F.col("__sty")
+            - F.col("sum_t") * F.col("sum_y")
+        ).alias("slope_num"),
+        (
+            F.col("n_events") * F.col("__stt")
+            - F.col("sum_t") * F.col("sum_t")
+        ).alias("slope_den"),
+    )

@@ -12185,3 +12185,41 @@ LEFT JOIN tl ON tl.tile = base.tile AND tl.lag_k = k
 
 
 REGISTRY.update({"tile_autocov": (q_tile_autocov, O_TILE_AUTOCOV)})
+
+
+def q_tile_trend(spark, sf_dir):
+    """Per-cell OLS value trend (operators/tiling.py ``tile_trend``):
+    exact rational slope of round(value*1000) against epoch day. The
+    oracle replays the quantization and the five-sum moment algebra."""
+    from ..operators.tiling import tile_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__trend_events")
+    t = spark.sql(
+        f"SELECT ts, value, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __trend_events"
+    )
+    return tile_trend(t, res=7)
+
+
+O_TILE_TREND = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+         CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS y,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+m AS (
+  SELECT {_tile_sql(7)} AS tile, count(*) AS n, sum(t) AS st, sum(y) AS sy,
+         sum(t * y) AS sty, sum(t * t) AS stt
+  FROM src GROUP BY 1
+)
+SELECT tile, CAST(n AS BIGINT) AS n_events, CAST(st AS BIGINT) AS sum_t,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+       CAST(n * stt - st * st AS BIGINT) AS slope_den
+FROM m
+"""
+
+
+REGISTRY.update({"tile_trend": (q_tile_trend, O_TILE_TREND)})

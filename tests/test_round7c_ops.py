@@ -370,3 +370,18 @@ def test_tile_autocov_periodic_vs_flat(spark):
     assert out[2]["sum_prod"] == 8 and out[2]["cov_num"] == 3 * 8 - 16 == 8
     with pytest.raises(ValueError, match="max_lag"):
         tile_autocov(df, res=4, max_lag=0)
+
+
+def test_tile_trend_exact_slope(spark):
+    from langtoolsosm_spark.operators.tiling import tile_trend
+
+    # one cell, value rises 1.0/day over days 0..3: slope = 1000 milli/day
+    rows = [(d * 86400 + 10, float(d), 10.0, 10.0) for d in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["epoch", "value", "lat", "lon"])
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "value", "lat", "lon")
+    r = tile_trend(df, res=4).collect()[0]
+    # t = 0..3, y = 0,1000,2000,3000: num = 4*14000 - 6*6000 = 20000,
+    # den = 4*14 - 36 = 20 -> slope 1000 exactly
+    assert r["n_events"] == 4 and r["slope_num"] == 20000 and r["slope_den"] == 20
+    assert r["slope_num"] // r["slope_den"] == 1000
