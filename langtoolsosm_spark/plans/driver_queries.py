@@ -12223,3 +12223,42 @@ FROM m
 
 
 REGISTRY.update({"tile_trend": (q_tile_trend, O_TILE_TREND)})
+
+
+def q_stream_tile_trend(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the per-cell OLS trend
+    (streaming/microbatch.py ``stream_tile_trend``): rank-interleaved
+    maximal-disorder staging — the five moment sums are order-free, so
+    the final per-tile state finished with the batch slope algebra must
+    equal ``tile_trend`` exactly (same oracle)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_tile_trend_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__trend_events")
+    t = spark.sql(
+        f"SELECT ts, value, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __trend_events"
+    )
+    out = tempfile.mkdtemp(prefix="streamtrend_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "value"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_tile_trend_stream_once(
+            spark, src, _os.path.join(out, "ckpt"), res=7
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update({"stream_tile_trend": (q_stream_tile_trend, O_TILE_TREND)})

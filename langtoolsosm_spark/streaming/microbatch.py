@@ -2142,3 +2142,104 @@ def run_line_density_stream_once(
         FROM {name} GROUP BY 1
         """
     )
+
+
+def stream_tile_trend(
+    stream: DataFrame,
+    res: int,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    q_scale: int = 1000,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming per-cell TREND state: the five OLS moment sums of batch
+    ``tile_trend`` — (n, st, sy, sty, stt) over t = epoch day and
+    y = round(value * q_scale) — kept per tile. The sums are associative
+    and commutative, so the final state equals the batch moments under
+    ANY arrival order or batching (the order-free parity class of
+    ``stream_gyration_moments``; no ordering contract). int64 holds by
+    the same bound as batch (day ~ 2e4, |y| <= ~1e6, per-cell n <= ~1e6
+    keeps every term under 2^63). Emits one update row per
+    (tile, trigger)."""
+    import pandas as pd
+
+    from ..functions.cells import tile_key_col
+
+    day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")
+    yq = F.round(F.col(value_col).cast("double") * q_scale).cast("long")
+    keyed = stream.select(
+        tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        day.alias("__t"),
+        yq.alias("__y"),
+    )
+
+    def kernel(key, pdf_iter, state):
+        n = st = sy = sty = stt = 0
+        if state.exists:
+            n, st, sy, sty, stt = (int(v) for v in state.get)
+        for pdf in pdf_iter:
+            ts = pdf["__t"].astype("int64")
+            ys = pdf["__y"].astype("int64")
+            n += len(pdf)
+            st += int(ts.sum())
+            sy += int(ys.sum())
+            sty += int((ts * ys).sum())
+            stt += int((ts * ts).sum())
+        state.update((n, st, sy, sty, stt))
+        yield pd.DataFrame(
+            {
+                "tile": [key[0]],
+                "n": [n], "st": [st], "sy": [sy], "sty": [sty], "stt": [stt],
+            }
+        )
+
+    return keyed.groupBy("tile").applyInPandasWithState(
+        kernel,
+        outputStructType="tile long, n long, st long, sy long, sty long, stt long",
+        stateStructType="n long, st long, sy long, sty long, stt long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_tile_trend_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str, res: int
+) -> DataFrame:
+    """Drive the streaming trend moments over all staged files and finish
+    each tile's FINAL state with the same rational-slope algebra as batch
+    ``tile_trend`` — byte-identical output schema and values."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"trend_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_tile_trend(st, res=res)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode memory sink keeps every trigger's row; the per-tile
+    # final state is the one with the largest n (sums only grow)
+    return spark.sql(
+        f"""
+        WITH fin AS (
+          SELECT tile, n, st, sy, sty, stt,
+                 row_number() OVER (PARTITION BY tile ORDER BY n DESC) AS rk
+          FROM {name}
+        )
+        SELECT tile, CAST(n AS BIGINT) AS n_events, CAST(st AS BIGINT) AS sum_t,
+               CAST(sy AS BIGINT) AS sum_y,
+               CAST(n * sty - st * sy AS BIGINT) AS slope_num,
+               CAST(n * stt - st * st AS BIGINT) AS slope_den
+        FROM fin WHERE rk = 1
+        """
+    )

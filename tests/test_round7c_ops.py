@@ -385,3 +385,44 @@ def test_tile_trend_exact_slope(spark):
     # den = 4*14 - 36 = 20 -> slope 1000 exactly
     assert r["n_events"] == 4 and r["slope_num"] == 20000 and r["slope_den"] == 20
     assert r["slope_num"] // r["slope_den"] == 1000
+
+
+def test_stream_tile_trend_parity(spark, tmp_path):
+    import os
+
+    from langtoolsosm_spark.operators.tiling import tile_trend
+    from langtoolsosm_spark.streaming.microbatch import (
+        run_tile_trend_stream_once,
+    )
+
+    # two cells far apart: one rising 0.5/day, one falling 2.0/day
+    rows = []
+    for d in range(6):
+        rows.append((d * 86400 + 5, 0.5 * d, 10.0, 10.0))
+        rows.append((d * 86400 + 7, 12.0 - 2.0 * d, -40.0, 120.0))
+    pdf = pd.DataFrame(rows, columns=["epoch", "value", "lat", "lon"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s").astype("datetime64[us]")
+    staged = pdf[["ts", "value", "lat", "lon"]]
+    src = tmp_path / "src"
+    src.mkdir()
+    # maximal disorder: round-robin rows over 3 micro-batch files
+    for i in range(3):
+        p = src / f"b{i}.parquet"
+        staged.iloc[i::3].to_parquet(p, index=False)
+        os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+    streamed = {
+        r["tile"]: (r["n_events"], r["slope_num"], r["slope_den"])
+        for r in run_tile_trend_stream_once(
+            spark, str(src), str(tmp_path / "ckpt"), res=5
+        ).collect()
+    }
+    df = spark.createDataFrame(staged)
+    batch = {
+        r["tile"]: (r["n_events"], r["slope_num"], r["slope_den"])
+        for r in tile_trend(df, res=5).collect()
+    }
+    assert streamed == batch and len(batch) == 2
+    for n, num, den in batch.values():
+        assert n == 6 and den > 0
+    slopes = sorted(num / den for _, num, den in batch.values())
+    assert slopes == [-2000.0, 500.0]
