@@ -4237,3 +4237,144 @@ def msd_curve(
             F.sum("d2").alias("sum_disp2"),
         )
     )
+
+
+def knox_stat(
+    events: DataFrame,
+    ds_micro: int,
+    dt_sec: int,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_cell: int = 20_000,
+) -> DataFrame:
+    """Knox space-time interaction statistic (Knox 1964, the classic
+    epidemiology cluster test): over all C(n,2) event pairs count those
+    close in SPACE (integer micro-degree Chebyshev distance <= ds_micro),
+    close in TIME (|epoch seconds| <= dt_sec), and close in BOTH — the
+    Knox statistic. Under the independence null the expected joint count
+    is ns * nt / C(n,2); the result carries it as the exact rational
+    (e_num, e_den) = (2*ns*nt, n*(n-1)) so no float enters the gate.
+    Returns ONE row (n_events, ns_pairs, nt_pairs, nst_pairs, e_num,
+    e_den). nst >> e_num/e_den signals spatio-temporal clustering
+    (outbreaks, bursts that move).
+
+    Plan — never all-pairs:
+    * SPACE: points block into ds-sized cells on SHIFTED non-negative
+      micro-degrees (truncating int division == floor only there); one
+      side fans over the 3x3 neighbor ring, an equi-join on the cell key
+      generates each unordered candidate pair exactly once (the fanned
+      copy hits the partner's cell at one offset; id_a < id_b kills the
+      mirror), and the exact Chebyshev/time predicates are conditional
+      sums in ONE aggregation. Per-cell occupancy is gated at
+      ``max_cell`` (counted, loud) because the fan-out is sum of
+      occupancy^2 over cells.
+    * TIME: a distinct-timestamp histogram plus ONE range window
+      (sum of counts over (t, t+dt]) — O(distinct ts) state, the
+      zone_concurrency precedent; same-second pairs fold in as
+      C(cnt,2). No pair ever materializes for the time margin.
+    * Counts are exact int64; 2*ns*nt overflows past ~2^63 — ANSI mode
+      raises loudly there; widen to DECIMAL(38,0) for corpora past
+      ~3e9 close pairs.
+    """
+    from pyspark.sql import Window
+
+    if ds_micro < 1 or dt_sec < 1:
+        raise ValueError(
+            f"knox_stat: ds_micro and dt_sec must be >= 1, got "
+            f"({ds_micro}, {dt_sec})"
+        )
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    pts = events.select(
+        F.col(id_col).alias("id"),
+        x.alias("x"),
+        y.alias("y"),
+        F.unix_timestamp(F.col(ts_col)).alias("t"),
+    ).withColumns(
+        {
+            "cx": F.expr(f"div(x + 180000000, {ds_micro})"),
+            "cy": F.expr(f"div(y + 180000000, {ds_micro})"),
+        }
+    )
+    if max_cell is not None:
+        pts = pts.localCheckpoint(eager=True)
+        worst = (
+            pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_cell)
+            .orderBy(F.col("occ").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            raise ValueError(
+                f"knox_stat: cell ({r['cx']},{r['cy']}) holds {r['occ']} "
+                f"events (> max_cell={max_cell}); the spatial candidate "
+                "join is quadratic in cell occupancy — raise ds_micro "
+                "resolution or pre-thin (tile_cap_sample), or raise "
+                "max_cell deliberately (None disables the gate)"
+            )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    fan = pts.select(
+        F.col("id").alias("a_id"), F.col("x").alias("a_x"),
+        F.col("y").alias("a_y"), F.col("t").alias("a_t"), "cx", "cy", offs
+    ).select(
+        "a_id", "a_x", "a_y", "a_t",
+        (F.col("cx") + F.col("o.dx")).alias("fx"),
+        (F.col("cy") + F.col("o.dy")).alias("fy"),
+    )
+    near_s = (
+        F.greatest(
+            F.abs(F.col("a_x") - F.col("x")),
+            F.abs(F.col("a_y") - F.col("y")),
+        )
+        <= ds_micro
+    )
+    near_t = F.abs(F.col("a_t") - F.col("t")) <= dt_sec
+    sp = (
+        fan.join(
+            pts,
+            (F.col("fx") == F.col("cx"))
+            & (F.col("fy") == F.col("cy"))
+            & (F.col("a_id") < F.col("id")),
+        )
+        .agg(
+            F.sum(F.when(near_s, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("ns"),
+            F.sum(F.when(near_s & near_t, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("nst"),
+        )
+    )
+    hist = pts.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("t").rangeBetween(1, dt_sec)
+    tm = (
+        hist.withColumn(
+            "later", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.col("later"))
+                + F.sum(F.expr("cnt * (cnt - 1) div 2"))
+            ).cast("long").alias("nt")
+        )
+    )
+    tot = pts.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tot.crossJoin(sp).crossJoin(tm)
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("ns").alias("ns_pairs"),
+            F.col("nt").alias("nt_pairs"),
+            F.col("nst").alias("nst_pairs"),
+            (F.lit(2) * F.col("ns") * F.col("nt")).alias("e_num"),
+            (F.col("n") * (F.col("n") - F.lit(1))).alias("e_den"),
+        )
+    )

@@ -12262,3 +12262,65 @@ def q_stream_tile_trend(spark, sf_dir):
 
 
 REGISTRY.update({"stream_tile_trend": (q_stream_tile_trend, O_TILE_TREND)})
+
+
+def q_knox_stat(spark, sf_dir):
+    """Knox space-time interaction test (operators/spatial.py
+    ``knox_stat``): exact integer pair counts close in space (Chebyshev
+    <= 0.2 deg), in time (<= 7 days), and in both, plus the exact
+    rational independence expectation. The oracle replays the identical
+    cell-blocked candidate generation and range-window time margin —
+    never an all-pairs join at any tier."""
+    from ..operators.spatial import knox_stat
+
+    return knox_stat(_traj(spark, sf_dir), ds_micro=200_000, dt_sec=604_800)
+
+
+O_KNOX_STAT = f"""
+WITH src AS (
+  SELECT event_id AS id,
+         CAST(floor(({TRAJ_LAT_SQL}) * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(({TRAJ_LON_SQL}) * 1000000.0) AS BIGINT) AS y,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events
+),
+cells AS (
+  SELECT id, x, y, t,
+         (x + 180000000) // 200000 AS cx,
+         (y + 180000000) // 200000 AS cy
+  FROM src
+),
+fan AS (
+  SELECT id, x, y, t, cx + dx AS fx, cy + dy AS fy
+  FROM cells,
+       (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+       o(dx, dy)
+),
+sp AS (
+  SELECT count(*) FILTER (greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 200000)
+           AS ns,
+         count(*) FILTER (greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 200000
+                          AND abs(a.t - b.t) <= 604800) AS nst
+  FROM fan a JOIN cells b
+    ON a.fx = b.cx AND a.fy = b.cy AND a.id < b.id
+),
+hist AS (SELECT t, count(*) AS cnt FROM src GROUP BY 1),
+tm AS (
+  SELECT CAST(sum(cnt * later) + sum(cnt * (cnt - 1) // 2) AS BIGINT) AS nt
+  FROM (
+    SELECT cnt,
+           COALESCE(sum(cnt) OVER (ORDER BY t
+             RANGE BETWEEN 1 FOLLOWING AND 604800 FOLLOWING), 0) AS later
+    FROM hist
+  )
+),
+tot AS (SELECT count(*) AS n FROM src)
+SELECT CAST(n AS BIGINT) AS n_events, CAST(ns AS BIGINT) AS ns_pairs,
+       CAST(nt AS BIGINT) AS nt_pairs, CAST(nst AS BIGINT) AS nst_pairs,
+       CAST(2 * ns * nt AS BIGINT) AS e_num,
+       CAST(n * (n - 1) AS BIGINT) AS e_den
+FROM tot, sp, tm
+"""
+
+
+REGISTRY.update({"knox_stat": (q_knox_stat, O_KNOX_STAT)})

@@ -426,3 +426,34 @@ def test_stream_tile_trend_parity(spark, tmp_path):
         assert n == 6 and den > 0
     slopes = sorted(num / den for _, num, den in batch.values())
     assert slopes == [-2000.0, 500.0]
+
+
+def test_knox_stat_exact_and_gate(spark):
+    from langtoolsosm_spark.operators.spatial import knox_stat
+
+    # 4 events: a/b close in space AND time; a/c close in space only
+    # (far in time); a/d close in time only (far in space); b..d mutual
+    # relations chosen so every margin is hand-countable.
+    rows = [
+        (1, 0, 10.0000, 10.0000),      # a
+        (2, 50, 10.00005, 10.00005),   # b: ~5 micro from a, dt=50
+        (3, 10_000, 10.00008, 10.0),   # c: close to a,b in space; far in t
+        (4, 60, 20.0, 20.0),           # d: far in space; close to a,b in t
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "epoch", "lat", "lon"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+    r = knox_stat(df, ds_micro=1000, dt_sec=100).collect()[0]
+    # space-close: (a,b), (a,c), (b,c) -> ns=3
+    # time-close:  (a,b), (a,d), (b,d) -> nt=3
+    # both:        (a,b)              -> nst=1
+    assert (r["n_events"], r["ns_pairs"], r["nt_pairs"], r["nst_pairs"]) == (
+        4, 3, 3, 1
+    )
+    assert (r["e_num"], r["e_den"]) == (2 * 3 * 3, 4 * 3)
+    # occupancy gate fires loudly on a hot cell
+    with pytest.raises(ValueError, match="max_cell"):
+        knox_stat(df, ds_micro=1000, dt_sec=100, max_cell=1).collect()
+    with pytest.raises(ValueError, match="ds_micro"):
+        knox_stat(df, ds_micro=0, dt_sec=100)
