@@ -12324,3 +12324,66 @@ FROM tot, sp, tm
 
 
 REGISTRY.update({"knox_stat": (q_knox_stat, O_KNOX_STAT)})
+
+
+def q_blur_scores(spark, sf_dir):
+    """Variance-of-Laplacian sharpness audit (operators/images.py
+    ``blur_scores``): exact integer moment sums of the 4-neighbor
+    Laplacian over interior luminance, integer keep decision. The oracle
+    hex-decodes the same raw frames and replays the stencil as four
+    per-pixel self-joins."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import blur_scores
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return blur_scores(imgs)
+
+
+O_BLUR_SCORES = f"""
+WITH {_QUALITY_RAW_V},
+ch AS MATERIALIZED (
+  SELECT image_id, w, h, (i - 9) // 3 AS p,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END) AS BIGINT) AS rv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END) AS BIGINT) AS gv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END) AS BIGINT) AS bvv
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4
+),
+lum AS MATERIALIZED (
+  SELECT image_id, w, h, p,
+         (2126 * rv + 7152 * gv + 722 * bvv) // 10000 AS l
+  FROM ch
+),
+lap AS (
+  SELECT a.image_id, 4 * a.l - u.l - d.l - lf.l - rt.l AS lp
+  FROM lum a
+  JOIN lum u  ON u.image_id = a.image_id AND u.p = a.p - a.w
+  JOIN lum d  ON d.image_id = a.image_id AND d.p = a.p + a.w
+  JOIN lum lf ON lf.image_id = a.image_id AND lf.p = a.p - 1
+  JOIN lum rt ON rt.image_id = a.image_id AND rt.p = a.p + 1
+  WHERE (a.p // a.w) BETWEEN 1 AND a.h - 2
+    AND (a.p % a.w) BETWEEN 1 AND a.w - 2
+),
+agg AS (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n_int,
+         CAST(sum(lp) AS BIGINT) AS s1,
+         CAST(sum(lp * lp) AS BIGINT) AS s2
+  FROM lap GROUP BY 1
+),
+ids AS (SELECT DISTINCT image_id FROM v)
+SELECT ids.image_id,
+       COALESCE(n_int, 0) AS n_int,
+       COALESCE(s1, 0) AS sum_lap,
+       COALESCE(s2, 0) AS sum_lap2,
+       CAST(COALESCE(n_int * s2 - s1 * s1, 0) AS BIGINT) AS var_num,
+       CAST(CASE WHEN COALESCE(n_int * s2 - s1 * s1, 0)
+                      >= 1000 * COALESCE(n_int, 0) * COALESCE(n_int, 0)
+                      AND COALESCE(n_int, 0) > 0
+                 THEN 1 ELSE 0 END AS INT) AS is_sharp
+FROM ids LEFT JOIN agg ON agg.image_id = ids.image_id
+"""
+
+
+REGISTRY.update({"blur_scores": (q_blur_scores, O_BLUR_SCORES)})

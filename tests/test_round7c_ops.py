@@ -457,3 +457,33 @@ def test_knox_stat_exact_and_gate(spark):
         knox_stat(df, ds_micro=1000, dt_sec=100, max_cell=1).collect()
     with pytest.raises(ValueError, match="ds_micro"):
         knox_stat(df, ds_micro=0, dt_sec=100)
+
+
+def test_blur_scores_flat_vs_textured(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import blur_scores
+
+    flat = np.full((8, 8, 3), 128, dtype=np.uint8)          # zero Laplacian
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)           # max texture
+    checker[(np.indices((8, 8)).sum(axis=0) % 2) == 1] = 255
+    tiny = np.full((2, 5, 3), 7, dtype=np.uint8)            # no interior
+    rows = [
+        ("flat", ic.encode_raw(flat), "raw"),
+        ("checker", ic.encode_raw(checker), "raw"),
+        ("tiny", ic.encode_raw(tiny), "raw"),
+    ]
+    out = {
+        r["image_id"]: r
+        for r in blur_scores(
+            spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+        ).collect()
+    }
+    assert out["flat"]["var_num"] == 0 and out["flat"]["is_sharp"] == 0
+    assert out["tiny"]["n_int"] == 0 and out["tiny"]["is_sharp"] == 0
+    # checkerboard: every interior Laplacian is +-8*255 of the luminance
+    # contrast; variance is enormous -> sharp
+    ck = out["checker"]
+    assert ck["n_int"] == 36 and ck["is_sharp"] == 1
+    assert ck["var_num"] == ck["n_int"] * ck["sum_lap2"] - ck["sum_lap"] ** 2
+    with pytest.raises(ValueError, match="min_var"):
+        blur_scores(spark.createDataFrame(rows, "image_id string, bytes binary, fmt string"), min_var=-1)
