@@ -603,3 +603,98 @@ def hamming_cross_contamination(
             (F.coalesce("n_train_neardups", F.lit(0)) > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold_milli: int = 800, block_col: str = "source",
+    text_col: str = "text", id_col: str = "doc_id",
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Asymmetric word-set CONTAINMENT >= threshold within blocking-column
+    groups: C(a in b) = |Wa intersect Wb| / |Wa| as exact integer
+    milli-containment. This is the doc-inside-doc signal Jaccard dilutes —
+    a paragraph quoted whole inside a 100x larger page has J ~ |Wa|/|Wb|
+    (tiny) but C ~ 1.0, and it's exactly the boilerplate-inclusion /
+    quotation case an LLM corpus dedup must catch (Broder 1997 splits
+    resemblance from containment for this reason). Output is ORDERED
+    (contained, container, cont_milli), a != b; a mutual near-dup pair
+    appears in both directions.
+
+    The AllPairs prefix principle adapts to the asymmetric threshold: if
+    C(a in b) >= t then |a intersect b| >= ceil(t * |a|), so indexing only
+    a's rarest-first prefix of length |a| - ceil(t * |a|) + 1 on the
+    CONTAINED side (the full posting list on the container side) finds
+    every qualifying ordered pair; exact per-pair verification keeps the
+    output identical to the naive quadratic spec."""
+    if not 1 <= threshold_milli <= 1000:
+        raise ValueError(
+            f"threshold_milli must be in [1, 1000], got {threshold_milli}"
+        )
+    words = docs.select(
+        F.col(id_col), F.col(block_col),
+        F.explode(F.split(text_col, " ")).alias("w"),
+    ).distinct()
+    sizes = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("__df"))
+        rk = Window.partitionBy(id_col).orderBy("__df", "w")
+        pre = (
+            words.join(dfreq, "w")
+            .withColumn("__rk", F.row_number().over(rk))
+            .join(sizes, id_col)
+            .filter(
+                F.col("__rk")
+                <= F.col("nw")
+                - F.expr(f"div({threshold_milli} * nw + 999, 1000)")
+                + 1
+            )
+            .select(id_col, block_col, "w")
+        )
+        cand = (
+            pre.alias("a")
+            .join(
+                words.alias("b"),
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")),
+            )
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("contained"),
+                F.col(f"b.{id_col}").alias("container"),
+            )
+            .distinct()
+        )
+        inter = (
+            cand.join(words.alias("wa"), F.col("contained") == F.col(f"wa.{id_col}"))
+            .join(
+                words.alias("wb"),
+                (F.col("container") == F.col(f"wb.{id_col}"))
+                & (F.col("wa.w") == F.col("wb.w")),
+            )
+            .groupBy("contained", "container")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = words.alias("a"), words.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.w") == F.col("b.w"))
+                & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")),
+            )
+            .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            .groupBy(
+                F.col(f"a.{id_col}").alias("contained"),
+                F.col(f"b.{id_col}").alias("container"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sa = sizes.select(F.col(id_col).alias("contained"), F.col("nw").alias("na"))
+    return (
+        inter.join(sa, "contained")
+        .withColumn("cont_milli", F.expr("div(1000 * inter, na)"))
+        .filter(F.col("cont_milli") >= threshold_milli)
+        .select("contained", "container", "cont_milli")
+    )

@@ -12387,3 +12387,34 @@ FROM ids LEFT JOIN agg ON agg.image_id = ids.image_id
 
 
 REGISTRY.update({"blur_scores": (q_blur_scores, O_BLUR_SCORES)})
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric word-set containment pairs (operators/dedup.py
+    ``containment_pairs``): the doc-inside-doc dedup signal, ordered
+    (contained, container) with exact integer milli-containment; the
+    prefix-filtered engine output equals the naive quadratic oracle."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+O_CONTAINMENT_PAIRS = """
+WITH words AS (
+  SELECT DISTINCT doc_id, source, w
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+),
+sizes AS (SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS inter
+  FROM words a JOIN words b ON a.w = b.w AND a.source = b.source
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained, container, (1000 * inter) // sa.nw AS cont_milli
+FROM inter JOIN sizes sa ON sa.doc_id = contained
+WHERE (1000 * inter) // sa.nw >= 800
+"""
+
+
+REGISTRY.update({"containment_pairs": (q_containment_pairs, O_CONTAINMENT_PAIRS)})

@@ -487,3 +487,26 @@ def test_blur_scores_flat_vs_textured(spark):
     assert ck["var_num"] == ck["n_int"] * ck["sum_lap2"] - ck["sum_lap"] ** 2
     with pytest.raises(ValueError, match="min_var"):
         blur_scores(spark.createDataFrame(rows, "image_id string, bytes binary, fmt string"), min_var=-1)
+
+
+def test_containment_pairs_asymmetric(spark):
+    from langtoolsosm_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote, "s"), (2, page, "s"), (3, "zeta eta theta", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["contained"], r["container"]): r["cont_milli"]
+            for r in containment_pairs(docs, threshold_milli=800).collect()}
+    # the quote is fully inside the page -> C(1 in 2) = 1000; the reverse
+    # direction is 5/45 and must NOT appear; doc 3 shares nothing
+    assert rows == {(1, 2): 1000}
+    # prefix filter output == naive output
+    naive = {(r["contained"], r["container"]): r["cont_milli"]
+             for r in containment_pairs(
+                 docs, threshold_milli=800, prefix_filter=False).collect()}
+    assert naive == rows
+    with pytest.raises(ValueError, match="threshold_milli"):
+        containment_pairs(docs, threshold_milli=0)
