@@ -4378,3 +4378,126 @@ def knox_stat(
             (F.col("n") * (F.col("n") - F.lit(1))).alias("e_den"),
         )
     )
+
+
+def frechet_dist(
+    events: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_len: int = 2_000,
+) -> DataFrame:
+    """Discrete Fréchet distance (Eiter & Mannila 1994) between two
+    entities' ORDERED trajectories under the integer micro-degree
+    Chebyshev metric — the leash-length similarity that respects visit
+    ORDER, where ``cell_hausdorff`` only compares visited SETS (two
+    entities walking the same loop in opposite directions are
+    Hausdorff-identical but Fréchet-far). Computed for the candidate
+    ``pairs`` (typically ``co_visitation`` output, never all entity
+    pairs). Returns (a, b, n_a, n_b, frechet_d) with the exact integer
+    coupling distance
+
+        c(i,j) = max(d(i,j), min(c(i-1,j), c(i,j-1), c(i-1,j-1))).
+
+    Plan: one window-free sequence assembly (sort_array over
+    (ts, event_id) structs — merge-order independent), candidate pins,
+    then a per-pair Arrow kernel running the O(n*m) column-sweep DP —
+    inherently sequential (the simplify_radial precedent), integers
+    only, bounded by the counted ``max_len`` gate: per-pair cost is
+    n*m <= max_len^2, so callers size the candidate set, not the
+    operator. The DuckDB oracle replays the identical DP as an
+    anti-diagonal recursive CTE."""
+    if max_len is not None and max_len < 2:
+        raise ValueError(f"max_len must be >= 2, got {max_len}")
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    seqs = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("eid"),
+                x.alias("x"),
+                y.alias("y"),
+            ).alias("s"),
+        )
+        .groupBy("entity")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(
+            "entity",
+            F.expr("transform(seq, p -> p.x)").alias("xs"),
+            F.expr("transform(seq, p -> p.y)").alias("ys"),
+        )
+    )
+    if max_len is not None:
+        seqs = seqs.localCheckpoint(eager=True)
+        worst = (
+            seqs.select("entity", F.size("xs").alias("n"))
+            .filter(F.col("n") > max_len)
+            .orderBy(F.col("n").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            raise ValueError(
+                f"frechet_dist: entity {r['entity']} has {r['n']} points "
+                f"(> max_len={max_len}); the per-pair DP is n*m — "
+                "resample the trajectory (trajectory_resample) or raise "
+                "max_len deliberately (None disables the gate)"
+            )
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    j = (
+        p.join(
+            seqs.select(
+                F.col("entity").alias("a"),
+                F.col("xs").alias("ax"), F.col("ys").alias("ay"),
+            ),
+            "a",
+        )
+        .join(
+            seqs.select(
+                F.col("entity").alias("b"),
+                F.col("xs").alias("bx"), F.col("ys").alias("by"),
+            ),
+            "b",
+        )
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for a, b, ax, ay, bx, by in zip(
+                pdf["a"], pdf["b"], pdf["ax"], pdf["ay"], pdf["bx"], pdf["by"]
+            ):
+                axv = np.asarray(ax, dtype=np.int64)
+                ayv = np.asarray(ay, dtype=np.int64)
+                bxv = np.asarray(bx, dtype=np.int64)
+                byv = np.asarray(by, dtype=np.int64)
+                n, m = len(axv), len(bxv)
+                d = np.maximum(
+                    np.abs(axv[:, None] - bxv[None, :]),
+                    np.abs(ayv[:, None] - byv[None, :]),
+                )
+                col = np.maximum.accumulate(d[:, 0])
+                for jj in range(1, m):
+                    pre = col.copy()
+                    pre[1:] = np.minimum(col[1:], col[:-1])
+                    new = np.empty(n, dtype=np.int64)
+                    new[0] = max(d[0, jj], col[0])
+                    dj = d[:, jj]
+                    prev = new[0]
+                    for ii in range(1, n):
+                        prev = max(dj[ii], min(prev, pre[ii]))
+                        new[ii] = prev
+                    col = new
+                recs.append((a, b, n, m, int(col[-1])))
+            yield pd.DataFrame(
+                recs, columns=["a", "b", "n_a", "n_b", "frechet_d"]
+            )
+
+    return j.mapInPandas(
+        kernel,
+        schema="a long, b long, n_a long, n_b long, frechet_d long",
+    )

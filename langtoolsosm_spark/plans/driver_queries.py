@@ -12418,3 +12418,97 @@ WHERE (1000 * inter) // sa.nw >= 800
 
 
 REGISTRY.update({"containment_pairs": (q_containment_pairs, O_CONTAINMENT_PAIRS)})
+
+
+FRECHET_TOPN = 40
+
+
+def q_frechet_dist(spark, sf_dir):
+    """Discrete Fréchet trajectory distance (operators/spatial.py
+    ``frechet_dist``) for the first ``FRECHET_TOPN`` co-visitation
+    candidate pairs by (a, b) — a deterministic bound because the
+    oracle's recursive-CTE DP is O(pairs * n * m) (the convex_hull
+    fixture-bound precedent). Order-sensitive similarity on top of the
+    contact graph; ``cell_hausdorff`` is its set-based sibling."""
+    from ..operators.spatial import frechet_dist
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = (
+        co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+        .orderBy("a", "b").limit(FRECHET_TOPN)
+    )
+    return frechet_dist(t, pairs)
+
+
+O_FRECHET_DIST = f"""
+WITH RECURSIVE {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+sel AS (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+  ORDER BY a, b LIMIT {FRECHET_TOPN}
+),
+seq AS MATERIALIZED (
+  SELECT user_id AS entity,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS y
+  FROM src
+  WHERE user_id IN (SELECT a FROM sel UNION SELECT b FROM sel)
+),
+dmat AS MATERIALIZED (
+  SELECT s.a, s.b, pa.idx AS i, pb.idx AS j,
+         greatest(abs(pa.x - pb.x), abs(pa.y - pb.y)) AS d
+  FROM sel s JOIN seq pa ON pa.entity = s.a JOIN seq pb ON pb.entity = s.b
+),
+sizes AS (
+  SELECT s.a, s.b, na.n AS n, nb.n AS m
+  FROM sel s
+  JOIN (SELECT entity, count(*) AS n FROM seq GROUP BY 1) na ON na.entity = s.a
+  JOIN (SELECT entity, count(*) AS n FROM seq GROUP BY 1) nb ON nb.entity = s.b
+),
+dp AS (
+  SELECT a, b, i, j, d AS c, TRUE AS lead
+  FROM dmat WHERE i = 0 AND j = 0
+  UNION ALL
+  SELECT * FROM (
+    SELECT m.a, m.b, m.i, m.j,
+           greatest(m.d, least(
+             COALESCE(p1.c, 1000000000000000),
+             COALESCE(p2.c, 1000000000000000),
+             COALESCE(p3.c, 1000000000000000))) AS c,
+           TRUE AS lead
+    FROM dmat m
+    LEFT JOIN dp p1 ON p1.lead AND p1.a = m.a AND p1.b = m.b
+                   AND p1.i = m.i - 1 AND p1.j = m.j
+    LEFT JOIN dp p2 ON p2.lead AND p2.a = m.a AND p2.b = m.b
+                   AND p2.i = m.i AND p2.j = m.j - 1
+    LEFT JOIN dp p3 ON (NOT p3.lead) AND p3.a = m.a AND p3.b = m.b
+                   AND p3.i = m.i - 1 AND p3.j = m.j - 1
+    WHERE p1.c IS NOT NULL OR p2.c IS NOT NULL
+    UNION ALL
+    SELECT a, b, i, j, c, FALSE AS lead FROM dp WHERE lead
+  )
+)
+SELECT dp.a, dp.b, CAST(sz.n AS BIGINT) AS n_a, CAST(sz.m AS BIGINT) AS n_b,
+       CAST(dp.c AS BIGINT) AS frechet_d
+FROM dp JOIN sizes sz ON sz.a = dp.a AND sz.b = dp.b
+WHERE dp.lead AND dp.i = sz.n - 1 AND dp.j = sz.m - 1
+"""
+
+
+REGISTRY.update({"frechet_dist": (q_frechet_dist, O_FRECHET_DIST)})

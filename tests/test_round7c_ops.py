@@ -510,3 +510,46 @@ def test_containment_pairs_asymmetric(spark):
     assert naive == rows
     with pytest.raises(ValueError, match="threshold_milli"):
         containment_pairs(docs, threshold_milli=0)
+
+
+def test_frechet_dist_order_sensitivity(spark):
+    from langtoolsosm_spark.operators.spatial import frechet_dist
+
+    # entity 1 and 2 walk the SAME five cells, entity 2 in reverse order;
+    # entity 3 shadows entity 1 exactly. Hausdorff(1,2)=0 but Fréchet is
+    # the full path span; Fréchet(1,3)=0.
+    path = [(10.0 + 0.001 * i, 20.0) for i in range(5)]
+    rows = []
+    for i, (la, lo) in enumerate(path):
+        rows.append((1, i * 10, 100 + i, la, lo))
+        rows.append((3, i * 10, 300 + i, la, lo))
+    for i, (la, lo) in enumerate(reversed(path)):
+        rows.append((2, i * 10, 200 + i, la, lo))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r["a"], r["b"]): r["frechet_d"]
+           for r in frechet_dist(df, pairs).collect()}
+    # reversed path: the leash starts at the full 4-milli-degree span
+    # (A's first frame pairs with B's first = A's last) = 4000 micro-deg
+    def brute(A, B):
+        import numpy as np
+        d = np.maximum(np.abs(A[:, 0][:, None] - B[:, 0][None, :]),
+                       np.abs(A[:, 1][:, None] - B[:, 1][None, :]))
+        n, m = d.shape
+        c = np.zeros((n, m), dtype=np.int64)
+        for i in range(n):
+            for j in range(m):
+                opts = ([c[i-1, j]] if i else []) + ([c[i, j-1]] if j else []) \
+                    + ([c[i-1, j-1]] if i and j else [])
+                c[i, j] = max(d[i, j], min(opts)) if opts else d[i, j]
+        return int(c[-1, -1])
+    A = np.array([(int(la * 1e6), int(lo * 1e6)) for la, lo in path])
+    assert out[(1, 3)] == 0
+    assert out[(1, 2)] == brute(A, A[::-1]) == 4000
+    with pytest.raises(ValueError, match="max_len"):
+        frechet_dist(df, pairs, max_len=2).collect()
