@@ -12441,7 +12441,10 @@ def q_frechet_dist(spark, sf_dir):
     return frechet_dist(t, pairs)
 
 
-O_FRECHET_DIST = f"""
+def _o_coupling(combine: str, out_col: str) -> str:
+    """Shared recursive-CTE coupling-DP oracle: ``combine`` folds the
+    cell distance with the best parent (max -> Fréchet, + -> DTW)."""
+    return f"""
 WITH RECURSIVE {TRAJ_SRC_CTE},
 pres AS (
   SELECT DISTINCT
@@ -12487,10 +12490,7 @@ dp AS (
   UNION ALL
   SELECT * FROM (
     SELECT m.a, m.b, m.i, m.j,
-           greatest(m.d, least(
-             COALESCE(p1.c, 1000000000000000),
-             COALESCE(p2.c, 1000000000000000),
-             COALESCE(p3.c, 1000000000000000))) AS c,
+           {combine} AS c,
            TRUE AS lead
     FROM dmat m
     LEFT JOIN dp p1 ON p1.lead AND p1.a = m.a AND p1.b = m.b
@@ -12505,10 +12505,37 @@ dp AS (
   )
 )
 SELECT dp.a, dp.b, CAST(sz.n AS BIGINT) AS n_a, CAST(sz.m AS BIGINT) AS n_b,
-       CAST(dp.c AS BIGINT) AS frechet_d
+       CAST(dp.c AS BIGINT) AS {out_col}
 FROM dp JOIN sizes sz ON sz.a = dp.a AND sz.b = dp.b
 WHERE dp.lead AND dp.i = sz.n - 1 AND dp.j = sz.m - 1
 """
 
 
+_BEST_PARENT = """least(
+             COALESCE(p1.c, 1000000000000000),
+             COALESCE(p2.c, 1000000000000000),
+             COALESCE(p3.c, 1000000000000000))"""
+O_FRECHET_DIST = _o_coupling(f"greatest(m.d, {_BEST_PARENT})", "frechet_d")
+O_DTW_DIST = _o_coupling(f"m.d + {_BEST_PARENT}", "dtw_d")
+
+
 REGISTRY.update({"frechet_dist": (q_frechet_dist, O_FRECHET_DIST)})
+
+
+def q_dtw_dist(spark, sf_dir):
+    """DTW trajectory distance (operators/spatial.py ``dtw_dist``): the
+    sum-semiring coupling DP over the same deterministic top-N
+    co-visitation pair slice as ``frechet_dist`` — shape similarity vs
+    Fréchet's worst-moment bound, one templated oracle for both."""
+    from ..operators.spatial import dtw_dist
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = (
+        co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+        .orderBy("a", "b").limit(FRECHET_TOPN)
+    )
+    return dtw_dist(t, pairs)
+
+
+REGISTRY.update({"dtw_dist": (q_dtw_dist, O_DTW_DIST)})

@@ -553,3 +553,30 @@ def test_frechet_dist_order_sensitivity(spark):
     assert out[(1, 2)] == brute(A, A[::-1]) == 4000
     with pytest.raises(ValueError, match="max_len"):
         frechet_dist(df, pairs, max_len=2).collect()
+
+
+def test_dtw_vs_frechet_semantics(spark):
+    from langtoolsosm_spark.operators.spatial import dtw_dist, frechet_dist
+
+    # entity 1: flat path; entity 2: same but ONE spike in the middle.
+    # Fréchet = spike height (worst moment); DTW = spike height too but
+    # a second small wobble adds to DTW while Fréchet ignores it.
+    rows = []
+    for i in range(5):
+        rows.append((1, i * 10, 100 + i, 10.0, 20.0))
+    spikes = [0, 0, 5000, 0, 1]          # micro-degree lat offsets
+    for i, sp in enumerate(spikes):
+        rows.append((2, i * 10, 200 + i, 10.0 + sp / 1e6, 20.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    fr = frechet_dist(df, pairs).collect()[0]
+    dt = dtw_dist(df, pairs).collect()[0]
+    assert fr["frechet_d"] == 5000          # worst moment only
+    assert dt["dtw_d"] == 5001              # spike + the 1-micro wobble
+    with pytest.raises(ValueError, match="mode"):
+        frechet_dist(df, pairs, mode="banana")
