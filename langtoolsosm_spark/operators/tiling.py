@@ -2157,3 +2157,74 @@ def tile_trend(
             - F.col("sum_t") * F.col("sum_t")
         ).alias("slope_den"),
     )
+
+
+def tile_bimodality(
+    df: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    min_events: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell hour-of-day BIMODALITY — the commuter-cell detector: a
+    cell whose activity clumps at two rush hours scores high on Sarle's
+    bimodality coefficient b = (skew^2 + 1) / kurtosis, while a
+    uniform-traffic cell sits near 5/9 and a single-peak cell below it.
+    Computed EXACTLY from the integer raw-moment sums s1..s4 of the hour
+    value y in 0..23 via the scaled central moments
+
+        M2 = n*s2 - s1^2            (= n^2 * m2)
+        M3 = n^2*s3 - 3n*s1*s2 + 2*s1^3     (= n^3 * m3)
+        M4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4   (= n^4 * m4)
+
+    so b = (M3^2 + M2^3) / (M2 * M4) — every n-power cancels. Raw sums
+    stay int64 to n ~ 3e13 per cell; the M3^2/M2^3 products are done in
+    DECIMAL(38,0) (exact to n ~ 1e5 per cell; the ANSI overflow raise is
+    the loud bound beyond). Returns (tile, n_events, m2n, bc_milli) with
+    bc quantized to exact milli (NULL when M2 = 0 — a single-hour cell
+    has no defined kurtosis). Plan: one map-side-combined five-sum
+    rollup, closed-form algebra after — no joins, no second scan."""
+    if min_events < 1:
+        raise ValueError(f"min_events must be >= 1, got {min_events}")
+    ep = F.unix_timestamp(F.col(ts_col))
+    base = assign_tiles(
+        df.select(ts_col, lat, lon), res, lat=lat, lon=lon
+    ).select("tile", ep.alias("__ep")).select(
+        "tile", F.expr("(__ep % 86400) div 3600").alias("y")
+    )
+    agg = (
+        base.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s1"),
+            F.sum(F.col("y") * F.col("y")).alias("s2"),
+            F.sum(F.col("y") * F.col("y") * F.col("y")).alias("s3"),
+            F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y")).alias("s4"),
+        )
+        .filter(F.col("n") >= min_events)
+    )
+    dec = "decimal(38,0)"
+    m2 = F.expr(f"CAST(n AS {dec}) * s2 - CAST(s1 AS {dec}) * s1")
+    m3 = F.expr(
+        f"CAST(n AS {dec}) * n * s3 - 3 * CAST(n AS {dec}) * s1 * s2"
+        f" + 2 * CAST(s1 AS {dec}) * s1 * s1"
+    )
+    m4 = F.expr(
+        f"CAST(n AS {dec}) * n * n * s4 - 4 * CAST(n AS {dec}) * n * s1 * s3"
+        f" + 6 * CAST(n AS {dec}) * s1 * s1 * s2"
+        f" - 3 * CAST(s1 AS {dec}) * s1 * s1 * s1"
+    )
+    wd = agg.withColumns({"__m2": m2, "__m3": m3, "__m4": m4})
+    return wd.select(
+        "tile",
+        F.col("n").alias("n_events"),
+        F.col("__m2").cast("long").alias("m2n"),
+        F.when(
+            F.col("__m2") != 0,
+            F.expr(
+                "CAST((1000 * (__m3 * __m3 + __m2 * __m2 * __m2))"
+                " div (__m2 * __m4) AS BIGINT)"
+            ),
+        ).alias("bc_milli"),
+    )

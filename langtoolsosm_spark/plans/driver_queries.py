@@ -12539,3 +12539,52 @@ def q_dtw_dist(spark, sf_dir):
 
 
 REGISTRY.update({"dtw_dist": (q_dtw_dist, O_DTW_DIST)})
+
+
+def q_tile_bimodality(spark, sf_dir):
+    """Per-cell hour-of-day bimodality (operators/tiling.py
+    ``tile_bimodality``): Sarle's b from exact integer moment sums,
+    quantized to milli in DECIMAL/HUGEINT — the commuter-cell detector."""
+    from ..operators.tiling import tile_bimodality
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__bimod_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __bimod_events"
+    )
+    return tile_bimodality(t, res=7)
+
+
+O_TILE_BIMODALITY = f"""
+WITH src AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS y,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+m AS (
+  SELECT {_tile_sql(7)} AS tile, count(*) AS n,
+         sum(y) AS s1, sum(y*y) AS s2, sum(y*y*y) AS s3,
+         sum(y*y*y*y) AS s4
+  FROM src GROUP BY 1 HAVING count(*) >= 8
+),
+c AS (
+  SELECT tile, n,
+         CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+         CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s1 * s2
+           + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3,
+         CAST(n AS HUGEINT) * n * n * s4
+           - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+           + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+           - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4
+  FROM m
+)
+SELECT tile, CAST(n AS BIGINT) AS n_events, CAST(m2 AS BIGINT) AS m2n,
+       CASE WHEN m2 != 0
+            THEN CAST((1000 * (m3 * m3 + m2 * m2 * m2)) // (m2 * m4) AS BIGINT)
+            ELSE NULL END AS bc_milli
+FROM c
+"""
+
+
+REGISTRY.update({"tile_bimodality": (q_tile_bimodality, O_TILE_BIMODALITY)})

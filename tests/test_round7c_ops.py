@@ -580,3 +580,31 @@ def test_dtw_vs_frechet_semantics(spark):
     assert dt["dtw_d"] == 5001              # spike + the 1-micro wobble
     with pytest.raises(ValueError, match="mode"):
         frechet_dist(df, pairs, mode="banana")
+
+
+def test_tile_bimodality_rush_hours_vs_uniform(spark):
+    from langtoolsosm_spark.operators.tiling import tile_bimodality
+
+    rows = []
+    # cell A (10,10): two rush hours 8 and 17, 6 events each -> bimodal
+    for i in range(6):
+        rows.append((8 * 3600 + i, 10.0, 10.0))
+        rows.append((17 * 3600 + i, 10.0, 10.0))
+    # cell B (-40,120): all 24 hours once -> uniform, b ~ 5/9
+    for h in range(24):
+        rows.append((h * 3600, -40.0, 120.0))
+    # cell C: single hour only -> m2 = 0 -> NULL bc
+    for i in range(8):
+        rows.append((5 * 3600 + i, 60.0, -60.0))
+    pdf = pd.DataFrame(rows, columns=["epoch", "lat", "lon"])
+    df = spark.createDataFrame(pdf).select(
+        F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+    out = {(r["n_events"]): r for r in tile_bimodality(df, res=4).collect()}
+    a, b, c = out[12], out[24], out[8]
+    # two equal point masses: skew 0, kurtosis 1 -> b = 1.0 exactly
+    assert a["bc_milli"] == 1000
+    # discrete uniform over 24 values: b = (0 + 1)/kurt; kurt ~ 1.79 ->
+    # b ~ 0.558 (the 5/9 signature, exact value from integer algebra)
+    assert 500 <= b["bc_milli"] <= 600
+    assert c["bc_milli"] is None and c["m2n"] == 0
