@@ -2228,3 +2228,98 @@ def tile_bimodality(
             ),
         ).alias("bc_milli"),
     )
+
+
+def lacunarity_curve(
+    df: DataFrame,
+    res: int,
+    box_sizes: tuple = (1, 2, 4),
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Gliding-box LACUNARITY of the occupancy raster (Allain & Cloitre
+    1991) — the texture/gappiness signature fractal geography uses to
+    tell clumped from evenly-spread point fields at each scale: for every
+    box size r, slide an r x r window over the occupied bounding box and
+    score Lambda(r) = n_boxes * sum(S^2) / sum(S)^2 over the window sums
+    S. Lambda ~ 1 means translation-invariant mass; big Lambda means
+    gaps and clumps at that scale. Exact integers: returns one row per
+    box size (box_r, n_boxes, sum_s, sum_s2, lac_num, lac_den) with
+    lac = lac_num / lac_den.
+
+    Plan: ONE map-side-combined (ix, iy, cnt) histogram; each occupied
+    cell fans over the r^2 window origins that contain it (only
+    non-empty windows ever materialize — empty windows contribute S = 0
+    to no sum and enter only the closed-form n_boxes from the bbox
+    dims); one rollup per (r, window), one per r. Fan-out is
+    sum(r^2) * occupied cells — histogram-scale, never fact-scale."""
+    for r in box_sizes:
+        if r < 1:
+            raise ValueError(f"box sizes must be >= 1, got {r}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bbox = hist.agg(
+        F.min("ix").alias("x0"), F.max("ix").alias("x1"),
+        F.min("iy").alias("y0"), F.max("iy").alias("y1"),
+    )
+    fan = (
+        hist.select(
+            "ix", "iy", "cnt",
+            F.explode(F.array(*[F.lit(int(r)) for r in box_sizes])).alias("r"),
+        )
+        .select(
+            "ix", "iy", "cnt", "r",
+            F.explode(F.sequence(F.lit(0), F.col("r") - 1)).alias("dx"),
+        )
+        .select(
+            "ix", "iy", "cnt", "r", "dx",
+            F.explode(F.sequence(F.lit(0), F.col("r") - 1)).alias("dy"),
+        )
+        .select(
+            "r", "cnt",
+            (F.col("ix") - F.col("dx")).alias("wx"),
+            (F.col("iy") - F.col("dy")).alias("wy"),
+        )
+    )
+    wins = (
+        fan.crossJoin(F.broadcast(bbox))
+        .filter(
+            (F.col("wx") >= F.col("x0"))
+            & (F.col("wx") <= F.col("x1") - F.col("r") + 1)
+            & (F.col("wy") >= F.col("y0"))
+            & (F.col("wy") <= F.col("y1") - F.col("r") + 1)
+        )
+        .groupBy("r", "wx", "wy")
+        .agg(F.sum("cnt").alias("s"))
+    )
+    per_r = wins.groupBy("r").agg(
+        F.sum("s").alias("sum_s"),
+        F.sum(F.col("s") * F.col("s")).alias("sum_s2"),
+    )
+    return (
+        per_r.crossJoin(F.broadcast(bbox))
+        .select(
+            F.col("r").alias("box_r"),
+            (
+                (F.col("x1") - F.col("x0") - F.col("r") + 2)
+                * (F.col("y1") - F.col("y0") - F.col("r") + 2)
+            ).alias("n_boxes"),
+            "sum_s", "sum_s2",
+        )
+        .filter(F.col("n_boxes") > 0)
+        .withColumns(
+            {
+                "lac_num": F.col("n_boxes") * F.col("sum_s2"),
+                "lac_den": F.col("sum_s") * F.col("sum_s"),
+            }
+        )
+    )

@@ -12588,3 +12588,68 @@ FROM c
 
 
 REGISTRY.update({"tile_bimodality": (q_tile_bimodality, O_TILE_BIMODALITY)})
+
+
+def q_lacunarity(spark, sf_dir):
+    """Gliding-box lacunarity curve (operators/tiling.py
+    ``lacunarity_curve``) at box sizes 1/2/4 over the res-7 occupancy
+    raster — exact integer clumpiness-vs-scale signature."""
+    from ..operators.tiling import lacunarity_curve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__lac_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __lac_events"
+    )
+    return lacunarity_curve(t, res=7)
+
+
+_LACN = 1 << 7
+O_LACUNARITY = f"""
+WITH src AS (
+  SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * {_LACN}.0) AS BIGINT), 0), {_LACN - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * {_LACN}.0) AS BIGINT), 0), {_LACN - 1}) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+bbox AS (
+  SELECT min(ix) AS x0, max(ix) AS x1, min(iy) AS y0, max(iy) AS y1
+  FROM hist
+),
+fan AS (
+  SELECT r.r, h.cnt, h.ix - dx.i AS wx, h.iy - dy.i AS wy
+  FROM hist h
+  JOIN (VALUES (1), (2), (4)) r(r) ON TRUE
+  JOIN generate_series(0, 3) dx(i) ON dx.i < r.r
+  JOIN generate_series(0, 3) dy(i) ON dy.i < r.r
+),
+wins AS (
+  SELECT f.r, f.wx, f.wy, sum(f.cnt) AS s
+  FROM fan f, bbox
+  WHERE f.wx >= bbox.x0 AND f.wx <= bbox.x1 - f.r + 1
+    AND f.wy >= bbox.y0 AND f.wy <= bbox.y1 - f.r + 1
+  GROUP BY 1, 2, 3
+),
+per_r AS (
+  SELECT r, CAST(sum(s) AS BIGINT) AS sum_s,
+         CAST(sum(s * s) AS BIGINT) AS sum_s2
+  FROM wins GROUP BY 1
+)
+SELECT CAST(r AS BIGINT) AS box_r,
+       CAST((x1 - x0 - r + 2) * (y1 - y0 - r + 2) AS BIGINT) AS n_boxes,
+       sum_s, sum_s2,
+       CAST((x1 - x0 - r + 2) * (y1 - y0 - r + 2) * sum_s2 AS BIGINT)
+         AS lac_num,
+       CAST(sum_s * sum_s AS BIGINT) AS lac_den
+FROM per_r, bbox
+WHERE (x1 - x0 - r + 2) * (y1 - y0 - r + 2) > 0
+"""
+
+
+REGISTRY.update({"lacunarity": (q_lacunarity, O_LACUNARITY)})

@@ -608,3 +608,37 @@ def test_tile_bimodality_rush_hours_vs_uniform(spark):
     # b ~ 0.558 (the 5/9 signature, exact value from integer algebra)
     assert 500 <= b["bc_milli"] <= 600
     assert c["bc_milli"] is None and c["m2n"] == 0
+
+
+def test_lacunarity_clumped_vs_uniform(spark):
+    from langtoolsosm_spark.operators.tiling import lacunarity_curve
+
+    # res 4 grid over a 4x4-cell bounding box near (10,10): cell side is
+    # 360/16 = 22.5 deg lon, 180/16 = 11.25 deg lat
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    uni, clump = [], []
+    for cx in range(8, 12):
+        for cy in range(8, 12):
+            uni.append(cell_pt(cx, cy))               # 1 event/cell
+    for i in range(16):
+        clump.append(cell_pt(8, 8))                   # all 16 in one cell
+    clump.append(cell_pt(11, 11))                     # pin the same bbox
+    for name, pts, nev in (("uni", uni, 16), ("clump", clump, 17)):
+        df = spark.createDataFrame(
+            pd.DataFrame(pts, columns=["lat", "lon"])
+        )
+        out = {r["box_r"]: r for r in lacunarity_curve(df, res=4).collect()}
+        assert set(out) == {1, 2, 4}
+        r1 = out[1]
+        assert r1["n_boxes"] == 16 and r1["sum_s"] == nev
+        if name == "uni":
+            # perfectly even field: Lambda(1) = 16*16/256 = 1 exactly
+            assert r1["lac_num"] == r1["lac_den"]
+        else:
+            # one 16-mass cell + one 1-mass cell: Lambda(1) =
+            # 16*(256+1)/289 ~ 14.2 >> 1
+            assert r1["lac_num"] > 10 * r1["lac_den"]
+    with pytest.raises(ValueError, match="box sizes"):
+        lacunarity_curve(df, res=4, box_sizes=(0,))
