@@ -148,7 +148,12 @@ EXT_ANN = ("pq_adc", "pq_rescored", "sq8", "ivf_pq")
 # heaviest mobility/graph operators: timed under mobility_family_sec (same
 # non-headline pattern as ann_family_ext_sec) so the operators get
 # round-over-round walls without breaking headline comparability
-MOBILITY_FAMILY = ("co_visitation", "zone_concurrency", "triangle_counts")
+MOBILITY_FAMILY = (
+    "co_visitation", "zone_concurrency", "triangle_counts",
+    # round-7 late additions: the space-time pair statistic and the
+    # coupling-DP trajectory similarity (deterministic top-N pair slice)
+    "knox_stat", "frechet_dist",
+)
 
 HEADLINE = [
     "tile_assign",
