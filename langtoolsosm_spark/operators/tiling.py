@@ -2323,3 +2323,100 @@ def lacunarity_curve(
             }
         )
     )
+
+
+# integer atan2 octant of a gradient (gx east, gy north): one shared SQL
+# literal evaluated by BOTH Spark (F.expr) and the DuckDB oracle, so the
+# sector boundaries cannot drift between engines. Sectors are half-open,
+# counterclockwise from east; -1 = flat.
+GRAD_OCTANT_SQL = """CASE
+  WHEN gx = 0 AND gy = 0 THEN -1
+  WHEN gx > 0 AND gy >= 0 AND gx > gy THEN 0
+  WHEN gy > 0 AND gx > 0 AND gy >= gx THEN 1
+  WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+  WHEN gx < 0 AND gy > 0 AND -gx >= gy THEN 3
+  WHEN gx < 0 AND gy <= 0 AND -gx > -gy THEN 4
+  WHEN gy < 0 AND gx < 0 AND -gy >= -gx THEN 5
+  WHEN gy < 0 AND gx >= 0 AND -gy > gx THEN 6
+  ELSE 7 END"""
+
+# Horn 1981 stencil: source cell at relative (rx, ry) from the target
+# contributes cnt * cx to gx and cnt * cy to gy
+_HORN_COEFS = (
+    (1, 1, 1, 1), (1, 0, 2, 0), (1, -1, 1, -1),
+    (0, 1, 0, 2), (0, -1, 0, -2),
+    (-1, 1, -1, 1), (-1, 0, -2, 0), (-1, -1, -1, -1),
+)
+
+
+def raster_slope_aspect(
+    df: DataFrame,
+    res: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Slope/aspect of the density raster — Horn's (1981) 3x3 finite
+    difference, the DEM operator every terrain stack ships, applied to
+    the point-count surface: per OCCUPIED cell the integer gradient
+    (gx east, gy north) with absent neighbors as 0, the squared
+    magnitude (monotone in slope — no sqrt enters the gate), and the
+    aspect octant 0..7 counterclockwise from east (-1 = flat). Density
+    gradients rank where activity falls off fastest and point downhill
+    toward quiet zones — the raster sibling of ``semantic_drift``.
+
+    Plan: ONE map-side-combined histogram; each occupied cell fans over
+    the 8 Horn coefficient slots of its neighbors (histogram rows only),
+    one rollup per target cell, inner-join back to the histogram to keep
+    occupied cells. The octant is a shared SQL literal (GRAD_OCTANT_SQL)
+    evaluated identically by Spark and the oracle."""
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    coefs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rx).alias("rx"), F.lit(ry).alias("ry"),
+                    F.lit(cx).alias("cx"), F.lit(cy).alias("cy"),
+                )
+                for rx, ry, cx, cy in _HORN_COEFS
+            ]
+        )
+    ).alias("c")
+    grad = (
+        hist.select("ix", "iy", "cnt", coefs)
+        .select(
+            (F.col("ix") - F.col("c.rx")).alias("tx"),
+            (F.col("iy") - F.col("c.ry")).alias("ty"),
+            (F.col("cnt") * F.col("c.cx")).alias("px"),
+            (F.col("cnt") * F.col("c.cy")).alias("py"),
+        )
+        .groupBy("tx", "ty")
+        .agg(F.sum("px").alias("gx"), F.sum("py").alias("gy"))
+    )
+    return (
+        hist.join(
+            grad,
+            (F.col("ix") == F.col("tx")) & (F.col("iy") == F.col("ty")),
+            "left",
+        )
+        .select(
+            "ix", "iy", "cnt",
+            F.coalesce("gx", F.lit(0)).alias("gx"),
+            F.coalesce("gy", F.lit(0)).alias("gy"),
+        )
+        .withColumns(
+            {
+                "mag2": F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy"),
+                "octant": F.expr(GRAD_OCTANT_SQL).cast("int"),
+            }
+        )
+    )

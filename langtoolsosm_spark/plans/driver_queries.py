@@ -12653,3 +12653,55 @@ WHERE (x1 - x0 - r + 2) * (y1 - y0 - r + 2) > 0
 
 
 REGISTRY.update({"lacunarity": (q_lacunarity, O_LACUNARITY)})
+
+
+def q_raster_slope(spark, sf_dir):
+    """Horn slope/aspect of the res-7 density raster (operators/tiling.py
+    ``raster_slope_aspect``): integer gradient, squared magnitude, and
+    the shared-literal aspect octant per occupied cell."""
+    from ..operators.tiling import raster_slope_aspect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__slope_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __slope_events"
+    )
+    return raster_slope_aspect(t, res=7)
+
+
+def _o_raster_slope() -> str:
+    from ..operators.tiling import GRAD_OCTANT_SQL, _HORN_COEFS
+
+    coef_rows = ", ".join(f"({rx}, {ry}, {cx}, {cy})"
+                          for rx, ry, cx, cy in _HORN_COEFS)
+    n = 1 << 7
+    return f"""
+WITH src AS (
+  SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * {n}.0) AS BIGINT), 0), {n - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * {n}.0) AS BIGINT), 0), {n - 1}) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+grad AS (
+  SELECT h.ix - c.rx AS tx, h.iy - c.ry AS ty,
+         CAST(sum(h.cnt * c.cx) AS BIGINT) AS gx,
+         CAST(sum(h.cnt * c.cy) AS BIGINT) AS gy
+  FROM hist h JOIN (VALUES {coef_rows}) c(rx, ry, cx, cy) ON TRUE
+  GROUP BY 1, 2
+)
+SELECT h.ix, h.iy, CAST(h.cnt AS BIGINT) AS cnt,
+       COALESCE(g.gx, 0) AS gx, COALESCE(g.gy, 0) AS gy,
+       COALESCE(g.gx, 0) * COALESCE(g.gx, 0)
+         + COALESCE(g.gy, 0) * COALESCE(g.gy, 0) AS mag2,
+       CAST({GRAD_OCTANT_SQL.replace('gx', 'COALESCE(g.gx, 0)').replace('gy', 'COALESCE(g.gy, 0)')} AS INT) AS octant
+FROM hist h LEFT JOIN grad g ON g.tx = h.ix AND g.ty = h.iy
+"""
+
+
+REGISTRY.update({"raster_slope": (q_raster_slope, _o_raster_slope())})

@@ -642,3 +642,31 @@ def test_lacunarity_clumped_vs_uniform(spark):
             assert r1["lac_num"] > 10 * r1["lac_den"]
     with pytest.raises(ValueError, match="box sizes"):
         lacunarity_curve(df, res=4, box_sizes=(0,))
+
+
+def test_raster_slope_aspect_gradient(spark):
+    from langtoolsosm_spark.operators.tiling import raster_slope_aspect
+
+    # res 4: cells are 22.5 x 11.25 deg. Build a west->east ramp of
+    # counts 1,2,3 in three adjacent cells on one row, plus an isolated
+    # far cell (flat).
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    rows = []
+    for k, cx in enumerate((6, 7, 8)):
+        rows += [cell_pt(cx, 8)] * (k + 1)
+    rows.append(cell_pt(14, 14))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    out = {(r["ix"], r["iy"]): r for r in raster_slope_aspect(df, res=4).collect()}
+    mid = out[(7, 8)]
+    # neighbors of the middle cell: east col sums 3 (x2 weight -> 6),
+    # west col 1 (x2 -> 2): gx = 6 - 2 = 4; no north/south rows: gy = 0
+    assert (mid["gx"], mid["gy"], mid["mag2"], mid["octant"]) == (4, 0, 16, 0)
+    iso = out[(14, 14)]
+    assert (iso["gx"], iso["gy"], iso["octant"]) == (0, 0, -1)
+    # west edge of the ramp points downhill west->east symmetric: its
+    # east neighbor holds 2 (x2) -> gx = 4, octant 0 too; east edge
+    # mirrors with gx = -(2*2)+... = sees west col 2 (x2 -> 4): gx = -4
+    assert out[(6, 8)]["gx"] == 4 and out[(8, 8)]["gx"] == -4
+    assert out[(8, 8)]["octant"] == 4
