@@ -4539,3 +4539,76 @@ def dtw_dist(
         events, pairs, entity_col=entity_col, ts_col=ts_col, id_col=id_col,
         lat=lat, lon=lon, max_len=max_len, mode="dtw",
     )
+
+
+def variogram_anisotropy(
+    points: DataFrame,
+    res: int,
+    lag: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Directional ANISOTROPY of the density field: the lag-``lag``
+    semivariance computed separately along the E-W and N-S axes over
+    occupied cells, plus their ratio as an exact rational — the
+    geostatistics screening test for direction-dependent spatial
+    structure (a coastline or a commuting corridor makes one axis
+    noisier than the other; isotropy means ratio ~ 1, and fitting an
+    isotropic variogram (``semivariogram``) to anisotropic data
+    understates one axis' variance). Returns ONE row
+    (lag, n_ew, sse_ew, n_ns, sse_ns, aniso_num, aniso_den) with
+    gamma_ew / gamma_ns = aniso_num / aniso_den = (sse_ew * n_ns) /
+    (sse_ns * n_ew) — the 2s cancel.
+
+    Plan: one map-side-combined histogram, one self-equi-join per axis
+    offset (each unordered pair exactly once — positive offsets only),
+    two single-row aggregates cross-joined. Histogram-scale everywhere."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        points.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # two self-joins share one evaluation
+    )
+
+    def _axis(dx: int, dy: int, nn: str, ss: str) -> DataFrame:
+        a = hist.select(
+            F.col("ix").alias("ax"), F.col("iy").alias("ay"),
+            F.col("cnt").alias("ca"),
+        )
+        b = hist.select(
+            F.col("ix").alias("bx"), F.col("iy").alias("by"),
+            F.col("cnt").alias("cb"),
+        )
+        d = F.col("ca") - F.col("cb")
+        return (
+            a.join(
+                b,
+                (F.col("bx") == F.col("ax") + dx)
+                & (F.col("by") == F.col("ay") + dy),
+            )
+            .agg(
+                F.count(F.lit(1)).alias(nn),
+                F.coalesce(F.sum(d * d), F.lit(0)).alias(ss),
+            )
+        )
+    ew = _axis(lag, 0, "n_ew", "sse_ew")
+    ns = _axis(0, lag, "n_ns", "sse_ns")
+    return (
+        ew.crossJoin(ns)
+        .select(
+            F.lit(lag).cast("long").alias("lag"),
+            "n_ew", "sse_ew", "n_ns", "sse_ns",
+            (F.col("sse_ew") * F.col("n_ns")).alias("aniso_num"),
+            (F.col("sse_ns") * F.col("n_ew")).alias("aniso_den"),
+        )
+    )

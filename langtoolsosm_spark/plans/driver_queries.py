@@ -12705,3 +12705,53 @@ FROM hist h LEFT JOIN grad g ON g.tx = h.ix AND g.ty = h.iy
 
 
 REGISTRY.update({"raster_slope": (q_raster_slope, _o_raster_slope())})
+
+
+def q_variogram_aniso(spark, sf_dir):
+    """Directional variogram anisotropy (operators/spatial.py
+    ``variogram_anisotropy``): lag-1 E-W vs N-S semivariance of the
+    res-7 density raster as exact integer sums and their rational
+    ratio."""
+    from ..operators.spatial import variogram_anisotropy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__aniso_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __aniso_events"
+    )
+    return variogram_anisotropy(t, res=7)
+
+
+O_VARIOGRAM_ANISO = f"""
+WITH src AS (
+  SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+ew AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ew,
+         CAST(COALESCE(sum((a.cnt - b.cnt) * (a.cnt - b.cnt)), 0) AS BIGINT)
+           AS sse_ew
+  FROM hist a JOIN hist b ON b.ix = a.ix + 1 AND b.iy = a.iy
+),
+ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ns,
+         CAST(COALESCE(sum((a.cnt - b.cnt) * (a.cnt - b.cnt)), 0) AS BIGINT)
+           AS sse_ns
+  FROM hist a JOIN hist b ON b.ix = a.ix AND b.iy = a.iy + 1
+)
+SELECT CAST(1 AS BIGINT) AS lag, n_ew, sse_ew, n_ns, sse_ns,
+       CAST(sse_ew * n_ns AS BIGINT) AS aniso_num,
+       CAST(sse_ns * n_ew AS BIGINT) AS aniso_den
+FROM ew, ns
+"""
+
+
+REGISTRY.update({"variogram_aniso": (q_variogram_aniso, O_VARIOGRAM_ANISO)})

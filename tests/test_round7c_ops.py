@@ -670,3 +670,25 @@ def test_raster_slope_aspect_gradient(spark):
     # mirrors with gx = -(2*2)+... = sees west col 2 (x2 -> 4): gx = -4
     assert out[(6, 8)]["gx"] == 4 and out[(8, 8)]["gx"] == -4
     assert out[(8, 8)]["octant"] == 4
+
+
+def test_variogram_anisotropy_striped_field(spark):
+    from langtoolsosm_spark.operators.spatial import variogram_anisotropy
+
+    # res 4, a 4x4 block where count alternates 1/5 by COLUMN: E-W
+    # differences are +-4 everywhere, N-S differences are 0 -> all
+    # variance on the E-W axis
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    rows = []
+    for cx in range(8, 12):
+        for cy in range(8, 12):
+            rows += [cell_pt(cx, cy)] * (5 if cx % 2 else 1)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    r = variogram_anisotropy(df, res=4).collect()[0]
+    assert (r["n_ew"], r["n_ns"]) == (12, 12)
+    assert r["sse_ew"] == 12 * 16 and r["sse_ns"] == 0
+    assert r["aniso_num"] == 12 * 16 * 12 and r["aniso_den"] == 0
+    with pytest.raises(ValueError, match="lag"):
+        variogram_anisotropy(df, res=4, lag=0)
