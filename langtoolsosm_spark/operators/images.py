@@ -1581,3 +1581,58 @@ def blur_scores(images: DataFrame, min_var: int = 1000) -> DataFrame:
         schema="image_id string, n_int long, sum_lap long, sum_lap2 long, "
                "var_num long, is_sharp int",
     )
+
+
+def banding_scores(images: DataFrame, lags: tuple = (1, 2, 3)) -> DataFrame:
+    """Scanline-banding audit — the sensor-artifact scrub: periodic
+    horizontal banding (readout interference, rolling-shutter flicker)
+    makes the sequence of ROW luminance means autocorrelate at the band
+    period, so per image and per lag k this reports the exact
+    integer aligned-segment autocovariance of the quantized row means
+    rm[r] = (sum of row luminance) // w:
+
+        cov_num = n_terms * sum(rm[r] * rm[r+k])
+                - (head mean sum) * (tail mean sum),   n_terms = h - k
+
+    (the ``tile_autocov`` estimator on the row axis). A banded frame
+    shows cov_num strongly positive at the band period and negative at
+    half-period; clean frames hover near 0. Row means are bounded by
+    255, so every term stays int64 to h ~ 2e5 rows. Returns one row per
+    (image_id, lag_k): (image_id, lag_k, n_terms, sum_prod, head_sum,
+    tail_sum, cov_num); frames with h <= k emit n_terms = 0 rows. One
+    decode per image (mapInPandas, Arrow-batched)."""
+    for k in lags:
+        if k < 1:
+            raise ValueError(f"lags must be >= 1, got {k}")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                h, w = lum.shape
+                rm = lum.sum(axis=1) // w
+                for k in lags:
+                    if h <= k:
+                        recs.append((img_id, k, 0, 0, 0, 0, 0))
+                        continue
+                    head, tail = rm[:-k], rm[k:]
+                    nt = h - k
+                    sp = int((head * tail).sum())
+                    hs = int(head.sum())
+                    ts = int(tail.sum())
+                    recs.append((img_id, k, nt, sp, hs, ts, nt * sp - hs * ts))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "lag_k", "n_terms", "sum_prod",
+                         "head_sum", "tail_sum", "cov_num"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, lag_k int, n_terms long, sum_prod long, "
+               "head_sum long, tail_sum long, cov_num long",
+    )

@@ -12755,3 +12755,62 @@ FROM ew, ns
 
 
 REGISTRY.update({"variogram_aniso": (q_variogram_aniso, O_VARIOGRAM_ANISO)})
+
+
+def q_banding_scores(spark, sf_dir):
+    """Scanline-banding audit (operators/images.py ``banding_scores``):
+    exact row-mean autocovariance at lags 1..3 per raw frame; oracle
+    replays the row-mean quantization over hex-decoded pixels."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import banding_scores
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return banding_scores(imgs)
+
+
+O_BANDING_SCORES = f"""
+WITH {_QUALITY_RAW_V},
+ch AS MATERIALIZED (
+  SELECT image_id, w, h, (i - 9) // 3 AS p,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END) AS BIGINT) AS rv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END) AS BIGINT) AS gv,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END) AS BIGINT) AS bvv
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4
+),
+rowmean AS MATERIALIZED (
+  SELECT image_id, h, p // w AS r,
+         sum((2126 * rv + 7152 * gv + 722 * bvv) // 10000) // w AS rm
+  FROM ch GROUP BY image_id, h, w, p // w
+),
+lagged AS (
+  SELECT a.image_id, k.k AS lag_k,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(a.rm * b.rm) AS BIGINT) AS sum_prod,
+         CAST(sum(a.rm) AS BIGINT) AS head_sum,
+         CAST(sum(b.rm) AS BIGINT) AS tail_sum
+  FROM rowmean a
+  JOIN (VALUES (1), (2), (3)) k(k) ON TRUE
+  JOIN rowmean b ON b.image_id = a.image_id AND b.r = a.r + k.k
+  GROUP BY 1, 2
+),
+ids AS (SELECT DISTINCT image_id FROM v),
+grid AS (
+  SELECT ids.image_id, k.k AS lag_k
+  FROM ids JOIN (VALUES (1), (2), (3)) k(k) ON TRUE
+)
+SELECT g.image_id, CAST(g.lag_k AS INT) AS lag_k,
+       COALESCE(l.n_terms, 0) AS n_terms,
+       COALESCE(l.sum_prod, 0) AS sum_prod,
+       COALESCE(l.head_sum, 0) AS head_sum,
+       COALESCE(l.tail_sum, 0) AS tail_sum,
+       COALESCE(l.n_terms * l.sum_prod - l.head_sum * l.tail_sum, 0)
+         AS cov_num
+FROM grid g LEFT JOIN lagged l
+  ON l.image_id = g.image_id AND l.lag_k = g.lag_k
+"""
+
+
+REGISTRY.update({"banding_scores": (q_banding_scores, O_BANDING_SCORES)})

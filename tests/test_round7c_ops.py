@@ -692,3 +692,26 @@ def test_variogram_anisotropy_striped_field(spark):
     assert r["aniso_num"] == 12 * 16 * 12 and r["aniso_den"] == 0
     with pytest.raises(ValueError, match="lag"):
         variogram_anisotropy(df, res=4, lag=0)
+
+
+def test_banding_scores_periodic_rows(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import banding_scores
+
+    # 8x4 frame with rows alternating dark/bright (period 2): lag-2
+    # autocovariance positive, lag-1 negative; a flat frame scores 0
+    band = np.zeros((8, 4, 3), dtype=np.uint8)
+    band[1::2] = 200
+    flat = np.full((8, 4, 3), 50, dtype=np.uint8)
+    rows = [("band", ic.encode_raw(band), "raw"),
+            ("flat", ic.encode_raw(flat), "raw")]
+    out = {(r["image_id"], r["lag_k"]): r["cov_num"]
+           for r in banding_scores(
+               spark.createDataFrame(
+                   rows, "image_id string, bytes binary, fmt string")
+           ).collect()}
+    assert out[("band", 1)] < 0 and out[("band", 2)] > 0
+    assert out[("flat", 1)] == out[("flat", 2)] == out[("flat", 3)] == 0
+    with pytest.raises(ValueError, match="lags"):
+        banding_scores(spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string"), lags=(0,))
