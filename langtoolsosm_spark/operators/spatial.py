@@ -4612,3 +4612,116 @@ def variogram_anisotropy(
             (F.col("sse_ns") * F.col("n_ew")).alias("aniso_den"),
         )
     )
+
+
+def simplify_dp(
+    events: DataFrame,
+    eps_micro: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_len: int = 50_000,
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification per entity — THE classic
+    cartographic generalization (Douglas & Peucker 1973), exact-integer
+    flavor: keep both endpoints, find the interior point farthest from
+    the chord by PERPENDICULAR distance, split there when it exceeds
+    ``eps_micro``, recurse. All comparisons are exact:
+    dev_perp > eps  <=>  cross^2 > eps^2 * |chord|^2 with
+    cross = dx*(py-ay) - dy*(px-ax) in micro-degrees (arbitrary
+    precision Python ints in the kernel — cross^2 exceeds int64 at
+    continental spans); a zero-length chord degrades to squared
+    euclidean point distance. Ties keep the SMALLEST index — the
+    deterministic stand-in for implementation-defined argmax. Returns
+    the kept points (entity, idx, x, y) with idx the 0-based position
+    in the (ts, event_id)-ordered trajectory.
+
+    Where ``simplify_radial`` drops points by chained distance (O(n),
+    no lookback), DP preserves SHAPE extremes — the standard trade.
+    Plan: one sequence assembly, counted ``max_len`` gate, then a
+    per-entity bounded Arrow kernel (inherently sequential recursion,
+    the simplify_radial precedent; worst case O(n^2) per entity). The
+    DuckDB oracle replays the recursion as a segment-splitting
+    recursive CTE with an exact lexicographic (dev^2, -idx) argmax."""
+    if eps_micro < 0:
+        raise ValueError(f"eps_micro must be >= 0, got {eps_micro}")
+    if max_len is not None and max_len < 2:
+        raise ValueError(f"max_len must be >= 2, got {max_len}")
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    seqs = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("eid"),
+                x.alias("x"),
+                y.alias("y"),
+            ).alias("s"),
+        )
+        .groupBy("entity")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+        .select(
+            "entity",
+            F.expr("transform(seq, p -> p.x)").alias("xs"),
+            F.expr("transform(seq, p -> p.y)").alias("ys"),
+        )
+    )
+    if max_len is not None:
+        seqs = seqs.localCheckpoint(eager=True)
+        worst = (
+            seqs.select("entity", F.size("xs").alias("n"))
+            .filter(F.col("n") > max_len)
+            .orderBy(F.col("n").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            raise ValueError(
+                f"simplify_dp: entity {r['entity']} has {r['n']} points "
+                f"(> max_len={max_len}); the split recursion is O(n^2) "
+                "worst case — pre-thin (trajectory_resample) or raise "
+                "max_len deliberately (None disables the gate)"
+            )
+    eps2 = int(eps_micro) * int(eps_micro)
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for ent, xs, ys in zip(pdf["entity"], pdf["xs"], pdf["ys"]):
+                px = [int(v) for v in xs]
+                py = [int(v) for v in ys]
+                n = len(px)
+                keep = [False] * n
+                keep[0] = keep[-1] = True
+                stack = [(0, n - 1)]
+                while stack:
+                    i0, i1 = stack.pop()
+                    if i1 - i0 < 2:
+                        continue
+                    ax, ay, bx, by = px[i0], py[i0], px[i1], py[i1]
+                    dx, dy = bx - ax, by - ay
+                    l2 = dx * dx + dy * dy
+                    best, bestv = -1, -1
+                    for i in range(i0 + 1, i1):
+                        if l2:
+                            c = dx * (py[i] - ay) - dy * (px[i] - ax)
+                            v = c * c
+                        else:
+                            ex, ey = px[i] - ax, py[i] - ay
+                            v = ex * ex + ey * ey
+                        if v > bestv:
+                            bestv, best = v, i
+                    if bestv > (eps2 * l2 if l2 else eps2):
+                        keep[best] = True
+                        stack.append((i0, best))
+                        stack.append((best, i1))
+                recs.extend(
+                    (ent, i, px[i], py[i]) for i in range(n) if keep[i]
+                )
+            yield pd.DataFrame(recs, columns=["entity", "idx", "x", "y"])
+
+    return seqs.mapInPandas(
+        kernel, schema="entity long, idx long, x long, y long"
+    )

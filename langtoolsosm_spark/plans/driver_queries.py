@@ -12814,3 +12814,83 @@ FROM grid g LEFT JOIN lagged l
 
 
 REGISTRY.update({"banding_scores": (q_banding_scores, O_BANDING_SCORES)})
+
+
+DP_EPS_MICRO = 5_000_000
+DP_ENT_MOD = 11
+
+
+def q_simplify_dp(spark, sf_dir):
+    """Douglas-Peucker simplification (operators/spatial.py
+    ``simplify_dp``) at eps = 5 deg for the user_id %% 11 == 0 entity
+    slice (the split recursion is O(n^2) per entity in the oracle —
+    fixture-bound precedent). Kept points must match the recursive-CTE
+    replay exactly, ties to the smallest index."""
+    from ..operators.spatial import simplify_dp
+
+    t = _traj(spark, sf_dir).filter(F.col("user_id") % DP_ENT_MOD == 0)
+    return simplify_dp(t, eps_micro=DP_EPS_MICRO)
+
+
+def _o_simplify_dp() -> str:
+    eps2 = DP_EPS_MICRO * DP_EPS_MICRO
+    # the per-(segment, interior-point) deviation frame; inlined twice in
+    # the recursive term (a CTE cannot reference the recursive table)
+    dsub = """
+      SELECT q.entity, q.i0, q.i1, q.i,
+             CASE WHEN q.dx * q.dx + q.dy * q.dy > 0
+                  THEN (q.dx * q.ey - q.dy * q.ex)
+                     * (q.dx * q.ey - q.dy * q.ex)
+                  ELSE q.ex * q.ex + q.ey * q.ey END AS dev2,
+             CASE WHEN q.dx * q.dx + q.dy * q.dy > 0
+                  THEN {eps2} * (q.dx * q.dx + q.dy * q.dy)
+                  ELSE CAST({eps2} AS HUGEINT) END AS thr
+      FROM (
+        SELECT t.entity, t.i0, t.i1, p.idx AS i,
+               CAST(b.x - a.x AS HUGEINT) AS dx,
+               CAST(b.y - a.y AS HUGEINT) AS dy,
+               CAST(p.x - a.x AS HUGEINT) AS ex,
+               CAST(p.y - a.y AS HUGEINT) AS ey
+        FROM segs t
+        JOIN seq a ON a.entity = t.entity AND a.idx = t.i0
+        JOIN seq b ON b.entity = t.entity AND b.idx = t.i1
+        JOIN seq p ON p.entity = t.entity AND p.idx > t.i0
+                  AND p.idx < t.i1
+      ) q
+    """.format(eps2=eps2)
+    return f"""
+WITH RECURSIVE {TRAJ_SRC_CTE},
+seq AS MATERIALIZED (
+  SELECT user_id AS entity,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS y
+  FROM src WHERE user_id % {DP_ENT_MOD} = 0
+),
+sz AS (SELECT entity, count(*) AS n FROM seq GROUP BY 1),
+segs AS (
+  SELECT entity, 0 AS i0, n - 1 AS i1 FROM sz
+  UNION ALL
+  SELECT u.e AS entity, u.a AS i0, u.b AS i1 FROM (
+    SELECT d.entity AS e, d.i0, d.i1, min(d.i) AS best
+    FROM ({dsub}) d
+    JOIN (
+      SELECT entity, i0, i1, max(dev2) AS mx, max(thr) AS thr
+      FROM ({dsub}) GROUP BY 1, 2, 3
+    ) m ON m.entity = d.entity AND m.i0 = d.i0 AND m.i1 = d.i1
+       AND d.dev2 = m.mx AND m.mx > m.thr
+    GROUP BY 1, 2, 3
+  ) s, unnest([struct_pack(e := s.e, a := s.i0, b := s.best),
+               struct_pack(e := s.e, a := s.best, b := s.i1)]) AS un(u)
+)
+SELECT k.entity, k.idx, s2.x, s2.y
+FROM (
+  SELECT entity, i0 AS idx FROM segs
+  UNION
+  SELECT entity, i1 FROM segs
+) k JOIN seq s2 ON s2.entity = k.entity AND s2.idx = k.idx
+"""
+
+
+REGISTRY.update({"simplify_dp": (q_simplify_dp, _o_simplify_dp())})

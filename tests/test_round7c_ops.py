@@ -715,3 +715,34 @@ def test_banding_scores_periodic_rows(spark):
     with pytest.raises(ValueError, match="lags"):
         banding_scores(spark.createDataFrame(
             rows, "image_id string, bytes binary, fmt string"), lags=(0,))
+
+
+def test_simplify_dp_shape_extremes(spark):
+    from langtoolsosm_spark.operators.spatial import simplify_dp
+
+    # straight line with ONE spike at idx 3 and a sub-eps wiggle at 6:
+    # DP keeps endpoints + the spike + the spike's chord neighbors (2
+    # and 4 deviate from the post-split chords), drops the wiggle and
+    # every collinear point
+    pts = [(i * 1000, 0) for i in range(10)]
+    pts[3] = (3000, 5000)       # spike: 5000 micro perpendicular
+    pts[6] = (6000, 40)         # wiggle: 40 micro < eps
+    rows = [
+        (1, i * 10, 100 + i, x / 1e6, y / 1e6)
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    kept = sorted(
+        r["idx"] for r in simplify_dp(df, eps_micro=100).collect()
+    )
+    assert kept == [0, 2, 3, 4, 9]
+    # eps 0 keeps every non-collinear point (the wiggle survives)
+    kept0 = sorted(r["idx"] for r in simplify_dp(df, eps_micro=0).collect())
+    assert 6 in kept0 and kept0[0] == 0 and kept0[-1] == 9
+    with pytest.raises(ValueError, match="eps_micro"):
+        simplify_dp(df, eps_micro=-1)
