@@ -4725,3 +4725,85 @@ def simplify_dp(
     return seqs.mapInPandas(
         kernel, schema="entity long, idx long, x long, y long"
     )
+
+
+def path_crossings(
+    events: DataFrame,
+    pairs: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Route-crossing census for candidate entity pairs: how many times
+    do two trajectories PROPERLY cross (segment interiors intersect, the
+    exact computational-geometry predicate — four integer cross-product
+    orientation tests, strict signs, so touching endpoints and collinear
+    overlap deterministically do NOT count)? Crossing paths with few
+    shared cells signal perpendicular flows (bridges, gates) that
+    co-visitation misses. Returns (a, b, n_seg_pairs, n_crossings).
+
+    Plan: per-entity consecutive segments from one lag window in integer
+    micro-degrees, candidate pins, then a within-pair segment equi-join
+    — cost is sum over pairs of n_a * n_b segment pairs, so callers
+    bound the candidate slice (the frechet_dist contract). Everything is
+    a column expression (JVM codegen, no kernel); the oracle replays the
+    identical predicate."""
+    from pyspark.sql import Window
+
+    x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
+    y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
+    w = Window.partitionBy("entity").orderBy("ts", "eid")
+    segs = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            x.alias("x2"),
+            y.alias("y2"),
+        )
+        .withColumns(
+            {
+                "x1": F.lag("x2").over(w),
+                "y1": F.lag("y2").over(w),
+            }
+        )
+        .filter(F.col("x1").isNotNull())
+        .select("entity", "x1", "y1", "x2", "y2")
+    )
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    sa = segs.select(
+        F.col("entity").alias("a"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        F.col("x2").alias("ax2"), F.col("y2").alias("ay2"),
+    )
+    sb = segs.select(
+        F.col("entity").alias("b"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"), F.col("y2").alias("by2"),
+    )
+
+    def cross(ox, oy, px_, py_, qx, qy):
+        return (F.col(px_) - F.col(ox)) * (F.col(qy) - F.col(oy)) - (
+            F.col(py_) - F.col(oy)
+        ) * (F.col(qx) - F.col(ox))
+
+    d1 = cross("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    d2 = cross("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    d3 = cross("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    d4 = cross("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+    crossing = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    return (
+        p.join(sa, "a")
+        .join(sb, "b")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg_pairs"),
+            F.sum(F.when(crossing, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias("n_crossings"),
+        )
+    )

@@ -12894,3 +12894,76 @@ FROM (
 
 
 REGISTRY.update({"simplify_dp": (q_simplify_dp, _o_simplify_dp())})
+
+
+def q_path_crossings(spark, sf_dir):
+    """Proper segment-crossing counts (operators/spatial.py
+    ``path_crossings``) over the same deterministic top-N co-visitation
+    pair slice as ``frechet_dist`` — exact integer orientation
+    predicates, column expressions only."""
+    from ..operators.spatial import path_crossings
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = (
+        co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+        .orderBy("a", "b").limit(FRECHET_TOPN)
+    )
+    return path_crossings(t, pairs)
+
+
+O_PATH_CROSSINGS = f"""
+WITH {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+sel AS (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+  ORDER BY a, b LIMIT {FRECHET_TOPN}
+),
+segs AS MATERIALIZED (
+  SELECT user_id AS entity,
+         lag(CAST(floor(lat * 1000000.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x1,
+         lag(CAST(floor(lon * 1000000.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y1,
+         CAST(floor(lat * 1000000.0) AS BIGINT) AS x2,
+         CAST(floor(lon * 1000000.0) AS BIGINT) AS y2
+  FROM src
+  WHERE user_id IN (SELECT a FROM sel UNION SELECT b FROM sel)
+  QUALIFY x1 IS NOT NULL
+),
+j AS (
+  SELECT s.a, s.b,
+         (sb.x2 - sb.x1) * (sa.y1 - sb.y1)
+           - (sb.y2 - sb.y1) * (sa.x1 - sb.x1) AS d1,
+         (sb.x2 - sb.x1) * (sa.y2 - sb.y1)
+           - (sb.y2 - sb.y1) * (sa.x2 - sb.x1) AS d2,
+         (sa.x2 - sa.x1) * (sb.y1 - sa.y1)
+           - (sa.y2 - sa.y1) * (sb.x1 - sa.x1) AS d3,
+         (sa.x2 - sa.x1) * (sb.y2 - sa.y1)
+           - (sa.y2 - sa.y1) * (sb.x2 - sa.x1) AS d4
+  FROM sel s
+  JOIN segs sa ON sa.entity = s.a
+  JOIN segs sb ON sb.entity = s.b
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_seg_pairs,
+       CAST(sum(CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                      AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+FROM j GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"path_crossings": (q_path_crossings, O_PATH_CROSSINGS)})

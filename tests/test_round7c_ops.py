@@ -746,3 +746,34 @@ def test_simplify_dp_shape_extremes(spark):
     assert 6 in kept0 and kept0[0] == 0 and kept0[-1] == 9
     with pytest.raises(ValueError, match="eps_micro"):
         simplify_dp(df, eps_micro=-1)
+
+
+def test_path_crossings_predicate(spark):
+    from langtoolsosm_spark.operators.spatial import path_crossings
+
+    rows = []
+    # entity 1: west->east along lat 10; entity 2: south->north crossing
+    # it once; entity 3: parallel to 1 (never crosses); entity 4 TOUCHES
+    # entity 1 at an endpoint (no proper crossing)
+    for i, lon in enumerate((19.0, 21.0)):
+        rows.append((1, i * 10, 100 + i, 10.0, lon))
+    for i, lat_ in enumerate((9.0, 11.0)):
+        rows.append((2, i * 10, 200 + i, lat_, 20.0))
+    for i, lon in enumerate((19.0, 21.0)):
+        rows.append((3, i * 10, 300 + i, 12.0, lon))
+    rows.append((4, 0, 400, 10.0, 21.0))     # starts ON 1's endpoint
+    rows.append((4, 10, 401, 13.0, 22.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "a long, b long"
+    )
+    out = {(r["a"], r["b"]): (r["n_seg_pairs"], r["n_crossings"])
+           for r in path_crossings(df, pairs).collect()}
+    assert out[(1, 2)] == (1, 1)
+    assert out[(1, 3)] == (1, 0)
+    assert out[(1, 4)] == (1, 0)     # endpoint touch is not proper
