@@ -576,3 +576,52 @@ def doc_scorecard(
             & (F.col("dup_milli") <= dup_max_milli)
         ).alias("keep"),
     )
+
+
+# octave dim shared verbatim with the DuckDB oracle: k, [2^k, 2^(k+1)-1]
+FREQ_OCTAVES_SQL = ", ".join(
+    f"({k}, {1 << k}, {(1 << (k + 1)) - 1})" for k in range(41)
+)
+
+
+def freq_spectrum(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus FREQUENCY SPECTRUM — the Zipf/Heaps diagnostic plotted as
+    word-frequency octaves: for every k, how many distinct words occur
+    between 2^k and 2^(k+1)-1 times, and how many tokens they carry.
+    Octave 0 is the hapax count (the single strongest signal of OCR
+    noise and dedup health a corpus builder tracks); a healthy Zipfian
+    corpus decays n_words roughly geometrically across octaves, and a
+    bump at high octaves is boilerplate that dedup missed. Returns
+    (octave, n_words, n_tokens) — sketch-sized output.
+
+    Plan: one token-frequency rollup (map-side combined), then an
+    octave-range join against a 41-row literal dim shared VERBATIM with
+    the oracle (FREQ_OCTAVES_SQL) — no log2 float anywhere, so octave
+    boundaries cannot drift between engines."""
+    freqs = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    oct_dim = F.expr(
+        f"explode(array({', '.join(f'struct({k} AS k, {1 << k}L AS lo, {(1 << (k + 1)) - 1}L AS hi)' for k in range(41))}))"
+    )
+    dim = docs.sparkSession.range(1).select(oct_dim.alias("o")).select(
+        F.col("o.k").alias("octave"), F.col("o.lo").alias("lo"),
+        F.col("o.hi").alias("hi"),
+    )
+    return (
+        freqs.join(
+            F.broadcast(dim),
+            (F.col("freq") >= F.col("lo")) & (F.col("freq") <= F.col("hi")),
+        )
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("n_tokens"),
+        )
+        .select(F.col("octave").cast("long"), "n_words", "n_tokens")
+    )

@@ -12967,3 +12967,33 @@ FROM j GROUP BY 1, 2
 
 
 REGISTRY.update({"path_crossings": (q_path_crossings, O_PATH_CROSSINGS)})
+
+
+def q_freq_spectrum(spark, sf_dir):
+    """Corpus word-frequency spectrum by octave (operators/textstats.py
+    ``freq_spectrum``): hapax count and geometric frequency decay — the
+    Zipf-health diagnostic; octave dim is one shared literal."""
+    from ..operators.textstats import freq_spectrum
+
+    return freq_spectrum(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _o_freq_spectrum() -> str:
+    from ..operators.textstats import FREQ_OCTAVES_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT w FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE w != ''
+),
+freqs AS (SELECT w, count(*) AS freq FROM toks GROUP BY 1)
+SELECT CAST(o.k AS BIGINT) AS octave,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS n_tokens
+FROM freqs JOIN (VALUES {FREQ_OCTAVES_SQL}) o(k, lo, hi)
+  ON freq >= o.lo AND freq <= o.hi
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"freq_spectrum": (q_freq_spectrum, _o_freq_spectrum())})

@@ -777,3 +777,16 @@ def test_path_crossings_predicate(spark):
     assert out[(1, 2)] == (1, 1)
     assert out[(1, 3)] == (1, 0)
     assert out[(1, 4)] == (1, 0)     # endpoint touch is not proper
+
+
+def test_freq_spectrum_octaves(spark):
+    from langtoolsosm_spark.operators.textstats import freq_spectrum
+
+    # "a" x8 (octave 3), "b" x3 and "c" x2 (octave 1), d,e hapax (oct 0)
+    docs = spark.createDataFrame(
+        [(1, "a a a a b d", "s"), (2, "a a a a b b c c e", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["octave"]: (r["n_words"], r["n_tokens"])
+           for r in freq_spectrum(docs).collect()}
+    assert out == {0: (2, 2), 1: (2, 5), 3: (1, 8)}
