@@ -12997,3 +12997,54 @@ GROUP BY 1
 
 
 REGISTRY.update({"freq_spectrum": (q_freq_spectrum, _o_freq_spectrum())})
+
+
+def q_hotspot_profile(spark, sf_dir):
+    """Radial density profiles of the top-20 hot cells (operators/
+    tiling.py ``hotspot_profile``): per-ring occupied-cell and event
+    census with the deterministic (cnt DESC, ix, iy) top-k."""
+    from ..operators.tiling import hotspot_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__hotprof_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __hotprof_events"
+    )
+    return hotspot_profile(t, res=7)
+
+
+O_HOTSPOT_PROFILE = f"""
+WITH src AS (
+  SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+hot AS (
+  SELECT ix AS hot_ix, iy AS hot_iy, cnt AS hot_cnt
+  FROM hist ORDER BY cnt DESC, ix ASC, iy ASC LIMIT 20
+),
+fan AS (
+  SELECT hot_ix, hot_iy, hot_cnt,
+         hot_ix + dx.i AS nx, hot_iy + dy.i AS ny,
+         greatest(abs(dx.i), abs(dy.i)) AS ring
+  FROM hot
+  JOIN generate_series(-3, 3) dx(i) ON TRUE
+  JOIN generate_series(-3, 3) dy(i) ON TRUE
+)
+SELECT f.hot_ix, f.hot_iy, CAST(f.hot_cnt AS BIGINT) AS hot_cnt,
+       CAST(f.ring AS BIGINT) AS ring,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(h.cnt) AS BIGINT) AS sum_cnt
+FROM fan f JOIN hist h ON h.ix = f.nx AND h.iy = f.ny
+GROUP BY 1, 2, 3, 4
+"""
+
+
+REGISTRY.update({"hotspot_profile": (q_hotspot_profile, O_HOTSPOT_PROFILE)})

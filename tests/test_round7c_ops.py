@@ -790,3 +790,26 @@ def test_freq_spectrum_octaves(spark):
     out = {r["octave"]: (r["n_words"], r["n_tokens"])
            for r in freq_spectrum(docs).collect()}
     assert out == {0: (2, 2), 1: (2, 5), 3: (1, 8)}
+
+
+def test_hotspot_profile_decay(spark):
+    from langtoolsosm_spark.operators.tiling import hotspot_profile
+
+    # one hot cell (20 events) with a single ring-1 neighbor (3) and a
+    # ring-3 satellite (2); an isolated medium cell far away (5)
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    rows = [cell_pt(8, 8)] * 20 + [cell_pt(9, 8)] * 3 + \
+        [cell_pt(11, 8)] * 2 + [cell_pt(2, 2)] * 5
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lat", "lon"]))
+    out = {(r["hot_ix"], r["hot_iy"], r["ring"]): (r["n_cells"], r["sum_cnt"])
+           for r in hotspot_profile(df, res=4, top_k=2).collect()}
+    # top-2 hot cells: (8,8) cnt 20 and (2,2) cnt 5
+    assert out[(8, 8, 0)] == (1, 20)
+    assert out[(8, 8, 1)] == (1, 3)
+    assert out[(8, 8, 3)] == (1, 2)
+    assert (8, 8, 2) not in out              # empty ring absent
+    assert out[(2, 2, 0)] == (1, 5)
+    with pytest.raises(ValueError, match="top_k"):
+        hotspot_profile(df, res=4, top_k=0)
