@@ -4807,3 +4807,199 @@ def path_crossings(
             .cast("long").alias("n_crossings"),
         )
     )
+
+
+def map_match_viterbi(
+    events: DataFrame,
+    polygons: DataFrame,
+    lambda_switch: int,
+    top_c: int = 3,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    broadcast_threshold: int = 100_000,
+    max_len: int = 50_000,
+) -> DataFrame:
+    """HMM map matching (Newson & Krumm 2009, integer-exact flavor):
+    instead of snapping every point independently to its nearest
+    boundary segment (``snap_to_boundary``, which ping-pongs between
+    near-parallel borders on noisy traces), choose per ENTITY the
+    segment sequence minimizing
+
+        sum of snap d2 (emission)  +  lambda_switch per segment change
+        (transition)
+
+    over the ``top_c`` nearest candidate segments per point — the
+    Viterbi decode of the standard sticky-matching HMM. All costs are
+    exact integers (the snap_to_boundary d2 contract); every tie is
+    broken deterministically: candidate rank by (d2, polygon_id,
+    seg_idx), predecessor by min cost then min "pid#seg" key, terminal
+    state by (cost, polygon_id, seg_idx). Returns one row per event:
+    (entity, eid, polygon_id, seg_idx, d2).
+
+    Plan: candidate scoring is the broadcast segment cross-join + one
+    per-event top-c window (boundary dims are small by nature — counted
+    and gated like snap_to_boundary); the decode is a per-entity Arrow
+    kernel over top_c^2 * n transitions (inherently sequential, the
+    coupling-DP precedent), with the counted ``max_len`` gate. The
+    DuckDB oracle replays the decode as a forward recursive CTE with
+    argmin backpointers plus a backward path-following recursion."""
+    from pyspark.sql import Window
+
+    if lambda_switch < 0:
+        raise ValueError(f"lambda_switch must be >= 0, got {lambda_switch}")
+    if top_c < 1:
+        raise ValueError(f"top_c must be >= 1, got {top_c}")
+    segs_raw = polygons.select(
+        "polygon_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(ring) - 1), i -> struct("
+                "ring[i].lat AS y1, ring[i].lon AS x1, "
+                "ring[CAST((i + 1) % size(ring) AS INT)].lat AS y2, "
+                "ring[CAST((i + 1) % size(ring) AS INT)].lon AS x2))"
+            )
+        ).alias("seg_idx", "__s"),
+    ).select(
+        "polygon_id", "seg_idx",
+        F.floor(F.col("__s.x1") * 1e6).cast("long").alias("x1"),
+        F.floor(F.col("__s.y1") * 1e6).cast("long").alias("y1"),
+        F.floor(F.col("__s.x2") * 1e6).cast("long").alias("x2"),
+        F.floor(F.col("__s.y2") * 1e6).cast("long").alias("y2"),
+    )
+    n_segs = segs_raw.count()
+    if n_segs > broadcast_threshold:
+        raise ValueError(
+            f"map_match_viterbi: {n_segs} segments exceed the broadcast "
+            f"threshold {broadcast_threshold}; band segments to cells "
+            "for huge road graphs"
+        )
+    pts = events.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.floor(F.col(lon) * 1e6).cast("long").alias("x0"),
+        F.floor(F.col(lat) * 1e6).cast("long").alias("y0"),
+    )
+    if max_len is not None:
+        worst = (
+            pts.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_len)
+            .orderBy(F.col("n").desc()).limit(1).collect()
+        )
+        if worst:
+            r = worst[0]
+            raise ValueError(
+                f"map_match_viterbi: entity {r['entity']} has {r['n']} "
+                f"points (> max_len={max_len}); decode state is "
+                "per-entity sequential — split trajectories or raise "
+                "max_len deliberately (None disables the gate)"
+            )
+    j = pts.crossJoin(F.broadcast(segs_raw))
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    l2 = dx * dx + dy * dy
+    tn = (F.col("x0") - F.col("x1")) * dx + (F.col("y0") - F.col("y1")) * dy
+    d2_a = (F.col("x0") - F.col("x1")) * (F.col("x0") - F.col("x1")) + (
+        F.col("y0") - F.col("y1")
+    ) * (F.col("y0") - F.col("y1"))
+    d2_b = (F.col("x0") - F.col("x2")) * (F.col("x0") - F.col("x2")) + (
+        F.col("y0") - F.col("y2")
+    ) * (F.col("y0") - F.col("y2"))
+    cross = (F.col("x0") - F.col("x1")) * dy - (F.col("y0") - F.col("y1")) * dx
+    d2_mid = F.expr(
+        "CAST(CAST(__cross AS decimal(38,0)) * __cross div __l2 AS BIGINT)"
+    )
+    rk = Window.partitionBy("entity", "eid").orderBy(
+        "d2", "polygon_id", "seg_idx"
+    )
+    cand = (
+        j.withColumn("__l2", l2)
+        .withColumn("__tn", tn)
+        .withColumn("__cross", cross)
+        .withColumn(
+            "d2",
+            F.when((F.col("__l2") == 0) | (F.col("__tn") <= 0), d2_a)
+            .when(F.col("__tn") >= F.col("__l2"), d2_b)
+            .otherwise(d2_mid),
+        )
+        .withColumn("__rn", F.row_number().over(rk))
+        .filter(F.col("__rn") <= top_c)
+        .select("entity", "ts", "eid", "polygon_id", "seg_idx", "d2")
+    )
+    grouped = (
+        cand.select(
+            "entity",
+            F.struct(
+                F.col("ts"), F.col("eid"), F.col("d2"),
+                F.col("polygon_id").alias("pid"), F.col("seg_idx").alias("seg"),
+            ).alias("c"),
+        )
+        .groupBy("entity")
+        .agg(F.sort_array(F.collect_list("c")).alias("cs"))
+    )
+    lam = int(lambda_switch)
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for ent, cs in zip(pdf["entity"], pdf["cs"]):
+                # rebuild per-point candidate groups in (ts, eid) order
+                points = []
+                for c in cs:
+                    if not points or points[-1][0] != c["eid"]:
+                        points.append((c["eid"], []))
+                    points[-1][1].append(
+                        (str(c["pid"]), int(c["seg"]), int(c["d2"]))
+                    )
+                # forward pass
+                prev = {}
+                paths = []
+                for k, (eid, cands) in enumerate(points):
+                    cur = {}
+                    back = {}
+                    for pid, seg, d2 in cands:
+                        if k == 0:
+                            cur[(pid, seg)] = d2
+                            back[(pid, seg)] = None
+                            continue
+                        best_tc, best_key = None, None
+                        for (ppid, pseg), pc in prev.items():
+                            tc = pc + (0 if (ppid, pseg) == (pid, seg)
+                                       else lam)
+                            key = f"{ppid}#{pseg:06d}"
+                            if best_tc is None or tc < best_tc or (
+                                tc == best_tc and key < best_key
+                            ):
+                                best_tc, best_key = tc, key
+                                bp = (ppid, pseg)
+                        cur[(pid, seg)] = best_tc + d2
+                        back[(pid, seg)] = bp
+                    paths.append((eid, back))
+                    prev = cur
+                # terminal argmin by (cost, pid, seg)
+                state = min(prev, key=lambda s: (prev[s], s[0], s[1]))
+                chosen = []
+                for eid, back in reversed(paths):
+                    chosen.append((eid, state))
+                    state = back[state] if back[state] is not None else state
+                d2map = {
+                    (c["eid"], (str(c["pid"]), int(c["seg"]))): int(c["d2"])
+                    for c in cs
+                }
+                recs.extend(
+                    (ent, eid, s[0], s[1], d2map[(eid, s)])
+                    for eid, s in chosen
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["entity", "eid", "polygon_id", "seg_idx", "d2"],
+            )
+
+    return grouped.mapInPandas(
+        kernel,
+        schema="entity long, eid long, polygon_id string, seg_idx int, "
+               "d2 long",
+    )

@@ -13048,3 +13048,115 @@ GROUP BY 1, 2, 3, 4
 
 
 REGISTRY.update({"hotspot_profile": (q_hotspot_profile, O_HOTSPOT_PROFILE)})
+
+
+VITERBI_LAMBDA = 2_000_000_000_000  # switch penalty in micro-deg^2
+
+
+def q_map_match(spark, sf_dir):
+    """HMM map matching (operators/spatial.py ``map_match_viterbi``):
+    per-entity Viterbi decode over the top-3 nearest boundary segments
+    with an integer switch penalty — the sticky upgrade of
+    ``snap_to_boundary``. The oracle replays the decode as a forward
+    recursive CTE (argmin backpointers, deterministic tie strings) and
+    a backward path recursion."""
+    from ..operators.spatial import map_match_viterbi
+
+    return map_match_viterbi(
+        _traj(spark, sf_dir), geo_polygons_df(spark),
+        lambda_switch=VITERBI_LAMBDA,
+    )
+
+
+def _o_map_match() -> str:
+    lam = VITERBI_LAMBDA
+    dsub = f"""
+      SELECT c.entity, c.idx, c.pid, c.seg, c.d2, p.pid AS ppid,
+             p.seg AS pseg,
+             p.cost + CASE WHEN p.pid = c.pid AND p.seg = c.seg
+                           THEN 0 ELSE {lam} END AS tc
+      FROM fwd p JOIN cand c ON c.entity = p.entity AND c.idx = p.idx + 1
+    """
+    return f"""
+WITH RECURSIVE {TRAJ_SRC_CTE},
+segs AS (
+  SELECT polygon_id, seg_idx,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2
+  FROM (VALUES {_seg_values()}) AS v(polygon_id, seg_idx, x1, y1, x2, y2)
+),
+q AS (
+  SELECT user_id AS entity,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS idx,
+         event_id AS eid,
+         CAST(FLOOR(lon * 1000000.0) AS BIGINT) AS x0,
+         CAST(FLOOR(lat * 1000000.0) AS BIGINT) AS y0
+  FROM src
+),
+sc AS (
+  SELECT entity, idx, eid, polygon_id, seg_idx,
+         CASE WHEN l2 = 0 OR tn <= 0 THEN da
+              WHEN tn >= l2 THEN db
+              ELSE CAST(CAST(cr AS HUGEINT) * cr // l2 AS BIGINT) END AS d2
+  FROM (
+    SELECT q.entity, q.idx, q.eid, s.polygon_id, s.seg_idx,
+           (s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1) AS l2,
+           (q.x0 - s.x1) * (s.x2 - s.x1) + (q.y0 - s.y1) * (s.y2 - s.y1) AS tn,
+           (q.x0 - s.x1) * (q.x0 - s.x1) + (q.y0 - s.y1) * (q.y0 - s.y1) AS da,
+           (q.x0 - s.x2) * (q.x0 - s.x2) + (q.y0 - s.y2) * (q.y0 - s.y2) AS db,
+           (q.x0 - s.x1) * (s.y2 - s.y1) - (q.y0 - s.y1) * (s.x2 - s.x1) AS cr
+    FROM q CROSS JOIN segs s
+  )
+),
+cand AS MATERIALIZED (
+  SELECT entity, idx, eid, polygon_id AS pid, seg_idx AS seg, d2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity, idx
+                                 ORDER BY d2, polygon_id, seg_idx) AS rn
+    FROM sc
+  ) WHERE rn <= 3
+),
+sz AS (SELECT entity, max(idx) + 1 AS n FROM cand GROUP BY 1),
+fwd AS (
+  SELECT entity, idx, pid, seg, d2 AS cost,
+         CAST(NULL AS VARCHAR) AS ppid, CAST(NULL AS INT) AS pseg
+  FROM cand WHERE idx = 0
+  UNION ALL
+  SELECT d.entity, d.idx, d.pid, d.seg, m.mc + d.d2 AS cost,
+         split_part(min(d.ppid || '#' ||
+                        lpad(CAST(d.pseg AS VARCHAR), 6, '0')), '#', 1)
+           AS ppid,
+         CAST(split_part(min(d.ppid || '#' ||
+                             lpad(CAST(d.pseg AS VARCHAR), 6, '0')),
+                         '#', 2) AS INT) AS pseg
+  FROM ({dsub}) d
+  JOIN (
+    SELECT entity, idx, pid, seg, min(tc) AS mc
+    FROM ({dsub}) GROUP BY 1, 2, 3, 4
+  ) m ON m.entity = d.entity AND m.idx = d.idx AND m.pid = d.pid
+     AND m.seg = d.seg AND d.tc = m.mc
+  GROUP BY d.entity, d.idx, d.pid, d.seg, m.mc, d.d2
+),
+back AS (
+  SELECT entity, idx, pid, seg, ppid, pseg FROM (
+    SELECT f.entity, f.idx, f.pid, f.seg, f.ppid, f.pseg,
+           row_number() OVER (PARTITION BY f.entity
+                              ORDER BY f.cost, f.pid, f.seg) AS rn
+    FROM fwd f JOIN sz ON sz.entity = f.entity AND f.idx = sz.n - 1
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT f.entity, f.idx, f.pid, f.seg, f.ppid, f.pseg
+  FROM back b JOIN fwd f
+    ON f.entity = b.entity AND f.idx = b.idx - 1
+   AND f.pid = b.ppid AND f.seg = b.pseg
+  WHERE b.idx > 0
+)
+SELECT b.entity, c.eid, b.pid AS polygon_id, CAST(b.seg AS INT) AS seg_idx,
+       c.d2
+FROM back b JOIN cand c ON c.entity = b.entity AND c.idx = b.idx
+  AND c.pid = b.pid AND c.seg = b.seg
+"""
+
+
+REGISTRY.update({"map_match": (q_map_match, _o_map_match())})

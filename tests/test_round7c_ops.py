@@ -813,3 +813,53 @@ def test_hotspot_profile_decay(spark):
     assert out[(2, 2, 0)] == (1, 5)
     with pytest.raises(ValueError, match="top_k"):
         hotspot_profile(df, res=4, top_k=0)
+
+
+def test_map_match_viterbi_stickiness(spark):
+    from langtoolsosm_spark.operators.spatial import (
+        map_match_viterbi, snap_to_boundary,
+    )
+
+    # two parallel vertical borders at lon 10.0 (A) and 10.001 (B); a
+    # trace that hugs A but has ONE sample nudged across the midline:
+    # greedy snap ping-pongs to B for that sample, Viterbi holds A
+    polys = spark.createDataFrame(
+        [
+            ("A", [{"lat": 0.0, "lon": 10.0}, {"lat": 1.0, "lon": 10.0}]),
+            ("B", [{"lat": 0.0, "lon": 10.001}, {"lat": 1.0, "lon": 10.001}]),
+        ],
+        "polygon_id string, ring array<struct<lat:double,lon:double>>",
+    )
+    lons = [10.0001, 10.0002, 10.0008, 10.0002, 10.0001]  # idx 2 nudged
+    rows = [
+        (1, i * 10, 100 + i, 0.1 + 0.1 * i, lo) for i, lo in enumerate(lons)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    greedy = {
+        r["point_id"]: r["polygon_id"]
+        for r in snap_to_boundary(
+            df.select(F.col("event_id").alias("point_id"), "lat", "lon"),
+            polys,
+        ).collect()
+    }
+    assert greedy[102] == "B"                     # greedy ping-pongs
+    vit = {
+        r["eid"]: r["polygon_id"]
+        for r in map_match_viterbi(
+            df, polys, lambda_switch=10_000_000
+        ).collect()
+    }
+    assert set(vit.values()) == {"A"}             # Viterbi holds the line
+    # with zero switch cost Viterbi degrades to greedy
+    vit0 = {
+        r["eid"]: r["polygon_id"]
+        for r in map_match_viterbi(df, polys, lambda_switch=0).collect()
+    }
+    assert vit0[102] == "B" and vit0[100] == "A"
+    with pytest.raises(ValueError, match="lambda_switch"):
+        map_match_viterbi(df, polys, lambda_switch=-1)
