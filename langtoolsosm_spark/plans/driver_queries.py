@@ -13160,3 +13160,45 @@ FROM back b JOIN cand c ON c.entity = b.entity AND c.idx = b.idx
 
 
 REGISTRY.update({"map_match": (q_map_match, _o_map_match())})
+
+
+def q_heading_persistence(spark, sf_dir):
+    """Directional persistence per entity (operators/spatial.py
+    ``heading_persistence``): exact integer lag-1 displacement dot
+    products — ballistic vs Brownian vs pacing movers."""
+    from ..operators.spatial import heading_persistence
+
+    return heading_persistence(_traj(spark, sf_dir))
+
+
+O_HEADING_PERSISTENCE = f"""
+WITH {TRAJ_SRC_CTE},
+v AS (
+  SELECT user_id AS entity,
+         CAST(floor(lat * 1000000.0) AS BIGINT)
+           - lag(CAST(floor(lat * 1000000.0) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vx,
+         CAST(floor(lon * 1000000.0) AS BIGINT)
+           - lag(CAST(floor(lon * 1000000.0) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vy,
+         ts, event_id
+  FROM src
+),
+p AS (
+  SELECT entity, vx, vy,
+         lag(vx) OVER (PARTITION BY entity ORDER BY ts, event_id) AS pvx,
+         lag(vy) OVER (PARTITION BY entity ORDER BY ts, event_id) AS pvy
+  FROM v
+)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(vx * pvx + vy * pvy) AS BIGINT) AS sum_dot,
+       CAST(sum(pvx * pvx + pvy * pvy) AS BIGINT) AS sum_v2a,
+       CAST(sum(vx * vx + vy * vy) AS BIGINT) AS sum_v2b
+FROM p WHERE pvx IS NOT NULL AND vx IS NOT NULL
+GROUP BY 1
+"""
+
+
+REGISTRY.update(
+    {"heading_persistence": (q_heading_persistence, O_HEADING_PERSISTENCE)}
+)

@@ -863,3 +863,27 @@ def test_map_match_viterbi_stickiness(spark):
     assert vit0[102] == "B" and vit0[100] == "A"
     with pytest.raises(ValueError, match="lambda_switch"):
         map_match_viterbi(df, polys, lambda_switch=-1)
+
+
+def test_heading_persistence_modes(spark):
+    from langtoolsosm_spark.operators.spatial import heading_persistence
+
+    rows = []
+    # entity 1 ballistic: straight east, equal steps -> sum_dot = sum_v2
+    for i in range(5):
+        rows.append((1, i * 10, 100 + i, 10.0, 20.0 + 0.001 * i))
+    # entity 2 pacing: back and forth -> sum_dot = -sum_v2
+    for i, lo in enumerate((20.0, 20.001, 20.0, 20.001)):
+        rows.append((2, i * 10, 200 + i, 10.0, lo))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    out = {r["entity"]: r for r in heading_persistence(df).collect()}
+    b = out[1]
+    assert b["n_turns"] == 3 and b["sum_dot"] == b["sum_v2a"] == b["sum_v2b"]
+    assert b["sum_dot"] == 3 * 1000 * 1000
+    p = out[2]
+    assert p["n_turns"] == 2 and p["sum_dot"] == -p["sum_v2a"]
