@@ -2496,3 +2496,65 @@ def hotspot_profile(
             F.sum("cnt").alias("sum_cnt"),
         )
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Day-over-day ACTIVITY-CENTER drift: per day the exact integer
+    centroid moments (n, sum_x, sum_y in micro-degrees) of all events,
+    plus the displacement from the previous observed day as the exact
+    rational (dx, dy) = (sx/n - psx/pn, sy/n - psy/pn) cross-multiplied:
+
+        dx_num = sx * pn - psx * n,   dy_num = sy * pn - psy * n,
+        den    = n * pn
+
+    — the event-field version of a population-center time series; a
+    sudden centroid jump flags a data outage in one region, a festival,
+    or an ingest bug faster than any per-cell monitor. First observed
+    day reports NULL drift. Returns (day, n_events, sum_x, sum_y,
+    dx_num, dy_num, drift_den).
+
+    Plan: one map-side-combined daily rollup (output is at most the
+    distinct-day count), one lag window over those few rows. int64
+    holds while daily_events * coord * prev_daily_events < 2^63 —
+    ~5e9 events/day at city scale; widen to DECIMAL beyond."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.expr(
+            f"div(unix_timestamp({ts_col}), 86400)"
+        ).alias("day"),
+        F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long").alias("x"),
+        F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long").alias("y"),
+    )
+    daily = base.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumns(
+            {
+                "__pn": F.lag("n_events").over(w),
+                "__px": F.lag("sum_x").over(w),
+                "__py": F.lag("sum_y").over(w),
+            }
+        )
+        .select(
+            "day", "n_events", "sum_x", "sum_y",
+            (
+                F.col("sum_x") * F.col("__pn")
+                - F.col("__px") * F.col("n_events")
+            ).alias("dx_num"),
+            (
+                F.col("sum_y") * F.col("__pn")
+                - F.col("__py") * F.col("n_events")
+            ).alias("dy_num"),
+            (F.col("n_events") * F.col("__pn")).alias("drift_den"),
+        )
+    )

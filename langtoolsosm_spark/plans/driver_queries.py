@@ -13202,3 +13202,48 @@ GROUP BY 1
 REGISTRY.update(
     {"heading_persistence": (q_heading_persistence, O_HEADING_PERSISTENCE)}
 )
+
+
+def q_centroid_drift(spark, sf_dir):
+    """Daily activity-center drift (operators/tiling.py
+    ``centroid_drift``): exact integer daily centroid moments and the
+    cross-multiplied day-over-day displacement rationals."""
+    from ..operators.tiling import centroid_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__drift_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __drift_events"
+    )
+    return centroid_drift(t)
+
+
+O_CENTROID_DRIFT = f"""
+WITH src AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(floor(({TRAJ_LAT_SQL}) * 1000000.0) AS BIGINT) AS x,
+         CAST(floor(({TRAJ_LON_SQL}) * 1000000.0) AS BIGINT) AS y
+  FROM events
+),
+daily AS (
+  SELECT day, count(*) AS n, sum(x) AS sx, sum(y) AS sy
+  FROM src GROUP BY 1
+),
+lagged AS (
+  SELECT day, n, sx, sy,
+         lag(n) OVER (ORDER BY day) AS pn,
+         lag(sx) OVER (ORDER BY day) AS px,
+         lag(sy) OVER (ORDER BY day) AS py
+  FROM daily
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, CAST(sx AS BIGINT) AS sum_x,
+       CAST(sy AS BIGINT) AS sum_y,
+       CAST(sx * pn - px * n AS BIGINT) AS dx_num,
+       CAST(sy * pn - py * n AS BIGINT) AS dy_num,
+       CAST(n * pn AS BIGINT) AS drift_den
+FROM lagged
+"""
+
+
+REGISTRY.update({"centroid_drift": (q_centroid_drift, O_CENTROID_DRIFT)})

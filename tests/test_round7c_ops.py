@@ -887,3 +887,22 @@ def test_heading_persistence_modes(spark):
     assert b["sum_dot"] == 3 * 1000 * 1000
     p = out[2]
     assert p["n_turns"] == 2 and p["sum_dot"] == -p["sum_v2a"]
+
+
+def test_centroid_drift_jump(spark):
+    from langtoolsosm_spark.operators.tiling import centroid_drift
+
+    rows = []
+    # day 0: two events centered at (10, 20); day 1: centered at (12, 20)
+    rows += [(5, 9.0, 20.0), (10, 11.0, 20.0)]
+    rows += [(86400 + 5, 11.0, 20.0), (86400 + 9, 13.0, 20.0)]
+    pdf = pd.DataFrame(rows, columns=["epoch", "lat", "lon"])
+    df = spark.createDataFrame(pdf).select(
+        F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+    out = {r["day"]: r for r in centroid_drift(df).collect()}
+    d0, d1 = out[0], out[1]
+    assert d0["dx_num"] is None and d0["drift_den"] is None
+    # dx = 12e6 - 10e6 = 2e6 micro: dx_num/den = (24e6*2 - 20e6*2)/4
+    assert d1["dx_num"] // d1["drift_den"] == 2_000_000
+    assert d1["dy_num"] == 0
