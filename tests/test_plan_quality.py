@@ -568,3 +568,69 @@ def test_region_image_stats_shuffles_no_blob(spark, synth_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, line
+
+
+def test_hotspot_profile_broadcasts_fan_not_histogram(spark):
+    """The ring fan (k x 49 rows) must be the broadcast side; the
+    histogram side can be millions of cells at 100x and must stay
+    partitioned — a reversed broadcast would ship the big side."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.tiling import hotspot_profile
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(10.0 + i * 0.01, 20.0) for i in range(50)],
+            columns=["lat", "lon"],
+        )
+    )
+    plan = _plan(hotspot_profile(df, res=6))
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+    # the broadcast subtree is the top-k fan (TakeOrderedAndProject sits
+    # under the BroadcastExchange), not the histogram scan
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert plan.index("BroadcastExchange") < plan.index(
+        "TakeOrderedAndProject"
+    )
+
+
+def test_path_crossings_is_jvm_only(spark):
+    """Orientation predicates are column expressions — no Python UDF,
+    no cartesian product in the plan."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.spatial import path_crossings
+
+    rows = [(1, 0, 1, 10.0, 20.0), (1, 10, 2, 10.1, 20.1),
+            (2, 0, 3, 10.0, 20.1), (2, 10, 4, 10.1, 20.0)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = _plan(path_crossings(df, pairs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knox_stat_single_fact_lineage(spark):
+    """knox_stat pins the projected fact frame (localCheckpoint) so the
+    gate count, the spatial fan, the base side and the histogram all
+    read the checkpoint — the executed plan must contain no parquet/
+    LocalTableScan re-derivation beyond checkpoint scans."""
+    import pandas as pd
+
+    from langtoolsosm_spark.operators.spatial import knox_stat
+
+    rows = [(i, i * 100, 10.0 + i * 0.001, 20.0) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "epoch", "lat", "lon"])
+    df = spark.createDataFrame(pdf).select(
+        "event_id", F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+    out = knox_stat(df, ds_micro=5000, dt_sec=500)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan
+    # every leaf that feeds the three subtrees is the checkpointed RDD
+    assert plan.count("Scan ExistingRDD") >= 3
