@@ -13247,3 +13247,43 @@ FROM lagged
 
 
 REGISTRY.update({"centroid_drift": (q_centroid_drift, O_CENTROID_DRIFT)})
+
+
+def q_stream_centroid_drift(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the daily centroid moments
+    (streaming/microbatch.py ``stream_centroid_moments``): order-free
+    sums, rank-interleaved staging; the finished state must equal
+    ``centroid_drift`` exactly (same oracle)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_centroid_drift_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__cdrift_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __cdrift_events"
+    )
+    out = tempfile.mkdtemp(prefix="streamcdrift_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = t.toPandas().sort_values(["ts", "lat"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_centroid_drift_stream_once(
+            spark, src, _os.path.join(out, "ckpt")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update(
+    {"stream_centroid_drift": (q_stream_centroid_drift, O_CENTROID_DRIFT)}
+)

@@ -2243,3 +2243,93 @@ def run_tile_trend_stream_once(
         FROM fin WHERE rk = 1
         """
     )
+
+
+def stream_centroid_moments(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Streaming daily activity-center state: per epoch-day the running
+    (n, sum_x, sum_y) micro-degree moments — order-free sums (the
+    strongest parity class), so the final per-day state equals the
+    batch daily rollup of ``centroid_drift`` under ANY arrival order.
+    Emits one update row per (day, trigger)."""
+    import pandas as pd
+
+    keyed = stream.select(
+        F.expr(f"div(unix_timestamp({ts_col}), 86400)").alias("day"),
+        F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long").alias("__x"),
+        F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long").alias("__y"),
+    )
+
+    def kernel(key, pdf_iter, state):
+        n = sx = sy = 0
+        if state.exists:
+            n, sx, sy = (int(v) for v in state.get)
+        for pdf in pdf_iter:
+            xs = pdf["__x"].astype("int64")
+            ys = pdf["__y"].astype("int64")
+            n += len(pdf)
+            sx += int(xs.sum())
+            sy += int(ys.sum())
+        state.update((n, sx, sy))
+        yield pd.DataFrame({"day": [key[0]], "n": [n], "sx": [sx], "sy": [sy]})
+
+    return keyed.groupBy("day").applyInPandasWithState(
+        kernel,
+        outputStructType="day long, n long, sx long, sy long",
+        stateStructType="n long, sx long, sy long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_centroid_drift_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str
+) -> DataFrame:
+    """Drive the streaming daily moments over all staged files and
+    finish with the batch ``centroid_drift`` lag algebra — byte-identical
+    output schema and values."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"cdrift_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_centroid_moments(st)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        WITH fin AS (
+          SELECT day, n, sx, sy,
+                 row_number() OVER (PARTITION BY day ORDER BY n DESC) AS rk
+          FROM {name}
+        ),
+        daily AS (SELECT day, n, sx, sy FROM fin WHERE rk = 1),
+        lagged AS (
+          SELECT day, n, sx, sy,
+                 lag(n) OVER (ORDER BY day) AS pn,
+                 lag(sx) OVER (ORDER BY day) AS px,
+                 lag(sy) OVER (ORDER BY day) AS py
+          FROM daily
+        )
+        SELECT day, CAST(n AS BIGINT) AS n_events,
+               CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+               CAST(sx * pn - px * n AS BIGINT) AS dx_num,
+               CAST(sy * pn - py * n AS BIGINT) AS dy_num,
+               CAST(n * pn AS BIGINT) AS drift_den
+        FROM lagged
+        """
+    )
