@@ -2558,3 +2558,74 @@ def centroid_drift(
             (F.col("n_events") * F.col("__pn")).alias("drift_den"),
         )
     )
+
+
+def tile_isolation(
+    df: DataFrame,
+    res: int,
+    max_r: int = 4,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Nearest-occupied-neighbor distance per cell — the raster
+    Clark-Evans ingredient: for every occupied cell, the smallest
+    Chebyshev ring 1..``max_r`` containing another occupied cell, or
+    ``max_r + 1`` when none is that close (right-censored, reported
+    explicitly — isolated outposts are exactly the interesting rows:
+    data-entry outliers, lone sensors, spoofed coordinates). Returns
+    (ix, iy, cnt, nnd).
+
+    Plan: one map-side-combined histogram; each occupied cell fans over
+    the (2*max_r+1)^2 - 1 neighbor offsets (histogram rows only), one
+    min-rollup per cell, then a left join back to tag censored cells —
+    histogram x constant, never fact-scale."""
+    if max_r < 1:
+        raise ValueError(f"max_r must be >= 1, got {max_r}")
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # fan side and probe side share it
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in range(-max_r, max_r + 1)
+                for dy in range(-max_r, max_r + 1)
+                if not (dx == 0 and dy == 0)
+            ]
+        )
+    ).alias("o")
+    fan = hist.select("ix", "iy", offs).select(
+        (F.col("ix") + F.col("o.dx")).alias("nx"),
+        (F.col("iy") + F.col("o.dy")).alias("ny"),
+        F.col("ix").alias("six"), F.col("iy").alias("siy"),
+        F.greatest(F.abs(F.col("o.dx")), F.abs(F.col("o.dy"))).alias("ring"),
+    )
+    near = (
+        fan.join(
+            hist.select(F.col("ix").alias("nx"), F.col("iy").alias("ny")),
+            ["nx", "ny"],
+        )
+        .groupBy("six", "siy")
+        .agg(F.min("ring").alias("__nnd"))
+    )
+    return (
+        hist.join(
+            near,
+            (F.col("ix") == F.col("six")) & (F.col("iy") == F.col("siy")),
+            "left",
+        )
+        .select(
+            "ix", "iy", "cnt",
+            F.coalesce(F.col("__nnd"), F.lit(max_r + 1))
+            .cast("long").alias("nnd"),
+        )
+    )

@@ -13287,3 +13287,48 @@ def q_stream_centroid_drift(spark, sf_dir):
 REGISTRY.update(
     {"stream_centroid_drift": (q_stream_centroid_drift, O_CENTROID_DRIFT)}
 )
+
+
+def q_tile_isolation(spark, sf_dir):
+    """Nearest-occupied-neighbor cell distance (operators/tiling.py
+    ``tile_isolation``) at res 7, rings up to 4 with explicit censoring
+    — the raster Clark-Evans ingredient and outpost detector."""
+    from ..operators.tiling import tile_isolation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__isol_events")
+    t = spark.sql(
+        f"SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __isol_events"
+    )
+    return tile_isolation(t, res=7)
+
+
+O_TILE_ISOLATION = f"""
+WITH src AS (
+  SELECT {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * 128.0) AS BIGINT), 0), 127) AS iy,
+         count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+near AS (
+  SELECT h.ix AS six, h.iy AS siy,
+         min(greatest(abs(dx.i), abs(dy.i))) AS nnd
+  FROM hist h
+  JOIN generate_series(-4, 4) dx(i) ON TRUE
+  JOIN generate_series(-4, 4) dy(i) ON NOT (dx.i = 0 AND dy.i = 0)
+  JOIN hist nb ON nb.ix = h.ix + dx.i AND nb.iy = h.iy + dy.i
+  GROUP BY 1, 2
+)
+SELECT h.ix, h.iy, CAST(h.cnt AS BIGINT) AS cnt,
+       CAST(COALESCE(n.nnd, 5) AS BIGINT) AS nnd
+FROM hist h LEFT JOIN near n ON n.six = h.ix AND n.siy = h.iy
+"""
+
+
+REGISTRY.update({"tile_isolation": (q_tile_isolation, O_TILE_ISOLATION)})

@@ -906,3 +906,22 @@ def test_centroid_drift_jump(spark):
     # dx = 12e6 - 10e6 = 2e6 micro: dx_num/den = (24e6*2 - 20e6*2)/4
     assert d1["dx_num"] // d1["drift_den"] == 2_000_000
     assert d1["dy_num"] == 0
+
+
+def test_tile_isolation_censoring(spark):
+    from langtoolsosm_spark.operators.tiling import tile_isolation
+
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    # pair of adjacent cells (nnd 1 each), one at ring 3 from them, one
+    # beyond max_r from everything (censored to max_r+1)
+    pts = [cell_pt(8, 8), cell_pt(9, 8), cell_pt(12, 8), cell_pt(1, 14)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["lat", "lon"]))
+    out = {(r["ix"], r["iy"]): r["nnd"]
+           for r in tile_isolation(df, res=4, max_r=4).collect()}
+    assert out[(8, 8)] == 1 and out[(9, 8)] == 1
+    assert out[(12, 8)] == 3
+    assert out[(1, 14)] == 5
+    with pytest.raises(ValueError, match="max_r"):
+        tile_isolation(df, res=4, max_r=0)
