@@ -1636,3 +1636,61 @@ def banding_scores(images: DataFrame, lags: tuple = (1, 2, 3)) -> DataFrame:
         schema="image_id string, lag_k int, n_terms long, sum_prod long, "
                "head_sum long, tail_sum long, cov_num long",
     )
+
+
+def vignette_scores(images: DataFrame, max_milli: int = 800) -> DataFrame:
+    """Vignetting audit — the lens/composite artifact scrub: per image
+    the exact integer luminance sums of the BORDER region (everything
+    outside the central half-box rows [h//4, h - h//4) x cols
+    [w//4, w - w//4)) versus the CENTER box, and their mean ratio in
+    exact milli:
+
+        vign_milli = (1000 * sum_border * n_center)
+                     div (sum_center * n_border)
+
+    — under 1000 means the border is darker than the center (classic
+    vignette or heavy edge letterboxing the uniform-line detector
+    misses); ``is_vignetted`` = 1 iff vign_milli <= max_milli, decided
+    in integers. A zero-luminance center (sum_center = 0) reports NULL
+    ratio and is_vignetted = 0, as does an image too small to have a
+    border (h < 4 or w < 4). One decode per image (mapInPandas)."""
+    if not 0 <= max_milli <= 1000:
+        raise ValueError(f"max_milli must be in [0, 1000], got {max_milli}")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                h, w = lum.shape
+                if h < 4 or w < 4:
+                    recs.append((img_id, 0, 0, 0, 0, None, 0))
+                    continue
+                r0, r1 = h // 4, h - h // 4
+                c0, c1 = w // 4, w - w // 4
+                center = lum[r0:r1, c0:c1]
+                nc = int(center.size)
+                sc = int(center.sum())
+                nb = int(lum.size - nc)
+                sb = int(lum.sum()) - sc
+                if sc == 0 or nb == 0:
+                    recs.append((img_id, nb, sb, nc, sc, None, 0))
+                    continue
+                vm = 1000 * sb * nc // (sc * nb)
+                recs.append((img_id, nb, sb, nc, sc, vm,
+                             int(vm <= max_milli)))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_border", "sum_border", "n_center",
+                         "sum_center", "vign_milli", "is_vignetted"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_border long, sum_border long, "
+               "n_center long, sum_center long, vign_milli long, "
+               "is_vignetted int",
+    )

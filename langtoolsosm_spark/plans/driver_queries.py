@@ -13332,3 +13332,67 @@ FROM hist h LEFT JOIN near n ON n.six = h.ix AND n.siy = h.iy
 
 
 REGISTRY.update({"tile_isolation": (q_tile_isolation, O_TILE_ISOLATION)})
+
+
+def q_vignette_scores(spark, sf_dir):
+    """Vignetting audit (operators/images.py ``vignette_scores``):
+    exact border-vs-center luminance mean ratio in milli over the raw
+    frame fixture; oracle replays the half-box split on hex pixels."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import vignette_scores
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return vignette_scores(imgs)
+
+
+O_VIGNETTE_SCORES = f"""
+WITH {_QUALITY_RAW_V},
+lum AS MATERIALIZED (
+  SELECT image_id, w, h, (i - 9) // 3 AS p,
+         (2126 * CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 7152 * CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 722 * CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END)
+                     AS BIGINT)) // 10000 AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3, 4
+),
+split AS (
+  SELECT image_id,
+         CASE WHEN (p // w) >= (h // 4) AND (p // w) < h - (h // 4)
+               AND (p % w) >= (w // 4) AND (p % w) < w - (w // 4)
+              THEN 1 ELSE 0 END AS is_center, l
+  FROM lum WHERE h >= 4 AND w >= 4
+),
+agg AS (
+  SELECT image_id,
+         CAST(sum(1 - is_center) AS BIGINT) AS n_border,
+         CAST(sum(CASE WHEN is_center = 0 THEN l ELSE 0 END) AS BIGINT)
+           AS sum_border,
+         CAST(sum(is_center) AS BIGINT) AS n_center,
+         CAST(sum(CASE WHEN is_center = 1 THEN l ELSE 0 END) AS BIGINT)
+           AS sum_center
+  FROM split GROUP BY 1
+),
+ids AS (SELECT DISTINCT image_id FROM v)
+SELECT ids.image_id,
+       COALESCE(n_border, 0) AS n_border,
+       COALESCE(sum_border, 0) AS sum_border,
+       COALESCE(n_center, 0) AS n_center,
+       COALESCE(sum_center, 0) AS sum_center,
+       CASE WHEN sum_center > 0 AND n_border > 0
+            THEN CAST((1000 * sum_border * n_center)
+                      // (sum_center * n_border) AS BIGINT)
+            ELSE NULL END AS vign_milli,
+       CAST(CASE WHEN sum_center > 0 AND n_border > 0
+                  AND (1000 * sum_border * n_center)
+                      // (sum_center * n_border) <= 800
+                 THEN 1 ELSE 0 END AS INT) AS is_vignetted
+FROM ids LEFT JOIN agg ON agg.image_id = ids.image_id
+"""
+
+
+REGISTRY.update({"vignette_scores": (q_vignette_scores, O_VIGNETTE_SCORES)})

@@ -925,3 +925,30 @@ def test_tile_isolation_censoring(spark):
     assert out[(1, 14)] == 5
     with pytest.raises(ValueError, match="max_r"):
         tile_isolation(df, res=4, max_r=0)
+
+
+def test_vignette_scores_dark_border(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import vignette_scores
+
+    vig = np.full((8, 8, 3), 40, dtype=np.uint8)     # dark border
+    vig[2:6, 2:6] = 200                              # bright center
+    flat = np.full((8, 8, 3), 100, dtype=np.uint8)   # ratio exactly 1000
+    black = np.zeros((4, 4, 3), dtype=np.uint8)      # sum_center 0 -> NULL
+    rows = [("vig", ic.encode_raw(vig), "raw"),
+            ("flat", ic.encode_raw(flat), "raw"),
+            ("black", ic.encode_raw(black), "raw")]
+    out = {r["image_id"]: r for r in vignette_scores(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ).collect()}
+    v = out["vig"]
+    assert v["n_center"] == 16 and v["n_border"] == 48
+    assert v["vign_milli"] == 1000 * 40 // 200 == 200
+    assert v["is_vignetted"] == 1
+    f = out["flat"]
+    assert f["vign_milli"] == 1000 and f["is_vignetted"] == 0
+    b = out["black"]
+    assert b["vign_milli"] is None and b["is_vignetted"] == 0
+    with pytest.raises(ValueError, match="max_milli"):
+        vignette_scores(spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string"), max_milli=1001)
