@@ -634,3 +634,17 @@ def test_knox_stat_single_fact_lineage(spark):
     assert "BatchEvalPython" not in plan
     # every leaf that feeds the three subtrees is the checkpointed RDD
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_freq_spectrum_broadcasts_octave_dim(spark):
+    """The 41-row octave dim is the broadcast side of the range join;
+    the vocabulary side (100s of millions of words at 100x) streams —
+    a reversed build would ship the vocab."""
+    from langtoolsosm_spark.operators.textstats import freq_spectrum
+
+    docs = spark.createDataFrame(
+        [(1, "a b a", "s")], "doc_id long, text string, source string"
+    )
+    plan = _plan(freq_spectrum(docs))
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "BatchEvalPython" not in plan
