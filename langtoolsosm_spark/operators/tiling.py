@@ -2230,6 +2230,30 @@ def tile_bimodality(
     )
 
 
+
+def grid_histogram(
+    df: DataFrame, res: int, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """(ix, iy, cnt): the clamped integer-grid occupancy histogram every
+    raster operator starts from — ONE map-side-combined rollup whose
+    output is bounded by occupied cells, never facts. Shared by
+    lacunarity_curve / raster_slope_aspect / hotspot_profile /
+    tile_isolation (and mirrored verbatim by their oracles)."""
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    return (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1))
+            .cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1))
+            .cast("long").alias("iy"),
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def lacunarity_curve(
     df: DataFrame,
     res: int,
@@ -2256,17 +2280,7 @@ def lacunarity_curve(
     for r in box_sizes:
         if r < 1:
             raise ValueError(f"box sizes must be >= 1, got {r}")
-    n = 1 << res
-    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    hist = (
-        df.select(
-            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
-            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    hist = grid_histogram(df, res, lat=lat, lon=lon)
     bbox = hist.agg(
         F.min("ix").alias("x0"), F.max("ix").alias("x1"),
         F.min("iy").alias("y0"), F.max("iy").alias("y1"),
@@ -2369,17 +2383,7 @@ def raster_slope_aspect(
     one rollup per target cell, inner-join back to the histogram to keep
     occupied cells. The octant is a shared SQL literal (GRAD_OCTANT_SQL)
     evaluated identically by Spark and the oracle."""
-    n = 1 << res
-    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    hist = (
-        df.select(
-            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
-            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    hist = grid_histogram(df, res, lat=lat, lon=lon)
     coefs = F.explode(
         F.array(
             *[
@@ -2448,18 +2452,9 @@ def hotspot_profile(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     if max_ring < 0:
         raise ValueError(f"max_ring must be >= 0, got {max_ring}")
-    n = 1 << res
-    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    hist = (
-        df.select(
-            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
-            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds both the top-k and the census
-    )
+    hist = grid_histogram(df, res, lat=lat, lon=lon).localCheckpoint(
+        eager=True
+    )  # feeds both the top-k and the census
     hot = (
         hist.orderBy(F.col("cnt").desc(), F.col("ix").asc(), F.col("iy").asc())
         .limit(top_k)
@@ -2581,18 +2576,9 @@ def tile_isolation(
     histogram x constant, never fact-scale."""
     if max_r < 1:
         raise ValueError(f"max_r must be >= 1, got {max_r}")
-    n = 1 << res
-    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
-    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
-    hist = (
-        df.select(
-            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
-            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
-        )
-        .groupBy("ix", "iy")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # fan side and probe side share it
-    )
+    hist = grid_histogram(df, res, lat=lat, lon=lon).localCheckpoint(
+        eager=True
+    )  # fan side and probe side share it
     offs = F.explode(
         F.array(
             *[
