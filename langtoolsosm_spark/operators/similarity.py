@@ -1358,3 +1358,51 @@ def embedding_dim_stats(
             "min_q", "max_q",
         )
     )
+
+
+def embedding_norm_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale: int = 1000,
+    tail_milli: int = 10,
+) -> DataFrame:
+    """Per-vector NORM outlier audit — the cheap pre-filter every
+    embedding pipeline runs before ANN indexing: a near-zero norm means
+    a dead/failed encode, an extreme norm distorts inner-product search
+    (and collapses IVF cells). Computes the exact integer quantized
+    squared norm norm2_q = sum(round(x*q_scale)^2) per vector, ranks
+    vectors by (norm2_q, id) — the engine's deterministic total order —
+    and flags the bottom and top ``tail_milli`` per-mille by EXACT rank
+    (1000*rank // n, never an interpolated percentile). Returns
+    (id, norm2_q, rank, n, is_outlier) with rank 1-based ascending.
+
+    Plan: one F.aggregate fold per vector (JVM-side, no explode, no
+    UDF), one global rank window — the window input is (id, norm2_q)
+    pairs only, never vectors; at 100x shard the rank by range
+    partitioning if a single-task sort ever dominates."""
+    if not 0 < tail_milli < 500:
+        raise ValueError(f"tail_milli must be in (0, 500), got {tail_milli}")
+    from pyspark.sql import Window
+
+    norm2 = F.aggregate(
+        F.expr(
+            f"transform({vec_col}, v -> "
+            f"CAST(round(CAST(v AS DOUBLE) * {q_scale}.0) AS BIGINT))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    scored = emb.select(F.col(id_col).alias("id"), norm2.alias("norm2_q"))
+    w = Window.orderBy("norm2_q", "id")
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    n = ranked.count()
+    lo = tail_milli * n // 1000
+    hi = n - lo
+    return ranked.select(
+        "id", "norm2_q", F.col("rank").cast("long"),
+        F.lit(n).cast("long").alias("n"),
+        F.when(
+            (F.col("rank") <= lo) | (F.col("rank") > hi), F.lit(1)
+        ).otherwise(F.lit(0)).cast("int").alias("is_outlier"),
+    )

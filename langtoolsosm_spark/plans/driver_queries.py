@@ -13396,3 +13396,41 @@ FROM ids LEFT JOIN agg ON agg.image_id = ids.image_id
 
 
 REGISTRY.update({"vignette_scores": (q_vignette_scores, O_VIGNETTE_SCORES)})
+
+
+def q_embedding_norm_audit(spark, sf_dir):
+    """Per-vector quantized-norm outlier audit (operators/similarity.py
+    ``embedding_norm_audit``): exact integer norms, exact rank tails."""
+    from ..operators.similarity import embedding_norm_audit
+
+    return embedding_norm_audit(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+O_EMBEDDING_NORM_AUDIT = """
+WITH norms AS (
+  SELECT vec_id AS id,
+         CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)
+                  * CAST(round(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))
+              AS BIGINT) AS norm2_q
+  FROM embeddings, unnest(embedding) AS t(v)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT id, norm2_q,
+         row_number() OVER (ORDER BY norm2_q, id) AS rank,
+         count(*) OVER () AS n
+  FROM norms
+)
+SELECT id, norm2_q, CAST(rank AS BIGINT) AS rank, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN rank <= (10 * n) // 1000
+                   OR rank > n - (10 * n) // 1000
+                 THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM ranked
+"""
+
+
+REGISTRY.update(
+    {"embedding_norm_audit": (q_embedding_norm_audit, O_EMBEDDING_NORM_AUDIT)}
+)

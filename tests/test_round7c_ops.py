@@ -952,3 +952,21 @@ def test_vignette_scores_dark_border(spark):
     with pytest.raises(ValueError, match="max_milli"):
         vignette_scores(spark.createDataFrame(
             rows, "image_id string, bytes binary, fmt string"), max_milli=1001)
+
+
+def test_embedding_norm_audit_tails(spark):
+    from langtoolsosm_spark.operators.similarity import embedding_norm_audit
+
+    # 100 unit-ish vectors plus one dead (zero) and one blown-up vector
+    rows = [(i, [0.1, 0.2]) for i in range(100)]
+    rows.append((100, [0.0, 0.0]))          # dead -> bottom tail
+    rows.append((101, [9.0, 9.0]))          # blown -> top tail
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in embedding_norm_audit(df, tail_milli=10).collect()}
+    assert out[100]["norm2_q"] == 0 and out[100]["is_outlier"] == 1
+    assert out[101]["norm2_q"] == 2 * 9000 * 9000
+    assert out[101]["is_outlier"] == 1
+    assert sum(r["is_outlier"] for r in out.values()) == 2
+    assert out[100]["rank"] == 1 and out[101]["rank"] == 102
+    with pytest.raises(ValueError, match="tail_milli"):
+        embedding_norm_audit(df, tail_milli=0)
