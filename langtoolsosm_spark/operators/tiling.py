@@ -2615,3 +2615,72 @@ def tile_isolation(
             .cast("long").alias("nnd"),
         )
     )
+
+
+def temporal_drift(
+    df: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Temporal-REGIME drift between adjacent cells: for every occupied
+    cell and its east / north occupied neighbor, the exact integer
+    sufficient statistics of the cosine between their 24-bin
+    hour-of-day activity histograms — (dot, na2, nb2) with
+    cos = dot / sqrt(na2 * nb2) left to the consumer. A low cosine
+    across a shared edge marks a temporal-regime boundary (an office
+    park beside a nightlife block); ``semantic_drift`` is the embedding
+    sibling, this is the rhythm sibling. Returns
+    (ix, iy, dir, dot, na2, nb2) with dir 'E' or 'N'.
+
+    Plan: ONE map-side-combined (cell, hour) histogram feeding both
+    join sides (pinned), two hour-aligned equi-joins over the +1
+    offsets, one rollup per edge — histogram-scale; missing hours
+    contribute zero to every sum, so the inner join on hour is exact."""
+    n = 1 << res
+    fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    hist = (
+        df.select(
+            F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long").alias("ix"),
+            F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long").alias("iy"),
+            F.expr(f"(unix_timestamp({ts_col}) % 86400) div 3600").alias("h"),
+        )
+        .groupBy("ix", "iy", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    norms = hist.groupBy("ix", "iy").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
+    )
+    out = []
+    for dname, dx, dy in (("E", 1, 0), ("N", 0, 1)):
+        # edges = occupied cell x occupied neighbor (norms pair); the
+        # dot LEFT-joins so orthogonal profiles (no shared hour — the
+        # sharpest regime boundary) report dot = 0, never vanish
+        b = hist.select(
+            (F.col("ix") - F.lit(dx)).alias("ix"),
+            (F.col("iy") - F.lit(dy)).alias("iy"),
+            F.col("h"), F.col("cnt").alias("cnt_b"),
+        )
+        dots = (
+            hist.join(b, ["ix", "iy", "h"])
+            .groupBy("ix", "iy")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+        )
+        nb = norms.select(
+            (F.col("ix") - F.lit(dx)).alias("ix"),
+            (F.col("iy") - F.lit(dy)).alias("iy"),
+            F.col("n2").alias("nb2"),
+        )
+        out.append(
+            norms.join(nb, ["ix", "iy"])
+            .join(dots, ["ix", "iy"], "left")
+            .select(
+                "ix", "iy", F.lit(dname).alias("dir"),
+                F.coalesce("dot", F.lit(0)).alias("dot"),
+                F.col("n2").alias("na2"), "nb2",
+            )
+        )
+    return out[0].unionByName(out[1])

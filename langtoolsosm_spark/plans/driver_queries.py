@@ -13434,3 +13434,55 @@ FROM ranked
 REGISTRY.update(
     {"embedding_norm_audit": (q_embedding_norm_audit, O_EMBEDDING_NORM_AUDIT)}
 )
+
+
+def q_temporal_drift(spark, sf_dir):
+    """Hour-profile cosine statistics across adjacent occupied cells
+    (operators/tiling.py ``temporal_drift``): exact integer dot/norms —
+    temporal-regime boundary detection at res 6."""
+    from ..operators.tiling import temporal_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__tdrift_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __tdrift_events"
+    )
+    return temporal_drift(t, res=6)
+
+
+O_TEMPORAL_DRIFT = f"""
+WITH src AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS h,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+hist AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE)
+             * 64.0) AS BIGINT), 0), 63) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE)
+             * 64.0) AS BIGINT), 0), 63) AS iy,
+         h, count(*) AS cnt
+  FROM src GROUP BY 1, 2, 3
+),
+norms AS (
+  SELECT ix, iy, sum(cnt * cnt) AS n2 FROM hist GROUP BY 1, 2
+),
+dirs AS (SELECT * FROM (VALUES ('E', 1, 0), ('N', 0, 1)) d(dir, dx, dy)),
+dots AS (
+  SELECT a.ix, a.iy, d.dir, sum(a.cnt * b.cnt) AS dot
+  FROM hist a
+  JOIN dirs d ON TRUE
+  JOIN hist b ON b.ix = a.ix + d.dx AND b.iy = a.iy + d.dy AND b.h = a.h
+  GROUP BY 1, 2, 3
+)
+SELECT na.ix, na.iy, d.dir, CAST(COALESCE(t.dot, 0) AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+FROM norms na
+JOIN dirs d ON TRUE
+JOIN norms nb ON nb.ix = na.ix + d.dx AND nb.iy = na.iy + d.dy
+LEFT JOIN dots t ON t.ix = na.ix AND t.iy = na.iy AND t.dir = d.dir
+"""
+
+
+REGISTRY.update({"temporal_drift": (q_temporal_drift, O_TEMPORAL_DRIFT)})

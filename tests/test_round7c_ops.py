@@ -970,3 +970,33 @@ def test_embedding_norm_audit_tails(spark):
     assert out[100]["rank"] == 1 and out[101]["rank"] == 102
     with pytest.raises(ValueError, match="tail_milli"):
         embedding_norm_audit(df, tail_milli=0)
+
+
+def test_temporal_drift_regime_boundary(spark):
+    from langtoolsosm_spark.operators.tiling import temporal_drift
+
+    def cell_pt(cx, cy):
+        return (-90.0 + 11.25 * cy + 1.0, -180.0 + 22.5 * cx + 1.0)
+
+    rows = []
+    # cell A: morning-only (hour 8); east neighbor B: night-only (22):
+    # orthogonal profiles -> dot 0. B's east neighbor C: also night ->
+    # dot = counts product
+    for i in range(4):
+        la, lo = cell_pt(8, 8); rows.append((8 * 3600 + i, la, lo))
+    for i in range(3):
+        la, lo = cell_pt(9, 8); rows.append((22 * 3600 + i, la, lo))
+    for i in range(5):
+        la, lo = cell_pt(10, 8); rows.append((22 * 3600 + i, la, lo))
+    pdf = pd.DataFrame(rows, columns=["epoch", "lat", "lon"])
+    df = spark.createDataFrame(pdf).select(
+        F.timestamp_seconds("epoch").alias("ts"), "lat", "lon"
+    )
+    out = {(r["ix"], r["iy"], r["dir"]): r
+           for r in temporal_drift(df, res=4).collect()}
+    a = out[(8, 8, "E")]
+    assert (a["dot"], a["na2"], a["nb2"]) == (0, 16, 9)
+    b = out[(9, 8, "E")]
+    assert (b["dot"], b["na2"], b["nb2"]) == (15, 9, 25)
+    assert (10, 8, "E") not in out           # no east neighbor
+    assert all(k[2] == "E" for k in out)     # no N-adjacent pairs here
