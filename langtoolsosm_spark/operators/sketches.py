@@ -306,3 +306,81 @@ def cms_score(
         .filter(F.col("cms_est") * mass_denom >= F.col("total_n"))
         .select("key", "cms_est", "exact_n", "total_n")
     )
+
+
+def ks_two_sample(
+    df,
+    group_a: str,
+    group_b: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    q_scale: int = 1000,
+):
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    value distributions — the drift detector a data pipeline runs when a
+    source starts emitting differently: D = max over x of
+    |ECDF_a(x) - ECDF_b(x)|, computed EXACTLY as the cross-multiplied
+    integer rational
+
+        d_num = max |c_a(y) * n_b - c_b(y) * n_a|,   d_den = n_a * n_b
+
+    over quantized values y = round(value * q_scale) (the engine's
+    standard quantization: float ECDF subtraction is order-dependent,
+    integer cross-products are not). Also reports ``at_y``, the
+    smallest y achieving the max — where the distributions split.
+    Returns ONE row (n_a, n_b, d_num, d_den, at_y).
+
+    Plan: one filtered two-group histogram by (y), one cumulative
+    window ordered by y (input bounded by DISTINCT quantized values —
+    the zone_concurrency precedent), one single-row argmax via
+    min-struct. No joins on fact-sized frames."""
+    from pyspark.sql import DataFrame, Window, functions as F
+
+    assert isinstance(df, DataFrame)
+    if group_a == group_b:
+        raise ValueError("ks_two_sample: group_a and group_b must differ")
+    y = F.round(F.col(value_col).cast("double") * q_scale).cast("long")
+    hist = (
+        df.filter(F.col(group_col).isin(group_a, group_b))
+        .select(
+            y.alias("y"),
+            F.when(F.col(group_col) == group_a, F.lit(1))
+            .otherwise(F.lit(0)).alias("ia"),
+        )
+        .groupBy("y")
+        .agg(
+            F.sum("ia").alias("da"),
+            F.sum(F.lit(1) - F.col("ia")).alias("db"),
+        )
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "y",
+        F.sum("da").over(w).alias("ca"),
+        F.sum("db").over(w).alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("da").alias("n_a"), F.sum("db").alias("n_b")
+    )
+    gap = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a", "n_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("g"),
+            "y",
+        )
+    )
+    res = gap.groupBy("n_a", "n_b").agg(
+        # lexicographic max over (gap, -y): max gap, then SMALLEST y
+        F.max(
+            F.struct(F.col("g").alias("g"), (-F.col("y")).alias("ny"))
+        ).alias("m")
+    )
+    return res.select(
+        "n_a", "n_b",
+        F.col("m.g").alias("d_num"),
+        (F.col("n_a") * F.col("n_b")).alias("d_den"),
+        (-F.col("m.ny")).alias("at_y"),
+    )

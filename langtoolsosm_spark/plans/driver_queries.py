@@ -13486,3 +13486,47 @@ LEFT JOIN dots t ON t.ix = na.ix AND t.iy = na.iy AND t.dir = d.dir
 
 
 REGISTRY.update({"temporal_drift": (q_temporal_drift, O_TEMPORAL_DRIFT)})
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Exact two-sample KS drift statistic (operators/sketches.py
+    ``ks_two_sample``) between 'click' and 'purchase' value
+    distributions — integer cross-multiplied ECDF gap plus the split
+    point."""
+    from ..operators.sketches import ks_two_sample
+
+    return ks_two_sample(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "click", "purchase"
+    )
+
+
+O_KS_TWO_SAMPLE = """
+WITH hist AS (
+  SELECT CAST(round(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS y,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS da,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS db
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+),
+cum AS (
+  SELECT y,
+         sum(da) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(db) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cb
+  FROM hist
+),
+tot AS (SELECT sum(da) AS n_a, sum(db) AS n_b FROM hist),
+gap AS (
+  SELECT t.n_a, t.n_b, abs(c.ca * t.n_b - c.cb * t.n_a) AS g, c.y
+  FROM cum c, tot t
+),
+mx AS (SELECT max(g) AS d_num FROM gap)
+SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+       CAST(mx.d_num AS BIGINT) AS d_num,
+       CAST(g.n_a * g.n_b AS BIGINT) AS d_den,
+       CAST(min(g.y) AS BIGINT) AS at_y
+FROM gap g, mx WHERE g.g = mx.d_num
+GROUP BY 1, 2, 3, 4
+"""
+
+
+REGISTRY.update({"ks_two_sample": (q_ks_two_sample, O_KS_TWO_SAMPLE)})

@@ -1000,3 +1000,26 @@ def test_temporal_drift_regime_boundary(spark):
     assert (b["dot"], b["na2"], b["nb2"]) == (15, 9, 25)
     assert (10, 8, "E") not in out           # no east neighbor
     assert all(k[2] == "E" for k in out)     # no N-adjacent pairs here
+
+
+def test_ks_two_sample_exact(spark):
+    from langtoolsosm_spark.operators.sketches import ks_two_sample
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: max ECDF gap is 0.5 at y<=2000
+    rows = [(i, "a", float(v)) for i, v in enumerate((1, 2, 3, 4))]
+    rows += [(10 + i, "b", float(v)) for i, v in enumerate((3, 4, 5, 6))]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = ks_two_sample(df, "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    # at y=2000: ca=2, cb=0 -> |2*4 - 0*4| = 8; D = 8/16 = 0.5
+    assert (r["d_num"], r["d_den"], r["at_y"]) == (8, 16, 2000)
+    # identical samples -> D = 0
+    same = ks_two_sample(
+        df.withColumn("event_type", F.lit("a")).unionByName(
+            df.withColumn("event_type", F.lit("b"))
+        ),
+        "a", "b",
+    ).collect()[0]
+    assert same["d_num"] == 0
+    with pytest.raises(ValueError, match="differ"):
+        ks_two_sample(df, "a", "a")
