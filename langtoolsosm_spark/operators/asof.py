@@ -150,3 +150,58 @@ def asof_join(
     out_cols.append(F.col("__m.__matched_ts").alias("__matched_ts"))
     out_cols.extend(F.col(f"__m.{c}").alias(f"matched_{c}") for c in value_cols)
     return carried.select(*out_cols)
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered FUNNEL completion — the product-analytics primitive: how
+    many entities performed step 1, then step 2 STRICTLY AFTER their
+    earliest step 1, then step 3 strictly after that earliest step 2
+    (greedy earliest-completion semantics — deterministic, and the
+    standard funnel definition: an entity converts iff the ordered
+    subsequence exists, which greedy-earliest detects exactly). Returns
+    ONE row: (n_entities, n_step1, ..., n_stepK).
+
+    Plan: one filtered min-timestamp rollup per step, each joined to
+    the previous step's per-entity earliest time (entity-keyed,
+    shuffle-partitioned on the same key so the chain co-locates); K
+    passes over the filtered fact slices, never a window over raw
+    events. Tie-safe: min(ts) is deterministic and 'strictly after'
+    makes same-timestamp step pairs NOT count (documented)."""
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {len(steps)}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    base = events.select(
+        F.col(entity_col).alias("entity"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    prev = (
+        base.filter(F.col("t") == steps[0])
+        .groupBy("entity")
+        .agg(F.min("ts").alias("step_ts"))
+        .localCheckpoint(eager=True)  # each step feeds its count AND the
+        # next join; pin so the chain evaluates each stage once
+    )
+    out = base.agg(
+        F.count_distinct(F.col("entity")).alias("n_entities")
+    ).crossJoin(prev.agg(F.count(F.lit(1)).alias("n_step1")))
+    for i, st in enumerate(steps[1:], start=2):
+        prev = (
+            base.filter(F.col("t") == st)
+            .join(prev, "entity")
+            .filter(F.col("ts") > F.col("step_ts"))
+            .groupBy("entity")
+            .agg(F.min("ts").alias("step_ts"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.crossJoin(
+            prev.agg(F.count(F.lit(1)).alias(f"n_step{i}"))
+        )
+    return out

@@ -13530,3 +13530,40 @@ GROUP BY 1, 2, 3, 4
 
 
 REGISTRY.update({"ks_two_sample": (q_ks_two_sample, O_KS_TWO_SAMPLE)})
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel completion view -> click -> purchase
+    (operators/asof.py ``funnel_steps``): greedy-earliest semantics,
+    strictly-increasing timestamps, one row of exact counts."""
+    from ..operators.asof import funnel_steps
+
+    return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+O_FUNNEL_STEPS = """
+WITH s1 AS (
+  SELECT user_id AS entity, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS entity, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.entity = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS entity, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.entity = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_entities,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_step1,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_step2,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_step3
+"""
+
+
+REGISTRY.update({"funnel_steps": (q_funnel_steps, O_FUNNEL_STEPS)})

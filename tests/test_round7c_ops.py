@@ -1023,3 +1023,27 @@ def test_ks_two_sample_exact(spark):
     assert same["d_num"] == 0
     with pytest.raises(ValueError, match="differ"):
         ks_two_sample(df, "a", "a")
+
+
+def test_funnel_steps_ordering(spark):
+    from langtoolsosm_spark.operators.asof import funnel_steps
+
+    rows = [
+        # user 1 completes in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE view -> stops at step 1
+        (2, "click", 5), (2, "view", 10),
+        # user 3: view+click same ts -> strict 'after' rejects step 2
+        (3, "view", 10), (3, "click", 10),
+        # user 4 never views
+        (4, "purchase", 50),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type", "epoch"])
+    ).select("user_id", "event_type", F.timestamp_seconds("epoch").alias("ts"))
+    r = funnel_steps(df).collect()[0]
+    assert (r["n_entities"], r["n_step1"], r["n_step2"], r["n_step3"]) == (
+        4, 3, 1, 1
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(df, steps=("view", "view"))
