@@ -205,3 +205,42 @@ def funnel_steps(
             prev.agg(F.count(F.lit(1)).alias(f"n_step{i}"))
         )
     return out
+
+
+def type_transitions(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order TRANSITION MATRIX of event types: for every ordered
+    pair (from_type, to_type), how many consecutive same-entity event
+    pairs step from one to the other, plus the from-state marginal —
+    the sufficient statistics of the behavioral Markov chain (row
+    normalization n_pairs / n_from is the estimated transition
+    probability, left rational). Self-loops count; ordering is the
+    engine-standard (ts, event_id) total order. Returns
+    (from_type, to_type, n_pairs, n_from).
+
+    Plan: one lag window per entity, one pair rollup, one from-marginal
+    rollup joined back (broadcast-sized: |types|^2 rows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("ts", "eid")
+    pairs = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.col(type_col).alias("to_type"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n_pairs").alias("n_from"))
+    return pairs.join(F.broadcast(marg), "from_type").select(
+        "from_type", "to_type", "n_pairs", "n_from"
+    )

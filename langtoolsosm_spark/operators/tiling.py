@@ -2684,3 +2684,39 @@ def temporal_drift(
             )
         )
     return out[0].unionByName(out[1])
+
+
+def tile_peak_hour(
+    df: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell PEAK HOUR map: the hour of day with the most activity
+    (ties to the SMALLEST hour — deterministic) and its share of the
+    cell's events in exact milli — the one-glance commute signature a
+    tile server renders (morning-peak cells vs evening-peak vs flat).
+    Returns (tile, peak_hour, peak_cnt, n_events, share_milli).
+
+    Plan: one map-side-combined (tile, hour) histogram, one max-struct
+    rollup per tile — argmax by (cnt, -hour) lexicographic so the tie
+    rule is an expression, not an ORDER BY."""
+    ep = F.expr(f"(unix_timestamp({ts_col}) % 86400) div 3600")
+    base = assign_tiles(
+        df.select(ts_col, lat, lon), res, lat=lat, lon=lon
+    ).select("tile", ep.alias("h"))
+    hist = base.groupBy("tile", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = hist.groupBy("tile").agg(
+        F.max(
+            F.struct(F.col("cnt").alias("c"), (-F.col("h")).alias("nh"))
+        ).alias("m"),
+        F.sum("cnt").alias("n_events"),
+    )
+    return agg.select(
+        "tile",
+        (-F.col("m.nh")).alias("peak_hour"),
+        F.col("m.c").alias("peak_cnt"),
+        "n_events",
+        F.expr("1000 * m.c div n_events").alias("share_milli"),
+    )

@@ -13567,3 +13567,75 @@ SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
 
 
 REGISTRY.update({"funnel_steps": (q_funnel_steps, O_FUNNEL_STEPS)})
+
+
+def q_type_transitions(spark, sf_dir):
+    """Behavioral Markov-chain statistics (operators/asof.py
+    ``type_transitions``): consecutive same-user event-type pair counts
+    plus from-state marginals."""
+    from ..operators.asof import type_transitions
+
+    return type_transitions(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+O_TYPE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n_pairs
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+marg AS (SELECT from_type, sum(n_pairs) AS n_from FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(m.n_from AS BIGINT) AS n_from
+FROM pairs p JOIN marg m ON m.from_type = p.from_type
+"""
+
+
+REGISTRY.update({"type_transitions": (q_type_transitions, O_TYPE_TRANSITIONS)})
+
+
+def q_tile_peak_hour(spark, sf_dir):
+    """Per-cell peak-hour map (operators/tiling.py ``tile_peak_hour``):
+    argmax hour by (count, smallest-hour) with exact milli share."""
+    from ..operators.tiling import tile_peak_hour
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("__peak_events")
+    t = spark.sql(
+        f"SELECT ts, {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon "
+        "FROM __peak_events"
+    )
+    return tile_peak_hour(t, res=7)
+
+
+O_TILE_PEAK_HOUR = f"""
+WITH src AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS h,
+         {TRAJ_LAT_SQL} AS lat, {TRAJ_LON_SQL} AS lon
+  FROM events
+),
+hist AS (
+  SELECT {_tile_sql(7)} AS tile, h, count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+rk AS (
+  SELECT tile, h, cnt,
+         row_number() OVER (PARTITION BY tile ORDER BY cnt DESC, h ASC)
+           AS rn,
+         sum(cnt) OVER (PARTITION BY tile) AS n
+  FROM hist
+)
+SELECT tile, CAST(h AS BIGINT) AS peak_hour, CAST(cnt AS BIGINT) AS peak_cnt,
+       CAST(n AS BIGINT) AS n_events,
+       CAST((1000 * cnt) // n AS BIGINT) AS share_milli
+FROM rk WHERE rn = 1
+"""
+
+
+REGISTRY.update({"tile_peak_hour": (q_tile_peak_hour, O_TILE_PEAK_HOUR)})

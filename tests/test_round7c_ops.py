@@ -1047,3 +1047,33 @@ def test_funnel_steps_ordering(spark):
     )
     with pytest.raises(ValueError, match="distinct"):
         funnel_steps(df, steps=("view", "view"))
+
+
+def test_type_transitions_matrix(spark):
+    from langtoolsosm_spark.operators.asof import type_transitions
+
+    rows = [(1, 1, "a", 10), (1, 2, "b", 20), (1, 3, "a", 30),
+            (2, 4, "a", 10), (2, 5, "b", 20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "event_type", "epoch"])
+    ).select("user_id", "event_id", "event_type",
+             F.timestamp_seconds("epoch").alias("ts"))
+    out = {(r["from_type"], r["to_type"]): (r["n_pairs"], r["n_from"])
+           for r in type_transitions(df).collect()}
+    assert out == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+
+def test_tile_peak_hour_tiebreak(spark):
+    from langtoolsosm_spark.operators.tiling import tile_peak_hour
+
+    rows = []
+    # 2 events at hour 7 and 2 at hour 18 (tie -> smallest hour wins),
+    # plus 1 at hour 3: peak (7, 2 of 5) -> share 400 milli
+    for ep in (7 * 3600, 7 * 3600 + 1, 18 * 3600, 18 * 3600 + 1, 3 * 3600):
+        rows.append((ep, 10.0, 10.0))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["epoch", "lat", "lon"])
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "lat", "lon")
+    r = tile_peak_hour(df, res=4).collect()[0]
+    assert (r["peak_hour"], r["peak_cnt"], r["n_events"], r["share_milli"]) \
+        == (7, 2, 5, 400)
