@@ -1694,3 +1694,39 @@ def vignette_scores(images: DataFrame, max_milli: int = 800) -> DataFrame:
                "n_center long, sum_center long, vign_milli long, "
                "is_vignetted int",
     )
+
+
+def phash_bit_bias(images: DataFrame, hash_col: str = "phash") -> DataFrame:
+    """Per-bit BIAS audit of the pHash corpus — the health check of every
+    Hamming-distance dedup family: a bit stuck near all-0 or all-1
+    carries no information, silently shrinking the effective hash from
+    64 bits and inflating band collisions (LSH buckets blow up). For
+    each bit position 0..63 reports the ones-count and the exact bias
+    numerator |2 * n_ones - n| (0 = perfectly balanced, n = stuck).
+    Returns (bit, n_ones, n_images, bias_num) — 64 rows.
+
+    Plan: one 64-literal explode over the hash column (arithmetic shift
+    + mask, identical semantics both engines on negative int64 — two's
+    complement), one map-side-combined rollup; output is constant-size
+    regardless of corpus."""
+    bits = F.explode(
+        F.array(*[F.lit(k) for k in range(64)])
+    ).alias("bit")
+    flat = images.select(F.col(hash_col).alias("h")).select("h", bits)
+    return (
+        flat.select(
+            "bit",
+            F.expr("shiftright(h, bit) & 1").alias("b"),
+        )
+        .groupBy("bit")
+        .agg(
+            F.sum("b").alias("n_ones"),
+            F.count(F.lit(1)).alias("n_images"),
+        )
+        .select(
+            F.col("bit").cast("long"),
+            "n_ones", "n_images",
+            F.abs(F.lit(2) * F.col("n_ones") - F.col("n_images"))
+            .alias("bias_num"),
+        )
+    )

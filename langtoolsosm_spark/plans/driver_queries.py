@@ -13639,3 +13639,28 @@ FROM rk WHERE rn = 1
 
 
 REGISTRY.update({"tile_peak_hour": (q_tile_peak_hour, O_TILE_PEAK_HOUR)})
+
+
+def q_phash_bit_bias(spark, sf_dir):
+    """Per-bit pHash bias audit (operators/images.py ``phash_bit_bias``):
+    stuck bits shrink the effective Hamming space and blow up LSH
+    bands; exact ones-counts per bit position."""
+    from ..operators.images import phash_bit_bias
+
+    return phash_bit_bias(_synth_images(spark, sf_dir))
+
+
+O_PHASH_BIT_BIAS = f"""
+WITH img AS (SELECT phash FROM read_parquet('{SYNTH_SF001_IMAGES}')),
+flat AS (
+  SELECT k.bit, (phash >> k.bit) & 1 AS b
+  FROM img JOIN generate_series(0, 63) k(bit) ON TRUE
+)
+SELECT CAST(bit AS BIGINT) AS bit, CAST(sum(b) AS BIGINT) AS n_ones,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(abs(2 * sum(b) - count(*)) AS BIGINT) AS bias_num
+FROM flat GROUP BY 1
+"""
+
+
+REGISTRY.update({"phash_bit_bias": (q_phash_bit_bias, O_PHASH_BIT_BIAS)})

@@ -1077,3 +1077,17 @@ def test_tile_peak_hour_tiebreak(spark):
     r = tile_peak_hour(df, res=4).collect()[0]
     assert (r["peak_hour"], r["peak_cnt"], r["n_events"], r["share_milli"]) \
         == (7, 2, 5, 400)
+
+
+def test_phash_bit_bias_stuck_bit(spark):
+    from langtoolsosm_spark.operators.images import phash_bit_bias
+
+    # bit 0 alternates (balanced), bit 1 always set (stuck), bit 63 via
+    # a negative hash
+    hashes = [0b11, 0b10, 0b11, 0b10, -(1 << 63) | 0b10, 0b11]
+    df = spark.createDataFrame([(h,) for h in hashes], "phash long")
+    out = {r["bit"]: r for r in phash_bit_bias(df).collect()}
+    assert len(out) == 64 and out[0]["n_images"] == 6
+    assert out[1]["n_ones"] == 6 and out[1]["bias_num"] == 6   # stuck
+    assert out[0]["n_ones"] == 3 and out[0]["bias_num"] == 0   # balanced
+    assert out[63]["n_ones"] == 1 and out[63]["bias_num"] == 4
