@@ -1730,3 +1730,67 @@ def phash_bit_bias(images: DataFrame, hash_col: str = "phash") -> DataFrame:
             .alias("bias_num"),
         )
     )
+
+
+def image_emd_outliers(images: DataFrame) -> DataFrame:
+    """Luminance-distribution OUTLIER score per image: the exact 1-D
+    earth mover's distance between each frame's 256-bin luminance
+    histogram and the CORPUS-MEAN histogram, cross-multiplied to
+    integers (1-D EMD = sum over bins of |ECDF difference|):
+
+        d_num = sum_b |C_i(b) * N - C(b) * n_i|,   d_den = n_i * N
+
+    — the domain-shift detector of an image-curation pipeline: frames
+    whose tonal distribution sits far from the corpus (renders among
+    photos, night frames in a daylight corpus, wrong colorspace) rank
+    highest. Returns (image_id, n_px, d_num, d_den). int64 holds while
+    n_i * N < 2^63 (~9e6-pixel frames against a 1e12-pixel corpus);
+    widen to DECIMAL beyond.
+
+    Plan: one decode per image emitting its 256 CUMULATIVE counts
+    (constant 256 rows per frame); the corpus cumulative is one 256-row
+    rollup broadcast back; one final per-image rollup. Nothing scans
+    pixels twice."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                cum = np.cumsum(np.bincount(lum.ravel(), minlength=256))
+                n = int(lum.size)
+                recs.extend(
+                    (img_id, b, int(cum[b]), n) for b in range(256)
+                )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "bin", "cum_i", "n_px"]
+            )
+
+    cums = images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, bin int, cum_i long, n_px long",
+    ).localCheckpoint(eager=True)  # one decode feeds corpus AND per-image
+    corpus = cums.groupBy("bin").agg(F.sum("cum_i").alias("ccum"))
+    total = cums.filter(F.col("bin") == 255).agg(
+        F.sum("n_px").alias("n_total")
+    )
+    return (
+        cums.join(F.broadcast(corpus), "bin")
+        .crossJoin(F.broadcast(total))
+        .groupBy("image_id", "n_px", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_i") * F.col("n_total")
+                    - F.col("ccum") * F.col("n_px")
+                )
+            ).alias("d_num")
+        )
+        .select(
+            "image_id", "n_px", "d_num",
+            (F.col("n_px") * F.col("n_total")).alias("d_den"),
+        )
+    )

@@ -13664,3 +13664,64 @@ FROM flat GROUP BY 1
 
 
 REGISTRY.update({"phash_bit_bias": (q_phash_bit_bias, O_PHASH_BIT_BIAS)})
+
+
+def q_image_emd(spark, sf_dir):
+    """Per-image exact 1-D EMD vs the corpus-mean luminance histogram
+    (operators/images.py ``image_emd_outliers``) — the tonal
+    domain-shift outlier score; the oracle expands sparse per-image
+    cumulative bins with an ASOF join."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import image_emd_outliers
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return image_emd_outliers(imgs)
+
+
+O_IMAGE_EMD = f"""
+WITH {_QUALITY_RAW_V},
+lum AS MATERIALIZED (
+  SELECT image_id,
+         (2126 * CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 7152 * CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 722 * CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END)
+                     AS BIGINT)) // 10000 AS l
+  FROM b WHERE i >= 9 GROUP BY image_id, (i - 9) // 3
+),
+nz AS MATERIALIZED (
+  SELECT image_id, l AS bin,
+         sum(count(*)) OVER (PARTITION BY image_id ORDER BY l) AS cum_i
+  FROM lum GROUP BY 1, 2
+),
+sizes AS (SELECT image_id, count(*) AS n_px FROM lum GROUP BY 1),
+grid AS (
+  SELECT s.image_id, s.n_px, t.i AS bin
+  FROM sizes s JOIN generate_series(0, 255) t(i) ON TRUE
+),
+expanded AS MATERIALIZED (
+  SELECT grid.image_id, grid.n_px, grid.bin,
+         COALESCE(nz.cum_i, 0) AS cum_i
+  FROM grid ASOF LEFT JOIN nz
+    ON nz.image_id = grid.image_id AND nz.bin <= grid.bin
+),
+corpus AS (
+  SELECT bin, sum(cum_i) AS ccum FROM expanded GROUP BY 1
+),
+total AS (SELECT sum(n_px) AS n_total FROM sizes)
+SELECT e.image_id, CAST(e.n_px AS BIGINT) AS n_px,
+       CAST(sum(abs(e.cum_i * t.n_total - c.ccum * e.n_px)) AS BIGINT)
+         AS d_num,
+       CAST(e.n_px * t.n_total AS BIGINT) AS d_den
+FROM expanded e
+JOIN corpus c ON c.bin = e.bin
+CROSS JOIN total t
+GROUP BY e.image_id, e.n_px, t.n_total
+"""
+
+
+REGISTRY.update({"image_emd": (q_image_emd, O_IMAGE_EMD)})

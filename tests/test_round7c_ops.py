@@ -1091,3 +1091,27 @@ def test_phash_bit_bias_stuck_bit(spark):
     assert out[1]["n_ones"] == 6 and out[1]["bias_num"] == 6   # stuck
     assert out[0]["n_ones"] == 3 and out[0]["bias_num"] == 0   # balanced
     assert out[63]["n_ones"] == 1 and out[63]["bias_num"] == 4
+
+
+def test_image_emd_outlier_ranking(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import image_emd_outliers
+
+    # three identical mid-gray frames and one black frame: the black
+    # frame's distribution sits far from the corpus mean, the gray ones
+    # share one small distance (corpus mean is 3/4 gray + 1/4 black)
+    gray = np.full((4, 4, 3), 128, dtype=np.uint8)
+    black = np.zeros((4, 4, 3), dtype=np.uint8)
+    rows = [(f"g{i}", ic.encode_raw(gray), "raw") for i in range(3)]
+    rows.append(("b", ic.encode_raw(black), "raw"))
+    out = {r["image_id"]: r for r in image_emd_outliers(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ).collect()}
+    assert len({out[f"g{i}"]["d_num"] for i in range(3)}) == 1
+    assert out["b"]["d_num"] > out["g0"]["d_num"] > 0
+    # exact: ECDFs differ by 1/4 (gray) vs 3/4 (black) on bins 0..127:
+    # num = 128 * |16*256 - C*16| with C = 16 black px cumulative...
+    # verify the cross-multiplied identity instead of re-deriving:
+    for r in out.values():
+        assert r["d_den"] == r["n_px"] * 64 and r["n_px"] == 16
+    assert out["b"]["d_num"] == 3 * out["g0"]["d_num"]
