@@ -2720,3 +2720,69 @@ def tile_peak_hour(
         "n_events",
         F.expr("1000 * m.c div n_events").alias("share_milli"),
     )
+
+
+def od_weekend_shift(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Weekend-vs-weekday OD REGIME SHIFT: the exact cross-multiplied L1
+    distance between the weekend and weekday origin-destination flow
+    distributions,
+
+        shift_num = sum over OD pairs |c_we * N_wd - c_wd * N_we|,
+        shift_den = N_we * N_wd
+
+    (0 = identical mobility structure, 2*den = disjoint) — the one-number
+    answer to "does this city move differently on weekends", feeding
+    schedule-aware routing and anomaly baselines. A transition is
+    weekend iff its DESTINATION timestamp falls on arithmetic dow 0/6
+    ((days + 4) %% 7, 0 = Sunday — the st_cube dialect-safe spelling).
+    Returns ONE row (n_we, n_wd, shift_num, shift_den).
+
+    Plan: one lag window on the entity key, one OD rollup with two
+    conditional counts, one single-row combine. int64 holds while
+    per-pair count * total < 2^63 (~1e9 trips against 1e9 totals needs
+    DECIMAL — far past any fixture)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("ts", "eid")
+    ep = F.unix_timestamp(F.col(ts_col))
+    dow = ((ep / F.lit(86400)).cast("long") + 4) % 7
+    base = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("to_tile"),
+            F.when(dow.isin(0, 6), F.lit(1)).otherwise(F.lit(0)).alias("we"),
+        )
+        .withColumn("from_tile", F.lag("to_tile").over(w))
+        .filter(F.col("from_tile").isNotNull())
+    )
+    od = base.groupBy("from_tile", "to_tile").agg(
+        F.sum("we").alias("c_we"),
+        F.sum(F.lit(1) - F.col("we")).alias("c_wd"),
+    )
+    tot = od.agg(
+        F.sum("c_we").alias("n_we"), F.sum("c_wd").alias("n_wd")
+    )
+    return (
+        od.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_we").alias("n_we"),
+            F.first("n_wd").alias("n_wd"),
+            F.sum(
+                F.abs(
+                    F.col("c_we") * F.col("n_wd")
+                    - F.col("c_wd") * F.col("n_we")
+                )
+            ).alias("shift_num"),
+        )
+        .withColumn("shift_den", F.col("n_we") * F.col("n_wd"))
+    )

@@ -13725,3 +13725,39 @@ GROUP BY e.image_id, e.n_px, t.n_total
 
 
 REGISTRY.update({"image_emd": (q_image_emd, O_IMAGE_EMD)})
+
+
+def q_od_weekend_shift(spark, sf_dir):
+    """Weekend-vs-weekday OD regime shift (operators/tiling.py
+    ``od_weekend_shift``): exact cross-multiplied L1 between the two
+    flow distributions at res 6."""
+    from ..operators.tiling import od_weekend_shift
+
+    return od_weekend_shift(_traj(spark, sf_dir), res=6)
+
+
+O_OD_WEEKEND_SHIFT = f"""
+WITH {TRAJ_SRC_CTE},
+seq AS (
+  SELECT user_id,
+         lag({_tile_sql(6)}) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_tile,
+         {_tile_sql(6)} AS to_tile,
+         CASE WHEN ((ep // 86400) + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM src
+),
+od AS (
+  SELECT from_tile, to_tile, sum(we) AS c_we, sum(1 - we) AS c_wd
+  FROM seq WHERE from_tile IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT sum(c_we) AS n_we, sum(c_wd) AS n_wd FROM od)
+SELECT CAST(t.n_we AS BIGINT) AS n_we, CAST(t.n_wd AS BIGINT) AS n_wd,
+       CAST(sum(abs(o.c_we * t.n_wd - o.c_wd * t.n_we)) AS BIGINT)
+         AS shift_num,
+       CAST(t.n_we * t.n_wd AS BIGINT) AS shift_den
+FROM od o, tot t
+GROUP BY t.n_we, t.n_wd
+"""
+
+
+REGISTRY.update({"od_weekend_shift": (q_od_weekend_shift, O_OD_WEEKEND_SHIFT)})

@@ -1115,3 +1115,30 @@ def test_image_emd_outlier_ranking(spark):
     for r in out.values():
         assert r["d_den"] == r["n_px"] * 64 and r["n_px"] == 16
     assert out["b"]["d_num"] == 3 * out["g0"]["d_num"]
+
+
+def test_od_weekend_shift_regimes(spark):
+    from langtoolsosm_spark.operators.tiling import od_weekend_shift
+
+    # epoch day 3 = Sunday ((3+4)%7=0), day 1 = Friday (weekday).
+    # weekday: 2 trips A->B; weekend: 2 trips B->A — fully disjoint
+    # distributions -> shift = 2 * den
+    rows = []
+    eid = 0
+    for day, (la0, lo0, la1, lo1) in (
+        (1, (10.0, 10.0, 10.0, 40.0)), (1, (10.0, 10.0, 10.0, 40.0)),
+        (3, (10.0, 40.0, 10.0, 10.0)), (3, (10.0, 40.0, 10.0, 10.0)),
+    ):
+        u = eid  # one entity per trip
+        rows.append((u, day * 86400 + 10, eid * 10, la0, lo0))
+        rows.append((u, day * 86400 + 20, eid * 10 + 1, la1, lo1))
+        eid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    r = od_weekend_shift(df, res=5).collect()[0]
+    assert (r["n_we"], r["n_wd"]) == (2, 2)
+    assert r["shift_num"] == 2 * r["shift_den"] == 8
