@@ -390,3 +390,48 @@ def degree_assortativity(
             - F.col("sum_deg") * F.col("sum_deg")
         ).alias("r_den"),
     )
+
+
+def degree_spectrum(edges: DataFrame) -> DataFrame:
+    """Degree OCTAVE spectrum of an undirected edge list (a, b) — the
+    scale-free-ness fingerprint of a contact graph: for every octave k,
+    how many vertices have degree in [2^k, 2^(k+1)-1] and how many
+    edge-endpoints they carry. A power-law contact graph decays
+    geometrically; a bump at high octaves is a hub (stadium, transit
+    node) that will dominate any quadratic downstream op — the graph
+    sibling of the corpus ``freq_spectrum`` and the early-warning input
+    for ``co_visitation``'s occupancy gate. Returns
+    (octave, n_vertices, n_endpoints).
+
+    Plan: one union-explode of edge endpoints, one degree rollup, one
+    broadcast range join against the same 41-row octave literal
+    (FREQ_OCTAVES_SQL) the corpus spectrum uses."""
+    from ..operators.textstats import FREQ_OCTAVES_SQL  # noqa: F401 (oracle twin)
+
+    ends = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    spark = edges.sparkSession
+    oct_rows = ", ".join(
+        f"struct({k} AS k, {1 << k}L AS lo, {(1 << (k + 1)) - 1}L AS hi)"
+        for k in range(41)
+    )
+    dim = spark.range(1).select(
+        F.expr(f"explode(array({oct_rows}))").alias("o")
+    ).select(
+        F.col("o.k").alias("octave"), F.col("o.lo").alias("lo"),
+        F.col("o.hi").alias("hi"),
+    )
+    return (
+        deg.join(
+            F.broadcast(dim),
+            (F.col("deg") >= F.col("lo")) & (F.col("deg") <= F.col("hi")),
+        )
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("deg").alias("n_endpoints"),
+        )
+        .select(F.col("octave").cast("long"), "n_vertices", "n_endpoints")
+    )

@@ -13761,3 +13761,54 @@ GROUP BY t.n_we, t.n_wd
 
 
 REGISTRY.update({"od_weekend_shift": (q_od_weekend_shift, O_OD_WEEKEND_SHIFT)})
+
+
+def q_degree_spectrum(spark, sf_dir):
+    """Degree octave spectrum of the co-visitation contact graph
+    (operators/graphs.py ``degree_spectrum``): hub early-warning via the
+    shared 41-octave literal dim."""
+    from ..operators.graphs import degree_spectrum
+    from ..operators.tiling import co_visitation
+
+    edges = co_visitation(_traj(spark, sf_dir), res=KCORE_RES,
+                          min_days=KCORE_MIN)
+    return degree_spectrum(edges)
+
+
+def _o_degree_spectrum() -> str:
+    from ..operators.textstats import FREQ_OCTAVES_SQL
+
+    return f"""
+WITH {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+edges AS (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+  ) GROUP BY 1
+)
+SELECT CAST(o.k AS BIGINT) AS octave,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(deg) AS BIGINT) AS n_endpoints
+FROM deg JOIN (VALUES {FREQ_OCTAVES_SQL}) o(k, lo, hi)
+  ON deg >= o.lo AND deg <= o.hi
+GROUP BY 1
+"""
+
+
+REGISTRY.update({"degree_spectrum": (q_degree_spectrum, _o_degree_spectrum())})

@@ -1142,3 +1142,15 @@ def test_od_weekend_shift_regimes(spark):
     r = od_weekend_shift(df, res=5).collect()[0]
     assert (r["n_we"], r["n_wd"]) == (2, 2)
     assert r["shift_num"] == 2 * r["shift_den"] == 8
+
+
+def test_degree_spectrum_hub(spark):
+    from langtoolsosm_spark.operators.graphs import degree_spectrum
+
+    # star: hub 0 touches 1..5 (deg 5, octave 2); leaves deg 1 (oct 0)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    out = {r["octave"]: (r["n_vertices"], r["n_endpoints"])
+           for r in degree_spectrum(edges).collect()}
+    assert out == {0: (5, 5), 2: (1, 5)}
