@@ -1794,3 +1794,41 @@ def image_emd_outliers(images: DataFrame) -> DataFrame:
             (F.col("n_px") * F.col("n_total")).alias("d_den"),
         )
     )
+
+
+def symmetry_scores(images: DataFrame, max_milli: int = 50) -> DataFrame:
+    """Horizontal mirror-SYMMETRY audit — the synthetic-frame tell:
+    logos, renders, and UI screenshots are far more left-right
+    symmetric than photographs. Per image the exact integer sum of
+    |lum(r, c) - lum(r, w-1-c)| over all pixels (middle column
+    contributes 0; each mirrored pair counts twice — a deterministic
+    constant factor), normalized to exact milli of the maximum:
+    asym_milli = (1000 * sum) div (255 * n_px). ``is_symmetric`` = 1
+    iff asym_milli <= max_milli. Returns (image_id, n_px, sum_absdiff,
+    asym_milli, is_symmetric). One decode per image (mapInPandas)."""
+    if not 0 <= max_milli <= 1000:
+        raise ValueError(f"max_milli must be in [0, 1000], got {max_milli}")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                n = int(lum.size)
+                sad = int(np.abs(lum - lum[:, ::-1]).sum())
+                am = 1000 * sad // (255 * n)
+                recs.append((img_id, n, sad, am, int(am <= max_milli)))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_px", "sum_absdiff", "asym_milli",
+                         "is_symmetric"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_px long, sum_absdiff long, "
+               "asym_milli long, is_symmetric int",
+    )

@@ -13812,3 +13812,48 @@ GROUP BY 1
 
 
 REGISTRY.update({"degree_spectrum": (q_degree_spectrum, _o_degree_spectrum())})
+
+
+def q_symmetry_scores(spark, sf_dir):
+    """Horizontal mirror-symmetry audit (operators/images.py
+    ``symmetry_scores``): exact |lum - mirror| sums over the raw frame
+    fixture; oracle mirrors via a (row, w-1-c) self-join."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import symmetry_scores
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return symmetry_scores(imgs)
+
+
+O_SYMMETRY_SCORES = f"""
+WITH {_QUALITY_RAW_V},
+lum AS MATERIALIZED (
+  SELECT image_id, w, (i - 9) // 3 AS p,
+         (2126 * CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 7152 * CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 722 * CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END)
+                     AS BIGINT)) // 10000 AS l
+  FROM b WHERE i >= 9 GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT a.image_id, count(*) AS n_px, sum(abs(a.l - mr.l)) AS sad
+  FROM lum a
+  JOIN lum mr ON mr.image_id = a.image_id
+    AND mr.p = (a.p // a.w) * a.w + (a.w - 1 - (a.p % a.w))
+  GROUP BY 1
+)
+SELECT image_id, CAST(n_px AS BIGINT) AS n_px,
+       CAST(sad AS BIGINT) AS sum_absdiff,
+       CAST((1000 * sad) // (255 * n_px) AS BIGINT) AS asym_milli,
+       CAST(CASE WHEN (1000 * sad) // (255 * n_px) <= 50
+                 THEN 1 ELSE 0 END AS INT) AS is_symmetric
+FROM m
+"""
+
+
+REGISTRY.update({"symmetry_scores": (q_symmetry_scores, O_SYMMETRY_SCORES)})

@@ -1154,3 +1154,24 @@ def test_degree_spectrum_hub(spark):
     out = {r["octave"]: (r["n_vertices"], r["n_endpoints"])
            for r in degree_spectrum(edges).collect()}
     assert out == {0: (5, 5), 2: (1, 5)}
+
+
+def test_symmetry_scores_mirror(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import symmetry_scores
+
+    sym = np.zeros((4, 6, 3), dtype=np.uint8)
+    sym[:, :3] = 100
+    sym[:, 3:] = 100                       # uniform -> perfectly symmetric
+    asym = np.zeros((4, 6, 3), dtype=np.uint8)
+    asym[:, :3] = 255                      # left bright, right black
+    rows = [("sym", ic.encode_raw(sym), "raw"),
+            ("asym", ic.encode_raw(asym), "raw")]
+    out = {r["image_id"]: r for r in symmetry_scores(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ).collect()}
+    assert out["sym"]["sum_absdiff"] == 0 and out["sym"]["is_symmetric"] == 1
+    # every pixel differs from its mirror by 255 -> asym_milli = 1000
+    a = out["asym"]
+    assert a["sum_absdiff"] == 24 * 255 and a["asym_milli"] == 1000
+    assert a["is_symmetric"] == 0
