@@ -13857,3 +13857,49 @@ FROM m
 
 
 REGISTRY.update({"symmetry_scores": (q_symmetry_scores, O_SYMMETRY_SCORES)})
+
+
+def q_ks_doc_length(spark, sf_dir):
+    """Source-drift gate on DOCUMENT LENGTHS: ``ks_two_sample`` re-aimed
+    at the corpus (value = text length in characters, groups = two
+    sources) — the per-source ingest monitor; same exact
+    cross-multiplied ECDF machinery, q_scale 1 (lengths are already
+    integers)."""
+    from ..operators.sketches import ks_two_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.length("text").cast("double").alias("value")
+    )
+    return ks_two_sample(docs, "src0", "src1", group_col="source", q_scale=1)
+
+
+O_KS_DOC_LENGTH = """
+WITH hist AS (
+  SELECT CAST(round(CAST(length(text) AS DOUBLE) * 1.0) AS BIGINT) AS y,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS da,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS db
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY 1
+),
+cum AS (
+  SELECT y,
+         sum(da) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(db) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cb
+  FROM hist
+),
+tot AS (SELECT sum(da) AS n_a, sum(db) AS n_b FROM hist),
+gap AS (
+  SELECT t.n_a, t.n_b, abs(c.ca * t.n_b - c.cb * t.n_a) AS g, c.y
+  FROM cum c, tot t
+),
+mx AS (SELECT max(g) AS d_num FROM gap)
+SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+       CAST(mx.d_num AS BIGINT) AS d_num,
+       CAST(g.n_a * g.n_b AS BIGINT) AS d_den,
+       CAST(min(g.y) AS BIGINT) AS at_y
+FROM gap g, mx WHERE g.g = mx.d_num
+GROUP BY 1, 2, 3, 4
+"""
+
+
+REGISTRY.update({"ks_doc_length": (q_ks_doc_length, O_KS_DOC_LENGTH)})
