@@ -1832,3 +1832,45 @@ def symmetry_scores(images: DataFrame, max_milli: int = 50) -> DataFrame:
         schema="image_id string, n_px long, sum_absdiff long, "
                "asym_milli long, is_symmetric int",
     )
+
+
+def color_cast_scores(images: DataFrame, max_milli: int = 1200) -> DataFrame:
+    """Color-CAST audit — the white-balance scrub: per image the exact
+    integer channel sums and the dominant/weakest channel-mean ratio in
+    exact milli, cast_milli = (1000 * max_sum) div min_sum (channel
+    counts are equal, so sums compare directly). A neutral frame sits
+    near 1000; tungsten/underwater/IR frames blow past it.
+    ``is_neutral`` = 1 iff cast_milli <= max_milli; a zero-valued
+    weakest channel (min_sum = 0) reports NULL ratio and is_neutral 0.
+    Returns (image_id, n_px, sum_r, sum_g, sum_b, cast_milli,
+    is_neutral). One decode per image (mapInPandas)."""
+    if max_milli < 1000:
+        raise ValueError(f"max_milli must be >= 1000, got {max_milli}")
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                n = int(px.shape[0] * px.shape[1])
+                sr = int(px[..., 0].sum())
+                sg = int(px[..., 1].sum())
+                sb = int(px[..., 2].sum())
+                mn, mx = min(sr, sg, sb), max(sr, sg, sb)
+                if mn == 0:
+                    recs.append((img_id, n, sr, sg, sb, None, 0))
+                    continue
+                cm = 1000 * mx // mn
+                recs.append((img_id, n, sr, sg, sb, cm,
+                             int(cm <= max_milli)))
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "n_px", "sum_r", "sum_g", "sum_b",
+                         "cast_milli", "is_neutral"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_px long, sum_r long, sum_g long, "
+               "sum_b long, cast_milli long, is_neutral int",
+    )

@@ -13903,3 +13903,45 @@ GROUP BY 1, 2, 3, 4
 
 
 REGISTRY.update({"ks_doc_length": (q_ks_doc_length, O_KS_DOC_LENGTH)})
+
+
+def q_color_cast(spark, sf_dir):
+    """Color-cast audit (operators/images.py ``color_cast_scores``):
+    exact channel sums + dominant/weakest mean ratio in milli."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import color_cast_scores
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return color_cast_scores(imgs)
+
+
+O_COLOR_CAST = f"""
+WITH {_QUALITY_RAW_V},
+ch AS (
+  SELECT image_id,
+         CAST(count(*) / 3 AS BIGINT) AS n_px,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END) AS BIGINT)
+           AS sum_r,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END) AS BIGINT)
+           AS sum_g,
+         CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END) AS BIGINT)
+           AS sum_b
+  FROM b WHERE i >= 9 GROUP BY 1
+)
+SELECT image_id, n_px, sum_r, sum_g, sum_b,
+       CASE WHEN least(sum_r, sum_g, sum_b) > 0
+            THEN CAST((1000 * greatest(sum_r, sum_g, sum_b))
+                      // least(sum_r, sum_g, sum_b) AS BIGINT)
+            ELSE NULL END AS cast_milli,
+       CAST(CASE WHEN least(sum_r, sum_g, sum_b) > 0
+                  AND (1000 * greatest(sum_r, sum_g, sum_b))
+                      // least(sum_r, sum_g, sum_b) <= 1200
+                 THEN 1 ELSE 0 END AS INT) AS is_neutral
+FROM ch
+"""
+
+
+REGISTRY.update({"color_cast": (q_color_cast, O_COLOR_CAST)})

@@ -1175,3 +1175,28 @@ def test_symmetry_scores_mirror(spark):
     a = out["asym"]
     assert a["sum_absdiff"] == 24 * 255 and a["asym_milli"] == 1000
     assert a["is_symmetric"] == 0
+
+
+def test_color_cast_scores(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import color_cast_scores
+
+    neutral = np.full((4, 4, 3), 100, dtype=np.uint8)
+    warm = np.zeros((4, 4, 3), dtype=np.uint8)
+    warm[..., 0] = 200                       # strong red cast
+    warm[..., 1] = 100
+    warm[..., 2] = 100
+    dead = np.zeros((4, 4, 3), dtype=np.uint8)
+    dead[..., 0] = 10                        # blue channel all zero
+    rows = [("n", ic.encode_raw(neutral), "raw"),
+            ("w", ic.encode_raw(warm), "raw"),
+            ("d", ic.encode_raw(dead), "raw")]
+    out = {r["image_id"]: r for r in color_cast_scores(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ).collect()}
+    assert out["n"]["cast_milli"] == 1000 and out["n"]["is_neutral"] == 1
+    assert out["w"]["cast_milli"] == 2000 and out["w"]["is_neutral"] == 0
+    assert out["d"]["cast_milli"] is None and out["d"]["is_neutral"] == 0
+    with pytest.raises(ValueError, match="max_milli"):
+        color_cast_scores(spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string"), max_milli=900)
