@@ -2786,3 +2786,52 @@ def od_weekend_shift(
         )
         .withColumn("shift_den", F.col("n_we") * F.col("n_wd"))
     )
+
+
+def od_concentration(
+    events: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-origin FLOW CONCENTRATION: the exact Herfindahl of each
+    origin cell's outgoing destination distribution —
+    hhi = hhi_num / hhi_den with hhi_num = sum of per-destination trip
+    counts squared and hhi_den = (total outgoing)^2; 1/n_dests <= hhi
+    <= 1. A commuter dormitory (everyone goes to the same station)
+    scores near 1, a mixed-use district spreads low — the routing-cache
+    and transit-demand signal ``visit_concentration`` gives per entity,
+    lifted to the grid. Returns (from_tile, n_dests, n_out, hhi_num,
+    hhi_den).
+
+    Plan: one lag window on the entity key, one OD rollup, one
+    per-origin rollup — all map-side combined; int64 holds while the
+    busiest origin's total outgoing stays under ~3e9 trips."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity").orderBy("ts", "eid")
+    base = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("to_tile"),
+        )
+        .withColumn("from_tile", F.lag("to_tile").over(w))
+        .filter(F.col("from_tile").isNotNull())
+    )
+    od = base.groupBy("from_tile", "to_tile").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        od.groupBy("from_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_dests"),
+            F.sum("c").alias("n_out"),
+            F.sum(F.col("c") * F.col("c")).alias("hhi_num"),
+        )
+        .withColumn("hhi_den", F.col("n_out") * F.col("n_out"))
+    )

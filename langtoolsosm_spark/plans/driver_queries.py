@@ -13945,3 +13945,36 @@ FROM ch
 
 
 REGISTRY.update({"color_cast": (q_color_cast, O_COLOR_CAST)})
+
+
+def q_od_concentration(spark, sf_dir):
+    """Per-origin outgoing-flow Herfindahl (operators/tiling.py
+    ``od_concentration``) at res 6 — exact integer concentration of
+    destination choice per origin cell."""
+    from ..operators.tiling import od_concentration
+
+    return od_concentration(_traj(spark, sf_dir), res=6)
+
+
+O_OD_CONCENTRATION = f"""
+WITH {TRAJ_SRC_CTE},
+seq AS (
+  SELECT user_id,
+         lag({_tile_sql(6)}) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_tile,
+         {_tile_sql(6)} AS to_tile
+  FROM src
+),
+od AS (
+  SELECT from_tile, to_tile, count(*) AS c
+  FROM seq WHERE from_tile IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_tile, CAST(count(*) AS BIGINT) AS n_dests,
+       CAST(sum(c) AS BIGINT) AS n_out,
+       CAST(sum(c * c) AS BIGINT) AS hhi_num,
+       CAST(sum(c) * sum(c) AS BIGINT) AS hhi_den
+FROM od GROUP BY 1
+"""
+
+
+REGISTRY.update({"od_concentration": (q_od_concentration, O_OD_CONCENTRATION)})

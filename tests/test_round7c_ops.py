@@ -1200,3 +1200,30 @@ def test_color_cast_scores(spark):
     with pytest.raises(ValueError, match="max_milli"):
         color_cast_scores(spark.createDataFrame(
             rows, "image_id string, bytes binary, fmt string"), max_milli=900)
+
+
+def test_od_concentration_hhi(spark):
+    from langtoolsosm_spark.operators.tiling import od_concentration
+
+    # origin A: 3 trips all to B (hhi = 1); origin C: 1 trip to each of
+    # two destinations (hhi = 1/2)
+    A, B, C, D, E = (10.0, 10.0), (10.0, 40.0), (-40.0, 100.0), \
+        (-40.0, 140.0), (-70.0, 60.0)
+    rows, eid = [], 0
+    for u in range(3):
+        rows += [(u, eid * 10, eid, *A), (u, eid * 10 + 5, eid + 1, *B)]
+        eid += 2
+    rows += [(10, eid * 10, eid, *C), (10, eid * 10 + 5, eid + 1, *D)]
+    eid += 2
+    rows += [(11, eid * 10, eid, *C), (11, eid * 10 + 5, eid + 1, *E)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    out = {r["n_out"]: r for r in od_concentration(df, res=5).collect()}
+    a = out[3]
+    assert (a["n_dests"], a["hhi_num"], a["hhi_den"]) == (1, 9, 9)
+    c = out[2]
+    assert (c["n_dests"], c["hhi_num"], c["hhi_den"]) == (2, 2, 4)
