@@ -13978,3 +13978,73 @@ FROM od GROUP BY 1
 
 
 REGISTRY.update({"od_concentration": (q_od_concentration, O_OD_CONCENTRATION)})
+
+
+def q_region_peak_hour(spark, sf_dir):
+    """Per-POLYGON peak hour: the PIP x temporal crossover — exact
+    ray-cast region assignment (operators/pip_join.py ``pip_join``)
+    rolled into the ``tile_peak_hour`` argmax contract (count ties to
+    the smallest hour), per admin region instead of per cell."""
+    from ..operators.pip_join import pip_join
+
+    t = _traj(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lat", "lon",
+        F.expr("(unix_timestamp(ts) % 86400) div 3600").alias("h"),
+    )
+    owned = pip_join(
+        t.select("point_id", "lat", "lon"), geo_polygons_df(spark),
+        res=8, id_col="point_id",
+    ).select("point_id", "polygon_id")
+    hist = (
+        owned.join(t.select("point_id", "h"), "point_id")
+        .groupBy("polygon_id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = hist.groupBy("polygon_id").agg(
+        F.max(
+            F.struct(F.col("cnt").alias("c"), (-F.col("h")).alias("nh"))
+        ).alias("m"),
+        F.sum("cnt").alias("n_events"),
+    )
+    return agg.select(
+        "polygon_id",
+        (-F.col("m.nh")).alias("peak_hour"),
+        F.col("m.c").alias("peak_cnt"),
+        "n_events",
+        F.expr("1000 * m.c div n_events").alias("share_milli"),
+    )
+
+
+O_REGION_PEAK_HOUR = (
+    f"""
+WITH {TRAJ_SRC_CTE},
+pts AS (
+  SELECT event_id AS point_id, lat, lon,
+         (ep % 86400) // 3600 AS h
+  FROM src
+),
+owned AS ("""
+    + " UNION ALL ".join(
+        f"SELECT point_id, h, '{pid}' AS polygon_id FROM pts WHERE {pred}"
+        for pid, pred in POLY_PRED_SQL.items()
+    )
+    + """),
+hist AS (
+  SELECT polygon_id, h, count(*) AS cnt FROM owned GROUP BY 1, 2
+),
+rk AS (
+  SELECT polygon_id, h, cnt,
+         row_number() OVER (PARTITION BY polygon_id
+                            ORDER BY cnt DESC, h ASC) AS rn,
+         sum(cnt) OVER (PARTITION BY polygon_id) AS n
+  FROM hist
+)
+SELECT polygon_id, CAST(h AS BIGINT) AS peak_hour,
+       CAST(cnt AS BIGINT) AS peak_cnt, CAST(n AS BIGINT) AS n_events,
+       CAST((1000 * cnt) // n AS BIGINT) AS share_milli
+FROM rk WHERE rn = 1
+"""
+)
+
+
+REGISTRY.update({"region_peak_hour": (q_region_peak_hour, O_REGION_PEAK_HOUR)})
