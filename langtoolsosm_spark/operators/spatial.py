@@ -5063,3 +5063,78 @@ def heading_persistence(
             F.col("vx") * F.col("vx") + F.col("vy") * F.col("vy")
         ).alias("sum_v2b"),
     )
+
+
+def pair_contact_time(
+    events: DataFrame,
+    pairs: DataFrame,
+    res: int,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """CONTACT TIME for candidate entity pairs: total seconds two
+    entities were simultaneously present in the same tile — the
+    epidemiological contact metric (co_visitation counts shared
+    cell-DAYS; this integrates actual overlap). Presence is the
+    step-function interpretation of a point stream: an entity occupies
+    the tile of its latest event from that event's timestamp until its
+    next event (the final event closes the trace — no open-ended
+    interval). Exact integer seconds:
+
+        contact = sum over same-tile interval pairs of
+                  max(0, min(e_a, e_b) - max(s_a, s_b))
+
+    Returns (a, b, n_overlaps, contact_sec) with n_overlaps the count
+    of strictly-positive overlaps.
+
+    Plan: one lead window per entity builds the interval table (one
+    shuffle on the entity key), candidate pins, then a within-pair
+    SAME-TILE equi-join with the overlap predicate — cost is bounded by
+    co-located interval pairs of the candidate slice, never a global
+    interval join. All column expressions; the oracle replays verbatim."""
+    from pyspark.sql import Window
+
+    iv = (
+        events.select(
+            F.col(entity_col).alias("entity"),
+            F.unix_timestamp(F.col(ts_col)).alias("s"),
+            F.col(id_col).alias("eid"),
+            tile_key_col(F.col(lat), F.col(lon), res).alias("tile"),
+        )
+        .withColumn("e", F.lead("s").over(
+            Window.partitionBy("entity").orderBy("s", "eid")
+        ))
+        .filter(F.col("e").isNotNull() & (F.col("e") > F.col("s")))
+        .select("entity", "tile", "s", "e")
+    )
+    p = pairs.select("a", "b").localCheckpoint(eager=True)
+    ia = iv.select(
+        F.col("entity").alias("a"), F.col("tile"),
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    ib = iv.select(
+        F.col("entity").alias("__b"), F.col("tile").alias("tb"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    ov = (
+        F.least(F.col("ea"), F.col("eb"))
+        - F.greatest(F.col("sa"), F.col("sb"))
+    )
+    return (
+        p.join(ia, "a")
+        .join(
+            ib,
+            (F.col("b") == F.col("__b"))
+            & (F.col("tile") == F.col("tb"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea")),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(ov).alias("contact_sec"),
+        )
+    )

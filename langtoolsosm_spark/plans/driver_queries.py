@@ -14048,3 +14048,58 @@ FROM rk WHERE rn = 1
 
 
 REGISTRY.update({"region_peak_hour": (q_region_peak_hour, O_REGION_PEAK_HOUR)})
+
+
+def q_pair_contact_time(spark, sf_dir):
+    """Exact contact seconds for the deterministic top-N co-visitation
+    pair slice (operators/spatial.py ``pair_contact_time``): step-
+    function presence intervals, same-tile overlap integration."""
+    from ..operators.spatial import pair_contact_time
+    from ..operators.tiling import co_visitation
+
+    t = _traj(spark, sf_dir)
+    pairs = (
+        co_visitation(t, res=KCORE_RES, min_days=KCORE_MIN)
+        .orderBy("a", "b").limit(FRECHET_TOPN)
+    )
+    return pair_contact_time(t, pairs, res=KCORE_RES)
+
+
+O_PAIR_CONTACT_TIME = f"""
+WITH {TRAJ_SRC_CTE},
+pres AS (
+  SELECT DISTINCT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / CAST(360.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) * {_KCN}
+  + LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / CAST(180.0 AS DOUBLE) * {_KCN}.0)
+            AS BIGINT), 0), {_KCN - 1}) AS tile,
+    ep // 86400 AS day, user_id AS entity
+  FROM src
+),
+prs AS (
+  SELECT DISTINCT p.entity AS a, q.entity AS b, p.day
+  FROM pres p JOIN pres q
+    ON q.tile = p.tile AND q.day = p.day AND p.entity < q.entity
+),
+sel AS (
+  SELECT a, b FROM prs GROUP BY a, b HAVING count(*) >= {KCORE_MIN}
+  ORDER BY a, b LIMIT {FRECHET_TOPN}
+),
+iv AS MATERIALIZED (
+  SELECT user_id AS entity, {_tile_sql(KCORE_RES)} AS tile, ep AS s,
+         lead(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS e
+  FROM src
+  QUALIFY e IS NOT NULL AND e > s
+)
+SELECT s.a, s.b, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(ia.e, ib.e) - greatest(ia.s, ib.s)) AS BIGINT)
+         AS contact_sec
+FROM sel s
+JOIN iv ia ON ia.entity = s.a
+JOIN iv ib ON ib.entity = s.b AND ib.tile = ia.tile
+          AND ia.s < ib.e AND ib.s < ia.e
+GROUP BY 1, 2
+"""
+
+
+REGISTRY.update({"pair_contact_time": (q_pair_contact_time, O_PAIR_CONTACT_TIME)})

@@ -1227,3 +1227,30 @@ def test_od_concentration_hhi(spark):
     assert (a["n_dests"], a["hhi_num"], a["hhi_den"]) == (1, 9, 9)
     c = out[2]
     assert (c["n_dests"], c["hhi_num"], c["hhi_den"]) == (2, 2, 4)
+
+
+def test_pair_contact_time_overlap(spark):
+    from langtoolsosm_spark.operators.spatial import pair_contact_time
+
+    T = (10.0, 10.0)       # shared tile
+    FAR = (-40.0, 120.0)
+    rows = [
+        # entity 1 in T during [0, 100), then leaves (closes at 100)
+        (1, 0, 10, *T), (1, 100, 11, *FAR), (1, 200, 12, *FAR),
+        # entity 2 in T during [50, 150): overlap with 1 = [50, 100) = 50s
+        (2, 50, 20, *T), (2, 150, 21, *FAR), (2, 250, 22, *FAR),
+        # entity 3 in T only after 1 left: [120, 180) -> zero overlap
+        (3, 120, 30, *T), (3, 180, 31, *FAR),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "epoch", "event_id", "lat", "lon"])
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id",
+        "lat", "lon",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r["a"], r["b"]): (r["n_overlaps"], r["contact_sec"])
+           for r in pair_contact_time(df, pairs, res=6).collect()}
+    # FAR intervals also overlap for (1,2): [100,200) vs [150,250) = 50s
+    assert out[(1, 2)] == (2, 100)
+    assert (1, 3) not in out
