@@ -2835,3 +2835,46 @@ def od_concentration(
         )
         .withColumn("hhi_den", F.col("n_out") * F.col("n_out"))
     )
+
+
+def hour_type_mix(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day x event-type INDEPENDENCE residuals: for every
+    (hour, type) cell of the contingency table, the observed count and
+    the exact cross-multiplied deviation from the independence
+    expectation n_hour * n_type / N:
+
+        res_num = obs * N - n_hour * n_type,   res_den = N
+
+    (positive = over-represented: purchases clustering at lunch, errors
+    at the nightly batch window — the behavioral-mix audit behind
+    alerting baselines). Returns (hour, etype, obs, n_hour, n_type,
+    res_num, res_den); chi-square consumers square/divide downstream.
+
+    Plan: one map-side-combined (hour, type) rollup, two broadcast
+    marginals joined back, one single-row total — output is
+    |hours| x |types|, constant. int64 holds to ~3e9 events."""
+    base = df.select(
+        F.expr(f"(unix_timestamp({ts_col}) % 86400) div 3600").alias("hour"),
+        F.col(type_col).alias("etype"),
+    )
+    obs = base.groupBy("hour", "etype").agg(F.count(F.lit(1)).alias("obs"))
+    mh = obs.groupBy("hour").agg(F.sum("obs").alias("n_hour"))
+    mt = obs.groupBy("etype").agg(F.sum("obs").alias("n_type"))
+    tot = obs.agg(F.sum("obs").alias("n_total"))
+    return (
+        obs.join(F.broadcast(mh), "hour")
+        .join(F.broadcast(mt), "etype")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "hour", "etype", "obs", "n_hour", "n_type",
+            (
+                F.col("obs") * F.col("n_total")
+                - F.col("n_hour") * F.col("n_type")
+            ).alias("res_num"),
+            F.col("n_total").alias("res_den"),
+        )
+    )

@@ -14103,3 +14103,36 @@ GROUP BY 1, 2
 
 
 REGISTRY.update({"pair_contact_time": (q_pair_contact_time, O_PAIR_CONTACT_TIME)})
+
+
+def q_hour_type_mix(spark, sf_dir):
+    """Hour x event-type independence residuals (operators/tiling.py
+    ``hour_type_mix``): exact cross-multiplied contingency deviations."""
+    from ..operators.tiling import hour_type_mix
+
+    return hour_type_mix(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+O_HOUR_TYPE_MIX = """
+WITH base AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour,
+         event_type AS etype
+  FROM events
+),
+obs AS (SELECT hour, etype, count(*) AS obs FROM base GROUP BY 1, 2),
+mh AS (SELECT hour, sum(obs) AS n_hour FROM obs GROUP BY 1),
+mt AS (SELECT etype, sum(obs) AS n_type FROM obs GROUP BY 1),
+tot AS (SELECT sum(obs) AS n_total FROM obs)
+SELECT o.hour, o.etype, CAST(o.obs AS BIGINT) AS obs,
+       CAST(mh.n_hour AS BIGINT) AS n_hour,
+       CAST(mt.n_type AS BIGINT) AS n_type,
+       CAST(o.obs * t.n_total - mh.n_hour * mt.n_type AS BIGINT) AS res_num,
+       CAST(t.n_total AS BIGINT) AS res_den
+FROM obs o
+JOIN mh ON mh.hour = o.hour
+JOIN mt ON mt.etype = o.etype
+CROSS JOIN tot t
+"""
+
+
+REGISTRY.update({"hour_type_mix": (q_hour_type_mix, O_HOUR_TYPE_MIX)})

@@ -1254,3 +1254,25 @@ def test_pair_contact_time_overlap(spark):
     # FAR intervals also overlap for (1,2): [100,200) vs [150,250) = 50s
     assert out[(1, 2)] == (2, 100)
     assert (1, 3) not in out
+
+
+def test_hour_type_mix_residuals(spark):
+    from langtoolsosm_spark.operators.tiling import hour_type_mix
+
+    # purchases only at hour 12, views spread at 8/12: N = 6
+    rows = [(12 * 3600, "purchase")] * 2 + \
+        [(8 * 3600, "view")] * 2 + [(12 * 3600, "view")] * 2
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["epoch", "event_type"])
+    ).select(F.timestamp_seconds("epoch").alias("ts"), "event_type")
+    out = {(r["hour"], r["etype"]): r for r in hour_type_mix(df).collect()}
+    p12 = out[(12, "purchase")]
+    # obs 2, n_hour 4, n_type 2, N 6: res = 12 - 8 = +4
+    assert (p12["obs"], p12["res_num"], p12["res_den"]) == (2, 4, 6)
+    v8 = out[(8, "view")]
+    # obs 2, n_hour 2, n_type 4: res = 12 - 8 = +4; and no (8, purchase)
+    assert v8["res_num"] == 4 and (8, "purchase") not in out
+    # residuals of observed cells plus implied zeros sum to 0 per table:
+    # here just check the two view cells balance within the view column
+    v12 = out[(12, "view")]
+    assert v12["res_num"] == 2 * 6 - 4 * 4 == -4
