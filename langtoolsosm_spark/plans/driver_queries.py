@@ -14136,3 +14136,66 @@ CROSS JOIN tot t
 
 
 REGISTRY.update({"hour_type_mix": (q_hour_type_mix, O_HOUR_TYPE_MIX)})
+
+
+def q_region_density(spark, sf_dir):
+    """Per-region event DENSITY as an exact rational: ray-cast PIP
+    counts (operators/pip_join.py ``pip_join``) over the shoelace
+    |area2_q| (operators/spatial.py ``polygon_area_centroid``) —
+    density = 2e9 * n_events / |area2_q| events per deg^2, kept as
+    (num, den); the load-balance signal for region-sharded serving."""
+    from ..operators.pip_join import pip_join
+    from ..operators.spatial import polygon_area_centroid
+
+    t = _traj(spark, sf_dir).select(
+        F.col("event_id").alias("point_id"), "lat", "lon"
+    )
+    polys = geo_polygons_df(spark)
+    counts = (
+        pip_join(t, polys, res=8, id_col="point_id")
+        .groupBy("polygon_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    areas = polygon_area_centroid(polys).select(
+        "polygon_id", F.abs(F.col("area2_q")).alias("abs_area2_q")
+    )
+    return counts.join(F.broadcast(areas), "polygon_id").select(
+        "polygon_id", "n_events", "abs_area2_q",
+        (F.col("n_events") * F.lit(2_000_000_000)).alias("dens_num"),
+        F.col("abs_area2_q").alias("dens_den"),
+    )
+
+
+def _o_region_density() -> str:
+    import math
+
+    areas = []
+    for pid, ring in GEO_POLYGONS:
+        m = len(ring)
+        a2 = 0
+        for i in range(m):
+            (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % m]
+            a2 += math.floor((x1 * y2 - x2 * y1) * 1e9)
+        areas.append(f"('{pid}', {abs(a2)})")
+    return (
+        f"""
+WITH {TRAJ_SRC_CTE},
+pts AS (SELECT event_id AS point_id, lat, lon FROM src),
+owned AS ("""
+        + " UNION ALL ".join(
+            f"SELECT point_id, '{pid}' AS polygon_id FROM pts WHERE {pred}"
+            for pid, pred in POLY_PRED_SQL.items()
+        )
+        + f"""),
+counts AS (SELECT polygon_id, count(*) AS n_events FROM owned GROUP BY 1),
+areas AS (SELECT * FROM (VALUES {', '.join(areas)}) a(polygon_id, abs_area2_q))
+SELECT c.polygon_id, CAST(c.n_events AS BIGINT) AS n_events,
+       CAST(a.abs_area2_q AS BIGINT) AS abs_area2_q,
+       CAST(c.n_events * 2000000000 AS BIGINT) AS dens_num,
+       CAST(a.abs_area2_q AS BIGINT) AS dens_den
+FROM counts c JOIN areas a ON a.polygon_id = c.polygon_id
+"""
+    )
+
+
+REGISTRY.update({"region_density": (q_region_density, _o_region_density())})
