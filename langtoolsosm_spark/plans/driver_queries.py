@@ -14199,3 +14199,40 @@ FROM counts c JOIN areas a ON a.polygon_id = c.polygon_id
 
 
 REGISTRY.update({"region_density": (q_region_density, _o_region_density())})
+
+
+def q_stream_hour_type_mix(spark, sf_dir):
+    """Streaming-vs-batch parity gate for the hour x type contingency
+    (streaming/microbatch.py ``stream_hour_type_counts``): order-free
+    counts, rank-interleaved staging; the finished state must equal
+    ``hour_type_mix`` exactly (same oracle)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.microbatch import run_hour_type_stream_once
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type"
+    )
+    out = tempfile.mkdtemp(prefix="streamhtm_")
+    try:
+        src = _os.path.join(out, "src")
+        _os.makedirs(src)
+        pdf = ev.toPandas().sort_values(["ts", "event_type"], kind="mergesort")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        for i in range(3):
+            p = _os.path.join(src, f"b{i}.parquet")
+            pdf.iloc[i::3].to_parquet(p, index=False)
+            _os.utime(p, (1000 * (i + 1), 1000 * (i + 1)))
+        result = run_hour_type_stream_once(
+            spark, src, _os.path.join(out, "ckpt")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return result
+
+
+REGISTRY.update(
+    {"stream_hour_type_mix": (q_stream_hour_type_mix, O_HOUR_TYPE_MIX)}
+)

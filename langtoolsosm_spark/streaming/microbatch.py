@@ -2333,3 +2333,89 @@ def run_centroid_drift_stream_once(
         FROM lagged
         """
     )
+
+
+def stream_hour_type_counts(
+    stream: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming (hour-of-day x event-type) contingency state: running
+    counts per cell — order-free sums keyed by (hour, etype), so the
+    final state equals the batch contingency under ANY arrival order.
+    Emits one update row per (cell, trigger)."""
+    import pandas as pd
+
+    keyed = stream.select(
+        F.expr(f"(unix_timestamp({ts_col}) % 86400) div 3600").alias("hour"),
+        F.col(type_col).alias("etype"),
+    )
+
+    def kernel(key, pdf_iter, state):
+        n = 0
+        if state.exists:
+            (n,) = (int(v) for v in state.get)
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {"hour": [key[0]], "etype": [key[1]], "obs": [n]}
+        )
+
+    return keyed.groupBy("hour", "etype").applyInPandasWithState(
+        kernel,
+        outputStructType="hour long, etype string, obs long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_hour_type_stream_once(
+    spark: SparkSession, points_dir: str, checkpoint: str
+) -> DataFrame:
+    """Drive the streaming contingency over all staged files and finish
+    with the batch ``hour_type_mix`` marginal/residual algebra —
+    byte-identical output schema and values."""
+    schema = spark.read.parquet(points_dir).schema
+    st = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(points_dir)
+    )
+    name = f"htmix_stream_{abs(hash(points_dir)) % 10**8}"
+    q = (
+        stream_hour_type_counts(st)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        WITH fin AS (
+          SELECT hour, etype, obs,
+                 row_number() OVER (PARTITION BY hour, etype
+                                    ORDER BY obs DESC) AS rk
+          FROM {name}
+        ),
+        obs AS (SELECT hour, etype, obs FROM fin WHERE rk = 1),
+        mh AS (SELECT hour, sum(obs) AS n_hour FROM obs GROUP BY 1),
+        mt AS (SELECT etype, sum(obs) AS n_type FROM obs GROUP BY 1),
+        tot AS (SELECT sum(obs) AS n_total FROM obs)
+        SELECT o.hour, o.etype, CAST(o.obs AS BIGINT) AS obs,
+               CAST(mh.n_hour AS BIGINT) AS n_hour,
+               CAST(mt.n_type AS BIGINT) AS n_type,
+               CAST(o.obs * t.n_total - mh.n_hour * mt.n_type AS BIGINT)
+                 AS res_num,
+               CAST(t.n_total AS BIGINT) AS res_den
+        FROM obs o
+        JOIN mh ON mh.hour = o.hour
+        JOIN mt ON mt.etype = o.etype
+        CROSS JOIN tot t
+        """
+    )
