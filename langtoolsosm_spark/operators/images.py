@@ -1874,3 +1874,56 @@ def color_cast_scores(images: DataFrame, max_milli: int = 1200) -> DataFrame:
         schema="image_id string, n_px long, sum_r long, sum_g long, "
                "sum_b long, cast_milli long, is_neutral int",
     )
+
+
+def image_bimodality(images: DataFrame) -> DataFrame:
+    """Luminance BIMODALITY per image — the backlit / hard-split frame
+    detector: a silhouette against a bright sky or a half-burned scan
+    puts pixel luminance into two clumps, scoring high on Sarle's
+    b = (skew^2 + 1) / kurtosis over the integer luminance moments
+    (``tile_bimodality``'s algebra aimed at pixels):
+
+        b = (M3^2 + M2^3) / (M2 * M4),  M_k the n^k-scaled central
+        moments from the raw integer sums s1..s4
+
+    quantized to exact milli; a uniform-lit frame sits near 556, two
+    point masses reach 1000. Returns (image_id, n_px, m2n, bc_milli)
+    with bc_milli NULL for a flat frame (M2 = 0). Arbitrary-precision
+    Python ints in the kernel; the HUGEINT oracle holds to ~2000 px
+    per frame at worst-case skew — the fixture's 32x32 sits far below.
+    One decode per image (mapInPandas)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for img_id, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = ic.decode(buf, fmt).astype(np.int64)
+                lum = (
+                    2126 * px[..., 0] + 7152 * px[..., 1] + 722 * px[..., 2]
+                ) // 10000
+                y = lum.ravel()
+                n = int(y.size)
+                s1 = int(y.sum())
+                s2 = int((y * y).sum())
+                y3 = y * y * y
+                s3 = int(y3.sum())
+                s4 = int((y3 * y).sum())
+                m2 = n * s2 - s1 * s1
+                m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+                m4 = (
+                    n ** 3 * s4 - 4 * n * n * s1 * s3
+                    + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+                )
+                if m2 == 0:
+                    recs.append((img_id, n, 0, None))
+                    continue
+                bc = 1000 * (m3 * m3 + m2 ** 3) // (m2 * m4)
+                recs.append((img_id, n, m2, int(bc)))
+            yield pd.DataFrame(
+                recs, columns=["image_id", "n_px", "m2n", "bc_milli"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel,
+        schema="image_id string, n_px long, m2n long, bc_milli long",
+    )

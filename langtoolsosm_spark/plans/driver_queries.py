@@ -14236,3 +14236,58 @@ def q_stream_hour_type_mix(spark, sf_dir):
 REGISTRY.update(
     {"stream_hour_type_mix": (q_stream_hour_type_mix, O_HOUR_TYPE_MIX)}
 )
+
+
+def q_image_bimodality(spark, sf_dir):
+    """Per-image luminance bimodality (operators/images.py
+    ``image_bimodality``): Sarle's b over pixel moments — the backlit /
+    hard-split detector; oracle replays the HUGEINT moment algebra over
+    hex pixels."""
+    from ..datagen import ensure_quality_images
+    from ..operators.images import image_bimodality
+
+    imgs = _synth_images(spark, sf_dir).filter(
+        (F.col("fmt") == "raw")
+        & (F.substring("image_id", 4, 9).cast("long") % 16 == 0)
+    ).unionByName(spark.read.parquet(ensure_quality_images("sf0.01")))
+    return image_bimodality(imgs)
+
+
+O_IMAGE_BIMODALITY = f"""
+WITH {_QUALITY_RAW_V},
+lum AS MATERIALIZED (
+  SELECT image_id,
+         (2126 * CAST(SUM(CASE WHEN (i - 9) % 3 = 0 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 7152 * CAST(SUM(CASE WHEN (i - 9) % 3 = 1 THEN bv ELSE 0 END)
+                      AS BIGINT)
+        + 722 * CAST(SUM(CASE WHEN (i - 9) % 3 = 2 THEN bv ELSE 0 END)
+                     AS BIGINT)) // 10000 AS l
+  FROM b WHERE i >= 9 GROUP BY image_id, (i - 9) // 3
+),
+m AS (
+  SELECT image_id, count(*) AS n, sum(l) AS s1, sum(l*l) AS s2,
+         sum(l*l*l) AS s3, sum(l*l*l*l) AS s4
+  FROM lum GROUP BY 1
+),
+c AS (
+  SELECT image_id, n,
+         CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS m2,
+         CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s1 * s2
+           + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3,
+         CAST(n AS HUGEINT) * n * n * s4
+           - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+           + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+           - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4
+  FROM m
+)
+SELECT image_id, CAST(n AS BIGINT) AS n_px, CAST(m2 AS BIGINT) AS m2n,
+       CASE WHEN m2 != 0
+            THEN CAST((1000 * (m3 * m3 + m2 * m2 * m2)) // (m2 * m4)
+                      AS BIGINT)
+            ELSE NULL END AS bc_milli
+FROM c
+"""
+
+
+REGISTRY.update({"image_bimodality": (q_image_bimodality, O_IMAGE_BIMODALITY)})

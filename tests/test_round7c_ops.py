@@ -1276,3 +1276,20 @@ def test_hour_type_mix_residuals(spark):
     # here just check the two view cells balance within the view column
     v12 = out[(12, "view")]
     assert v12["res_num"] == 2 * 6 - 4 * 4 == -4
+
+
+def test_image_bimodality_backlit(spark):
+    from langtoolsosm_spark.functions import imagecodec as ic
+    from langtoolsosm_spark.operators.images import image_bimodality
+
+    backlit = np.zeros((4, 4, 3), dtype=np.uint8)
+    backlit[:2] = 250                    # half bright, half dark
+    flat = np.full((4, 4, 3), 90, dtype=np.uint8)
+    rows = [("bl", ic.encode_raw(backlit), "raw"),
+            ("fl", ic.encode_raw(flat), "raw")]
+    out = {r["image_id"]: r for r in image_bimodality(
+        spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ).collect()}
+    # two equal point masses: skew 0, kurtosis 1 -> b = 1000 exactly
+    assert out["bl"]["bc_milli"] == 1000
+    assert out["fl"]["bc_milli"] is None and out["fl"]["m2n"] == 0
