@@ -364,6 +364,186 @@ def ivf_assign(
     )
 
 
+def _guarded_matmul(A, B):
+    """Exact integer A @ B.T for (n, dim) int64 operands: float64 BLAS
+    while every product times the inner dim stays under 2^53 (exact in
+    IEEE double — the ``topk_dot_kernel`` discipline), else int64."""
+    import numpy as np
+
+    amax = int(np.abs(A).max()) if A.size else 0
+    bmax = int(np.abs(B).max()) if B.size else 0
+    dim = A.shape[1] if A.ndim == 2 else 0
+    if amax * bmax * dim < (1 << 53):
+        return (A.astype(np.float64) @ B.T.astype(np.float64)).astype(np.int64)
+    return A @ B.T
+
+
+def _np_partial_topk(D, qids, cid, k, NEG):
+    """Per-query partial top-k under (dot desc, id asc) over a masked dot
+    matrix (invalid pairs already set to NEG). Unlike the unmasked
+    ``topk_dot_kernel`` inner loop, NEG entries can dominate a row, so
+    they are dropped BEFORE the threshold partition (a NEG threshold
+    would let NEG entries crowd real candidates out of the truncation).
+    Returns (query_id, neighbor_id, dot) arrays or None."""
+    import numpy as np
+
+    out_q, out_n, out_d = [], [], []
+    nq = D.shape[0]
+    for qi in range(nq):
+        row = D[qi]
+        valid = np.flatnonzero(row != NEG)
+        if valid.size == 0:
+            continue
+        kk = min(k, valid.size)
+        vr = row[valid]
+        thresh = np.partition(vr, valid.size - kk)[valid.size - kk]
+        keep = valid[vr >= thresh]
+        keep = keep[np.lexsort((cid[keep], -row[keep]))][:kk]
+        out_q.append(np.full(keep.size, qids[qi], dtype=np.int64))
+        out_n.append(cid[keep])
+        out_d.append(row[keep])
+    if not out_q:
+        return None
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_n),
+        np.concatenate(out_d),
+    )
+
+
+def _merge_topk_partials(parts: list[DataFrame], k: int) -> DataFrame:
+    """Global (dot desc, id asc) row_number merge over the per-partition
+    partial winners — identical to the ``topk_dot_kernel`` merge."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dot")
+    )
+
+
+def _ivf_topk_kernel(
+    emb: DataFrame,
+    cents: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    shard_rows: int = 65_536,
+) -> DataFrame:
+    """Executor kernel shared by the IVF rescores: ONE corpus pass per
+    query shard. Coarse assignment (argmin quantized L2 against the
+    broadcast codebook, ties to the smaller centroid id), the per-query
+    probe mask, and the exact quantized-dot partial top-k all run in
+    NumPy inside ``mapInPandas``; nothing shuffles but <= k x partitions
+    partial winners into the global merge window.
+
+    Byte-identical to the candidate-join formulation
+    (``ivf_ann_topk_join``): same quantization, same
+    (l2 asc, centroid_id asc) probe order, same (dot desc, id asc) total
+    order — parity is pytest-pinned and the DuckDB oracle gates the
+    registry entries. The join formulation shipped every
+    (query, candidate) pair through two vector re-attach joins and a
+    per-pair zip_with aggregate — with nprobe/n_centroids = 1/2 of the
+    corpus that is a half cross join (218 s at sf1); here the same dots
+    are one BLAS matmul per batch.
+
+    ``cents``: (centroid_id, __cv array<long>) — already quantized.
+    Queries (the % 50 == 0 fixture sample) are driver-collected behind
+    the counted ``shard_rows`` gate exactly like ``topk_dot_kernel``.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    c_pdf = cents.toPandas().sort_values("centroid_id", kind="stable")
+    cent_ids = c_pdf["centroid_id"].to_numpy(np.int64)
+    C = (
+        np.array(c_pdf["__cv"].tolist(), dtype=np.int64)
+        if len(c_pdf)
+        else np.zeros((0, 1), dtype=np.int64)
+    )
+    corpus = _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+        F.col(id_col).alias("__cid"), "__xq"
+    )
+    qsrc = corpus.filter(F.col("__cid") % 50 == 0)
+    n_q = qsrc.count()
+    n_shards = max(1, math.ceil(n_q / shard_rows))
+    NEG = np.iinfo(np.int64).min
+    sc = emb.sparkSession.sparkContext
+
+    def make_run(bc):
+        def run(batches):
+            qids, Q, mask, C = bc.value
+            nq = len(qids)
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0 or nq == 0 or not len(C):
+                    continue
+                cid = pdf["__cid"].to_numpy(np.int64)
+                X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                # nearest coarse list per corpus vector: position into the
+                # centroid_id-sorted C, so argmin's first-minimum rule IS
+                # the (l2, centroid_id) struct-min tie rule
+                G = _guarded_matmul(X, C)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2 * G
+                    + (C * C).sum(axis=1)[None, :]
+                )
+                pos = d2.argmin(axis=1)
+                D = _guarded_matmul(Q, X)
+                D[~mask[:, pos]] = NEG
+                D[qids[:, None] == cid[None, :]] = NEG  # never match self
+                got = _np_partial_topk(D, qids, cid, k, NEG)
+                if got is None:
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": got[0], "neighbor_id": got[1], "dot": got[2]}
+                )
+
+        return run
+
+    parts = []
+    for s in range(n_shards):
+        shard = qsrc if n_shards == 1 else qsrc.filter(
+            F.pmod(F.col("__cid"), F.lit(n_shards)) == s
+        )
+        q_pdf = shard.toPandas().sort_values("__cid", kind="stable")
+        qids = q_pdf["__cid"].to_numpy(np.int64)
+        Q = (
+            np.array(q_pdf["__xq"].tolist(), dtype=np.int64)
+            if len(q_pdf)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        # probe mask: row_number over (l2 asc, centroid_id asc) <= nprobe
+        mask = np.zeros((len(qids), len(cent_ids)), dtype=bool)
+        if len(qids) and len(cent_ids):
+            Gq = _guarded_matmul(Q, C)
+            d2q = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * Gq
+                + (C * C).sum(axis=1)[None, :]
+            )
+            npb = min(nprobe, len(cent_ids))
+            for i in range(len(qids)):
+                mask[i, np.lexsort((cent_ids, d2q[i]))[:npb]] = True
+        bc = sc.broadcast((qids, Q, mask, C))
+        part = corpus.mapInPandas(
+            make_run(bc), schema="query_id long, neighbor_id long, dot long"
+        )
+        part = part.localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    return _merge_topk_partials(parts, k)
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 5,
@@ -375,7 +555,28 @@ def ivf_ann_topk(
     """IVF ANN: queries probe their ``nprobe`` nearest coarse lists and
     rescore candidates with the exact quantized dot (the other classic ANN
     scale path next to sign-LSH; candidates bounded by the probed lists'
-    occupancy). Deterministic end to end -> exact DuckDB oracle."""
+    occupancy). Deterministic end to end -> exact DuckDB oracle.
+
+    Executes as the masked ``_ivf_topk_kernel`` corpus pass (r8: the
+    candidate-join formulation, kept as ``ivf_ann_topk_join`` and pinned
+    byte-identical in pytest, shipped every (query, candidate) pair
+    through two vector joins — quadratic in probed-list occupancy)."""
+    cents = _quantized_vecs(
+        emb.filter(F.col(id_col) < n_centroids), id_col, vec_col, "__cv"
+    ).withColumnRenamed(id_col, "centroid_id")
+    return _ivf_topk_kernel(emb, cents, k, nprobe, id_col, vec_col)
+
+
+def ivf_ann_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate-join formulation of ``ivf_ann_topk`` — the oracle-shaped
+    reference the kernel is parity-tested against (not a query path)."""
     assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
@@ -500,8 +701,24 @@ def ivf_lloyd_ann_topk(
     """IVF ANN over Lloyd-refined coarse lists: with centroids that
     actually track the data, the same nprobe buys more recall per scanned
     candidate than seed-vector lists (the VERDICT-flagged weakness of the
-    seed-only variant). Probing, candidate generation and the exact
-    quantized-dot rescore mirror ``ivf_ann_topk``."""
+    seed-only variant). Probing, assignment and the exact quantized-dot
+    rescore run in the shared masked ``_ivf_topk_kernel`` (r8; the join
+    formulation survives as ``ivf_lloyd_ann_topk_join`` for parity)."""
+    cents = ivf_train_lloyd(emb, n_centroids, iters, id_col, vec_col)
+    return _ivf_topk_kernel(emb, cents, k, nprobe, id_col, vec_col)
+
+
+def ivf_lloyd_ann_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate-join formulation of ``ivf_lloyd_ann_topk`` — the
+    parity-test reference (not a query path)."""
     cents = ivf_train_lloyd(emb, n_centroids, iters, id_col, vec_col)
     vecs = _quantized_vecs(emb, id_col, vec_col, "__xq")
     assigned = _assign_to(vecs, cents, id_col)
@@ -592,6 +809,127 @@ def cosine_neardup_pairs(
     )
 
 
+def _lsh_topk_kernel(
+    emb: DataFrame,
+    queries: DataFrame | None,
+    k: int,
+    n_tables: int,
+    n_bits: int,
+    probe_radius: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    shard_rows: int = 65_536,
+) -> DataFrame:
+    """Executor kernel for the multi-probe sign-LSH top-k: ONE corpus
+    pass per query shard. Corpus bucket codes (the
+    ``sign_lsh_buckets_kernel`` matmul, parity-pinned vs the expression
+    form), the per-query (table, probed-bucket) membership mask and the
+    exact quantized-dot partial top-k all run in NumPy inside
+    ``mapInPandas``. A (query, corpus) pair is valid iff SOME table's
+    corpus bucket is within Hamming ``probe_radius`` of the query's
+    bucket — exactly the candidate set of the (table, bucket) join +
+    distinct in ``ann_lsh_topk_join``, without materializing it. On the
+    uniform fixture that candidate set approaches |Q| x |corpus| (the
+    LSH worst case), which is why the join + two vector re-attaches grew
+    superlinearly; the masked matmul pays the same dots at BLAS speed
+    and shuffles only <= k x partitions partial winners."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [
+            [lsh_sign(t, b, d) for d in range(dim)]
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.int64,
+    )
+    pw = 1 << np.arange(n_bits, dtype=np.int64)
+    pmasks = np.array(probe_masks(n_bits, probe_radius), dtype=np.int64)
+    n_buckets = 1 << n_bits
+
+    def buckets(M):
+        # bit b of table t = [<x_q, r_tb> > 0] — the sign_lsh_buckets
+        # contract, byte-identical (test_round4_fixes parity)
+        G = _guarded_matmul(M, S)
+        bits = (G > 0).astype(np.int64).reshape(len(M), n_tables, n_bits)
+        return (bits * pw[None, None, :]).sum(axis=2)
+
+    corpus = _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+        F.col(id_col).alias("__cid"), "__xq"
+    )
+    if queries is None:
+        qsrc = corpus.filter(F.col("__cid") % 50 == 0)
+    else:
+        qsrc = _quantized_vecs(queries, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    n_q = qsrc.count()
+    n_shards = max(1, math.ceil(n_q / shard_rows))
+    NEG = np.iinfo(np.int64).min
+    sc = emb.sparkSession.sparkContext
+
+    def make_run(bc):
+        def run(batches):
+            qids, Q, mask = bc.value  # mask: (nq, T, n_buckets) bool
+            nq = len(qids)
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0 or nq == 0:
+                    continue
+                cid = pdf["__cid"].to_numpy(np.int64)
+                X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                code = buckets(X)  # (nb, T)
+                valid = np.zeros((nq, nb), dtype=bool)
+                for t in range(n_tables):
+                    valid |= mask[:, t, code[:, t]]
+                D = _guarded_matmul(Q, X)
+                D[~valid] = NEG
+                D[qids[:, None] == cid[None, :]] = NEG  # never match self
+                got = _np_partial_topk(D, qids, cid, k, NEG)
+                if got is None:
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": got[0], "neighbor_id": got[1], "dot": got[2]}
+                )
+
+        return run
+
+    parts = []
+    for s in range(n_shards):
+        shard = qsrc if n_shards == 1 else qsrc.filter(
+            F.pmod(F.col("__cid"), F.lit(n_shards)) == s
+        )
+        q_pdf = shard.toPandas().sort_values("__cid", kind="stable")
+        qids = q_pdf["__cid"].to_numpy(np.int64)
+        Q = (
+            np.array(q_pdf["__xq"].tolist(), dtype=np.int64)
+            if len(q_pdf)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        qb = (
+            buckets(Q)
+            if len(qids)
+            else np.zeros((0, n_tables), dtype=np.int64)
+        )
+        mask = np.zeros((len(qids), n_tables, n_buckets), dtype=bool)
+        rows = np.arange(len(qids))
+        for m in pmasks:
+            for t in range(n_tables):
+                mask[rows, t, qb[:, t] ^ m] = True
+        bc = sc.broadcast((qids, Q, mask))
+        part = corpus.mapInPandas(
+            make_run(bc), schema="query_id long, neighbor_id long, dot long"
+        )
+        part = part.localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    return _merge_topk_partials(parts, k)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     k: int = 5,
@@ -607,6 +945,32 @@ def ann_lsh_topk(
     """Approximate top-k: multi-table multi-probe sign-LSH candidates,
     exact quantized-dot rescore (same kernel/quantization as ``topk_dot``
     so recall is measured apples-to-apples).
+
+    Executes as the masked ``_lsh_topk_kernel`` corpus pass (r8).
+    ``kernel_buckets`` is kept for API compatibility — both the
+    expression-bucket and kernel-bucket variants now run the same masked
+    kernel (bucket parity between the two implementations is pinned in
+    test_round4_fixes; the join formulation survives as
+    ``ann_lsh_topk_join`` and the result is pinned byte-identical)."""
+    return _lsh_topk_kernel(
+        emb, queries, k, n_tables, n_bits, probe_radius, dim, id_col, vec_col
+    )
+
+
+def ann_lsh_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    probe_radius: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+    kernel_buckets: bool | None = None,
+) -> DataFrame:
+    """Candidate-join formulation of ``ann_lsh_topk`` — the oracle-shaped
+    parity-test reference (not a query path).
 
     Scale path: candidates are bounded by (tables x probes x bucket
     occupancy); the only shuffles are the (table, bucket) candidate join

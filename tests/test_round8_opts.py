@@ -1,0 +1,106 @@
+"""Round-8 optimization parity pins: every rewritten execution path must
+stay byte-identical to the (kept) reference formulation it replaced.
+
+The optimization round's contract is "same rows, faster plan" — these
+tests pin the "same rows" half on the deterministic sf0.01 fixtures so a
+kernel regression is caught before the oracle gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _sorted_pdf(df):
+    cols = sorted(df.columns)
+    return df.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_ivf_kernel_matches_join(spark, emb):
+    """Masked-matmul IVF rescore == candidate-join formulation."""
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_join,
+    )
+
+    got = _sorted_pdf(ivf_ann_topk(emb))
+    exp = _sorted_pdf(ivf_ann_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_ivf_lloyd_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_lloyd_ann_topk,
+        ivf_lloyd_ann_topk_join,
+    )
+
+    got = _sorted_pdf(ivf_lloyd_ann_topk(emb))
+    exp = _sorted_pdf(ivf_lloyd_ann_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_lsh_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_join,
+    )
+
+    got = _sorted_pdf(ann_lsh_topk(emb))
+    exp = _sorted_pdf(ann_lsh_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_lsh_kernel_nondefault_params(spark, emb):
+    """Parity must hold off the default config too (different table/bit
+    geometry exercises the probe-mask indexing)."""
+    from langtoolsosm_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_join,
+    )
+
+    kw = dict(k=3, n_tables=2, n_bits=4, probe_radius=1)
+    got = _sorted_pdf(ann_lsh_topk(emb, **kw))
+    exp = _sorted_pdf(ann_lsh_topk_join(emb, **kw))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_ivf_kernel_sharded_queries(spark, emb):
+    """Tiny shard_rows forces the multi-broadcast sharded query path —
+    must be byte-identical to the single-shard answer."""
+    from langtoolsosm_spark.operators.similarity import (
+        _ivf_topk_kernel,
+        _quantized_vecs,
+        ivf_ann_topk,
+    )
+
+    cents = _quantized_vecs(
+        emb.filter(F.col("vec_id") < 16), "vec_id", "embedding", "__cv"
+    ).withColumnRenamed("vec_id", "centroid_id")
+    got = _sorted_pdf(
+        _ivf_topk_kernel(emb, cents, 5, 8, "vec_id", "embedding", shard_rows=3)
+    )
+    exp = _sorted_pdf(ivf_ann_topk(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_ivf_kernel_explicit_small_k_ties(spark):
+    """Masked partial top-k must keep boundary ties per partition: a
+    fixture where many corpus vectors tie on the dot product."""
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_join,
+    )
+
+    rows = []
+    for i in range(120):
+        # two distinct vector shapes -> massive dot-product ties
+        base = [1.0] * 8 if i % 2 == 0 else [1.0] * 4 + [0.0] * 4
+        rows.append((i, base))
+    spark_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = spark_df.repartition(7)  # spread ties across partitions
+    got = _sorted_pdf(ivf_ann_topk(df, k=3, n_centroids=4, nprobe=2))
+    exp = _sorted_pdf(ivf_ann_topk_join(df, k=3, n_centroids=4, nprobe=2))
+    assert got.equals(exp) and len(got) > 0
