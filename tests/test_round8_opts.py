@@ -86,6 +86,36 @@ def test_ivf_kernel_sharded_queries(spark, emb):
     assert got.equals(exp) and len(got) > 0
 
 
+def test_lsh_pairs_first_match_band_matches_distinct(spark):
+    """First-match-band pair emission == banded join + DISTINCT, on a
+    fixture with real dup clusters AND a null-text doc (null sigs /
+    buckets must neither match nor suppress later-band matches)."""
+    from langtoolsosm_spark.operators.dedup import (
+        _banded,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"the quick brown fox {i % 7} jumps over the lazy dog") for i in range(60)]
+    rows += [(100 + i, None) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = _sorted_pdf(lsh_candidate_pairs(docs))
+
+    sigs = minhash_signatures(docs)
+    keyed = _banded(sigs, 4, 2, "doc_id")
+    a, c = keyed.alias("a"), keyed.alias("b")
+    exp = _sorted_pdf(
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    assert got.equals(exp) and len(got) > 0
+
+
 def test_ivf_kernel_explicit_small_k_ties(spark):
     """Masked partial top-k must keep boundary ties per partition: a
     fixture where many corpus vectors tie on the dot product."""
