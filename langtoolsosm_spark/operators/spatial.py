@@ -4260,31 +4260,33 @@ def knox_stat(
     e_den). nst >> e_num/e_den signals spatio-temporal clustering
     (outbreaks, bursts that move).
 
-    Plan — never all-pairs:
+    Plan — never all-pairs, and (r8) never a materialized pair ROW:
     * SPACE: points block into ds-sized cells on SHIFTED non-negative
       micro-degrees (truncating int division == floor only there); one
-      side fans over the 3x3 neighbor ring, an equi-join on the cell key
-      generates each unordered candidate pair exactly once (the fanned
-      copy hits the partner's cell at one offset; id_a < id_b kills the
-      mirror), and the exact Chebyshev/time predicates are conditional
-      sums in ONE aggregation. Per-cell occupancy is gated at
-      ``max_cell`` (counted, loud) because the fan-out is sum of
-      occupancy^2 over cells.
-    * TIME: a distinct-timestamp histogram plus ONE range window
-      (sum of counts over (t, t+dt]) — O(distinct ts) state, the
-      zone_concurrency precedent; same-second pairs fold in as
-      C(cnt,2). No pair ever materializes for the time margin.
+      side fans over the 3x3 neighbor ring and a COGROUP on the cell key
+      hands each cell its fan candidates (the fanned copy hits the
+      partner's cell at one offset; id_a < id_b kills the mirror), where
+      the exact Chebyshev/time predicates run as chunked NumPy
+      broadcasts emitting one partial (ns, nst) row per cell. Per-cell
+      occupancy is gated at ``max_cell`` (counted, loud) because the
+      pair work is sum of occupancy^2 over cells.
+    * TIME: a distinct-timestamp histogram plus one single-partition
+      sort + cumsum + searchsorted pass (count over (t, t+dt] per
+      distinct t) — O(distinct ts) state, O(n log n) work; same-second
+      pairs fold in as C(cnt,2). No pair ever materializes for the time
+      margin. (The previous global range window was O(rows x frame):
+      Spark re-aggregates sliding range frames from scratch per row.)
     * Counts are exact int64; 2*ns*nt overflows past ~2^63 — ANSI mode
       raises loudly there; widen to DECIMAL(38,0) for corpora past
       ~3e9 close pairs.
     """
-    from pyspark.sql import Window
-
     if ds_micro < 1 or dt_sec < 1:
         raise ValueError(
             f"knox_stat: ds_micro and dt_sec must be >= 1, got "
             f"({ds_micro}, {dt_sec})"
         )
+    from .spread import scan_spread
+
     x = F.floor(F.col(lat) * F.lit(1_000_000.0)).cast("long")
     y = F.floor(F.col(lon) * F.lit(1_000_000.0)).cast("long")
     pts = events.select(
@@ -4298,6 +4300,9 @@ def knox_stat(
             "cy": F.expr(f"div(y + 180000000, {ds_micro})"),
         }
     )
+    # single-row-group fixture scans read as ONE task; rebalance before
+    # the checkpoint so the fan/histogram passes parallelize (r8)
+    pts = scan_spread(pts)
     if max_cell is not None:
         pts = pts.localCheckpoint(eager=True)
         worst = (
@@ -4331,40 +4336,92 @@ def knox_stat(
         (F.col("cx") + F.col("o.dx")).alias("fx"),
         (F.col("cy") + F.col("o.dy")).alias("fy"),
     )
-    near_s = (
-        F.greatest(
-            F.abs(F.col("a_x") - F.col("x")),
-            F.abs(F.col("a_y") - F.col("y")),
-        )
-        <= ds_micro
-    )
-    near_t = F.abs(F.col("a_t") - F.col("t")) <= dt_sec
+    # SPACE pair counts: the fan-join formulation materialized every
+    # candidate (fan row, partner) pair through a sort-merge join —
+    # sum-of-occupancy^2 rows (1.2e9 at sf1, >600 s) just to feed two
+    # conditional COUNTS. The counts need no pair rows: cogroup the fan
+    # side and the cell points per cell key and evaluate the Chebyshev /
+    # time predicates as chunked NumPy broadcasts, emitting ONE partial
+    # (ns, nst) row per cell (r8). Same candidate set, same predicates,
+    # exact integer counts; the only shuffle is the 9x fan of narrow
+    # rows into the cogroup.
+    def _cell_counts(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"ns": [0], "nst": [0]})
+        a_id = left["a_id"].to_numpy(np.int64)
+        a_x = left["a_x"].to_numpy(np.int64)
+        a_y = left["a_y"].to_numpy(np.int64)
+        a_t = left["a_t"].to_numpy(np.int64)
+        b_id = right["id"].to_numpy(np.int64)
+        b_x = right["x"].to_numpy(np.int64)
+        b_y = right["y"].to_numpy(np.int64)
+        b_t = right["t"].to_numpy(np.int64)
+        ns = nst = 0
+        # chunk the fan side so the pair matrix stays ~10^7 cells even
+        # at the max_cell gate limit
+        step = max(1, 10_000_000 // max(len(b_id), 1))
+        for i in range(0, len(a_id), step):
+            sl = slice(i, i + step)
+            near_s = (
+                (a_id[sl, None] < b_id[None, :])
+                & (np.abs(a_x[sl, None] - b_x[None, :]) <= ds_micro)
+                & (np.abs(a_y[sl, None] - b_y[None, :]) <= ds_micro)
+            )
+            ns += int(near_s.sum())
+            nst += int(
+                (near_s & (np.abs(a_t[sl, None] - b_t[None, :]) <= dt_sec)).sum()
+            )
+        return pd.DataFrame({"ns": [ns], "nst": [nst]})
+
     sp = (
-        fan.join(
-            pts,
-            (F.col("fx") == F.col("cx"))
-            & (F.col("fy") == F.col("cy"))
-            & (F.col("a_id") < F.col("id")),
-        )
+        fan.groupBy("fx", "fy")
+        .cogroup(pts.groupBy("cx", "cy"))
+        .applyInPandas(_cell_counts, schema="ns long, nst long")
         .agg(
-            F.sum(F.when(near_s, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long").alias("ns"),
-            F.sum(F.when(near_s & near_t, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long").alias("nst"),
+            # coalesce: zero candidate pairs must report 0 like the
+            # oracle's count(*) FILTER, not NULL (round-7 ADVICE)
+            F.coalesce(F.sum("ns"), F.lit(0)).cast("long").alias("ns"),
+            F.coalesce(F.sum("nst"), F.lit(0)).cast("long").alias("nst"),
         )
     )
+    # TIME margin: the O(distinct ts) histogram is unchanged, but the
+    # global range window is gone — Spark re-aggregates a sliding range
+    # frame from scratch per row, O(rows x frame), and with dt_sec wide
+    # relative to the time span that is O(rows^2) (>600 s at sf1). One
+    # single-partition NumPy pass (sort + cumsum + searchsorted) computes
+    # the identical per-timestamp "later" counts in O(n log n) (r8).
     hist = pts.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("t").rangeBetween(1, dt_sec)
+
+    def _nt_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        ts, cs = [], []
+        for pdf in batches:
+            if len(pdf):
+                ts.append(pdf["t"].to_numpy(np.int64))
+                cs.append(pdf["cnt"].to_numpy(np.int64))
+        if not ts:
+            yield pd.DataFrame({"nt": [0]})
+            return
+        t = np.concatenate(ts)
+        c = np.concatenate(cs)
+        o = np.argsort(t, kind="stable")
+        t, c = t[o], c[o]
+        cum = np.cumsum(c)
+        # later_i = # events with t in (t_i, t_i + dt_sec]
+        hi = np.searchsorted(t, t + dt_sec, side="right") - 1
+        later = cum[hi] - cum
+        nt = int((c * later).sum() + (c * (c - 1) // 2).sum())
+        yield pd.DataFrame({"nt": [nt]})
+
     tm = (
-        hist.withColumn(
-            "later", F.coalesce(F.sum("cnt").over(w), F.lit(0))
-        )
-        .agg(
-            (
-                F.sum(F.col("cnt") * F.col("later"))
-                + F.sum(F.expr("cnt * (cnt - 1) div 2"))
-            ).cast("long").alias("nt")
-        )
+        hist.repartition(1)
+        .mapInPandas(_nt_kernel, schema="nt long")
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("nt"))
     )
     tot = pts.agg(F.count(F.lit(1)).alias("n"))
     return (
