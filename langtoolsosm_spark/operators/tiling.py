@@ -557,21 +557,25 @@ def co_visitation(
     tile on at least ``min_days`` distinct days — the contact-graph /
     companion-detection primitive. Returns (a, b, n_codays) with a < b.
 
-    Plan: the distinct (tile, day, entity) presence set (the same cohort
-    table ``tile_retention`` builds), self-joined WITHIN (tile, day)
-    only — never a global entity cross — then one pair rollup with the
-    HAVING threshold. The join output is already distinct on
-    (a, b, tile, day) — pres is distinct and a within-(tile, day)
-    equi-join cannot duplicate — so no dedup exchange sits on the
-    occupancy^2-sized frame (the largest intermediate).
+    Plan (r8): the distinct (tile, day, entity) presence set (the same
+    cohort table ``tile_retention`` builds) is fanned to entity-block
+    pairs, and per (block pair, day) a boolean presence-matrix product
+    over the day's tiles marks which pairs co-occurred — n_codays
+    accumulates in an integer matrix, qualifying (a < b) pairs are read
+    off once at the end. No occupancy^2 pair row ever materializes (the
+    previous within-(tile, day) self-join built sum-of-C(occ, 2) rows —
+    2.49e9 at sf1 — just to feed countDistinct). The fan shuffles
+    |pres| x n_blocks narrow rows; block size bounds the per-task count
+    matrix at ~1500^2 ints and n_blocks is capped at 64 (beyond that,
+    prune empty block pairs before fanning).
 
-    Pair fan-out is sum over (tile, day) of occupancy^2 — quadratic in
-    exactly the cell-days where co-presence stops being evidence of
-    companionship (stadiums, festivals). A counted gate raises (the
-    ``hex_bin`` loud-failure pattern) when any cell-day exceeds
-    ``max_occupancy`` BEFORE the quadratic join can run; pre-thin hot
-    cell-days with ``tile_cap_sample`` and re-run, or raise the cap
-    deliberately.
+    Pair work is still sum over (tile, day) of occupancy^2 bit-ops —
+    quadratic in exactly the cell-days where co-presence stops being
+    evidence of companionship (stadiums, festivals). The counted gate
+    raises (the ``hex_bin`` loud-failure pattern) when any cell-day
+    exceeds ``max_occupancy`` BEFORE the quadratic work can run;
+    pre-thin hot cell-days with ``tile_cap_sample`` and re-run, or
+    raise the cap deliberately.
     """
     n = 1 << res
     fx = F.floor((F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
@@ -602,19 +606,111 @@ def co_visitation(
                 "cell-days with tile_cap_sample, or pass a higher "
                 "max_occupancy deliberately (None disables the gate)"
             )
-    other = pres.select(
-        F.col("tile").alias("__t"), F.col("day").alias("__d"),
-        F.col("entity").alias("__e"),
+    # Pair rollup (r8): the within-(tile, day) self-join materialized
+    # sum-of-C(occupancy, 2) pair rows (2.49e9 at sf1) into a
+    # countDistinct aggregate. The counts need no pair rows: partition
+    # ENTITIES into hash blocks, route each presence row to the B block
+    # pairs containing its block, and intersect per-day presence
+    # matrices with one boolean BLAS matmul per (block pair, day) —
+    # n_codays accumulates in an integer matrix, qualifying pairs are
+    # read off at the end. Same pair set, same distinct-day counts;
+    # the only shuffle is the B-way fan of the (already distinct,
+    # narrow) presence table. Block size bounds the count matrix
+    # (~block^2 ints); B = ceil(n_entities / block) bounds the fan.
+    import numpy as np
+    import pandas as pd
+
+    # null tile/day/entity rows can never satisfy the pair-join
+    # equalities — drop them before the fan (output-equivalent)
+    pres = pres.filter(
+        F.col("tile").isNotNull()
+        & F.col("day").isNotNull()
+        & F.col("entity").isNotNull()
     )
-    pairs = pres.join(
-        other,
-        (pres["tile"] == other["__t"]) & (pres["day"] == other["__d"])
-        & (pres["entity"] < other["__e"]),
-    ).select(F.col("entity").alias("a"), F.col("__e").alias("b"), "day")
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.countDistinct("day").alias("n_codays"))
-        .filter(F.col("n_codays") >= min_days)
+    n_ent = pres.agg(F.countDistinct("entity")).collect()[0][0] or 0
+    blk_target = 1500
+    n_blocks = int(min(64, max(1, -(-n_ent // blk_target))))
+    etype = dict(pres.dtypes)["entity"]
+    fan = (
+        pres.withColumn(
+            "__g", F.pmod(F.xxhash64(F.col("entity")), F.lit(n_blocks))
+        )
+        .select(
+            "tile", "day", "entity", "__g",
+            F.explode(
+                F.array(*[F.lit(h) for h in range(n_blocks)])
+            ).alias("__h"),
+        )
+        .select(
+            F.least("__g", "__h").alias("__bi"),
+            F.greatest("__g", "__h").alias("__bj"),
+            "tile", "day", "entity", "__g",
+        )
+    )
+
+    def _block_pairs(key, pdf):
+        bi, bj = key
+        ent = pdf["entity"].to_numpy()
+        blk = pdf["__g"].to_numpy(np.int64)
+        day = pdf["day"].to_numpy(np.int64)
+        tile = pdf["tile"].to_numpy(np.int64)
+        ui = np.unique(ent[blk == bi])
+        uj = ui if bi == bj else np.unique(ent[blk == bj])
+        if ui.size == 0 or uj.size == 0:
+            return pd.DataFrame(
+                {"a": ui[:0], "b": ui[:0],
+                 "n_codays": np.array([], dtype=np.int64)}
+            )
+        count = np.zeros((ui.size, uj.size), dtype=np.int32)
+        order = np.argsort(day, kind="stable")
+        bounds = np.flatnonzero(np.diff(day[order])) + 1
+        for rows in np.split(order, bounds):
+            dt = tile[rows]
+            de = ent[rows]
+            db = blk[rows]
+            tiles, tinv = np.unique(dt, return_inverse=True)
+            hit = np.zeros((ui.size, uj.size), dtype=bool)
+            # chunk tiles so the presence matrices stay bounded
+            for c0 in range(0, tiles.size, 512):
+                csel = (tinv >= c0) & (tinv < c0 + 512)
+                mi_rows = csel & (db == bi)
+                mj_rows = csel & (db == bj)
+                if not mi_rows.any() or not mj_rows.any():
+                    continue
+                width = min(512, tiles.size - c0)
+                Mi = np.zeros((ui.size, width), dtype=np.float32)
+                Mi[
+                    np.searchsorted(ui, de[mi_rows]), tinv[mi_rows] - c0
+                ] = 1.0
+                if bi == bj:
+                    Mj = Mi
+                else:
+                    Mj = np.zeros((uj.size, width), dtype=np.float32)
+                    Mj[
+                        np.searchsorted(uj, de[mj_rows]), tinv[mj_rows] - c0
+                    ] = 1.0
+                hit |= (Mi @ Mj.T) > 0.0
+            count += hit
+        ii, jj = np.nonzero(count >= min_days)
+        if bi == bj:
+            # same-block matrix holds (x, y) AND (y, x); ui is sorted,
+            # so ii < jj selects each unordered pair exactly once as a < b
+            keep = ii < jj
+            a, b = ui[ii[keep]], uj[jj[keep]]
+            cd = count[ii[keep], jj[keep]]
+        else:
+            # cross-block entries are unique unordered pairs; order ids
+            a, b = ui[ii], uj[jj]
+            cd = count[ii, jj]
+            lo = np.minimum(a, b)
+            b = np.maximum(a, b)
+            a = lo
+        return pd.DataFrame(
+            {"a": a, "b": b, "n_codays": cd.astype(np.int64)}
+        )
+
+    return fan.groupBy("__bi", "__bj").applyInPandas(
+        _block_pairs, schema=f"a {etype}, b {etype}, n_codays long"
     )
 
 

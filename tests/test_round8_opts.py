@@ -116,6 +116,61 @@ def test_lsh_pairs_first_match_band_matches_distinct(spark):
     assert got.equals(exp) and len(got) > 0
 
 
+def test_co_visitation_block_kernel_matches_join(spark):
+    """Block-partitioned presence-matrix co_visitation == the
+    within-(tile, day) self-join + countDistinct rollup, on a fixture
+    with multi-tile same-day co-presence (the day-dedup case) and
+    entities spread across several hash blocks."""
+    import datetime
+
+    from langtoolsosm_spark.operators.tiling import co_visitation
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(6):
+        for u in range(40):
+            for visit in range(2):
+                # users co-locate in overlapping groups; two tiles per day
+                lat = 10.0 + ((u + visit) % 4) * 0.01
+                lon = 20.0 + (u % 3) * 0.01 + day * 0.001
+                rows.append(
+                    (u, base + datetime.timedelta(days=day, minutes=u + visit),
+                     lat, lon)
+                )
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, lat double, lon double"
+    )
+    got = _sorted_pdf(co_visitation(ev, res=9, min_days=3))
+
+    # reference: the pre-r8 join formulation inlined
+    n = 1 << 9
+    fx = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    fy = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    tile = (
+        F.least(F.greatest(fx, F.lit(0)), F.lit(n - 1)).cast("long") * n
+        + F.least(F.greatest(fy, F.lit(0)), F.lit(n - 1)).cast("long")
+    )
+    day = (F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
+    pres = ev.select(
+        tile.alias("tile"), day.alias("day"), F.col("user_id").alias("entity")
+    ).distinct()
+    other = pres.select(
+        F.col("tile").alias("__t"), F.col("day").alias("__d"),
+        F.col("entity").alias("__e"),
+    )
+    pairs = pres.join(
+        other,
+        (pres["tile"] == other["__t"]) & (pres["day"] == other["__d"])
+        & (pres["entity"] < other["__e"]),
+    ).select(F.col("entity").alias("a"), F.col("__e").alias("b"), "day")
+    exp = _sorted_pdf(
+        pairs.groupBy("a", "b")
+        .agg(F.countDistinct("day").alias("n_codays"))
+        .filter(F.col("n_codays") >= 3)
+    )
+    assert got.equals(exp) and len(got) > 0
+
+
 def test_ivf_kernel_explicit_small_k_ties(spark):
     """Masked partial top-k must keep boundary ties per partition: a
     fixture where many corpus vectors tie on the dot product."""
