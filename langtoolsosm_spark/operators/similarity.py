@@ -92,8 +92,12 @@ def topk_dot_kernel(
     import numpy as np
     import pandas as pd
 
+    from .spread import scan_spread
+
     qarr = F.transform(F.col(vec_col), lambda x: _quantize(x))
-    corpus = emb.select(F.col(id_col).alias("__cid"), qarr.alias("__q"))
+    corpus = scan_spread(
+        emb.select(F.col(id_col).alias("__cid"), qarr.alias("__q"))
+    )
     qsrc = corpus if queries is None else queries.select(
         F.col(id_col).alias("__cid"), qarr.alias("__q")
     )
@@ -411,19 +415,25 @@ def _np_partial_topk(D, qids, cid, k, NEG):
     )
 
 
-def _merge_topk_partials(parts: list[DataFrame], k: int) -> DataFrame:
+def _merge_topk_partials(
+    parts: list[DataFrame], k: int, out_col: str = "dot", negate: bool = False
+) -> DataFrame:
     """Global (dot desc, id asc) row_number merge over the per-partition
-    partial winners — identical to the ``topk_dot_kernel`` merge."""
+    partial winners — identical to the ``topk_dot_kernel`` merge. The
+    ascending-metric families (ADC / SQ8 distances) ride the same merge
+    by negating the metric in their kernels; ``negate=True`` flips it
+    back on output (dot desc == distance asc, ties id asc either way)."""
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id").asc()
     )
+    out_val = (-F.col("dot")).cast("long") if negate else F.col("dot")
     return (
         merged.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dot")
+        .select("query_id", "neighbor_id", "rank", out_val.alias(out_col))
     )
 
 
@@ -469,8 +479,12 @@ def _ivf_topk_kernel(
         if len(c_pdf)
         else np.zeros((0, 1), dtype=np.int64)
     )
-    corpus = _quantized_vecs(emb, id_col, vec_col, "__xq").select(
-        F.col(id_col).alias("__cid"), "__xq"
+    from .spread import scan_spread
+
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
     )
     qsrc = corpus.filter(F.col("__cid") % 50 == 0)
     n_q = qsrc.count()
@@ -1134,7 +1148,6 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    _sub: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: per subspace ``s``, ``k_codes``
     centroids refined by ``iters`` integer Lloyd rounds from the
@@ -1143,9 +1156,136 @@ def pq_train(
     (truncated integer means, ties to the smaller code; the oracle
     unrolls identical rounds in SQL). Returns (s, code, __cv array<long>).
 
-    Scale shape: codebooks are m x k_codes x (dim/m) ints — always
-    broadcast-sized; each round is one broadcast assignment pass plus one
-    (s, code, ds)-keyed aggregate, linear in |emb| x k_codes."""
+    Scale shape (r8): each round is ONE corpus pass — in-task NumPy
+    assignment against the broadcast codebook plus map-side partial
+    (s, code, ds) sums, so only partitions x m x k_codes x (dim/m)
+    partial rows (metadata-scale) ever reach the driver, where the exact
+    integer means are combined. The join formulation (broadcast assign
+    join -> re-attach join -> posexplode aggregate, ~10 shuffle stages
+    per round on what is always a tiny aggregate) survives as
+    ``pq_train_join``, pytest-pinned byte-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from .spread import scan_spread
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq: empty embedding table")
+    dim = len(first[0])
+    if m < 1 or dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sd = dim // m
+    spark = emb.sparkSession
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    ).localCheckpoint(eager=True)
+    seeds_pdf = (
+        corpus.filter(F.col("__cid") < k_codes)
+        .toPandas()
+        .sort_values("__cid", kind="stable")
+    )
+    codes0 = seeds_pdf["__cid"].to_numpy(np.int64)
+    S0 = (
+        np.array(seeds_pdf["__xq"].tolist(), dtype=np.int64)
+        if len(seeds_pdf)
+        else np.zeros((0, dim), dtype=np.int64)
+    )
+    # {s: (codes sorted asc, C (ks, sd))} — code == seed id, so the
+    # code-ascending row order encodes the (distance, code) tie rule
+    books = (
+        {s: (codes0, S0[:, s * sd:(s + 1) * sd]) for s in range(m)}
+        if len(codes0)
+        else {}
+    )
+    sc = spark.sparkContext
+
+    def make_run(bc):
+        def run(batches):
+            bks = bc.value
+            acc = {
+                s: (
+                    np.zeros((len(cs), C.shape[1]), dtype=np.int64),
+                    np.zeros(len(cs), dtype=np.int64),
+                )
+                for s, (cs, C) in bks.items()
+            }
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                for s, (cs, C) in bks.items():
+                    Xs = X[:, s * sd:(s + 1) * sd]
+                    ds = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2 * _guarded_matmul(Xs, C)
+                        + (C * C).sum(axis=1)[None, :]
+                    )
+                    idx = ds.argmin(axis=1)
+                    t, c = acc[s]
+                    np.add.at(t, idx, Xs)
+                    np.add.at(c, idx, 1)
+            rows = []
+            for s, (cs, _C) in bks.items():
+                t, c = acc[s]
+                for j in np.flatnonzero(c):
+                    for ds_i in range(t.shape[1]):
+                        rows.append((s, int(cs[j]), ds_i, int(t[j, ds_i]), int(c[j])))
+            yield pd.DataFrame(
+                rows, columns=["s", "code", "ds", "t", "c"]
+            ) if rows else pd.DataFrame(
+                {"s": [], "code": [], "ds": [], "t": [], "c": []}
+            ).astype({"s": "int32", "code": "int64", "ds": "int32",
+                      "t": "int64", "c": "int64"})
+
+        return run
+
+    for _ in range(iters):
+        if not books:
+            break
+        bc = sc.broadcast(books)
+        partial = corpus.mapInPandas(
+            make_run(bc), schema="s int, code long, ds int, t long, c long"
+        ).toPandas()
+        bc.destroy()
+        agg = partial.groupby(["s", "code", "ds"], sort=True)[["t", "c"]].sum()
+        new_books: dict = {}
+        for s in sorted({ix[0] for ix in agg.index}):
+            g = agg.loc[s]
+            codes_s = np.array(sorted({ix[0] for ix in g.index}), dtype=np.int64)
+            C_s = np.zeros((len(codes_s), sd), dtype=np.int64)
+            for j, code in enumerate(codes_s):
+                gc = g.loc[code]
+                t = gc["t"].to_numpy(np.int64)
+                c = gc["c"].to_numpy(np.int64)
+                # Spark/DuckDB div truncates toward zero; numpy // floors
+                q = np.abs(t) // c
+                C_s[j] = np.where(t < 0, -q, q)
+            new_books[int(s)] = (codes_s, C_s)
+        books = new_books
+
+    rows = [
+        (int(s), int(code), [int(v) for v in C[j]])
+        for s in sorted(books)
+        for j, code in enumerate(books[s][0])
+        for C in [books[s][1]]
+    ]
+    return spark.createDataFrame(rows, "s int, code long, __cv array<long>")
+
+
+def pq_train_join(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _sub: DataFrame | None = None,
+) -> DataFrame:
+    """Join formulation of ``pq_train`` — the oracle-shaped reference the
+    corpus-pass kernel is parity-tested against (not a query path)."""
     sub = _sub if _sub is not None else _subvectors(emb, m, id_col, vec_col)
     cents = sub.filter(F.col(id_col) < k_codes).select(
         "s", F.col(id_col).alias("code"), F.col("__sv").alias("__cv")
@@ -1163,7 +1303,7 @@ def pq_train(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("ds", "cq"))), lambda x: x["cq"]
             ).alias("__cv")
-        )
+        ).localCheckpoint(eager=True)
     return cents
 
 
@@ -1174,22 +1314,303 @@ def _pq_artifacts(
     iters: int,
     id_col: str,
     vec_col: str,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    need_codes: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """(sub, codebook, codes) computed ONCE and threaded through every PQ
     entry point. Each public fn used to re-derive _subvectors (a
     driver-side .first() per call) and re-run pq_train from scratch, so
-    the training lineage was recomputed several times per query."""
-    sub = _subvectors(emb, m, id_col, vec_col)
-    # pin both artifacts: the codebook is m*k rows and the code table is
-    # the m-nibbles-per-vector frame PQ exists to keep in memory; left
-    # lazy, every downstream reference (ADC scan, rescore shortlist,
-    # IVF-PQ probe) replays the Lloyd training lineage from the raw
-    # embedding scan (plan-audited: up to 18 fact scans per query)
-    cents = pq_train(
-        emb, m, k_codes, iters, id_col, vec_col, _sub=sub
-    ).localCheckpoint(eager=True)
+    the training lineage was recomputed several times per query.
+
+    ``need_codes=False`` skips materializing the subvector frame and the
+    corpus code table entirely: the ADC kernels re-derive each batch's
+    codes in-task from the quantized vectors (byte-identical argmin), so
+    only ``pq_encode`` and the join reference formulations still pay the
+    subvector explode + assignment pass."""
+    from .spread import scan_spread
+
+    # the codebook lands driver-side from pq_train's corpus-pass rounds
+    # (m x k rows, already materialized as a local-data frame)
+    cents = pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    if not need_codes:
+        return None, cents, None
+    # the sub frame is re-read by the code assignment; spread the
+    # single-row-group fixture scan to the session parallelism and pin
+    # it (n x m narrow rows)
+    sub = scan_spread(_subvectors(emb, m, id_col, vec_col)).localCheckpoint(
+        eager=True
+    )
     codes = _pq_assign(sub, cents, id_col).localCheckpoint(eager=True)
     return sub, cents, codes
+
+
+def _pq_books(cents: DataFrame) -> dict:
+    """Driver-side per-subspace codebooks from a (s, code, __cv) frame:
+    ``{s: (codes sorted asc (ks,), C (ks, sd) int64)}`` — m x k_codes
+    rows, always metadata-scale. Code-ascending row order makes NumPy's
+    first-minimum ``argmin`` the exact ``_pq_assign`` (distance, code)
+    struct-min tie rule."""
+    import numpy as np
+
+    pdf = cents.toPandas().sort_values(["s", "code"], kind="stable")
+    books = {}
+    for s, g in pdf.groupby("s", sort=True):
+        books[int(s)] = (
+            g["code"].to_numpy(np.int64),
+            np.array(g["__cv"].tolist(), dtype=np.int64),
+        )
+    return books
+
+
+def _adc_lut(books: dict, Q, sd: int) -> dict:
+    """Per-subspace ADC lookup tables for a query matrix: ``{s: (nq, ks)
+    exact integer L2 of the query subvector vs every codebook entry}`` —
+    the same values as the broadcast ``qd`` frame of the join
+    formulation, computed once per query shard."""
+    lut = {}
+    for s, (_codes, C) in books.items():
+        Qs = Q[:, s * sd:(s + 1) * sd]
+        G = _guarded_matmul(Qs, C)
+        lut[s] = (
+            (Qs * Qs).sum(axis=1)[:, None] - 2 * G + (C * C).sum(axis=1)[None, :]
+        )
+    return lut
+
+
+def _pq_adc_topk_kernel(
+    emb: DataFrame,
+    pq_cents: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    coarse_cents: DataFrame | None = None,
+    nprobe: int | None = None,
+    shard_rows: int = 65_536,
+) -> DataFrame:
+    """Executor kernel shared by the PQ ADC scans (``pq_ann_topk`` and,
+    with ``coarse_cents``/``nprobe``, ``ivf_pq_ann_topk``): ONE corpus
+    pass per query shard. Per batch the corpus vectors' PQ codes are
+    re-derived in NumPy (per-subspace argmin against the broadcast
+    codebook — byte-identical to ``_pq_assign``), ADC distances come
+    from ``m`` lookups into the shard's precomputed query tables, the
+    optional IVF probe mask zeroes out non-probed lists, and the partial
+    top-k under (adc asc, neighbor asc) rides the shared negated-metric
+    machinery. Nothing shuffles but <= k x partitions partial winners.
+
+    The join formulation shipped every corpus code row against every
+    query's lookup row (|corpus| x m x |queries| joined rows — 64 M at
+    sf1 before the aggregate); here the same sums are ``m`` fancy-indexed
+    adds per batch. Parity with the ``*_join`` references is
+    pytest-pinned and the DuckDB oracle gates the registry entries."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    books = _pq_books(pq_cents)
+    spark = emb.sparkSession
+    if not books:
+        # empty codebook (no seed ids below k_codes): the join form's qd
+        # frame is empty, so the ADC result is too
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc long"
+        )
+    sd = next(iter(books.values()))[1].shape[1]
+    dim = sd * max(books) + sd if books else sd
+
+    coarse_ids = None
+    C_coarse = None
+    if coarse_cents is not None:
+        c_pdf = coarse_cents.toPandas().sort_values("centroid_id", kind="stable")
+        coarse_ids = c_pdf["centroid_id"].to_numpy(np.int64)
+        C_coarse = (
+            np.array(c_pdf["__cv"].tolist(), dtype=np.int64)
+            if len(c_pdf)
+            else np.zeros((0, 1), dtype=np.int64)
+        )
+        if not len(C_coarse):
+            # no coarse lists -> no probes -> no candidates
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, rank int, adc long"
+            )
+
+    from .spread import scan_spread
+
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    )
+    qsrc = corpus.filter(F.col("__cid") % 50 == 0)
+    n_q = qsrc.count()
+    n_shards = max(1, math.ceil(n_q / shard_rows))
+    NEG = np.iinfo(np.int64).min
+    sc = spark.sparkContext
+
+    def make_run(bc):
+        def run(batches):
+            qids, lut, mask = bc.value
+            nq = len(qids)
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0 or nq == 0:
+                    continue
+                cid = pdf["__cid"].to_numpy(np.int64)
+                X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                adc = np.zeros((nq, nb), dtype=np.int64)
+                for s, (_codes, C) in books.items():
+                    Xs = X[:, s * sd:(s + 1) * sd]
+                    ds = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2 * _guarded_matmul(Xs, C)
+                        + (C * C).sum(axis=1)[None, :]
+                    )
+                    adc += lut[s][:, ds.argmin(axis=1)]
+                D = -adc
+                if mask is not None:
+                    # nearest coarse list per corpus vector (first-minimum
+                    # over the centroid_id-sorted C == struct-min tie rule)
+                    G = _guarded_matmul(X, C_coarse)
+                    d2 = (
+                        (X * X).sum(axis=1)[:, None]
+                        - 2 * G
+                        + (C_coarse * C_coarse).sum(axis=1)[None, :]
+                    )
+                    D[~mask[:, d2.argmin(axis=1)]] = NEG
+                D[qids[:, None] == cid[None, :]] = NEG  # never match self
+                got = _np_partial_topk(D, qids, cid, k, NEG)
+                if got is None:
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": got[0], "neighbor_id": got[1], "dot": got[2]}
+                )
+
+        return run
+
+    parts = []
+    for s in range(n_shards):
+        shard = qsrc if n_shards == 1 else qsrc.filter(
+            F.pmod(F.col("__cid"), F.lit(n_shards)) == s
+        )
+        q_pdf = shard.toPandas().sort_values("__cid", kind="stable")
+        qids = q_pdf["__cid"].to_numpy(np.int64)
+        Q = (
+            np.array(q_pdf["__xq"].tolist(), dtype=np.int64)
+            if len(q_pdf)
+            else np.zeros((0, dim), dtype=np.int64)
+        )
+        lut = (
+            _adc_lut(books, Q, sd)
+            if len(qids)
+            else {s: np.zeros((0, len(cs)), dtype=np.int64) for s, (cs, _C) in books.items()}
+        )
+        mask = None
+        if C_coarse is not None:
+            # probe mask: row_number over (l2 asc, centroid_id asc) <= nprobe
+            mask = np.zeros((len(qids), len(coarse_ids)), dtype=bool)
+            if len(qids):
+                Gq = _guarded_matmul(Q, C_coarse)
+                d2q = (
+                    (Q * Q).sum(axis=1)[:, None]
+                    - 2 * Gq
+                    + (C_coarse * C_coarse).sum(axis=1)[None, :]
+                )
+                npb = min(nprobe, len(coarse_ids))
+                for i in range(len(qids)):
+                    mask[i, np.lexsort((coarse_ids, d2q[i]))[:npb]] = True
+        bc = sc.broadcast((qids, lut, mask))
+        part = corpus.mapInPandas(
+            make_run(bc), schema="query_id long, neighbor_id long, dot long"
+        )
+        part = part.localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    return _merge_topk_partials(parts, k, out_col="adc", negate=True)
+
+
+def _rescore_shortlist_kernel(
+    emb: DataFrame,
+    short: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    out_col: str = "dot",
+) -> DataFrame:
+    """Exact quantized-dot re-ranking of a per-query shortlist via ONE
+    corpus pass: the (query_id, neighbor_id) shortlist (|queries| x
+    shortlist rows — always bounded) and the query vectors ride a
+    broadcast; each batch computes the masked dot matrix and emits only
+    shortlist pairs into the global (dot desc, id asc) merge. Replaces
+    the two vector re-attach joins + per-pair zip_with aggregate of the
+    join formulation — same values, no corpus shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .spread import scan_spread
+
+    pairs = short.select("query_id", "neighbor_id").toPandas()
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    )
+    q_pdf = (
+        corpus.filter(F.col("__cid").isin([int(q) for q in set(pairs["query_id"])]))
+        .toPandas()
+        .sort_values("__cid", kind="stable")
+        if len(pairs)
+        else None
+    )
+    if q_pdf is None or not len(q_pdf):
+        return _merge_topk_partials(
+            [
+                emb.sparkSession.createDataFrame(
+                    [], "query_id long, neighbor_id long, dot long"
+                )
+            ],
+            k,
+            out_col=out_col,
+        )
+    qids = q_pdf["__cid"].to_numpy(np.int64)
+    Q = np.array(q_pdf["__xq"].tolist(), dtype=np.int64)
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    by_nbr: dict[int, list[int]] = {}
+    for q, n in zip(pairs["query_id"], pairs["neighbor_id"]):
+        by_nbr.setdefault(int(n), []).append(qrow[int(q)])
+    by_nbr_np = {n: np.asarray(rs, dtype=np.int64) for n, rs in by_nbr.items()}
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Q, by_nbr_np))
+
+    def run(batches):
+        qids, Q, by_nbr = bc.value
+        for pdf in batches:
+            nb = len(pdf)
+            if nb == 0:
+                continue
+            cid = pdf["__cid"].to_numpy(np.int64)
+            hit = [j for j in range(nb) if int(cid[j]) in by_nbr]
+            if not hit:
+                continue
+            X = np.array(pdf["__xq"].to_numpy()[hit].tolist(), dtype=np.int64)
+            D = _guarded_matmul(Q, X)
+            out_q, out_n, out_d = [], [], []
+            for jj, j in enumerate(hit):
+                rows = by_nbr[int(cid[j])]
+                out_q.append(qids[rows])
+                out_n.append(np.full(len(rows), cid[j], dtype=np.int64))
+                out_d.append(D[rows, jj])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dot": np.concatenate(out_d),
+                }
+            )
+
+    part = corpus.mapInPandas(
+        run, schema="query_id long, neighbor_id long, dot long"
+    ).localCheckpoint(eager=True)
+    bc.destroy()
+    return _merge_topk_partials([part], k, out_col=out_col)
 
 
 def pq_encode(
@@ -1228,7 +1649,30 @@ def pq_ann_topk(
     This is the classic IVF-PQ leaf scan shape (Jégou et al., TPAMI
     2011): at 100 TB the codes table is the only thing scanned, the
     lookup tables ride the broadcast, and the aggregate is map-side
-    partial — no full-dimension vectors move after encoding."""
+    partial — no full-dimension vectors move after encoding.
+
+    Executes as the ``_pq_adc_topk_kernel`` corpus pass (r8): the join
+    formulation (kept as ``pq_ann_topk_join``, pytest-pinned
+    byte-identical) shipped |corpus| x m x |queries| joined rows into
+    the ADC aggregate — 64 M rows at sf1 for a 20k-vector corpus."""
+    _sub, cents, _codes = _artifacts or _pq_artifacts(
+        emb, m, k_codes, iters, id_col, vec_col, need_codes=False
+    )
+    return _pq_adc_topk_kernel(emb, cents, k, id_col, vec_col)
+
+
+def pq_ann_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Broadcast-join formulation of ``pq_ann_topk`` — the oracle-shaped
+    reference the kernel is parity-tested against (not a query path)."""
     sub, cents, codes = _artifacts or _pq_artifacts(
         emb, m, k_codes, iters, id_col, vec_col
     )
@@ -1279,8 +1723,33 @@ def pq_ann_rescored(
 
     At 32 bits/vector pure ADC is deliberately lossy; rescoring restores
     recall while the corpus-sized pass still never moves a vector
-    (measured in bench.py's ann family)."""
+    (measured in bench.py's ann family). Both stages execute as masked
+    corpus-pass kernels (r8); the join formulation survives as
+    ``pq_ann_rescored_join`` for parity."""
+    arts = _artifacts or _pq_artifacts(
+        emb, m, k_codes, iters, id_col, vec_col, need_codes=False
+    )
     short = pq_ann_topk(
+        emb, k=shortlist, m=m, k_codes=k_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col, _artifacts=arts,
+    ).select("query_id", "neighbor_id")
+    return _rescore_shortlist_kernel(emb, short, k, id_col, vec_col)
+
+
+def pq_ann_rescored_join(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Join formulation of ``pq_ann_rescored`` — the oracle-shaped
+    reference the kernel pair is parity-tested against."""
+    short = pq_ann_topk_join(
         emb, k=shortlist, m=m, k_codes=k_codes, iters=iters,
         id_col=id_col, vec_col=vec_col, _artifacts=_artifacts,
     ).select("query_id", "neighbor_id")
@@ -1352,15 +1821,115 @@ def sq8_ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    shard_rows: int = 65_536,
 ) -> DataFrame:
     """Asymmetric SQ8 ANN top-k: queries (the % 50 == 0 fixture sample,
     same as the PQ gates) keep their exact quantized values; database
     vectors are DEQUANTIZED from their byte codes
-    (``dq = mn_d + (code * span_d) div 255``) and scored by integer L2 —
-    the code table is the only corpus-sized input, queries ride a
-    broadcast, and the per-pair sum is a map-side-combined aggregate.
+    (``dq = mn_d + (code * span_d) div 255``) and scored by integer L2.
     Returns (query_id, neighbor_id, rank, adist) ranked by approximate
-    distance ascending, neighbor id ascending."""
+    distance ascending, neighbor id ascending.
+
+    Executes as ONE corpus pass per query shard (r8): the per-dim
+    (mn, span) stats are a 64-row aggregate collected to the driver, the
+    encode/decode round-trip and the exact integer L2 run as NumPy array
+    ops per batch, and only <= k x partitions partial winners shuffle
+    into the global merge. The per-dimension broadcast-join formulation
+    (kept as ``sq8_ann_topk_join``, pytest-pinned) materialized
+    |corpus| x |queries| x dim joined rows — 512 M at sf1. Integer
+    divisions are floor-exact in both paths: operands are non-negative
+    and quotients sit far from representable-double boundaries."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    flat = _sq8_flat(emb, id_col, vec_col)
+    stats_pdf = _sq8_stats(flat).toPandas().sort_values("d", kind="stable")
+    spark = emb.sparkSession
+    if not len(stats_pdf):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adist long"
+        )
+    dim = int(stats_pdf["d"].max()) + 1
+    mn = np.zeros(dim, dtype=np.int64)
+    span = np.ones(dim, dtype=np.int64)
+    mn[stats_pdf["d"].to_numpy(np.int64)] = stats_pdf["mn"].to_numpy(np.int64)
+    span[stats_pdf["d"].to_numpy(np.int64)] = stats_pdf["span"].to_numpy(np.int64)
+
+    from .spread import scan_spread
+
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    )
+    qsrc = corpus.filter(F.col("__cid") % 50 == 0)
+    n_q = qsrc.count()
+    n_shards = max(1, math.ceil(n_q / shard_rows))
+    NEG = np.iinfo(np.int64).min
+    sc = spark.sparkContext
+
+    def make_run(bc):
+        def run(batches):
+            qids, Q = bc.value
+            nq = len(qids)
+            for pdf in batches:
+                nb = len(pdf)
+                if nb == 0 or nq == 0:
+                    continue
+                cid = pdf["__cid"].to_numpy(np.int64)
+                X = np.array(pdf["__xq"].tolist(), dtype=np.int64)
+                # encode -> decode round-trip, exactly the join form's
+                # integer expressions (non-negative floor divisions)
+                code = ((X - mn[None, :]) * 255) // span[None, :]
+                dq = mn[None, :] + (code * span[None, :]) // 255
+                d2 = (
+                    (Q * Q).sum(axis=1)[:, None]
+                    - 2 * _guarded_matmul(Q, dq)
+                    + (dq * dq).sum(axis=1)[None, :]
+                )
+                D = -d2
+                D[qids[:, None] == cid[None, :]] = NEG  # never match self
+                got = _np_partial_topk(D, qids, cid, k, NEG)
+                if got is None:
+                    continue
+                yield pd.DataFrame(
+                    {"query_id": got[0], "neighbor_id": got[1], "dot": got[2]}
+                )
+
+        return run
+
+    parts = []
+    for s in range(n_shards):
+        shard = qsrc if n_shards == 1 else qsrc.filter(
+            F.pmod(F.col("__cid"), F.lit(n_shards)) == s
+        )
+        q_pdf = shard.toPandas().sort_values("__cid", kind="stable")
+        qids = q_pdf["__cid"].to_numpy(np.int64)
+        Q = (
+            np.array(q_pdf["__xq"].tolist(), dtype=np.int64)
+            if len(q_pdf)
+            else np.zeros((0, dim), dtype=np.int64)
+        )
+        bc = sc.broadcast((qids, Q))
+        part = corpus.mapInPandas(
+            make_run(bc), schema="query_id long, neighbor_id long, dot long"
+        )
+        part = part.localCheckpoint(eager=True)
+        bc.destroy()
+        parts.append(part)
+    return _merge_topk_partials(parts, k, out_col="adist", negate=True)
+
+
+def sq8_ann_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension broadcast-join formulation of ``sq8_ann_topk`` —
+    the oracle-shaped reference the kernel is parity-tested against."""
     flat = _sq8_flat(emb, id_col, vec_col)
     stats = _sq8_stats(flat)
     deq = (
@@ -1427,7 +1996,37 @@ def ivf_pq_ann_topk(
     nprobe/n_centroids of the codes table is touched; with the codes
     snapshot clustered by centroid_id the scan prunes by file stats),
     the ADC decides HOW CHEAPLY (CPU bound — 8 byte lookups per
-    candidate). Returns (query_id, neighbor_id, rank, adc)."""
+    candidate). Returns (query_id, neighbor_id, rank, adc).
+
+    Executes as the masked ``_pq_adc_topk_kernel`` corpus pass (r8):
+    probe mask + in-task coarse assignment + ADC lookups, byte-identical
+    to the candidate-join formulation (kept as
+    ``ivf_pq_ann_topk_join``, pytest-pinned)."""
+    _sub, cents, _codes = _artifacts or _pq_artifacts(
+        emb, m, k_codes, iters, id_col, vec_col, need_codes=False
+    )
+    coarse = _quantized_vecs(
+        emb.filter(F.col(id_col) < n_centroids), id_col, vec_col, "__cv"
+    ).withColumnRenamed(id_col, "centroid_id")
+    return _pq_adc_topk_kernel(
+        emb, cents, k, id_col, vec_col, coarse_cents=coarse, nprobe=nprobe
+    )
+
+
+def ivf_pq_ann_topk_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _artifacts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Candidate-join formulation of ``ivf_pq_ann_topk`` — the
+    oracle-shaped reference the kernel is parity-tested against."""
     assigned = ivf_assign(emb, n_centroids, id_col, vec_col)
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
@@ -1514,9 +2113,34 @@ def ivf_pq_ann_rescored(
     corpus-sized pass still touches only codes — full vectors move for
     shortlist x queries rows. All three trainings are the deterministic
     integer procedures the standalone gates pin, so the composite stays
-    oracle-exact end to end."""
-    arts = _pq_artifacts(emb, m, k_codes, iters, id_col, vec_col)
+    oracle-exact end to end. Both stages execute as masked corpus-pass
+    kernels (r8); the join formulation survives as
+    ``ivf_pq_ann_rescored_join`` for parity."""
+    arts = _pq_artifacts(emb, m, k_codes, iters, id_col, vec_col, need_codes=False)
     short = ivf_pq_ann_topk(
+        emb, k=shortlist, n_centroids=n_centroids, nprobe=nprobe, m=m,
+        k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col,
+        _artifacts=arts,
+    ).select("query_id", "neighbor_id")
+    return _rescore_shortlist_kernel(emb, short, k, id_col, vec_col)
+
+
+def ivf_pq_ann_rescored_join(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Join formulation of ``ivf_pq_ann_rescored`` — the oracle-shaped
+    reference the kernel pair is parity-tested against."""
+    arts = _pq_artifacts(emb, m, k_codes, iters, id_col, vec_col)
+    short = ivf_pq_ann_topk_join(
         emb, k=shortlist, n_centroids=n_centroids, nprobe=nprobe, m=m,
         k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col,
         _artifacts=arts,

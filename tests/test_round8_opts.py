@@ -189,3 +189,120 @@ def test_ivf_kernel_explicit_small_k_ties(spark):
     got = _sorted_pdf(ivf_ann_topk(df, k=3, n_centroids=4, nprobe=2))
     exp = _sorted_pdf(ivf_ann_topk_join(df, k=3, n_centroids=4, nprobe=2))
     assert got.equals(exp) and len(got) > 0
+
+
+def test_pq_adc_kernel_matches_join(spark, emb):
+    """Masked ADC corpus-pass PQ top-k == broadcast-join formulation."""
+    from langtoolsosm_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_ann_topk_join,
+    )
+
+    got = _sorted_pdf(pq_ann_topk(emb))
+    exp = _sorted_pdf(pq_ann_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_pq_rescored_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        pq_ann_rescored,
+        pq_ann_rescored_join,
+    )
+
+    got = _sorted_pdf(pq_ann_rescored(emb))
+    exp = _sorted_pdf(pq_ann_rescored_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_sq8_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        sq8_ann_topk,
+        sq8_ann_topk_join,
+    )
+
+    got = _sorted_pdf(sq8_ann_topk(emb))
+    exp = _sorted_pdf(sq8_ann_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_ivf_pq_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+        ivf_pq_ann_topk_join,
+    )
+
+    got = _sorted_pdf(ivf_pq_ann_topk(emb))
+    exp = _sorted_pdf(ivf_pq_ann_topk_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_ivf_pq_rescored_kernel_matches_join(spark, emb):
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_pq_ann_rescored,
+        ivf_pq_ann_rescored_join,
+    )
+
+    got = _sorted_pdf(ivf_pq_ann_rescored(emb))
+    exp = _sorted_pdf(ivf_pq_ann_rescored_join(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_pq_kernel_nondefault_geometry(spark, emb):
+    """Parity off the default config (m=4 subspaces, 8 codes, 1 Lloyd
+    iter; nprobe=3 over 8 coarse lists for the IVF composite) exercises
+    the per-subspace book indexing and the probe mask off-path."""
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_pq_ann_topk,
+        ivf_pq_ann_topk_join,
+        pq_ann_topk,
+        pq_ann_topk_join,
+    )
+
+    kw = dict(m=4, k_codes=8, iters=1)
+    got = _sorted_pdf(pq_ann_topk(emb, **kw))
+    exp = _sorted_pdf(pq_ann_topk_join(emb, **kw))
+    assert got.equals(exp) and len(got) > 0
+
+    kw2 = dict(m=4, k_codes=8, iters=1, n_centroids=8, nprobe=3)
+    got2 = _sorted_pdf(ivf_pq_ann_topk(emb, **kw2))
+    exp2 = _sorted_pdf(ivf_pq_ann_topk_join(emb, **kw2))
+    assert got2.equals(exp2) and len(got2) > 0
+
+
+def test_pq_adc_kernel_sharded_queries(spark, emb):
+    """Tiny shard_rows forces the multi-broadcast sharded query path of
+    the ADC kernel — must be byte-identical to the single-shard answer."""
+    from langtoolsosm_spark.operators.similarity import (
+        _pq_adc_topk_kernel,
+        _pq_artifacts,
+        pq_ann_topk,
+    )
+
+    _sub, cents, _codes = _pq_artifacts(
+        emb, 8, 16, 2, "vec_id", "embedding", need_codes=False
+    )
+    got = _sorted_pdf(
+        _pq_adc_topk_kernel(emb, cents, 5, "vec_id", "embedding", shard_rows=3)
+    )
+    exp = _sorted_pdf(pq_ann_topk(emb))
+    assert got.equals(exp) and len(got) > 0
+
+
+def test_pq_train_kernel_matches_join(spark, emb):
+    """Corpus-pass Lloyd training == the join/explode formulation, both
+    at the default geometry and off it (odd k_codes exercises dropped
+    codes / non-contiguous seed ids)."""
+    from langtoolsosm_spark.operators.similarity import pq_train, pq_train_join
+
+    def rows(df):
+        return sorted(
+            (r["s"], r["code"], list(r["__cv"])) for r in df.collect()
+        )
+
+    got = rows(pq_train(emb))
+    exp = rows(pq_train_join(emb))
+    assert got == exp and len(got) > 0
+
+    got2 = rows(pq_train(emb, m=4, k_codes=7, iters=3))
+    exp2 = rows(pq_train_join(emb, m=4, k_codes=7, iters=3))
+    assert got2 == exp2 and len(got2) > 0
