@@ -30,7 +30,13 @@ def dedup_canonical(
     lowercased, punctuation-stripped, and whitespace-collapsed before
     hashing, so trivially reformatted copies collapse to one group — the
     standard first pass of real dedup pipelines, one groupBy on the
-    canonical hash."""
+    canonical hash. The input is scan-spread first: the regex
+    canonicalization is the expensive part and on a single-row-group
+    input it would otherwise run in one or two scan tasks (r8; no-op on
+    pre-split production inputs)."""
+    from .spread import scan_spread
+
+    docs = scan_spread(docs)
     canon = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),

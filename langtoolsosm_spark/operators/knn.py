@@ -488,10 +488,17 @@ def knn_broadcast(
     out_schema = (
         f"{point_id} {pid_type}, neighbor_id long, rank int, dist double"
     )
-    pts = points.select(
-        F.col(point_id).alias("__pid"),
-        F.col("lat").alias("__plat"),
-        F.col("lon").alias("__plon"),
+    from .spread import scan_spread
+
+    # per-point answers are partitioning-independent; spread an
+    # under-split scan so the grid kernel is not bound to one or two
+    # row-group tasks (r8; no-op on pre-split production inputs)
+    pts = scan_spread(
+        points.select(
+            F.col(point_id).alias("__pid"),
+            F.col("lat").alias("__plat"),
+            F.col("lon").alias("__plon"),
+        )
     )
 
     def run(batches):
