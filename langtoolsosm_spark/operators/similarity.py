@@ -677,10 +677,51 @@ def ivf_train_lloyd(
     engine-dependent float fixpoint. Lists that lose all members vanish
     (both engines drop them identically via the inner join).
 
-    Returns (centroid_id, __cv array<long>). Cost per round: one
-    broadcast assignment pass + one (centroid, dim)-keyed aggregate —
-    both linear in |emb| x n_centroids, the classic distributed k-means
-    shape."""
+    Returns (centroid_id, __cv array<long>). Executes as the shared
+    ``_lloyd_rounds`` corpus-pass kernel (r8, the m=1 case of the PQ
+    training): one pass per round with map-side partial sums instead of
+    the assignment join -> re-attach join -> posexplode aggregate chain
+    (~10 shuffle stages per round); the join formulation survives as
+    ``ivf_train_lloyd_join``, pytest-pinned byte-identical."""
+    import numpy as np
+
+    from .spread import scan_spread
+
+    spark = emb.sparkSession
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    ).localCheckpoint(eager=True)
+    seeds_pdf = (
+        corpus.filter(F.col("__cid") < n_centroids)
+        .toPandas()
+        .sort_values("__cid", kind="stable")
+    )
+    codes0 = seeds_pdf["__cid"].to_numpy(np.int64)
+    if not len(codes0):
+        return spark.createDataFrame([], "centroid_id long, __cv array<long>")
+    S0 = np.array(seeds_pdf["__xq"].tolist(), dtype=np.int64)
+    dim = S0.shape[1]
+    books = _lloyd_rounds(corpus, {0: (codes0, S0)}, iters, dim)
+    rows = [
+        (int(code), [int(v) for v in C[j]])
+        for s in sorted(books)
+        for j, code in enumerate(books[s][0])
+        for C in [books[s][1]]
+    ]
+    return spark.createDataFrame(rows, "centroid_id long, __cv array<long>")
+
+
+def ivf_train_lloyd_join(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Join formulation of ``ivf_train_lloyd`` — the oracle-shaped
+    reference the corpus-pass kernel is parity-tested against."""
     vecs = _quantized_vecs(emb, id_col, vec_col, "__xq")
     cents = emb.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("centroid_id"),
@@ -732,8 +773,9 @@ def ivf_lloyd_ann_topk_join(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Candidate-join formulation of ``ivf_lloyd_ann_topk`` — the
-    parity-test reference (not a query path)."""
-    cents = ivf_train_lloyd(emb, n_centroids, iters, id_col, vec_col)
+    parity-test reference (not a query path; uses the join training so
+    the topk parity pin covers training parity transitively)."""
+    cents = ivf_train_lloyd_join(emb, n_centroids, iters, id_col, vec_col)
     vecs = _quantized_vecs(emb, id_col, vec_col, "__xq")
     assigned = _assign_to(vecs, cents, id_col)
     l2 = F.aggregate(
@@ -1141,66 +1183,18 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def pq_train(
-    emb: DataFrame,
-    m: int = 8,
-    k_codes: int = 16,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization codebooks: per subspace ``s``, ``k_codes``
-    centroids refined by ``iters`` integer Lloyd rounds from the
-    deterministic smallest-id seeds — the PQ analogue of
-    ``ivf_train_lloyd`` and deterministic end to end for the same reason
-    (truncated integer means, ties to the smaller code; the oracle
-    unrolls identical rounds in SQL). Returns (s, code, __cv array<long>).
-
-    Scale shape (r8): each round is ONE corpus pass — in-task NumPy
-    assignment against the broadcast codebook plus map-side partial
-    (s, code, ds) sums, so only partitions x m x k_codes x (dim/m)
-    partial rows (metadata-scale) ever reach the driver, where the exact
-    integer means are combined. The join formulation (broadcast assign
-    join -> re-attach join -> posexplode aggregate, ~10 shuffle stages
-    per round on what is always a tiny aggregate) survives as
-    ``pq_train_join``, pytest-pinned byte-identical."""
+def _lloyd_rounds(corpus, books: dict, iters: int, sd: int) -> dict:
+    """Shared integer Lloyd refinement over per-subspace codebooks
+    (``{s: (codes sorted asc, C (ks, sd) int64)}``): each round is ONE
+    corpus pass — in-task NumPy argmin assignment against the broadcast
+    books plus map-side partial (s, code, ds) sums — and only
+    partitions x m x k x sd partial rows (metadata-scale) reach the
+    driver, where the exact truncated integer means are combined.
+    IVF coarse training is the m=1 case (sd = full dim)."""
     import numpy as np
     import pandas as pd
 
-    from .spread import scan_spread
-
-    first = emb.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq: empty embedding table")
-    dim = len(first[0])
-    if m < 1 or dim % m:
-        raise ValueError(f"pq: m={m} must divide dim={dim}")
-    sd = dim // m
-    spark = emb.sparkSession
-    corpus = scan_spread(
-        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
-            F.col(id_col).alias("__cid"), "__xq"
-        )
-    ).localCheckpoint(eager=True)
-    seeds_pdf = (
-        corpus.filter(F.col("__cid") < k_codes)
-        .toPandas()
-        .sort_values("__cid", kind="stable")
-    )
-    codes0 = seeds_pdf["__cid"].to_numpy(np.int64)
-    S0 = (
-        np.array(seeds_pdf["__xq"].tolist(), dtype=np.int64)
-        if len(seeds_pdf)
-        else np.zeros((0, dim), dtype=np.int64)
-    )
-    # {s: (codes sorted asc, C (ks, sd))} — code == seed id, so the
-    # code-ascending row order encodes the (distance, code) tie rule
-    books = (
-        {s: (codes0, S0[:, s * sd:(s + 1) * sd]) for s in range(m)}
-        if len(codes0)
-        else {}
-    )
-    sc = spark.sparkContext
+    sc = corpus.sparkSession.sparkContext
 
     def make_run(bc):
         def run(batches):
@@ -1265,6 +1259,69 @@ def pq_train(
                 C_s[j] = np.where(t < 0, -q, q)
             new_books[int(s)] = (codes_s, C_s)
         books = new_books
+    return books
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: per subspace ``s``, ``k_codes``
+    centroids refined by ``iters`` integer Lloyd rounds from the
+    deterministic smallest-id seeds — the PQ analogue of
+    ``ivf_train_lloyd`` and deterministic end to end for the same reason
+    (truncated integer means, ties to the smaller code; the oracle
+    unrolls identical rounds in SQL). Returns (s, code, __cv array<long>).
+
+    Scale shape (r8): each round is ONE corpus pass — in-task NumPy
+    assignment against the broadcast codebook plus map-side partial
+    (s, code, ds) sums, so only partitions x m x k_codes x (dim/m)
+    partial rows (metadata-scale) ever reach the driver, where the exact
+    integer means are combined. The join formulation (broadcast assign
+    join -> re-attach join -> posexplode aggregate, ~10 shuffle stages
+    per round on what is always a tiny aggregate) survives as
+    ``pq_train_join``, pytest-pinned byte-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from .spread import scan_spread
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq: empty embedding table")
+    dim = len(first[0])
+    if m < 1 or dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sd = dim // m
+    spark = emb.sparkSession
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    ).localCheckpoint(eager=True)
+    seeds_pdf = (
+        corpus.filter(F.col("__cid") < k_codes)
+        .toPandas()
+        .sort_values("__cid", kind="stable")
+    )
+    codes0 = seeds_pdf["__cid"].to_numpy(np.int64)
+    S0 = (
+        np.array(seeds_pdf["__xq"].tolist(), dtype=np.int64)
+        if len(seeds_pdf)
+        else np.zeros((0, dim), dtype=np.int64)
+    )
+    # {s: (codes sorted asc, C (ks, sd))} — code == seed id, so the
+    # code-ascending row order encodes the (distance, code) tie rule
+    books = (
+        {s: (codes0, S0[:, s * sd:(s + 1) * sd]) for s in range(m)}
+        if len(codes0)
+        else {}
+    )
+    books = _lloyd_rounds(corpus, books, iters, sd)
 
     rows = [
         (int(s), int(code), [int(v) for v in C[j]])

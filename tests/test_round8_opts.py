@@ -306,3 +306,23 @@ def test_pq_train_kernel_matches_join(spark, emb):
     got2 = rows(pq_train(emb, m=4, k_codes=7, iters=3))
     exp2 = rows(pq_train_join(emb, m=4, k_codes=7, iters=3))
     assert got2 == exp2 and len(got2) > 0
+
+
+def test_ivf_train_lloyd_kernel_matches_join(spark, emb):
+    """Corpus-pass IVF Lloyd training == the join/explode formulation
+    (default and off-default geometry)."""
+    from langtoolsosm_spark.operators.similarity import (
+        ivf_train_lloyd,
+        ivf_train_lloyd_join,
+    )
+
+    def rows(df):
+        return sorted((r["centroid_id"], list(r["__cv"])) for r in df.collect())
+
+    got = rows(ivf_train_lloyd(emb))
+    exp = rows(ivf_train_lloyd_join(emb))
+    assert got == exp and len(got) > 0
+
+    got2 = rows(ivf_train_lloyd(emb, n_centroids=5, iters=3))
+    exp2 = rows(ivf_train_lloyd_join(emb, n_centroids=5, iters=3))
+    assert got2 == exp2 and len(got2) > 0
