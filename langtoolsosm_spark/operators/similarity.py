@@ -445,6 +445,7 @@ def _ivf_topk_kernel(
     id_col: str,
     vec_col: str,
     shard_rows: int = 65_536,
+    _corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Executor kernel shared by the IVF rescores: ONE corpus pass per
     query shard. Coarse assignment (argmin quantized L2 against the
@@ -481,7 +482,7 @@ def _ivf_topk_kernel(
     )
     from .spread import scan_spread
 
-    corpus = scan_spread(
+    corpus = _corpus if _corpus is not None else scan_spread(
         _quantized_vecs(emb, id_col, vec_col, "__xq").select(
             F.col(id_col).alias("__cid"), "__xq"
         )
@@ -666,6 +667,7 @@ def ivf_train_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse 'training': ``iters`` Lloyd rounds in pure integer
     arithmetic from the deterministic smallest-id seeds. Each round
@@ -688,7 +690,7 @@ def ivf_train_lloyd(
     from .spread import scan_spread
 
     spark = emb.sparkSession
-    corpus = scan_spread(
+    corpus = _corpus if _corpus is not None else scan_spread(
         _quantized_vecs(emb, id_col, vec_col, "__xq").select(
             F.col(id_col).alias("__cid"), "__xq"
         )
@@ -759,8 +761,19 @@ def ivf_lloyd_ann_topk(
     seed-only variant). Probing, assignment and the exact quantized-dot
     rescore run in the shared masked ``_ivf_topk_kernel`` (r8; the join
     formulation survives as ``ivf_lloyd_ann_topk_join`` for parity)."""
-    cents = ivf_train_lloyd(emb, n_centroids, iters, id_col, vec_col)
-    return _ivf_topk_kernel(emb, cents, k, nprobe, id_col, vec_col)
+    from .spread import scan_spread
+
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    ).localCheckpoint(eager=True)
+    cents = ivf_train_lloyd(
+        emb, n_centroids, iters, id_col, vec_col, _corpus=corpus
+    )
+    return _ivf_topk_kernel(
+        emb, cents, k, nprobe, id_col, vec_col, _corpus=corpus
+    )
 
 
 def ivf_lloyd_ann_topk_join(
@@ -1269,6 +1282,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: per subspace ``s``, ``k_codes``
     centroids refined by ``iters`` integer Lloyd rounds from the
@@ -1298,7 +1312,7 @@ def pq_train(
         raise ValueError(f"pq: m={m} must divide dim={dim}")
     sd = dim // m
     spark = emb.sparkSession
-    corpus = scan_spread(
+    corpus = _corpus if _corpus is not None else scan_spread(
         _quantized_vecs(emb, id_col, vec_col, "__xq").select(
             F.col(id_col).alias("__cid"), "__xq"
         )
@@ -1379,17 +1393,26 @@ def _pq_artifacts(
     the training lineage was recomputed several times per query.
 
     ``need_codes=False`` skips materializing the subvector frame and the
-    corpus code table entirely: the ADC kernels re-derive each batch's
-    codes in-task from the quantized vectors (byte-identical argmin), so
-    only ``pq_encode`` and the join reference formulations still pay the
-    subvector explode + assignment pass."""
+    corpus code table entirely and instead returns
+    ``(corpus, cents, None)`` — the spread + checkpointed quantized
+    corpus (``__cid``, ``__xq``) that training just scanned, so the ADC
+    kernels and the rescore pass reuse ONE materialization instead of
+    re-deriving (and re-spreading) the corpus per stage. The ADC kernels
+    re-derive each batch's codes in-task from those quantized vectors
+    (byte-identical argmin); only ``pq_encode`` and the join reference
+    formulations still pay the subvector explode + assignment pass."""
     from .spread import scan_spread
 
+    corpus = scan_spread(
+        _quantized_vecs(emb, id_col, vec_col, "__xq").select(
+            F.col(id_col).alias("__cid"), "__xq"
+        )
+    ).localCheckpoint(eager=True)
     # the codebook lands driver-side from pq_train's corpus-pass rounds
     # (m x k rows, already materialized as a local-data frame)
-    cents = pq_train(emb, m, k_codes, iters, id_col, vec_col)
+    cents = pq_train(emb, m, k_codes, iters, id_col, vec_col, _corpus=corpus)
     if not need_codes:
-        return None, cents, None
+        return corpus, cents, None
     # the sub frame is re-read by the code assignment; spread the
     # single-row-group fixture scan to the session parallelism and pin
     # it (n x m narrow rows)
@@ -1442,6 +1465,7 @@ def _pq_adc_topk_kernel(
     coarse_cents: DataFrame | None = None,
     nprobe: int | None = None,
     shard_rows: int = 65_536,
+    _corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Executor kernel shared by the PQ ADC scans (``pq_ann_topk`` and,
     with ``coarse_cents``/``nprobe``, ``ivf_pq_ann_topk``): ONE corpus
@@ -1492,7 +1516,7 @@ def _pq_adc_topk_kernel(
 
     from .spread import scan_spread
 
-    corpus = scan_spread(
+    corpus = _corpus if _corpus is not None else scan_spread(
         _quantized_vecs(emb, id_col, vec_col, "__xq").select(
             F.col(id_col).alias("__cid"), "__xq"
         )
@@ -1591,6 +1615,7 @@ def _rescore_shortlist_kernel(
     id_col: str,
     vec_col: str,
     out_col: str = "dot",
+    _corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact quantized-dot re-ranking of a per-query shortlist via ONE
     corpus pass: the (query_id, neighbor_id) shortlist (|queries| x
@@ -1605,7 +1630,7 @@ def _rescore_shortlist_kernel(
     from .spread import scan_spread
 
     pairs = short.select("query_id", "neighbor_id").toPandas()
-    corpus = scan_spread(
+    corpus = _corpus if _corpus is not None else scan_spread(
         _quantized_vecs(emb, id_col, vec_col, "__xq").select(
             F.col(id_col).alias("__cid"), "__xq"
         )
@@ -1712,10 +1737,10 @@ def pq_ann_topk(
     formulation (kept as ``pq_ann_topk_join``, pytest-pinned
     byte-identical) shipped |corpus| x m x |queries| joined rows into
     the ADC aggregate — 64 M rows at sf1 for a 20k-vector corpus."""
-    _sub, cents, _codes = _artifacts or _pq_artifacts(
+    corpus, cents, _codes = _artifacts or _pq_artifacts(
         emb, m, k_codes, iters, id_col, vec_col, need_codes=False
     )
-    return _pq_adc_topk_kernel(emb, cents, k, id_col, vec_col)
+    return _pq_adc_topk_kernel(emb, cents, k, id_col, vec_col, _corpus=corpus)
 
 
 def pq_ann_topk_join(
@@ -1790,7 +1815,9 @@ def pq_ann_rescored(
         emb, k=shortlist, m=m, k_codes=k_codes, iters=iters,
         id_col=id_col, vec_col=vec_col, _artifacts=arts,
     ).select("query_id", "neighbor_id")
-    return _rescore_shortlist_kernel(emb, short, k, id_col, vec_col)
+    return _rescore_shortlist_kernel(
+        emb, short, k, id_col, vec_col, _corpus=arts[0]
+    )
 
 
 def pq_ann_rescored_join(
@@ -2059,14 +2086,15 @@ def ivf_pq_ann_topk(
     probe mask + in-task coarse assignment + ADC lookups, byte-identical
     to the candidate-join formulation (kept as
     ``ivf_pq_ann_topk_join``, pytest-pinned)."""
-    _sub, cents, _codes = _artifacts or _pq_artifacts(
+    corpus, cents, _codes = _artifacts or _pq_artifacts(
         emb, m, k_codes, iters, id_col, vec_col, need_codes=False
     )
-    coarse = _quantized_vecs(
-        emb.filter(F.col(id_col) < n_centroids), id_col, vec_col, "__cv"
-    ).withColumnRenamed(id_col, "centroid_id")
+    coarse = corpus.filter(F.col("__cid") < n_centroids).select(
+        F.col("__cid").alias("centroid_id"), F.col("__xq").alias("__cv")
+    )
     return _pq_adc_topk_kernel(
-        emb, cents, k, id_col, vec_col, coarse_cents=coarse, nprobe=nprobe
+        emb, cents, k, id_col, vec_col, coarse_cents=coarse, nprobe=nprobe,
+        _corpus=corpus,
     )
 
 
@@ -2179,7 +2207,9 @@ def ivf_pq_ann_rescored(
         k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col,
         _artifacts=arts,
     ).select("query_id", "neighbor_id")
-    return _rescore_shortlist_kernel(emb, short, k, id_col, vec_col)
+    return _rescore_shortlist_kernel(
+        emb, short, k, id_col, vec_col, _corpus=arts[0]
+    )
 
 
 def ivf_pq_ann_rescored_join(
