@@ -2453,12 +2453,15 @@ def embedding_norm_audit(
     (id, norm2_q, rank, n, is_outlier) with rank 1-based ascending.
 
     Plan: one F.aggregate fold per vector (JVM-side, no explode, no
-    UDF), one global rank window — the window input is (id, norm2_q)
-    pairs only, never vectors; at 100x shard the rank by range
-    partitioning if a single-task sort ever dominates."""
+    UDF), then the exact rank via ``range_ranked`` (r8): range
+    repartition + per-partition offsets instead of the single-task
+    global window the operator used to carry — the rank input is
+    (id, norm2_q) pairs only, never vectors, and ``n`` comes from the
+    offset pass (the construction-time ``ranked.count()`` re-evaluation
+    is gone with it)."""
     if not 0 < tail_milli < 500:
         raise ValueError(f"tail_milli must be in (0, 500), got {tail_milli}")
-    from pyspark.sql import Window
+    from .rank import range_ranked
 
     norm2 = F.aggregate(
         F.expr(
@@ -2469,9 +2472,7 @@ def embedding_norm_audit(
         lambda acc, v: acc + v * v,
     )
     scored = emb.select(F.col(id_col).alias("id"), norm2.alias("norm2_q"))
-    w = Window.orderBy("norm2_q", "id")
-    ranked = scored.withColumn("rank", F.row_number().over(w))
-    n = ranked.count()
+    ranked, n = range_ranked(scored, ["norm2_q", "id"], "rank")
     lo = tail_milli * n // 1000
     hi = n - lo
     return ranked.select(

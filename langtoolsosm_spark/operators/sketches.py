@@ -353,7 +353,12 @@ def ks_two_sample(
             F.sum(F.lit(1) - F.col("ia")).alias("db"),
         )
     )
-    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    # explicit NULLS LAST: Spark's bare orderBy sorts nulls FIRST while
+    # the DuckDB oracle's ORDER BY y is NULLS LAST — on a fixture with a
+    # NULL value the cumulative ECDF would diverge (round-7 ADVICE)
+    w = Window.orderBy(F.col("y").asc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = hist.select(
         "y",
         F.sum("da").over(w).alias("ca"),

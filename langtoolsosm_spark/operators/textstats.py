@@ -289,11 +289,13 @@ def vocab_growth(
     count of first-appearances <= boundary: the corpus is scanned ONCE
     regardless of step count, where the naive formulation (the DuckDB
     oracle, deliberately) re-scans the prefix per step. Both the
-    boundary ranks and the counts are exact integers. The per-doc
-    ranking window is a single global sort of doc IDS ONLY (two narrow
-    columns), not of the text.
+    boundary ranks and the counts are exact integers. The per-doc rank
+    runs over doc IDS ONLY (two narrow columns), via the
+    range-partitioned two-pass ``range_ranked`` (r8) — no single-task
+    global sort, and ``n_total`` rides the offset pass instead of a
+    separate count action.
     """
-    from pyspark.sql import Window
+    from .rank import range_ranked
 
     if steps < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")
@@ -308,9 +310,7 @@ def vocab_growth(
     ids = docs.select(F.col(id_col).alias("doc")).join(per_doc, "doc", "left").select(
         "doc", F.coalesce("n_tok", F.lit(0)).alias("n_tok")
     )
-    w = Window.orderBy("doc")
-    ranked = ids.withColumn("rn", F.row_number().over(w))
-    n_total = ranked.count()
+    ranked, n_total = range_ranked(ids, ["doc"], "rn")
     bounds = [
         (k, n_total * k // steps) for k in range(1, steps + 1) if n_total * k // steps > 0
     ]

@@ -2228,6 +2228,14 @@ def tile_trend(
     WHERE a shift happens, this ranks cells by sustained drift.
     Returns (tile, n_events, sum_t, sum_y, slope_num, slope_den).
 
+    Timestamps are assumed NON-NEGATIVE epoch (>= 1970): the day/hour
+    bucketing here (and in tile_bimodality / the hour helpers) uses
+    Spark's toward-zero integer division, which matches the oracle's
+    DuckDB ``//`` floor division only for non-negative epochs — a
+    pre-1970 timestamp would bucket differently in the two engines
+    (round-7 ADVICE; all mobility fixtures and real capture data are
+    post-1970).
+
     Plan: one map-side-combined five-sum rollup per cell — no joins,
     no second scan, merge-order independent (integer sums)."""
     day = (F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).cast("long")

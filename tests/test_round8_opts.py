@@ -326,3 +326,67 @@ def test_ivf_train_lloyd_kernel_matches_join(spark, emb):
     got2 = rows(ivf_train_lloyd(emb, n_centroids=5, iters=3))
     exp2 = rows(ivf_train_lloyd_join(emb, n_centroids=5, iters=3))
     assert got2 == exp2 and len(got2) > 0
+
+
+def test_range_ranked_matches_global_window(spark):
+    """Two-pass range-partitioned rank == the single-task global window,
+    on a fixture with heavy key duplication spread across partitions
+    (ties broken by the unique id column)."""
+    from pyspark.sql import Window
+
+    from langtoolsosm_spark.operators.rank import range_ranked
+
+    rows = [(i, (i * 7) % 13) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(11)
+    got, n = range_ranked(df, ["v", "id"], "rank")
+    exp = df.withColumn(
+        "rank", F.row_number().over(Window.orderBy("v", "id")).cast("long")
+    )
+    assert n == 5_000
+    g = _sorted_pdf(got)
+    e = _sorted_pdf(exp)
+    assert g.equals(e)
+
+
+def test_norm_audit_and_vocab_growth_rank_rewrite(spark):
+    """The range_ranked rewrites must reproduce the operators' previous
+    windowed output exactly (norm ties + empty-token docs included)."""
+    from pyspark.sql import Window
+
+    from langtoolsosm_spark.operators.similarity import embedding_norm_audit
+    from langtoolsosm_spark.operators.textstats import vocab_growth
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = _sorted_pdf(embedding_norm_audit(emb))
+    # inline pre-r8 reference: global window rank over (norm2_q, id)
+    norm2 = F.aggregate(
+        F.expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))"
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    scored = emb.select(F.col("vec_id").alias("id"), norm2.alias("norm2_q"))
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(Window.orderBy("norm2_q", "id"))
+    )
+    n = ranked.count()
+    lo = 10 * n // 1000
+    hi = n - lo
+    exp = _sorted_pdf(
+        ranked.select(
+            "id", "norm2_q", F.col("rank").cast("long"),
+            F.lit(n).cast("long").alias("n"),
+            F.when((F.col("rank") <= lo) | (F.col("rank") > hi), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("is_outlier"),
+        )
+    )
+    assert got.equals(exp) and len(got) > 0
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "beta gamma delta"), (4, "42 !!"),
+         (5, "delta alpha"), (6, "epsilon")],
+        "doc_id long, text string",
+    )
+    vg = _sorted_pdf(vocab_growth(docs, steps=4))
+    assert len(vg) == 4 and int(vg["vocab"].max()) == 5
