@@ -11580,24 +11580,60 @@ _LAST_SIGNED = {
     "user_home_tile": 6,
     "zone_concurrency": 6,
     "zone_visits": 6,
+    "activity_streaks": 7,
+    "bilinear_interp": 7,
+    "binomial_smooth": 7,
+    "burst_dedup_keep": 7,
+    "capture_bursts": 7,
+    "cell_compact": 7,
+    "cell_hausdorff": 7,
+    "colocation_lift": 7,
+    "covis_kcore": 7,
+    "daily_motifs": 7,
+    "dissolve_perimeter": 7,
+    "dwell_time": 7,
+    "embedding_ivf_pq_rescored": 7,
+    "exploration_curve": 7,
+    "heavy_hitters_cms": 7,
+    "join_counts": 7,
+    "knn_classify": 7,
+    "lisa_quadrants": 7,
+    "local_bridges": 7,
+    "od_gravity_residual": 7,
+    "od_reciprocity": 7,
+    "orientation_hist": 7,
+    "polygon_adjacency": 7,
+    "quadrat_chi2": 7,
+    "radius_of_gyration": 7,
+    "region_image_stats": 7,
+    "region_px_quantiles": 7,
+    "ripley_k": 7,
+    "semivariogram": 7,
+    "snap_to_boundary": 7,
+    "source_overlap": 7,
+    "spatial_kfold": 7,
+    "staypoints": 7,
+    "stream_dwell": 7,
+    "stream_gyration": 7,
+    "stream_od_late": 7,
+    "stream_staypoints": 7,
+    "stream_tile_first_seen": 7,
+    "tile_burstiness": 7,
+    "tile_changepoint": 7,
+    "tile_coverage_curve": 7,
+    "tile_first_seen": 7,
+    "tile_flow_divergence": 7,
+    "tile_gini": 7,
+    "tile_pagerank": 7,
+    "tile_predictability": 7,
+    "trip_length_hist": 7,
+    "visit_concentration": 7,
+    "wait_time_hist": 7,
+    "weekday_contrast": 7,
 }
 
-_REGISTRY_ORDER = list(REGISTRY)
-_DRIVER_WINDOW = sorted(
-    _REGISTRY_ORDER,
-    key=lambda k: (_LAST_SIGNED.get(k, 0), _REGISTRY_ORDER.index(k)),
-)[:50]
-
-assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
-_unsigned = [k for k in _REGISTRY_ORDER if k not in _LAST_SIGNED]
-assert all(k in _DRIVER_WINDOW for k in _unsigned) or len(_unsigned) > 50, (
-    "never-signed queries must lead the window"
-)
-
-REGISTRY = {
-    **{k: REGISTRY[k] for k in _DRIVER_WINDOW},
-    **{k: v for k, v in REGISTRY.items() if k not in set(_DRIVER_WINDOW)},
-}
+# (driver-window reorder moved to end of module so late-registered
+# queries participate in the never-signed-first rotation — r8)
 
 
 def q_voronoi_assign(spark, sf_dir):
@@ -14291,3 +14327,21 @@ FROM c
 
 
 REGISTRY.update({"image_bimodality": (q_image_bimodality, O_IMAGE_BIMODALITY)})
+
+
+_REGISTRY_ORDER = list(REGISTRY)
+_DRIVER_WINDOW = sorted(
+    _REGISTRY_ORDER,
+    key=lambda k: (_LAST_SIGNED.get(k, 0), _REGISTRY_ORDER.index(k)),
+)[:50]
+
+assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+_unsigned = [k for k in _REGISTRY_ORDER if k not in _LAST_SIGNED]
+assert all(k in _DRIVER_WINDOW for k in _unsigned) or len(_unsigned) > 50, (
+    "never-signed queries must lead the window"
+)
+
+REGISTRY = {
+    **{k: REGISTRY[k] for k in _DRIVER_WINDOW},
+    **{k: v for k, v in REGISTRY.items() if k not in set(_DRIVER_WINDOW)}
+}
