@@ -648,3 +648,16 @@ def test_freq_spectrum_broadcasts_octave_dim(spark):
     plan = _plan(freq_spectrum(docs))
     assert "BroadcastNestedLoopJoin BuildRight" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rank_rewrites_have_no_single_partition_exchange(spark):
+    """embedding_norm_audit and vocab_growth must not funnel rows
+    through a single-partition global sort (r8 range_ranked rewrite —
+    the pre-r8 plans carried Exchange SinglePartition windows)."""
+    from langtoolsosm_spark.plans.driver_queries import REGISTRY
+
+    for name in ("embedding_norm_audit", "vocab_growth"):
+        fn, _ = REGISTRY[name]
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, f"{name}:\n{plan[:2000]}"
